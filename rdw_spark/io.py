@@ -1,0 +1,60 @@
+"""Table loading for the driver-generated testdata star schema.
+
+All reads go through an explicit-path ``spark.read.parquet`` so Catalyst
+gets parquet pushdown + column pruning for free. ``register_views`` mirrors
+the DuckDB oracle's pre-registered view names so ``spark.sql`` text matches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Settings the catalog queries rely on, applied defensively in case the
+    caller (e.g. the driver) built the session without rdw_spark.session:
+    UTC so timestamps collect identically to the DuckDB oracle, and the
+    nanos-as-long legacy read for the events table's TIMESTAMP(NANOS)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-runtime-settable in this build
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet columns arrive as LongType (nanos since epoch)
+    # under spark.sql.legacy.parquet.nanosAsLong; convert to µs timestamps to
+    # match the engine's (and DuckDB's) µs semantics. Integer floor-div — a
+    # double division would lose precision above 2^53 ns.
+    from pyspark.sql import functions as F, types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,113 @@
+"""As-of / interval join helpers.
+
+The reference needs these for percentile (norms) assignment: each exam's
+``completed_at`` falls in a percentile table's ``[start_date, end_date]``
+window, then the exam's scale score maps to ``max(percentile_rank)`` whose
+band score <= scale_score (reference: docs/Norms.md:17-36, SURVEY.md J8/A9).
+Spark has no native as-of join, so two strategies:
+
+- ``broadcast``: right side is small (a band/lookup table). Broadcast
+  non-equi join + groupBy-max. Explosion is bounded by len(right) per left
+  row, and the join is map-side — scales linearly in the left at 100 TB.
+- ``union``: both sides large. Tag + unionByName + window with
+  ``last(..., ignorenulls=True)`` ordered by the as-of key — a single
+  shuffle on ``by`` keys, no pairwise explosion. This is the classic
+  merge-asof-as-a-window rewrite and survives arbitrary right-side sizes
+  as long as ``by`` keys give enough partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_on: str | None = None,
+    value_cols: list[str] | None = None,
+    strategy: str = "union",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_on] <= left[on]`` (within ``by`` groups).
+
+    Returns left columns + requested right value columns (null when no
+    right row precedes the left row).
+    """
+    by = by or []
+    right_on = right_on or on
+    value_cols = value_cols or [c for c in right.columns if c not in set(by) | {right_on}]
+
+    if strategy == "broadcast":
+        lid = left.withColumn("__lid", F.monotonically_increasing_id())
+        cond = [lid[k] == right[k] for k in by] + [right[right_on] <= lid[on]]
+        j = lid.join(F.broadcast(right), cond, "left")
+        # keep the greatest preceding right row per left row. Hash aggregate
+        # with max_by (partial agg map-side, no global sort) — a window over
+        # per-row partition keys would sort the whole fact table.
+        out = (
+            j.groupBy("__lid", *[lid[c] for c in left.columns])
+            .agg(*[F.max_by(F.col(c), F.col(right_on)).alias(c) for c in value_cols])
+            .drop("__lid")
+        )
+        return out
+
+    if strategy == "union":
+        lt = left.withColumn("__is_left", F.lit(1))
+        for c in value_cols:
+            lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+        rt = right.select(
+            *by,
+            F.col(right_on).alias(on),
+            F.lit(0).alias("__is_left"),
+            *[F.col(c) for c in value_cols],
+        )
+        for c in left.columns:
+            if c not in rt.columns:
+                rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+        u = lt.unionByName(rt.select(lt.columns))
+        # right rows sort before left rows at equal keys so <= is inclusive
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = u.select(
+            "*",
+            *[
+                F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+                .over(w)
+                .alias(f"__v_{c}")
+                for c in value_cols
+            ],
+        )
+        out = filled.filter(F.col("__is_left") == 1).select(
+            *[c for c in left.columns if c != "__is_left"],
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        )
+        return out
+
+    raise ValueError(f"unknown asof strategy: {strategy}")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join (exam.completed_at ∈ [start_date, end_date],
+    docs/Norms.md:17-18). Right side is broadcast (interval tables are
+    dims); inclusive on both ends to match the reference's BETWEEN.
+    """
+    by = by or []
+    cond = [left[k] == right[k] for k in by] + [
+        left[left_point] >= right[right_start],
+        left[left_point] <= right[right_end],
+    ]
+    return left.join(F.broadcast(right), cond, "left")

@@ -1,0 +1,69 @@
+"""Unit tests for the as-of / interval join operator (SURVEY J8/A9,
+reference docs/Norms.md:17-36 percentile assignment semantics)."""
+
+from __future__ import annotations
+
+from rdw_spark.operators.joins import asof_join, interval_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 25), ("b", 10), ("b", 1)],
+        "grp STRING, x INT",
+    )
+    right = spark.createDataFrame(
+        [("a", 0, "a-low"), ("a", 10, "a-mid"), ("a", 20, "a-high"), ("b", 5, "b-only")],
+        "grp STRING, bound INT, label STRING",
+    )
+    return left, right
+
+
+def test_asof_union_strategy(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="x", right_on="bound", by=["grp"],
+        value_cols=["label"], strategy="union",
+    )
+    got = {(r.grp, r.x): r.label for r in out.collect()}
+    assert got == {
+        ("a", 5): "a-low",
+        ("a", 15): "a-mid",
+        ("a", 25): "a-high",
+        ("b", 10): "b-only",
+        ("b", 1): None,  # no band at or below 1
+    }
+
+
+def test_asof_broadcast_strategy(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="x", right_on="bound", by=["grp"],
+        value_cols=["label"], strategy="broadcast",
+    )
+    got = {(r.grp, r.x): r.label for r in out.collect()}
+    assert got[("a", 15)] == "a-mid"
+    assert got[("b", 1)] is None
+
+
+def test_asof_inclusive_boundary(spark):
+    left = spark.createDataFrame([("a", 10)], "grp STRING, x INT")
+    right = spark.createDataFrame([("a", 10, "exact")], "grp STRING, bound INT, label STRING")
+    out = asof_join(left, right, on="x", right_on="bound", by=["grp"],
+                    value_cols=["label"], strategy="union")
+    assert out.collect()[0].label == "exact"  # bound <= x is inclusive
+
+
+def test_interval_join(spark):
+    import datetime as dt
+
+    exams = spark.createDataFrame(
+        [(1, dt.date(2018, 3, 1)), (2, dt.date(2018, 9, 1))],
+        "exam_id INT, completed DATE",
+    )
+    norms = spark.createDataFrame(
+        [(dt.date(2018, 1, 1), dt.date(2018, 6, 30), 100)],
+        "start_date DATE, end_date DATE, norm_id INT",
+    )
+    out = interval_join(exams, norms, "completed", "start_date", "end_date")
+    got = {r.exam_id: r.norm_id for r in out.collect()}
+    assert got == {1: 100, 2: None}
