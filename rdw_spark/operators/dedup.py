@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each strategy at 100 TB):
+
+- exact: one hash-shuffle on the digest — the cheapest, always first.
+- n-gram Jaccard with an inverted-index candidate step: only pairs sharing
+  at least one shingle are compared; the shingle join is the classic
+  document-pair inverted index. Hot shingles are capped (stop-shingle
+  removal) so no reducer sees a quadratic bucket.
+- MinHash+LSH: signature = K min-hashes (one shuffle), banding turns the
+  quadratic pair search into equality buckets; only bucket-mates are
+  verified. This is the strategy that survives 10^9 documents.
+- SimHash: 64-bit signature, near-dup = small Hamming distance; the
+  pigeonhole band trick (split into band chunks, equality-join on chunks)
+  finds all pairs within the radius without a cross join.
+- embedding cosine: blocked pairwise within a blocking key (or LSH bucket)
+  — brute force only inside blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+# --------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = True
+) -> DataFrame:
+    """Map each document to its canonical twin (min id per digest).
+    Returns (id, digest, canonical_id, is_canonical)."""
+    digest = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
+    d = df.select(F.col(id_col), digest.alias("digest"))
+    canon = d.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
+    return d.join(canon, "digest").select(
+        id_col, "digest", "canonical_id", (F.col(id_col) == F.col("canonical_id")).alias("is_canonical")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact (normalized) text."""
+    keep = exact_duplicates(df, text_col, id_col).filter("is_canonical").select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingling + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    tok = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via an inverted
+    shingle index (candidate pairs must share >=1 shingle). Shingles in
+    more than ``max_shingle_freq`` docs are dropped as stop-shingles so a
+    single hot shingle can't create a quadratic bucket at scale; a pair
+    sharing ONLY stop-shingles is (by construction) far below any useful
+    threshold anyway."""
+    sh = shingles(df, n, text_col, id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") <= max_shingle_freq
+    )
+    indexed = sh.join(freq_ok.select("shingle"), "shingle")
+    a = indexed.select(F.col(id_col).alias("a"), "shingle")
+    b = indexed.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K min-hash values per document: one explode + one groupBy (single
+    shuffle). Hash family = xxhash64(shingle, seed_k)."""
+    sh = shingles(df, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"mh_{k}") for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature: docs agreeing on ALL rows of any band become a
+    candidate pair. Equality buckets instead of pairwise comparison."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_exprs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(mh_cols[bi * rows_per_band + r]) for r in range(rows_per_band)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = banded.select(F.col(id_col).alias("a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → band buckets → candidate
+    pairs → exact Jaccard verification on the candidates only."""
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cands.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, majority vote of token
+    hashes. Expressed as 64 conditional sums in ONE aggregation (single
+    shuffle; partial aggregation map-side)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** i).cast("long")
+            if i < 63
+            # bit 63 would overflow 2^63 as a positive literal; use shiftleft
+            else F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), 63)
+        )
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", chunks: int = 4
+) -> DataFrame:
+    """All pairs with Hamming(simhash) <= max_hamming. Pigeonhole: split
+    the 64-bit signature into ``chunks`` chunks; any pair within radius
+    ``chunks-1`` agrees exactly on >=1 chunk → equality-join per chunk,
+    then verify with bit_count(xor). Requires max_hamming < chunks."""
+    assert max_hamming < chunks, "pigeonhole needs more chunks than the radius"
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_exprs = [
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * width).bitwiseAND(F.lit(mask)).alias("ck"),
+        )
+        for ci in range(chunks)
+    ]
+    chunked = sig_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_exprs)).alias("c")
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a = chunked.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk", "ck")
+    b = chunked.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk", "ck")
+    pairs = (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold. Pairwise only within
+    ``block_col`` blocks (at scale: an LSH bucket or cluster assignment —
+    never unblocked). Cosine computed as a sequential double fold so the
+    value is deterministic."""
+    from .similarity import cosine_expr
+
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    e = emb.select(*cols)
+    a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
+    b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
+    cond = [F.col(f"{id_col}_a") < F.col(f"{id_col}_b")]
+    if block_col:
+        cond.append(F.col(f"{block_col}_a") == F.col(f"{block_col}_b"))
+    pairs = a.join(b, cond[1] if block_col else F.lit(True), "inner").filter(cond[0])
+    cos = cosine_expr(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
+    return pairs.select(
+        F.col(f"{id_col}_a").alias("a"),
+        F.col(f"{id_col}_b").alias("b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

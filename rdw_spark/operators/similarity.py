@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_brute``: exact top-k by cosine — the baseline. One
+  broadcast of the query set + a map-side score + TakeOrdered per query.
+  Linear scan: right answer at any scale where a full pass is acceptable.
+- ``srp_bucket`` / ``ann_topk_srp``: sign-random-projection LSH — each
+  vector gets a small bucket code from the signs of deterministic
+  pseudo-random projections; queries only score vectors in their bucket
+  (+ optional multiprobe neighbors at Hamming distance 1). This is the
+  scale path: the scored set shrinks by ~2^bits.
+
+All arithmetic is a sequential double fold (F.aggregate), so scores are
+bit-deterministic and reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_brute(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query row. Queries are broadcast (the
+    query set is small); candidates never shuffle — only the per-query
+    top-k heads move. Ties broken by id for determinism."""
+    from pyspark.sql import Window
+
+    j = emb.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rn").alias("rank"))
+    )
+
+
+def srp_bucket(vec: Column, bits: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection bucket code. Projection p is a deterministic
+    ±1 vector derived from xxhash-free arithmetic: sign of
+    sin(9973*(p+1) + 31*i) — fixed, engine-independent, and good enough
+    mixing for bucketing (this is a partitioning heuristic, not crypto)."""
+    import math
+
+    code = F.lit(0)
+    for p in range(bits):
+        signs = [1.0 if math.sin(9973.0 * (p + 1) + 31.0 * i) >= 0 else -1.0 for i in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: _d(x) * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return code
+
+
+def ann_topk_srp(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose SRP bucket matches
+    the query's bucket (or any Hamming-1 neighbor bucket when multiprobe).
+    The candidate join is an equality join on the bucket code — at scale
+    this prunes ~ (1+bits)/2^bits of the table instead of scanning it."""
+    from pyspark.sql import Window
+
+    cand = emb.select(F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), bits, dim).alias("bucket"))
+    qb = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        srp_bucket(F.col(query_vec_col), bits, dim).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(F.col("qbucket"), *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
+        ])
+        qb = qb.select(query_id_col, query_vec_col, F.explode(probes).alias("qbucket"))
+    j = cand.join(F.broadcast(qb), cand.bucket == qb.qbucket)
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(query_id_col)).distinct()
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rn").alias("rank"))
+    )

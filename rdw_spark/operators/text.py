@@ -1,0 +1,90 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure column expressions (JVM-side, whole-stage-codegen) —
+no Python UDFs in the hot path. At 100 TB each is a single map-only pass
+over the documents table: no shuffle, fully parallel, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword anchor sets for the n-gram/stopword-voting
+# language heuristic. Counting uses \b word boundaries so token duplication
+# counts proportionally (frequency evidence, not set membership).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the cheap baseline counter)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: alpha runs are split into <=4-char chunks,
+    digits and punctuation count one each — a deterministic regex
+    approximation of subword tokenizer output size."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_hits(text_lower: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text_lower, F.lit(pat), 0))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    lower = F.lower(text)
+    return {lang: stopword_hits(lower, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_guess(text: Column) -> Column:
+    """Deterministic argmax over the stopword votes (ties broken by the
+    fixed en>es>de>fr order); 'und' (undetermined) when no votes at all."""
+    s = language_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # earlier langs win ties
+        out = F.when(s[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document
+    (the standard pre-training quality-filter feature set)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,!?;:]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]"), 0))
+    n_stop = stopword_hits(F.lower(t), LANG_STOPWORDS["en"])
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(n_chars.cast("double") / n_tok, 4).alias("q_avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("q_punct_ratio"),
+        F.round(n_alpha.cast("double") / n_chars, 4).alias("q_alpha_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("q_stopword_ratio"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse every
+    non-alphanumeric run to a single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (the reference
+    dedups payloads by md5 digest — docs/API.md:263, docs/Monitoring.md:448)."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,328 @@
+"""Training-data pipeline catalog: dedup, similarity search, text
+analysis, multimodal plumbing — over the documents/embeddings tables.
+
+These extend the reference's surface (SURVEY.md §7 step 7): the operators
+a 100 TB pre-training data pipeline needs, built on the same engine.
+SQL-expressible ones carry DuckDB oracles; MinHash/SimHash/SRP-LSH use
+engine hash functions with no DuckDB equivalent → rows-only check, with
+pytest cross-checks against the exact (oracle-able) computations instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_duplicates
+    FROM documents
+    GROUP BY source
+    """,
+    survey="ext: exact dedup (hash-groupBy; digest dedup per docs/API.md:263)",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = X.fingerprint(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_duplicates"),
+    )
+
+
+@register(
+    "dedup_fingerprint_canonical",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canonical_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS is_canonical
+    FROM documents
+    """,
+    survey="ext: fingerprint dedup (rolling-hash-style normalize+digest canonical mapping)",
+)
+def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    out = D.exact_duplicates(d, normalized=True)
+    return out.select(
+        "doc_id", F.col("digest").alias("fingerprint"), "canonical_id", "is_canonical"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks WHERE len(l) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+    """,
+    survey="ext: n-gram Jaccard dedup via inverted shingle index (exact-verify stage of MinHash-LSH)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.size(X.tokens(F.col("text"))) >= 3)
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_shingle_freq=10**9)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # engine hash family (xxhash64) has no DuckDB twin; see tests/test_dedup.py recall check
+    survey="ext: MinHash+LSH near-dup (shingle→minhash→band→bucket-join→exact verify)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.size(X.tokens(F.col("text"))) >= 3)
+    return D.minhash_dedup_pairs(d, num_hashes=32, bands=8, n=3, threshold=0.3)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature; verified structurally in tests
+    survey="ext: SimHash near-dup (64-bit signature, pigeonhole banding, Hamming<=3)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sigs = D.simhash64(d)
+    return D.simhash_near_pairs(sigs, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+    """,
+    survey="ext: embedding-cosine near-dup, blocked pairwise (block = label; at scale an LSH bucket)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return D.embedding_near_duplicates(e, threshold=0.3, block_col="label")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS q_n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS q_n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, q_n_chars, q_n_tokens,
+           ROUND(CAST(q_n_chars AS DOUBLE) / q_n_tokens, 4) AS q_avg_token_len,
+           ROUND(CAST(n_punct AS DOUBLE) / q_n_chars, 4) AS q_punct_ratio,
+           ROUND(CAST(n_alpha AS DOUBLE) / q_n_chars, 4) AS q_alpha_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / q_n_tokens, 4) AS q_stopword_ratio
+    FROM f
+    """,
+    survey="ext: quality scoring (length/punct/stopword ratios) — map-only, codegen'd",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return X.quality_features(d).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_avg_token_len",
+        "q_punct_ratio", "q_alpha_ratio", "q_stopword_ratio",
+    )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|una)\\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b')) AS s_fr
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                    ELSE 'fr' END AS guessed_lang
+        FROM scored
+    )
+    SELECT lang, guessed_lang, COUNT(*) AS n_docs
+    FROM guessed GROUP BY lang, guessed_lang
+    """,
+    survey="ext: language-ID (stopword-voting n-gram heuristic), confusion counts vs labeled lang",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", X.language_guess(F.col("text")).alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_subword_est,
+           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*), 4) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    survey="ext: token counting (whitespace + BPE-ish regex estimate) per source",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ws = X.token_count(F.col("text"))
+    sw = X.subword_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.sum(ws).alias("total_ws_tokens"),
+        F.sum(sw).alias("total_subword_est"),
+        F.round(F.sum(ws) / F.count("*"), 4).alias("avg_ws_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey="ext: brute-force cosine top-k ANN baseline (broadcast query, map-side score, TakeOrdered)",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.cosine_topk_brute(e, q, k=10)
+    return out.select("vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "sim_embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    survey="ext: embedding norm stats per label (vectorized array math, decimal-exact avg)",
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    norm = S.norm_expr(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum(norm.cast("decimal(27,6)")).cast("double") / F.count("*"), 4
+        ).alias("avg_l2_norm"),
+    )
+
+
+@register(
+    "sim_ann_srp_topk",
+    oracle=None,  # approximate by design; recall vs brute force checked in tests/test_similarity.py
+    survey="ext: SRP-LSH bucketed approximate top-k (scale path: equality join on bucket code)",
+)
+def sim_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # bits sized to table density: 2^bits buckets should each hold enough
+    # candidates to fill k. For the small testdata that's 4 bits; at 10^9
+    # vectors you'd raise it (pruning grows 2^bits while recall per probe
+    # depends on similarity concentration).
+    return S.ann_topk_srp(e, q, k=10, bits=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@register(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+    survey="ext: multimodal binary-column plumbing (Arrow-batched mapInPandas feature extraction; decode stubbed)",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    media = M.documents_as_media(d)
+    return M.decode_image_features(media, fake=True)
