@@ -1,0 +1,173 @@
+"""Import-log lifecycle: the append-only change stream that drives everything.
+
+Reference semantics (SURVEY.md §2.10 T1/T5/T6):
+- every inflow creates an ``import`` row with a status lifecycle
+  (reference docs/Runbook.ImportMigrate.md:22-33);
+- payload digest dedup: submitting the same payload twice safely no-ops and
+  returns the existing import — except GROUPS content, which always
+  reprocesses (reference docs/API.md:263);
+- negative status = error, queryable by name or id (reference
+  docs/API.md:429; UNKNOWN_SCHOOL=-6 docs/Troubleshooting.md:326);
+- ordering is by strictly-increasing ``import_id``, never wall clock
+  (reference docs/Runbook.md:162, ManualDataModifications.md:115-135).
+
+Scale note: accepts are metadata-only (one row per payload); the id counter
+is a single-row max() over the latest log snapshot — at 100 TB of *data*
+the import log is still tiny (reference production: ~10.9M imports,
+docs/Monitoring.md:111). Payload bytes go to the archive zone keyed by
+content/digest-prefix (docs/Troubleshooting.md:336-338), not into the log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from rdw_spark.warehouse.store import TableStore
+
+
+class ImportStatus:
+    """Codes from the reference's import_status table (docs/API.md:429,
+    docs/Troubleshooting.md:326; names observed across the runbooks)."""
+
+    ACCEPTED = 0
+    PROCESSED = 1
+    BAD_FORMAT = -2
+    BAD_DATA = -3
+    UNKNOWN_ASMT = -5
+    UNKNOWN_SCHOOL = -6
+    PIPELINE_FAILURE = -7
+
+    NAMES = {
+        0: "ACCEPTED", 1: "PROCESSED", -2: "BAD_FORMAT", -3: "BAD_DATA",
+        -5: "UNKNOWN_ASMT", -6: "UNKNOWN_SCHOOL", -7: "PIPELINE_FAILURE",
+    }
+
+
+class ImportContent:
+    """Content-type codes (reference docs/Runbook.ImportMigrate.md:9-20;
+    EXAM observed as content=1 in docs/Monitoring.md:43)."""
+
+    EXAM = 1
+    CODES = 2
+    PACKAGE = 3
+    ORGANIZATION = 4
+    GROUPS = 5
+    NORMS = 6
+    SUBJECT = 7
+    EMBARGO = 8
+    ACCOMMODATIONS = 9
+
+    NAMES = {
+        1: "EXAM", 2: "CODES", 3: "PACKAGE", 4: "ORGANIZATION", 5: "GROUPS",
+        6: "NORMS", 7: "SUBJECT", 8: "EMBARGO", 9: "ACCOMMODATIONS",
+    }
+
+
+@dataclass(frozen=True)
+class ImportRecord:
+    id: int
+    status: int
+    content: int
+    digest: str
+    existing: bool  # True → digest dedup no-op returned the prior import
+
+
+class ImportLog:
+    def __init__(self, store: TableStore, archive_root: str | None = None):
+        self.store = store
+        self.archive_root = archive_root
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, "import")
+
+    def _next_id(self, spark: SparkSession) -> int:
+        row = self.read(spark).agg(F.max("id")).collect()[0]
+        return int(row[0] or 0) + 1
+
+    def _archive(self, content: int, digest: str, payload: bytes) -> None:
+        """Raw-zone archive keyed by content + digest prefix pairs, mirroring
+        the reference's s3://archive/EXAM/18/B9/<digest> layout
+        (docs/Troubleshooting.md:336-338)."""
+        if self.archive_root is None:
+            return
+        d = os.path.join(
+            self.archive_root, ImportContent.NAMES[content],
+            digest[0:2].upper(), digest[2:4].upper(),
+        )
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, digest), "wb") as fh:
+            fh.write(payload)
+
+    def accept(
+        self,
+        spark: SparkSession,
+        content: int,
+        payload: bytes,
+        content_type: str = "application/xml",
+        batch: str | None = None,
+        creator: str | None = None,
+    ) -> ImportRecord:
+        """Archive + digest-dedup + insert ACCEPTED import row (T5)."""
+        digest = hashlib.md5(payload).hexdigest().upper()
+        log = self.read(spark)
+        # GROUPS always reprocess (docs/API.md:263); everything else no-ops
+        if content != ImportContent.GROUPS:
+            prior = (
+                log.filter((F.col("digest") == digest) & (F.col("content") == content))
+                .orderBy(F.desc("id")).limit(1).collect()
+            )
+            if prior:
+                p = prior[0]
+                return ImportRecord(p["id"], p["status"], content, digest, existing=True)
+
+        self._archive(content, digest, payload)
+        new_id = self._next_id(spark)
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        row = Row(
+            id=new_id, status=ImportStatus.ACCEPTED, content=content,
+            contentType=content_type, digest=digest, batch=batch,
+            creator=creator, created=now, updated=now, message=None,
+        )
+        from rdw_spark.warehouse import schemas as S
+
+        self.store.write_snapshot(
+            log.unionByName(spark.createDataFrame([row], S.IMPORT)), "import"
+        )
+        return ImportRecord(new_id, ImportStatus.ACCEPTED, content, digest, existing=False)
+
+    def set_status(
+        self, spark: SparkSession, import_id: int, status: int,
+        message: str | list | dict | None = None,
+    ) -> None:
+        if message is not None and not isinstance(message, str):
+            message = json.dumps(message)
+        log = self.read(spark)
+        updated = log.withColumns({
+            "status": F.when(F.col("id") == import_id, F.lit(status))
+                       .otherwise(F.col("status")),
+            "message": F.when(F.col("id") == import_id, F.lit(message))
+                        .otherwise(F.col("message")),
+            "updated": F.when(F.col("id") == import_id, F.current_timestamp())
+                        .otherwise(F.col("updated")),
+        })
+        self.store.write_snapshot(updated, "import")
+
+    def by_status(self, spark: SparkSession, status: int) -> DataFrame:
+        """Backlog by status — the resubmit entry point (docs/API.md:422-449):
+        after reference data arrives, failed imports (e.g. UNKNOWN_SCHOOL)
+        are re-parsed from the archive in import-id order."""
+        return self.read(spark).filter(F.col("status") == status).orderBy("id")
+
+    def read_archived_payload(self, content: int, digest: str) -> bytes:
+        d = os.path.join(
+            self.archive_root, ImportContent.NAMES[content],
+            digest[0:2].upper(), digest[2:4].upper(), digest,
+        )
+        with open(d, "rb") as fh:
+            return fh.read()

