@@ -1,0 +1,241 @@
+"""Exam ingest job: TRT payloads → validated warehouse rows (SURVEY.md §3.1).
+
+Reproduces the reference exam-processor pipeline (docs/Runbook.md:132-143):
+parse TRT → validate (mandatory elements + dim existence; failures become
+negative import statuses with element-level JSON messages,
+docs/Troubleshooting.md:326-337, docs/API.md:288) → upsert student
+(docs/Runbook.BulkDeleteExams.md:26) → match exam by (oppId, assessment):
+insert / update / soft-delete on reset (docs/API.md:369) → rewrite children
+(exam_item, exam_score, exam_available_accommodation, student_ethnicity) →
+mark imports PROCESSED → refresh student.inferred_school_id from the most
+recent completed exam (W1, docs/Runbook.Audit.md:441).
+
+Plan shape at scale: parse is map-only (mapInPandas); dim validation joins
+broadcast (school/asmt are dims); the student and exam MERGEs shuffle on the
+natural key once each; children fan out by explode with exam ids computed
+deterministically (xxhash64 of the natural key) so no read-back join is
+needed between parent and child writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rdw_spark.functions.scoring import with_performance_level
+from rdw_spark.sources.trt import parse_trt
+from rdw_spark.warehouse.import_log import ImportContent, ImportLog, ImportStatus
+from rdw_spark.warehouse.store import TableStore, surrogate_id
+
+
+def ingest_exams(
+    spark: SparkSession,
+    wh: TableStore,
+    log: ImportLog,
+    payloads: list[bytes],
+    batch: str | None = None,
+) -> dict[str, int]:
+    """Accept + process a batch of TRT documents. Returns counters."""
+    # 1. accept: archive, digest-dedup, import rows (T5). Metadata-only.
+    accepted = []
+    for p in payloads:
+        rec = log.accept(spark, ImportContent.EXAM, p, batch=batch)
+        if not rec.existing:  # duplicate payload safely no-ops (API.md:263)
+            accepted.append((rec.id, p.decode("utf-8")))
+    if not accepted:
+        return {"accepted": 0, "processed": 0, "failed": 0}
+
+    payload_df = spark.createDataFrame(accepted, "import_id long, payload string")
+    parsed = parse_trt(payload_df).cache()
+
+    # 2. validation fan-out (set-based, one pass per dim)
+    school = wh.read(spark, "school").select(
+        F.col("natural_id").alias("school_natural_id"),
+        F.col("id").alias("school_id"),
+    )
+    asmt_tbl = wh.read(spark, "asmt")
+    asmt = asmt_tbl.select(
+        F.col("natural_id").alias("asmt_natural_id"),
+        F.col("id").alias("asmt_id"),
+    )
+    resolved = (
+        parsed
+        .join(F.broadcast(school), "school_natural_id", "left")
+        .join(F.broadcast(asmt), "asmt_natural_id", "left")
+        .cache()
+    )
+    bad_data = resolved.filter(F.col("errors").isNotNull())
+    unknown_school = resolved.filter(
+        F.col("errors").isNull() & F.col("school_id").isNull()
+    )
+    unknown_asmt = resolved.filter(
+        F.col("errors").isNull() & F.col("school_id").isNotNull()
+        & F.col("asmt_id").isNull()
+    )
+    good = resolved.filter(
+        F.col("errors").isNull() & F.col("school_id").isNotNull()
+        & F.col("asmt_id").isNotNull()
+    ).cache()
+
+    status_updates = (
+        bad_data.select("import_id", F.lit(ImportStatus.BAD_DATA).alias("status"),
+                        F.to_json("errors").alias("message"))
+        .unionByName(unknown_school.select(
+            "import_id", F.lit(ImportStatus.UNKNOWN_SCHOOL).alias("status"),
+            F.to_json(F.struct(F.col("school_natural_id"))).alias("message")))
+        .unionByName(unknown_asmt.select(
+            "import_id", F.lit(ImportStatus.UNKNOWN_ASMT).alias("status"),
+            F.to_json(F.struct(F.col("asmt_natural_id"))).alias("message")))
+    )
+
+    # 3. student upsert: latest attributes win (by completed_at)
+    latest_per_ssid = Window.partitionBy("ssid").orderBy(
+        F.desc_nulls_last("completed_at"), F.desc("import_id")
+    )
+    students = (
+        good.withColumn("_rn", F.row_number().over(latest_per_ssid))
+        .filter(F.col("_rn") == 1)
+        .select("ssid", "first_name", "middle_name", "last_or_surname",
+                "gender", "birthday")
+    )
+    max_import = int(
+        good.agg(F.max("import_id")).collect()[0][0] or 0
+    ) if not good.isEmpty() else 0
+    n_students = 0
+    if max_import:
+        stats = wh.merge_upsert(spark, "student", students, max_import)
+        n_students = stats["inserted"] + stats["updated"]
+
+    # 4. exam MERGE keyed (opp_id, asmt_id); resets soft-delete (API.md:369)
+    student_ids = wh.read(spark, "student").select(
+        "ssid", F.col("id").alias("student_id")
+    )
+    exam_rows = (
+        good.filter(~F.coalesce(F.col("reset"), F.lit(False)))
+        .join(F.broadcast(student_ids), "ssid")
+    )
+    # derive performance level from cut scores when the TRT omitted it
+    exam_rows = with_performance_level(
+        exam_rows.withColumnRenamed("performance_level", "_given_level"),
+        asmt_tbl, out_col="_derived_level",
+    ).withColumn(
+        "performance_level", F.coalesce("_given_level", "_derived_level")
+    )
+    exam_updates = exam_rows.select(
+        "opp_id", "asmt_id", "opportunity", "asmt_version", "type_code",
+        "school_year", "student_id", "school_id", "grade_code", "completeness",
+        "administration_condition", "session_id", "scale_score",
+        "scale_score_std_err", "performance_level", "completed_at",
+        "iep", "lep", "section504", "economic_disadvantage", "migrant_status",
+        "language_code", "military_connected", "import_id",
+    )
+    n_exams = 0
+    if max_import:
+        stats = wh.merge_upsert(
+            spark, "exam", exam_updates.drop("import_id"), max_import
+        )
+        n_exams = stats["inserted"] + stats["updated"]
+
+    resets = good.filter(F.coalesce(F.col("reset"), F.lit(False))).select(
+        "opp_id", "asmt_id"
+    )
+    if resets.limit(1).count():
+        wh.soft_delete(spark, "exam", resets, max_import)
+
+    # 5. children — exam_id is the deterministic surrogate of (opp_id, asmt_id)
+    with_exam_id = exam_rows.withColumn("exam_id", surrogate_id("opp_id", "asmt_id"))
+    items = (
+        with_exam_id.select("exam_id", F.explode_outer("items").alias("it"))
+        .select("exam_id", F.col("it.key").alias("item_key"),
+                F.col("it.position").alias("position"), F.col("it.score").alias("score"),
+                F.col("it.score_status").alias("score_status"),
+                F.col("it.response").alias("response"))
+        .filter(F.col("item_key").isNotNull())
+    )
+    wh.replace_children(spark, "exam_item", "exam_id", items)
+    scores = (
+        with_exam_id.select("exam_id", F.explode_outer("claim_scores").alias("cs"))
+        .select("exam_id", F.col("cs.claim_code").alias("claim_code"),
+                F.col("cs.scale_score").alias("scale_score"),
+                F.col("cs.scale_score_std_err").alias("scale_score_std_err"),
+                F.col("cs.performance_level").alias("performance_level"))
+        .filter(F.col("claim_code").isNotNull())
+    )
+    wh.replace_children(spark, "exam_score", "exam_id", scores)
+    accommodations = (
+        with_exam_id.select(
+            "exam_id", F.explode_outer("accommodations").alias("accommodation_code")
+        ).filter(F.col("accommodation_code").isNotNull())
+    )
+    wh.replace_children(
+        spark, "exam_available_accommodation", "exam_id", accommodations
+    )
+    ethnicities = (
+        with_exam_id
+        .select("student_id", F.explode_outer("ethnicities").alias("ethnicity"))
+        .filter(F.col("ethnicity").isNotNull()).distinct()
+    )
+    if ethnicities.limit(1).count():
+        wh.replace_children(spark, "student_ethnicity", "student_id", ethnicities)
+
+    # 6. inferred_school_id: most recent completed exam per student (W1)
+    _refresh_inferred_school(spark, wh, max_import)
+
+    # 7. statuses: failures with messages; successes PROCESSED (bulk, one write)
+    processed = good.select(
+        "import_id", F.lit(ImportStatus.PROCESSED).alias("status"),
+        F.lit(None).cast("string").alias("message"),
+    )
+    _bulk_status(spark, wh, status_updates.unionByName(processed))
+
+    counts = {
+        "accepted": len(accepted),
+        "processed": good.count(),
+        "failed": int(status_updates.count()),
+        "students_upserted": n_students,
+        "exams_upserted": n_exams,
+    }
+    parsed.unpersist()
+    resolved.unpersist()
+    good.unpersist()
+    return counts
+
+
+def _refresh_inferred_school(spark: SparkSession, wh: TableStore, import_id: int) -> None:
+    if not import_id:
+        return
+    exam = wh.read(spark, "exam").filter(~F.col("deleted"))
+    w = Window.partitionBy("student_id").orderBy(F.desc("completed_at"))
+    latest = (
+        exam.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        .select(F.col("student_id").alias("id"),
+                F.col("school_id").alias("_new_school"))
+    )
+    student = wh.read(spark, "student")
+    updated = (
+        student.join(latest, "id", "left")
+        .withColumn("inferred_school_id",
+                    F.coalesce("_new_school", "inferred_school_id"))
+        .drop("_new_school")
+    )
+    wh.write_snapshot(updated.select(*student.columns), "student")
+
+
+def _bulk_status(spark: SparkSession, wh: TableStore, updates: DataFrame) -> None:
+    """One snapshot write for the whole batch's status transitions."""
+    log = wh.read(spark, "import")
+    upd = updates.select(
+        F.col("import_id").alias("id"), F.col("status").alias("_new_status"),
+        F.col("message").alias("_new_message"),
+    )
+    merged = (
+        log.join(F.broadcast(upd), "id", "left")
+        .withColumn("status", F.coalesce("_new_status", "status"))
+        .withColumn("message", F.coalesce("_new_message", "message"))
+        .withColumn(
+            "updated",
+            F.when(F.col("_new_status").isNotNull(), F.current_timestamp())
+            .otherwise(F.col("updated")),
+        )
+        .drop("_new_status", "_new_message")
+    )
+    wh.write_snapshot(merged.select(*log.columns), "import")

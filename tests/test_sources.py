@@ -1,0 +1,332 @@
+"""Source parsers S1-S8: format parsing, validation errors, warehouse shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from rdw_spark.sources.accommodations import parse_accommodations_xml
+from rdw_spark.sources.groups import export_groups_csv, parse_groups, read_groups_csv
+from rdw_spark.sources.norms import parse_norms, read_norms_csv
+from rdw_spark.sources.org import parse_org_calpads, parse_org_json
+from rdw_spark.sources.package import parse_package, read_package_csv
+from rdw_spark.sources.subject_xml import parse_subject_xml
+from rdw_spark.sources.trt import DEFAULT_REQUIRED, normalize_children, parse_trt
+
+ORG_JSON = """
+{
+  "districts": [
+    {"entityId": "55500010000000", "entityType": "DISTRICT",
+     "entityName": "Northlake District", "parentEntityId": "WA",
+     "parentEntityType": "STATE"}
+  ],
+  "institutions": [
+    {"entityId": "55500010001001", "entityType": "INSTITUTION",
+     "entityName": "Cedar Elementary", "parentEntityId": "55500010000000",
+     "parentEntityType": "DISTRICT"},
+    {"entityId": "55500010001002", "entityType": "INSTITUTION",
+     "entityName": "Maple Middle", "parentEntityId": "55500010000000",
+     "parentEntityType": "DISTRICT"}
+  ]
+}
+"""
+
+CALPADS = """County-District Code^School Code^Auth CDS Code^County Name^District Name^School Name^Charter School^Charter Status^NPS School
+5550001^0001001^55500010001001^Lake^Northlake District^Cedar Elementary^N^^N
+5550001^0001002^55500010001002^Lake^Northlake District^Maple Middle^N^^N
+"""
+
+NORMS_CSV = """assessment_id,start_date,end_date,count,mean,standard_deviation,min_score,max_score,percentile_rank,score
+TESTASMT-G6-2018,2017-08-01,2018-01-31,50000,2425.5,88.9,,,25,2365
+TESTASMT-G6-2018,2017-08-01,2018-01-31,,,,,,50,2425
+TESTASMT-G6-2018,2017-08-01,2018-01-31,,,,,,75,2495
+TESTASMT-G6-2018,2018-02-01,2018-07-31,50000,2430.5,88.9,,,25,2370
+TESTASMT-G6-2018,2018-02-01,2018-07-31,,,,,,50,2430
+TESTASMT-G6-2018,2018-02-01,2018-07-31,,,,,,75,2500
+"""
+
+GROUPS_CSV = """group_name,school_natural_id,school_year,subject_code,student_ssid,group_user_login
+Grade6Math,55500010001001,2018,Math,,
+Grade6Math,55500010001001,2018,,,teacher1@northlake.example
+Grade6Math,55500010001001,2018,,STU001,
+Grade6Math,55500010001001,2018,,STU002,
+Homeroom6A,55500010001001,2018,All,,
+Homeroom6A,55500010001001,2018,,STU001,
+"""
+
+PACKAGE_CSV = """AssessmentId,AssessmentName,AssessmentSubject,AssessmentGrade,AssessmentType,AssessmentLabel,AssessmentVersion,AcademicYear,FullItemKey,BankKey,ItemId,ItemType,Grade,Claim,Target,DOK,MaxPoints,MathematicalPractice,CommonCore,ItemPosition,a,b0_b,b1_c,CutPoint1,ScaledLow1,ScaledHigh1,CutPoint2,ScaledLow2,ScaledHigh2,CutPoint3,ScaledLow3,ScaledHigh3,CutPoint4,ScaledLow4,ScaledHigh4
+TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1001,100,1001,MC,6,C1,T1,2,1,MP1,6.NS.1,1,0.8,-0.5,0.1,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
+TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1002,100,1002,SA,6,C2,T2,3,2,MP2,6.RP.2,2,1.1,0.3,0.0,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
+"""
+
+SUBJECT_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<Subject code="tsub" name="Test Subject">
+  <AssessmentTypes>
+    <AssessmentType code="sum" name="Summative" targetReport="true">
+      <OverallScoring name="Overall" minScore="2000" maxScore="3000">
+        <PerformanceLevels standardCutoff="3">
+          <PerformanceLevel level="1" name="Low" color="red"/>
+          <PerformanceLevel level="2" name="Near" color="orange"/>
+          <PerformanceLevel level="3" name="Met" color="green"/>
+          <PerformanceLevel level="4" name="Exceeded" color="blue"/>
+        </PerformanceLevels>
+      </OverallScoring>
+      <ClaimScoring name="Claim">
+        <PerformanceLevels>
+          <PerformanceLevel level="1" name="Below" color="red"/>
+          <PerformanceLevel level="2" name="NearAbove" color="green"/>
+        </PerformanceLevels>
+      </ClaimScoring>
+    </AssessmentType>
+  </AssessmentTypes>
+  <DepthsOfKnowledge>
+    <DepthOfKnowledge level="1" name="Recall"><Reference>http://example.org/dok#1</Reference></DepthOfKnowledge>
+    <DepthOfKnowledge level="2" name="Skill"><Reference>http://example.org/dok#2</Reference></DepthOfKnowledge>
+  </DepthsOfKnowledge>
+  <ItemDifficulties>
+    <ItemDifficulty gradeCode="06" moderateLowEnd="-0.5" difficultLowEnd="0.9"/>
+  </ItemDifficulties>
+</Subject>
+"""
+
+ACCOMMODATIONS_XML = """<?xml version="1.0" encoding="utf-8"?>
+<Accessibility>
+  <MasterResourceFamily>
+    <SingleSelectResource>
+      <Code>ColorContrast</Code>
+      <ResourceType>Accommodation</ResourceType>
+      <Text><Language>eng</Language><Label>Color Contrast</Label></Text>
+      <Text><Language>spa</Language><Label>Contraste de color</Label></Text>
+      <Selection>
+        <Code>TDS_CC0</Code>
+        <Text><Language>eng</Language><Label>Black on White</Label></Text>
+      </Selection>
+      <Selection>
+        <Code>TDS_CCInvert</Code>
+        <Text><Language>eng</Language><Label>Reverse Contrast</Label></Text>
+        <Text><Language>spa</Language><Label>Contraste inverso</Label></Text>
+      </Selection>
+    </SingleSelectResource>
+  </MasterResourceFamily>
+</Accessibility>
+"""
+
+
+def make_trt(
+    opp_id="OPP-1", ssid="STU001", school="55500010001001",
+    asmt="TESTASMT-G6-2018", score=2500.0, completed="2018-04-12T10:30:00",
+    include_items=True, drop_school=False, perf_level=None,
+) -> bytes:
+    school_rel = (
+        "" if drop_school else
+        f'<ExamineeRelationship context="FINAL" name="SchoolId" value="{school}"/>'
+    )
+    perf = (
+        f'<Score measureOf="Overall" measureLabel="PerformanceLevel" value="{perf_level}"/>'
+        if perf_level else ""
+    )
+    items = (
+        """
+        <Item position="1" bankKey="100" key="1001" score="1" scoreStatus="SCORED" format="MC">
+          <Response>B</Response>
+        </Item>
+        <Item position="2" bankKey="100" key="1002" score="0.5" scoreStatus="SCORED" format="SA">
+          <Response>partial answer</Response>
+        </Item>
+        """ if include_items else ""
+    )
+    return f"""<TDSReport>
+  <Test name="{asmt}" subject="Math" grade="06" assessmentType="SUM"
+        academicYear="2018" assessmentVersion="2.0"/>
+  <Examinee key="9001">
+    <ExamineeAttribute context="FINAL" name="StudentIdentifier" value="{ssid}"/>
+    <ExamineeAttribute context="FINAL" name="FirstName" value="Jordan"/>
+    <ExamineeAttribute context="FINAL" name="LastOrSurname" value="Kim"/>
+    <ExamineeAttribute context="FINAL" name="Birthdate" value="2006-03-14"/>
+    <ExamineeAttribute context="FINAL" name="Sex" value="Female"/>
+    <ExamineeAttribute context="FINAL" name="GradeLevelWhenAssessed" value="06"/>
+    <ExamineeAttribute context="FINAL" name="IDEAIndicator" value="No"/>
+    <ExamineeAttribute context="FINAL" name="EconomicDisadvantageStatus" value="Yes"/>
+    <ExamineeAttribute context="FINAL" name="Ethnicity" value="Asian"/>
+    <ExamineeAttribute context="FINAL" name="Ethnicity" value="White"/>
+    {school_rel}
+  </Examinee>
+  <Opportunity oppId="{opp_id}" opportunity="1" sessionId="SES-9"
+               completeness="Complete" administrationCondition="Valid"
+               dateCompleted="{completed}">
+    <Score measureOf="Overall" measureLabel="ScaleScore" value="{score}" standardError="21.5"/>
+    {perf}
+    <Score measureOf="C1" measureLabel="ScaleScore" value="{score - 30}" standardError="30.0"/>
+    <Score measureOf="C2" measureLabel="ScaleScore" value="{score + 10}" standardError="28.0"/>
+    {items}
+    <Accommodation type="ColorContrast" code="TDS_CCInvert" segment="0"/>
+  </Opportunity>
+</TDSReport>""".encode()
+
+
+class TestOrgSources:
+    def test_org_json(self, spark):
+        out = parse_org_json(spark, ORG_JSON)
+        d = out["district"].collect()
+        assert len(d) == 1 and d[0]["name"] == "Northlake District"
+        s = {r["natural_id"]: r for r in out["school"].collect()}
+        assert len(s) == 2
+        assert s["55500010001001"]["district_natural_id"] == "55500010000000"
+
+    def test_org_calpads(self, spark):
+        out = parse_org_calpads(spark, CALPADS)
+        assert out["district"].count() == 1
+        schools = {r["natural_id"] for r in out["school"].collect()}
+        assert schools == {"55500010001001", "55500010001002"}
+
+
+class TestNorms:
+    def test_identity_rank_split(self, spark):
+        out = parse_norms(spark, read_norms_csv(spark, NORMS_CSV),
+                          default_min_score=2000, default_max_score=3000)
+        ident = out["percentile"].orderBy("start_date").collect()
+        assert len(ident) == 2
+        assert ident[0]["count"] == 50000 and ident[0]["mean"] == 2425.5
+        assert ident[0]["min_score"] == 2000.0  # config default applied
+        assert out["percentile_score"].count() == 6
+        assert out["errors"].count() == 0
+
+    def test_validation_errors(self, spark):
+        bad = NORMS_CSV.strip().splitlines()
+        too_few = "\n".join(bad[:3])  # only 2 rank rows for table 1
+        out = parse_norms(spark, read_norms_csv(spark, too_few))
+        errs = [r["error"] for r in out["errors"].collect()]
+        assert any("fewer than 3 rank rows" in e for e in errs)
+        # overlapping windows for the same assessment
+        overlap = NORMS_CSV.replace("2018-02-01", "2018-01-15")
+        out = parse_norms(spark, read_norms_csv(spark, overlap))
+        errs = [r["error"] for r in out["errors"].collect()]
+        assert any("overlapping" in e for e in errs)
+
+
+class TestGroups:
+    def _dims(self, spark):
+        school = spark.createDataFrame(
+            [Row(id=11, natural_id="55500010001001")])
+        student = spark.createDataFrame(
+            [Row(id=21, ssid="STU001"), Row(id=22, ssid="STU002")])
+        return school, student
+
+    def test_header_validation(self, spark):
+        with pytest.raises(ValueError, match="invalid group CSV header"):
+            read_groups_csv(spark, "wrong,header\n1,2\n")
+
+    def test_parse_and_export_roundtrip(self, spark):
+        school, student = self._dims(spark)
+        out = parse_groups(read_groups_csv(spark, GROUPS_CSV), school, student)
+        groups = {r["name"]: r for r in out["student_group"].collect()}
+        assert set(groups) == {"Grade6Math", "Homeroom6A"}
+        assert groups["Grade6Math"]["subject_code"] == "Math"
+        assert out["student_group_membership"].count() == 3
+        assert out["user_student_group"].count() == 1
+        assert out["errors"].count() == 0
+
+        csv_back = export_groups_csv(
+            out["student_group"], school.withColumn("name", F.lit("x")),
+            student, out["student_group_membership"], out["user_student_group"],
+        ).collect()
+        assert len(csv_back) == 4  # 3 members + 1 user
+        assert csv_back[0]["group_name"] == "Grade6Math"  # deterministic order
+
+    def test_unknown_school_and_student(self, spark):
+        school, student = self._dims(spark)
+        csv = GROUPS_CSV + "Ghost,99999999999999,2018,,,u@example.com\n"
+        csv = csv + "Grade6Math,55500010001001,2018,,STU404,\n"
+        out = parse_groups(read_groups_csv(spark, csv), school, student)
+        errs = " ".join(r["error"] for r in out["errors"].collect())
+        assert "unknown school 99999999999999" in errs
+        assert "unknown student STU404" in errs
+
+
+class TestPackage:
+    def test_parse(self, spark):
+        out = parse_package(read_package_csv(spark, PACKAGE_CSV))
+        asmt = out["asmt"].collect()
+        assert len(asmt) == 1
+        a = asmt[0]
+        assert a["natural_id"] == "TESTASMT-G6-2018"
+        assert a["type_code"] == "sum" and a["school_year"] == 2018
+        assert a["cut_point_1"] == 2380.0 and a["cut_point_3"] == 2600.0
+        assert a["min_score"] == 2000.0 and a["max_score"] == 3000.0
+        items = out["item"].orderBy("position").collect()
+        assert len(items) == 2
+        assert items[0]["key"] == "100-1001" and items[0]["dok_level"] == 2
+        assert items[1]["irt_a"] == 1.1
+
+
+class TestSubjectXml:
+    def test_parse(self, spark):
+        out = parse_subject_xml(spark, SUBJECT_XML)
+        assert out["subject"].collect()[0]["code"] == "tsub"
+        sat = out["subject_asmt_type"].collect()[0]
+        assert sat["standard_cutoff"] == 3 and sat["performance_level_count"] == 4
+        assert sat["min_score"] == 2000.0 and sat["target_report"] is True
+        levels = out["subject_performance_level"]
+        assert levels.filter("scoring = 'overall'").count() == 4
+        assert levels.filter("scoring = 'claim'").count() == 2
+        assert out["depth_of_knowledge"].count() == 2
+        idc = out["item_difficulty_cuts"].collect()[0]
+        assert idc["grade_code"] == "06" and idc["difficult_low_end"] == 0.9
+
+
+class TestAccommodations:
+    def test_parse(self, spark):
+        out = parse_accommodations_xml(spark, ACCOMMODATIONS_XML)
+        codes = {r["code"]: r["name"] for r in out["accommodation"].collect()}
+        assert codes["ColorContrast"] == "Color Contrast"
+        assert codes["TDS_CCInvert"] == "Reverse Contrast"
+        tr = {(r["code"], r["language_code"]): r["label"]
+              for r in out["accommodation_translation"].collect()}
+        assert tr[("ColorContrast", "spa")] == "Contraste de color"
+        assert tr[("TDS_CCInvert", "spa")] == "Contraste inverso"
+
+
+class TestTrt:
+    def _parse(self, spark, *payloads, required=None):
+        df = spark.createDataFrame(
+            [(i + 1, p.decode()) for i, p in enumerate(payloads)],
+            "import_id long, payload string",
+        )
+        return parse_trt(df, required=required)
+
+    def test_full_document(self, spark):
+        row = self._parse(spark, make_trt()).collect()[0]
+        assert row["asmt_natural_id"] == "TESTASMT-G6-2018"
+        assert row["type_code"] == "sum" and row["school_year"] == 2018
+        assert row["ssid"] == "STU001" and row["gender"] == "Female"
+        assert row["school_natural_id"] == "55500010001001"
+        assert row["iep"] is False and row["economic_disadvantage"] is True
+        assert sorted(row["ethnicities"]) == ["Asian", "White"]
+        assert row["opp_id"] == "OPP-1" and row["completeness"] == "Complete"
+        assert row["scale_score"] == 2500.0 and row["scale_score_std_err"] == 21.5
+        assert len(row["claim_scores"]) == 2
+        assert row["claim_scores"][0]["claim_code"] == "C1"
+        assert len(row["items"]) == 2 and row["items"][1]["score"] == 0.5
+        assert row["accommodations"] == ["TDS_CCInvert"]
+        assert row["errors"] is None
+
+    def test_missing_required_and_malformed(self, spark):
+        rows = self._parse(
+            spark, make_trt(drop_school=True), b"<TDSReport><unclosed>",
+        ).orderBy("import_id").collect()
+        assert any("school_natural_id" in e for e in rows[0]["errors"])
+        assert any("malformed XML" in e for e in rows[1]["errors"])
+
+    def test_configurable_required(self, spark):
+        # F5: with SchoolId removed from the required list the same doc parses clean
+        req = [f for f in DEFAULT_REQUIRED if f != "school_natural_id"]
+        row = self._parse(spark, make_trt(drop_school=True), required=req).collect()[0]
+        assert row["errors"] is None
+
+    def test_normalize_children(self, spark):
+        parsed = self._parse(spark, make_trt(), make_trt(opp_id="OPP-2", ssid="STU002"))
+        out = normalize_children(parsed)
+        assert out["exam_item"].count() == 4
+        assert out["exam_score"].count() == 4
+        assert out["exam_available_accommodation"].count() == 2
+        assert out["student_ethnicity"].count() == 4
