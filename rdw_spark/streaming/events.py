@@ -1,0 +1,165 @@
+"""Streaming ops over the events table: watermarked windows + sessionization.
+
+These give the engine the Structured Streaming surface the reference lacks
+(SURVEY.md §2.10 T7 — optional for parity, required for the 100 TB tier):
+- ``read_events_stream``: file-source readStream with the explicit schema
+  (never inferred — §1.2), ``maxFilesPerTrigger`` for ingestion pacing;
+- ``windowed_event_counts``: tumbling event-time windows with a watermark so
+  late events are merged until the watermark passes, then state is dropped —
+  bounded state at any scale;
+- ``sessionize``: gap-based sessions per user via applyInPandasWithState
+  (processing-time timeout), the documented pattern for custom stateful
+  operators.
+
+The batch variants (same column contract, runnable on a static DataFrame)
+back the DuckDB-checked catalog entries — one logic definition, two run
+modes, which is exactly Spark's unified batch/stream model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet: TIMESTAMP(NANOS) read as long under nanosAsLong (see
+# rdw_spark.io.load_table); the stream converts to µs timestamps the same way
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return stream.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Works on both a stream
+    (watermark bounds state; late rows merge until it passes) and a static
+    frame (watermark is a no-op) — same plan, same results."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               timeout_ms: int = 30_000) -> DataFrame:
+    """Gap-based sessions per user (applyInPandasWithState). A session closes
+    when a new event arrives more than ``gap_minutes`` after the last one, or
+    when the processing-time timeout fires with state pending."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(end_us, unit="us"),
+                "n_events": n, "total_value": total,
+            }])
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = []
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us = end_us = None
+            n, total = 0, 0.0
+        for r in rows.itertuples(index=False):
+            t_us = int(pd.Timestamp(r.ts).value // 1000)
+            if start_us is None:
+                start_us, end_us, n, total = t_us, t_us, 1, float(r.value or 0)
+            elif t_us - end_us > gap_us:
+                out.append((start_us, end_us, n, total))
+                start_us, end_us, n, total = t_us, t_us, 1, float(r.value or 0)
+            else:
+                end_us = max(end_us, t_us)
+                n += 1
+                total += float(r.value or 0)
+        state.update((start_us, end_us, n, total))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame([
+                {"user_id": user_id,
+                 "session_start": pd.Timestamp(s, unit="us"),
+                 "session_end": pd.Timestamp(e, unit="us"),
+                 "n_events": c, "total_value": v}
+                for s, e, c, v in out
+            ])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch-mode sessionization with identical output semantics, pure
+    DataFrame ops (window lag + cumulative session ids) — the oracle-checkable
+    twin of :func:`sessionize`, and the faster choice when the input is
+    already at rest."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = events.withColumn(
+        "_new_session",
+        (F.col("ts").cast("double")
+         - F.lag(F.col("ts").cast("double")).over(w) > gap_minutes * 60)
+        .cast("long"),
+    ).withColumn(
+        "_session_no",
+        F.sum(F.coalesce("_new_session", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_gap.groupBy("user_id", "_session_no")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .drop("_session_no")
+    )

@@ -1,0 +1,86 @@
+"""Streaming tier: watermarked windowed aggregation and stateful
+sessionization — stream results must match their batch twins."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdw_spark.io import load_table
+from rdw_spark.streaming.events import (
+    read_events_stream, sessionize, sessionize_batch, windowed_event_counts,
+)
+
+EVENTS_PATH = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file-source readStream requires a directory; stage the single
+    # driver-generated file into one
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS_PATH, d / "part-0.parquet")
+    return str(d)
+
+
+def _batch_events(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+class TestWindowedCounts:
+    def test_stream_matches_batch(self, spark, events_dir):
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("memory").queryName("win_counts")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+            for r in windowed_event_counts(_batch_events(spark), window="1 hour").collect()
+        }
+        assert got == want and len(got) > 10
+
+
+class TestSessionize:
+    def test_batch_sessions(self, spark):
+        ev = _batch_events(spark)
+        sessions = sessionize_batch(ev, gap_minutes=30).cache()
+        # invariants: per-user event counts preserved; sessions don't overlap
+        per_user = sessions.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+        src = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        diff = per_user.join(src, "user_id").filter("per_user.n != src.n") if False else (
+            per_user.alias("a").join(src.alias("b"), "user_id")
+            .filter(F.col("a.n") != F.col("b.n"))
+        )
+        assert diff.count() == 0
+        gaps = sessions.filter(F.col("session_end") < F.col("session_start"))
+        assert gaps.count() == 0
+        assert sessions.count() > ev.select("user_id").distinct().count()
+
+    def test_stream_sessions_match_batch_closed_sessions(self, spark, events_dir):
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            sessionize(stream, gap_minutes=30)
+            .writeStream.format("memory").queryName("sessions")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT user_id, session_start, n_events FROM sessions"
+        ).collect()
+        batch = sessionize_batch(_batch_events(spark), gap_minutes=30)
+        want = {(r["user_id"], r["session_start"], r["n_events"])
+                for r in batch.collect()}
+        # availableNow ends before the last timeout fires, so the stream emits
+        # only *closed* sessions — every one must exist in the batch result
+        assert len(got) > 0
+        for r in got:
+            assert (r["user_id"], r["session_start"], r["n_events"]) in want
