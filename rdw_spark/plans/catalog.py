@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from . import relational  # noqa: F401
+from . import extended, relational  # noqa: F401
 from .registry import REGISTRY, CatalogQuery
 
 try:  # text/dedup/similarity ops (added incrementally)

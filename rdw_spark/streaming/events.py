@@ -56,10 +56,13 @@ def windowed_event_counts(
     (watermark bounds state; late rows merge until it passes) and a static
     frame (watermark is a no-op) — same plan, same results."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # decimal-accumulated sum: exact + associative, so stream/batch/oracle
+    # all land on the identical double regardless of partial-agg order
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum("value").alias("total_value"))
+             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+             .alias("total_value"))
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),
                 "event_type", "n_events", "total_value")
@@ -160,6 +163,8 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return (
         with_gap.groupBy("user_id", "_session_no")
         .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
-             F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+             F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+             .alias("total_value"))
         .drop("_session_no")
     )
