@@ -20,6 +20,91 @@ from rdw_spark.plans.catalog import get_catalog  # noqa: E402
 from rdw_spark.session import get_spark  # noqa: E402
 
 
+def _trt_doc(i: int) -> bytes:
+    """Synthetic TRT exam document (same shape the ingest job parses)."""
+    score = 2200 + (i * 7) % 800
+    return f"""<TDSReport>
+  <Test name="BENCH-ASMT-G6" subject="Math" grade="06" assessmentType="SUM"
+        academicYear="2018" assessmentVersion="1"/>
+  <Examinee key="{i}">
+    <ExamineeAttribute context="FINAL" name="StudentIdentifier" value="B{i:06d}"/>
+    <ExamineeAttribute context="FINAL" name="FirstName" value="F{i}"/>
+    <ExamineeAttribute context="FINAL" name="LastOrSurname" value="L{i}"/>
+    <ExamineeAttribute context="FINAL" name="Birthdate" value="2006-0{1 + i % 9}-15"/>
+    <ExamineeAttribute context="FINAL" name="Sex" value="{'Female' if i % 2 else 'Male'}"/>
+    <ExamineeAttribute context="FINAL" name="GradeLevelWhenAssessed" value="06"/>
+    <ExamineeAttribute context="FINAL" name="IDEAIndicator" value="No"/>
+    <ExamineeAttribute context="FINAL" name="EconomicDisadvantageStatus" value="{'Yes' if i % 3 else 'No'}"/>
+    <ExamineeRelationship context="FINAL" name="SchoolId" value="BENCH-SCHOOL-1"/>
+  </Examinee>
+  <Opportunity oppId="BOPP-{i}" opportunity="1" sessionId="S{i % 7}"
+               completeness="Complete" administrationCondition="Valid"
+               dateCompleted="2018-04-{1 + i % 28:02d}T10:00:00">
+    <Score measureOf="Overall" measureLabel="ScaleScore" value="{score}" standardError="20"/>
+    <Score measureOf="C1" measureLabel="ScaleScore" value="{score - 20}" standardError="25"/>
+    <Item position="1" bankKey="9" key="{100 + i % 50}" score="1" scoreStatus="SCORED">
+      <Response>A</Response>
+    </Item>
+    <Item position="2" bankKey="9" key="{200 + i % 50}" score="0" scoreStatus="SCORED">
+      <Response>B</Response>
+    </Item>
+  </Opportunity>
+</TDSReport>""".encode()
+
+
+def pipeline_bench(spark, n_exams: int = 2000) -> dict:
+    """Ingest + migrate throughput vs BASELINE.md (exam processing 20-30/s,
+    migrate→reporting 140+/s, migrate→OLAP >1.5M/h ≈ 420/s, all per
+    single-instance reference process)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from rdw_spark.sources.exam_ingest import ingest_exams
+    from rdw_spark.warehouse import ImportLog, MigrateEngine, TableStore
+
+    root = tempfile.mkdtemp(prefix="rdw_bench_")
+    try:
+        wh = TableStore(os.path.join(root, "wh"), audit_enabled=True)
+        log = ImportLog(wh, archive_root=None)
+        wh.merge_upsert(spark, "district", spark.createDataFrame(
+            [Row(natural_id="BENCH-D1", name="Bench District")]), 1)
+        d_id = wh.read(spark, "district").collect()[0]["id"]
+        wh.merge_upsert(spark, "school", spark.createDataFrame(
+            [Row(natural_id="BENCH-SCHOOL-1", name="Bench School",
+                 district_id=d_id)]), 1)
+        wh.merge_upsert(spark, "asmt", spark.createDataFrame(
+            [Row(natural_id="BENCH-ASMT-G6", name="Bench G6", label="B6",
+                 version="1", type_code="sum", subject_code="Math",
+                 grade_code="06", school_year=2018, min_score=2000.0,
+                 max_score=3000.0, cut_point_1=2380.0, cut_point_2=2490.0,
+                 cut_point_3=2600.0)]), 1)
+
+        payloads = [_trt_doc(i) for i in range(n_exams)]
+        t0 = time.perf_counter()
+        ingest_exams(spark, wh, log, payloads, batch="bench")
+        ingest_s = time.perf_counter() - t0
+
+        eng = MigrateEngine(wh, os.path.join(root, "mart"),
+                            batch_size=max(n_exams, 2000))
+        t0 = time.perf_counter()
+        eng.run_until_caught_up(spark, "reporting")
+        rep_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eng.run_until_caught_up(spark, "olap")
+        olap_s = time.perf_counter() - t0
+        return {
+            "n_exams": n_exams,
+            "ingest_sec": round(ingest_s, 2),
+            "ingest_exams_per_sec": round(n_exams / ingest_s, 1),
+            "migrate_reporting_per_sec": round(n_exams / rep_s, 1),
+            "migrate_olap_per_sec": round(n_exams / olap_s, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -41,6 +126,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    pipeline = pipeline_bench(spark)
+
     print(
         json.dumps(
             {
@@ -48,6 +135,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline": pipeline,
                 "sf": sf,
             }
         )

@@ -1,0 +1,280 @@
+"""RDW-domain report queries over the warehouse/mart tables — the query
+layer a reference user actually calls (SURVEY.md §3.2/§3.3), parameterized
+Python functions with the same semantics as the reference's REST services.
+
+Each function takes DataFrames (mart or warehouse tables) so it runs
+identically over `MigrateEngine.read_mart` output, test fixtures, or a
+100 TB lake. Permission/embargo scoping composes as row-filter *view
+builders* (P9/P10): every query can be wrapped so it is scoped by
+construction — the reference does this in its query builder
+(docs/Troubleshooting.md:685-768).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# --------------------------------------------------------------------------
+# P9: embargo + permission row-filter view builders
+# --------------------------------------------------------------------------
+
+RELEASED = 2  # embargo statuses 0=Loading,1=Reviewing,2=Released
+# (docs/Runbook.ManualDataModifications.md:23-32)
+
+
+def embargo_filter(
+    exam: DataFrame,
+    state_embargo: DataFrame | None,
+    district_embargo: DataFrame | None,
+    kind: str = "individual",
+    district_col: str = "district_id",
+) -> DataFrame:
+    """Hide summative results still under embargo (docs/Runbook.md:305-331).
+    Non-summative rows pass through; a summative row is visible iff no
+    state- or district-level embargo row for (school_year [, subject]) is
+    un-released for the requested report kind."""
+    def drop_blocked(df: DataFrame, blocked: DataFrame, keys: list[str]) -> DataFrame:
+        marked = blocked.distinct().withColumn("_blocked", F.lit(True))
+        return (
+            df.join(F.broadcast(marked), keys, "left")
+            .filter((F.col("type_code") != "sum") | F.col("_blocked").isNull())
+            .drop("_blocked")
+        )
+
+    out = exam
+    if state_embargo is not None:
+        out = drop_blocked(
+            out,
+            state_embargo.filter(F.col(kind) != RELEASED).select("school_year"),
+            ["school_year"],
+        )
+    if district_embargo is not None and district_col in out.columns:
+        out = drop_blocked(
+            out,
+            district_embargo.filter(F.col(kind) != RELEASED).select(
+                F.col("district_id").alias(district_col), "school_year"
+            ),
+            [district_col, "school_year"],
+        )
+    return out
+
+
+def permission_scope(exam: DataFrame, allowed_schools: DataFrame) -> DataFrame:
+    """Org-scoped permissions: rows restricted to the user's school set via
+    semi-join (docs/Troubleshooting.md:720-768)."""
+    return exam.join(
+        F.broadcast(allowed_schools.select("school_id").distinct()),
+        "school_id", "left_semi",
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.2 individual reporting queries (reporting mart)
+# --------------------------------------------------------------------------
+
+
+def student_exam_results(reporting_exam: DataFrame, ssid: str,
+                         school_year: int | None = None) -> DataFrame:
+    """Exams for a student by ssid (docs/Runbook.Audit.md:128-134 shape),
+    soft-deletes excluded (P1)."""
+    out = reporting_exam.filter((F.col("ssid") == ssid) & (~F.col("deleted")))
+    if school_year is not None:
+        out = out.filter(F.col("school_year") == school_year)
+    return out.orderBy(F.desc("completed_at"))
+
+
+def school_grade_counts(reporting_exam: DataFrame, school_id: int,
+                        school_year: int, grade_code: str) -> DataFrame:
+    """The worked troubleshooting query (docs/Troubleshooting.md:434-450):
+    exam count for (school, year, grade)."""
+    return (
+        reporting_exam.filter(
+            (F.col("school_id") == school_id)
+            & (F.col("school_year") == school_year)
+            & (F.col("grade_code") == grade_code) & (~F.col("deleted"))
+        ).agg(F.count("*").alias("n_exams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.3 aggregate reporting (OLAP facts)
+# --------------------------------------------------------------------------
+
+SUBGROUP_COLS = [  # demographic fan-out set (config/application.yml:25-42)
+    "iep", "lep", "section504", "economic_disadvantage", "migrant_status",
+]
+
+
+def aggregate_report(
+    olap_exam: DataFrame,
+    group_cols: list[str] = ("school_id",),
+    school_year: int | None = None,
+    subject_code: str | None = None,
+    asmt_types: tuple[str, ...] = ("sum",),
+    subgroup: str | None = None,
+    include_state_rollup: bool = False,
+) -> DataFrame:
+    """A7: counts & percents of students per performance level sliced by
+    org × year × subject × grade × optional demographic subgroup
+    (config/rdw-reporting-aggregate-service.yml:4-27). One groupBy+pivot —
+    Spark parallelizes internally, no org-chunking needed (the reference
+    chunks orgs 10 per query and pools 6 queries as a Redshift workaround).
+    ``include_state_rollup=True`` adds the all-orgs rollup rows the
+    reference offers for summative (grouping-sets under the hood)."""
+    base = olap_exam.filter(
+        (~F.col("deleted")) & F.col("type_code").isin(*asmt_types)
+    )
+    if school_year is not None:
+        base = base.filter(F.col("school_year") == school_year)
+    if subject_code is not None:
+        base = base.filter(F.col("subject_code") == subject_code)
+    dims = list(group_cols) + ([subgroup] if subgroup else [])
+
+    counts = base.groupBy(*dims, "performance_level").agg(F.count("*").alias("n"))
+    if include_state_rollup:
+        # grouping-sets semantics: detail rows ∪ state-level rows (dims NULL)
+        state = base.groupBy("performance_level").agg(F.count("*").alias("n"))
+        for d in dims:
+            state = state.withColumn(d, F.lit(None).cast(dict(counts.dtypes)[d]))
+        counts = counts.unionByName(state.select(*counts.columns))
+    total = Window.partitionBy(*dims)
+    return counts.withColumn(
+        "pct", F.round(100.0 * F.col("n") / F.sum("n").over(total), 2)
+    )
+
+
+def target_report(
+    exam_item: DataFrame, item: DataFrame, exam: DataFrame,
+    min_students: int = 10, std_err_max: float = 0.2,
+    target_exclusions: DataFrame | None = None,
+) -> DataFrame:
+    """A8: per-target aggregate with standard error; 'Insufficient Data' when
+    the std-err exceeds the cutoff or too few students; summative only;
+    excluded targets dropped (config/application.yml:44-53,
+    docs/Runbook.SystemConfiguration.md:148-167)."""
+    sum_exams = exam.filter((F.col("type_code") == "sum") & (~F.col("deleted"))).select(
+        F.col("id").alias("exam_id"), "student_id", "asmt_id",
+    )
+    it = item.select(F.col("key").alias("item_key"), "asmt_id", "target_code",
+                     "max_points")
+    joined = (
+        exam_item.join(sum_exams, "exam_id")
+        .join(F.broadcast(it), ["item_key", "asmt_id"])
+        .withColumn("pct_score", F.col("score") / F.col("max_points"))
+    )
+    if target_exclusions is not None:
+        joined = joined.join(
+            F.broadcast(target_exclusions.select("asmt_id", "target_code")),
+            ["asmt_id", "target_code"], "left_anti",
+        )
+    agg = joined.groupBy("asmt_id", "target_code").agg(
+        F.countDistinct("student_id").alias("n_students"),
+        F.round(F.avg("pct_score"), 4).alias("avg_pct_score"),
+        F.round(F.stddev_samp("pct_score") / F.sqrt(F.countDistinct("student_id")), 4)
+        .alias("std_err"),
+    )
+    return agg.withColumn(
+        "insufficient_data",
+        (F.col("n_students") < min_students)
+        | F.col("std_err").isNull() | (F.col("std_err") > std_err_max),
+    )
+
+
+def longitudinal_trend(olap_exam_longitudinal: DataFrame) -> DataFrame:
+    """A10/W4: per-student summative score trajectory with year-over-year
+    delta (docs/Runbook.BulkDeleteExams.md:116)."""
+    w = Window.partitionBy("student_id", "subject_code").orderBy("school_year")
+    return olap_exam_longitudinal.select(
+        "student_id", "subject_code", "school_year", "scale_score",
+        (F.col("scale_score") - F.lag("scale_score").over(w)).alias("yoy_delta"),
+        F.lag("school_year").over(w).alias("prev_year"),
+    )
+
+
+def claim_score_report(exam_score: DataFrame, exam: DataFrame) -> DataFrame:
+    """A11: per-claim score distribution for completed exams
+    (docs/Runbook.Audit.md:58, exam_score child fact)."""
+    ex = exam.filter(~F.col("deleted")).select(
+        F.col("id").alias("exam_id"), "school_year", "type_code",
+    )
+    return (
+        exam_score.join(ex, "exam_id")
+        .groupBy("school_year", "type_code", "claim_code")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("scale_score"), 2).alias("avg_scale_score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Audit / monitoring / reconciliation (U1/J11, A1-A6, K4)
+# --------------------------------------------------------------------------
+
+
+def exam_audit_history(exam: DataFrame, audit_exam: DataFrame,
+                       exam_id: int | None = None) -> DataFrame:
+    """U1/J11/W2: current ∪ audit rows per exam, newest first, with the
+    prior scale score for before/after diffing (docs/Runbook.Audit.md:232-309)."""
+    cur = exam.withColumn("source", F.lit("current"))
+    aud = audit_exam.select(*exam.columns).withColumn("source", F.lit("audit"))
+    hist = cur.unionByName(aud)
+    if exam_id is not None:
+        hist = hist.filter(F.col("id") == exam_id)
+    w = Window.partitionBy("id").orderBy(F.desc("updated"))
+    return hist.select(
+        "id", "opp_id", "source", "updated", "scale_score", "performance_level",
+        F.lead("scale_score").over(w).alias("prev_scale_score"),
+    ).orderBy("id", F.desc("updated"))
+
+
+def imports_by_status(import_log: DataFrame) -> DataFrame:
+    """Monitoring A1 (docs/Monitoring.md:41-51): failure counts by status."""
+    return (
+        import_log.filter(F.col("status") < 0)
+        .groupBy("status").agg(F.count("*").alias("count"))
+        .orderBy("status")
+    )
+
+
+def ingest_latency_histogram(import_log: DataFrame) -> DataFrame:
+    """Monitoring A6 (docs/Monitoring.md:109-121): minutes-to-process buckets."""
+    minutes = F.floor(
+        (F.col("updated").cast("double") - F.col("created").cast("double")) / 60
+    )
+    return (
+        import_log.filter(F.col("status") == 1)
+        .groupBy(minutes.alias("minutes")).agg(F.count("*").alias("count"))
+        .orderBy("minutes")
+    )
+
+
+def reconciliation_report(import_log: DataFrame, exam: DataFrame) -> DataFrame:
+    """K4 (docs/API.md:911-924): per-day exam import counts vs landed exam
+    rows — the daily reconciliation feed."""
+    imp = (
+        import_log.filter(F.col("content") == 1)
+        .groupBy(F.to_date("created").alias("day"))
+        .agg(F.count("*").alias("n_imports"),
+             F.sum(F.when(F.col("status") == 1, 1).otherwise(0)).alias("n_processed"))
+    )
+    landed = exam.groupBy(F.to_date("created").alias("day")).agg(
+        F.count("*").alias("n_exams")
+    )
+    return imp.join(landed, "day", "full_outer").orderBy("day")
+
+
+def missing_data_report(exam: DataFrame,
+                        optional_cols: tuple[str, ...] = (
+                            "session_id", "completeness",
+                            "administration_condition", "scale_score_std_err",
+                            "language_code", "military_connected",
+                        )) -> DataFrame:
+    """A12 (docs/Runbook.DataSpecifications.md:95-132): % of results with
+    each optional field populated, per year."""
+    aggs = [
+        F.round(100 * F.avg(F.when(F.col(c).isNotNull(), 1).otherwise(0)), 2)
+        .alias(f"pct_{c}")
+        for c in optional_cols
+    ]
+    return exam.filter(~F.col("deleted")).groupBy("school_year").agg(
+        F.count("*").alias("n_exams"), *aggs
+    ).orderBy("school_year")

@@ -35,12 +35,14 @@ def ingest_exams(
     batch: str | None = None,
 ) -> dict[str, int]:
     """Accept + process a batch of TRT documents. Returns counters."""
-    # 1. accept: archive, digest-dedup, import rows (T5). Metadata-only.
-    accepted = []
-    for p in payloads:
-        rec = log.accept(spark, ImportContent.EXAM, p, batch=batch)
-        if not rec.existing:  # duplicate payload safely no-ops (API.md:263)
-            accepted.append((rec.id, p.decode("utf-8")))
+    # 1. accept: archive, digest-dedup, import rows (T5). One log write for
+    # the whole batch.
+    recs = log.accept_batch(spark, ImportContent.EXAM, payloads, batch=batch)
+    accepted = [
+        (rec.id, p.decode("utf-8"))
+        for rec, p in zip(recs, payloads)
+        if not rec.existing  # duplicate payload safely no-ops (API.md:263)
+    ]
     if not accepted:
         return {"accepted": 0, "processed": 0, "failed": 0}
 
@@ -97,9 +99,7 @@ def ingest_exams(
         .select("ssid", "first_name", "middle_name", "last_or_surname",
                 "gender", "birthday")
     )
-    max_import = int(
-        good.agg(F.max("import_id")).collect()[0][0] or 0
-    ) if not good.isEmpty() else 0
+    max_import = int(good.agg(F.max("import_id")).collect()[0][0] or 0)
     n_students = 0
     if max_import:
         stats = wh.merge_upsert(spark, "student", students, max_import)
@@ -145,7 +145,11 @@ def ingest_exams(
     with_exam_id = exam_rows.withColumn("exam_id", surrogate_id("opp_id", "asmt_id"))
     items = (
         with_exam_id.select("exam_id", F.explode_outer("items").alias("it"))
-        .select("exam_id", F.col("it.key").alias("item_key"),
+        # full item key = bankKey-itemId, the package CSV's FullItemKey form
+        .select("exam_id",
+                F.when(F.col("it.bank_key").isNotNull(),
+                       F.concat_ws("-", "it.bank_key", "it.key"))
+                .otherwise(F.col("it.key")).alias("item_key"),
                 F.col("it.position").alias("position"), F.col("it.score").alias("score"),
                 F.col("it.score_status").alias("score_status"),
                 F.col("it.response").alias("response"))

@@ -114,32 +114,70 @@ class ImportLog:
         creator: str | None = None,
     ) -> ImportRecord:
         """Archive + digest-dedup + insert ACCEPTED import row (T5)."""
-        digest = hashlib.md5(payload).hexdigest().upper()
+        return self.accept_batch(
+            spark, content, [payload], content_type=content_type,
+            batch=batch, creator=creator,
+        )[0]
+
+    def accept_batch(
+        self,
+        spark: SparkSession,
+        content: int,
+        payloads: list[bytes],
+        content_type: str = "application/xml",
+        batch: str | None = None,
+        creator: str | None = None,
+    ) -> list[ImportRecord]:
+        """Set-based accept: ONE log read + ONE snapshot write for the whole
+        batch (the reference accepts per REST call; a Spark-native bulk path
+        must not pay per-document jobs). Ids are assigned in input order so
+        serial-ordering semantics (T6) hold within the batch."""
+        digests = [hashlib.md5(p).hexdigest().upper() for p in payloads]
         log = self.read(spark)
+        prior: dict[str, Row] = {}
         # GROUPS always reprocess (docs/API.md:263); everything else no-ops
-        if content != ImportContent.GROUPS:
-            prior = (
-                log.filter((F.col("digest") == digest) & (F.col("content") == content))
-                .orderBy(F.desc("id")).limit(1).collect()
+        if content != ImportContent.GROUPS and payloads:
+            rows = (
+                log.filter(
+                    (F.col("content") == content) & F.col("digest").isin(*set(digests))
+                )
+                .orderBy("id").collect()
             )
-            if prior:
-                p = prior[0]
-                return ImportRecord(p["id"], p["status"], content, digest, existing=True)
+            prior = {r["digest"]: r for r in rows}  # latest id wins
 
-        self._archive(content, digest, payload)
-        new_id = self._next_id(spark)
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        row = Row(
-            id=new_id, status=ImportStatus.ACCEPTED, content=content,
-            contentType=content_type, digest=digest, batch=batch,
-            creator=creator, created=now, updated=now, message=None,
-        )
-        from rdw_spark.warehouse import schemas as S
+        next_id = self._next_id(spark)
+        out: list[ImportRecord] = []
+        new_rows: list[Row] = []
+        seen_new: dict[str, int] = {}
+        for payload, digest in zip(payloads, digests):
+            if digest in prior:
+                p = prior[digest]
+                out.append(ImportRecord(p["id"], p["status"], content, digest,
+                                        existing=True))
+                continue
+            if content != ImportContent.GROUPS and digest in seen_new:
+                out.append(ImportRecord(seen_new[digest], ImportStatus.ACCEPTED,
+                                        content, digest, existing=True))
+                continue
+            self._archive(content, digest, payload)
+            new_rows.append(Row(
+                id=next_id, status=ImportStatus.ACCEPTED, content=content,
+                contentType=content_type, digest=digest, batch=batch,
+                creator=creator, created=now, updated=now, message=None,
+            ))
+            seen_new[digest] = next_id
+            out.append(ImportRecord(next_id, ImportStatus.ACCEPTED, content,
+                                    digest, existing=False))
+            next_id += 1
 
-        self.store.write_snapshot(
-            log.unionByName(spark.createDataFrame([row], S.IMPORT)), "import"
-        )
-        return ImportRecord(new_id, ImportStatus.ACCEPTED, content, digest, existing=False)
+        if new_rows:
+            from rdw_spark.warehouse import schemas as S
+
+            self.store.write_snapshot(
+                log.unionByName(spark.createDataFrame(new_rows, S.IMPORT)), "import"
+            )
+        return out
 
     def set_status(
         self, spark: SparkSession, import_id: int, status: int,

@@ -206,9 +206,10 @@ class TableStore:
             F.sum((~is_insert & ~is_changed).cast("long")).alias("unchanged"),
         ).collect()[0]
 
-        changed_keys = joined.filter(is_changed).select(*keys)
-        before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
-        self._append_audit(before, name, "update")
+        if int(counts["updated"] or 0):  # audit job only when something changed
+            changed_keys = joined.filter(is_changed).select(*keys)
+            before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
+            self._append_audit(before, name, "update")
 
         self.write_snapshot(merged, name)
         return {
