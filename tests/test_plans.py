@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed.
+
+Locks in the scale properties SURVEY.md §4 promises: dims broadcast (no
+sort-merge shuffle for fact→dim), range/equality predicates reach the
+parquet scan (PushedFilters), and projection pruning reaches ReadSchema.
+A regression that silently turns a broadcast join into a shuffle or loses
+pushdown fails here long before it shows up as a 100 TB incident."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from rdw_spark.plans.catalog import get_catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return get_catalog()
+
+
+def _plan(spark, catalog, name: str) -> str:
+    return explain_str(catalog[name].fn(spark, SF))
+
+
+class TestJoinStrategies:
+    def test_fact_dim_joins_broadcast(self, spark, catalog):
+        for q in ("j1_star_revenue", "j3_snowflake_hierarchy", "j11_audit_union_dims"):
+            plan = _plan(spark, catalog, q)
+            assert "BroadcastHashJoin" in plan, f"{q}: dim join must broadcast"
+            assert "SortMergeJoin" not in plan, f"{q}: unexpected shuffle join"
+
+    def test_semi_and_anti_joins_broadcast(self, spark, catalog):
+        plan = _plan(spark, catalog, "j4_semi_join")
+        assert "LeftSemi" in plan and "Broadcast" in plan
+        plan = _plan(spark, catalog, "j5_anti_join")
+        assert "LeftAnti" in plan and "Broadcast" in plan
+
+    def test_embargo_row_filter_broadcasts_allowed_set(self, spark, catalog):
+        plan = _plan(spark, catalog, "p9_embargo_row_filter")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestPushdownAndPruning:
+    def test_range_predicate_pushed_to_both_scans(self, spark, catalog):
+        plan = _plan(spark, catalog, "j9_migrate_batch_range")
+        assert plan.count("PushedFilters: [IsNotNull") >= 2
+        assert "GreaterThan(o_orderkey,1000)" in plan
+        assert "GreaterThan(l_orderkey,1000)" in plan
+
+    def test_filter_pushdown_events(self, spark, catalog):
+        plan = _plan(spark, catalog, "p_scoped_filter_agg")
+        assert "EqualTo(event_type,purchase)" in plan
+
+    def test_column_pruning_pricing_summary(self, spark, catalog):
+        plan = _plan(spark, catalog, "a1_pricing_summary")
+        scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+        # only the 7 needed lineitem columns — no keys, no linestatus noise
+        for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                    "l_returnflag", "l_linestatus", "l_shipdate"):
+            assert col in scan
+        for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+            assert col not in scan, f"a1 scan reads unneeded column {col}"
+
+    def test_map_side_partial_aggregation(self, spark, catalog):
+        # partial_sum before the exchange = map-side combine: the shuffle
+        # carries one row per group per partition, not per input row
+        plan = explain_str(
+            catalog["a1_pricing_summary"].fn(spark, SF), "simple"
+        )
+        assert "partial_sum" in plan
+        assert plan.index("partial_sum") > plan.index("Exchange")  # below it
