@@ -201,27 +201,34 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------------
 
 
+_SIMHASH_FOLD = """
+aggregate(
+  zip_with(
+    aggregate(
+      _toks,
+      array_repeat(0L, 64),
+      (acc, t) -> zip_with(
+        acc,
+        transform(sequence(0, 63), i -> (shiftright(xxhash64(t), i) & 1L) * 2L - 1L),
+        (a, b) -> a + b)),
+    sequence(0, 63),
+    (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
+  0L, (acc, v) -> acc | v)
+"""
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, majority vote of token
-    hashes. Expressed as 64 conditional sums in ONE aggregation (single
-    shuffle; partial aggregation map-side)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** i).cast("long")
-            if i < 63
-            # bit 63 would overflow 2^63 as a positive literal; use shiftleft
-            else F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), 63)
-        )
-    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+    hashes, folded over the token array as a single MAP-ONLY expression —
+    zero shuffle, zero row fan-out. The alternative (explode tokens +
+    64-column groupBy) moves docs×tokens rows through an exchange; this
+    version's only cost is codegen'd array arithmetic per document, so the
+    signature stage scales embarrassingly at any data size. Documents with
+    no tokens get signature 0."""
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.expr(_SIMHASH_FOLD).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
