@@ -1,0 +1,83 @@
+"""CODES seed dims and EMBARGO ingest (reference content types 2 and 8).
+
+CODES (docs/Runbook.ImportMigrate.md:12-13): lookup dims pre-loaded before
+any other content — administration conditions, completeness, grades,
+ethnicities, genders, plus school-year registration
+(docs/Runbook.SystemConfiguration.md:31-46) and military-connected codes
+(:245-263). Values below are the ones enumerated in the reference docs.
+
+EMBARGO (docs/Runbook.ImportMigrate.md:15): state/district embargo rows with
+``individual`` / ``aggregate`` statuses 0=Loading, 1=Reviewing, 2=Released
+(docs/Runbook.ManualDataModifications.md:23-38). Accepted here as a JSON
+payload listing embargo settings — the engine-side analog of the reference's
+admin endpoint.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+CODES = {
+    # docs/Runbook.ImportMigrate.md:12; values from deploy/ and API docs
+    "administration_condition": ["Valid", "SD", "NS", "IN"],
+    "completeness": ["Complete", "Partial"],
+    "grade": ["KG", "01", "02", "03", "04", "05", "06", "07", "08",
+              "09", "10", "11", "12", "13", "UG"],
+    "gender": ["Female", "Male", "Nonbinary"],
+    "ethnicity": [
+        "AmericanIndianOrAlaskaNative", "Asian", "BlackOrAfricanAmerican",
+        "DemographicRaceTwoOrMoreRaces", "HispanicOrLatinoEthnicity",
+        "NativeHawaiianOrOtherPacificIslander", "White", "Filipino",
+    ],
+    # docs/Runbook.SystemConfiguration.md:245-263
+    "military_connected": ["NotMilitaryConnected", "ActiveDuty", "NationalGuardOrReserve"],
+}
+
+
+def seed_codes(spark: SparkSession) -> dict[str, DataFrame]:
+    """One single-column DataFrame per code dim, ready to broadcast-join as
+    validation sets."""
+    return {
+        name: spark.createDataFrame([(v,) for v in values], f"{name} string")
+        for name, values in CODES.items()
+    }
+
+
+def school_years(spark: SparkSession, years: list[int]) -> DataFrame:
+    """Registered school years (docs/Runbook.SystemConfiguration.md:31-46):
+    exams for unregistered years are rejected at ingest."""
+    return spark.createDataFrame([(y,) for y in years], "school_year int")
+
+
+def parse_embargo_json(spark: SparkSession, payload: str | bytes) -> dict[str, DataFrame]:
+    """JSON → {"state_embargo", "district_embargo"} warehouse frames.
+
+    Payload shape (engine-defined; field semantics from the reference's
+    embargo tables):
+        {"state": [{"school_year": 2018, "subject_code": null,
+                    "individual": 2, "aggregate": 1}],
+         "district": [{"district_id": 123, "school_year": 2018,
+                       "subject_code": "Math", "individual": 0, "aggregate": 0}]}
+    """
+    doc = json.loads(payload)
+    state_schema = ("school_year int, subject_code string, "
+                    "individual int, aggregate int")
+    district_schema = ("district_id long, school_year int, subject_code string, "
+                       "individual int, aggregate int")
+
+    def rows(items: list[dict], cols: list[str]) -> list[tuple]:
+        return [tuple(i.get(c) for c in cols) for i in items]
+
+    state = spark.createDataFrame(
+        rows(doc.get("state", []),
+             ["school_year", "subject_code", "individual", "aggregate"]),
+        state_schema,
+    )
+    district = spark.createDataFrame(
+        rows(doc.get("district", []),
+             ["district_id", "school_year", "subject_code", "individual", "aggregate"]),
+        district_schema,
+    )
+    return {"state_embargo": state, "district_embargo": district}

@@ -1,0 +1,95 @@
+"""Multi-tenancy path namespaces (§1.5), CODES seeds, EMBARGO ingest, and
+the spark.sql view surface per tenant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from rdw_spark.sources.codes_embargo import parse_embargo_json, school_years, seed_codes
+from rdw_spark.warehouse.tenancy import Tenant, list_tenants
+from rdw_spark.warehouse.import_log import ImportContent
+from rdw_spark.warehouse import ImportStatus
+
+
+EMBARGO_JSON = """
+{"state": [{"school_year": 2018, "individual": 2, "aggregate": 1}],
+ "district": [{"district_id": 42, "school_year": 2018, "subject_code": "Math",
+               "individual": 0, "aggregate": 0}]}
+"""
+
+
+def test_tenant_isolation_and_views(spark, tmp_path):
+    base = str(tmp_path / "tenants")
+    t1 = Tenant(base, "blue")
+    t2 = Tenant(base, "green")
+
+    t1.warehouse.merge_upsert(
+        spark, "district",
+        spark.createDataFrame([Row(natural_id="D1", name="Blue District")]), 1)
+    t2.warehouse.merge_upsert(
+        spark, "district",
+        spark.createDataFrame([Row(natural_id="D1", name="Green District")]), 1)
+
+    # same natural id, fully isolated state per tenant
+    assert t1.warehouse.read(spark, "district").collect()[0]["name"] == "Blue District"
+    assert t2.warehouse.read(spark, "district").collect()[0]["name"] == "Green District"
+    assert list_tenants(base) == ["blue", "green"]
+
+    # digest dedup is per-tenant: same payload accepted independently
+    r1 = t1.import_log.accept(spark, ImportContent.EXAM, b"<x/>")
+    r2 = t2.import_log.accept(spark, ImportContent.EXAM, b"<x/>")
+    assert not r1.existing and not r2.existing
+
+    t1.register_views(spark)
+    t2.register_views(spark)
+    assert spark.sql(
+        "SELECT name FROM blue_district"
+    ).collect()[0]["name"] == "Blue District"
+    assert spark.sql("SELECT COUNT(*) AS n FROM green_import").collect()[0]["n"] == 1
+
+    with pytest.raises(ValueError, match="invalid tenant id"):
+        Tenant(base, "Bad Tenant!")
+
+
+def test_codes_and_school_years(spark):
+    codes = seed_codes(spark)
+    assert codes["grade"].count() == 15
+    assert codes["completeness"].count() == 2
+    # validation-set usage: reject unknown administration condition
+    exams = spark.createDataFrame(
+        [("Valid",), ("BOGUS",)], "administration_condition string")
+    known = codes["administration_condition"]
+    bad = exams.join(F.broadcast(known), "administration_condition", "left_anti")
+    assert [r[0] for r in bad.collect()] == ["BOGUS"]
+
+    years = school_years(spark, [2017, 2018, 2019])
+    assert years.count() == 3
+
+
+def test_embargo_ingest_feeds_filter(spark, tmp_path):
+    t = Tenant(str(tmp_path / "tenants"), "blue")
+    rec = t.import_log.accept(spark, ImportContent.EMBARGO, EMBARGO_JSON.encode(),
+                              content_type="application/json")
+    emb = parse_embargo_json(spark, EMBARGO_JSON)
+    t.warehouse.merge_upsert(spark, "state_embargo", emb["state_embargo"], rec.id)
+    t.warehouse.merge_upsert(spark, "district_embargo", emb["district_embargo"], rec.id)
+    t.import_log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+
+    state = t.warehouse.read(spark, "state_embargo").collect()[0]
+    assert state["individual"] == 2 and state["aggregate"] == 1
+    district = t.warehouse.read(spark, "district_embargo").collect()[0]
+    assert district["district_id"] == 42 and district["subject_code"] == "Math"
+
+    # feeds the P9 view builder: aggregate reports for 2018 stay hidden
+    from rdw_spark.plans.rdw_reports import embargo_filter
+
+    fact = spark.createDataFrame(
+        [(2018, "sum", False), (2018, "iab", False), (2017, "sum", False)],
+        "school_year int, type_code string, deleted boolean",
+    )
+    visible = embargo_filter(
+        fact, t.warehouse.read(spark, "state_embargo"), None, kind="aggregate")
+    assert {(r["school_year"], r["type_code"]) for r in visible.collect()} == {
+        (2018, "iab"), (2017, "sum")  # embargoed 2018 summative hidden
+    }
