@@ -1,0 +1,110 @@
+"""Admin write-flows: resubmit-by-status replay, bulk exam delete, groups
+ingest (SURVEY.md §7 step 6 — completes the write surface).
+
+- **Resubmit** (docs/API.md:422-449; docs/Troubleshooting.md:310-357): after
+  reference data arrives (e.g. the missing school), failed exam imports are
+  replayed *from the archive* in import-id order. The import row keeps its
+  id — replay is a status transition, not a new import.
+- **Bulk delete** (docs/Runbook.BulkDeleteExams.md): soft-delete exams by
+  criteria; children live with the exam id so mart queries exclude them via
+  the parent's ``deleted`` flag; the next migrate propagates the flag
+  (the reference stages ids and deletes partition-at-a-time — X7; our
+  snapshot-partition rewrite is the same move).
+- **Groups ingest** (docs/StudentGroups.md): GROUPS content always
+  reprocesses (no digest no-op, docs/API.md:263); group membership is
+  replace-per-group semantics via the upload staging shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdw_spark.sources.groups import parse_groups, read_groups_csv
+from rdw_spark.warehouse.import_log import ImportContent, ImportLog, ImportStatus
+from rdw_spark.warehouse.store import TableStore
+
+
+def resubmit_exams_by_status(
+    spark: SparkSession, wh: TableStore, log: ImportLog, status: int,
+    limit: int | None = None,
+) -> dict[str, int]:
+    """Replay failed exam imports from the archive (resubmit endpoint).
+    ``limit`` mirrors the endpoint's batching param (docs/API.md:434)."""
+    backlog = log.by_status(spark, status).filter(
+        F.col("content") == ImportContent.EXAM
+    )
+    if limit:
+        backlog = backlog.limit(limit)
+    rows = backlog.select("id", "digest").collect()
+    if not rows:
+        return {"resubmitted": 0, "processed": 0, "failed": 0}
+
+    accepted = [
+        (r["id"],
+         log.read_archived_payload(ImportContent.EXAM, r["digest"]).decode("utf-8"))
+        for r in rows
+    ]
+    # replay keeps the original import ids; only their status advances
+    from rdw_spark.sources.exam_ingest import process_accepted
+
+    res = process_accepted(spark, wh, log, accepted)
+    return {"resubmitted": len(rows), **res}
+
+
+def bulk_delete_exams(
+    spark: SparkSession, wh: TableStore, import_id: int,
+    school_year: int | None = None, asmt_natural_id: str | None = None,
+    school_natural_id: str | None = None,
+) -> int:
+    """Soft-delete all exams matching the criteria (the runbook's staged
+    bulk delete, docs/Runbook.BulkDeleteExams.md:24-42). Returns count."""
+    exam = wh.read(spark, "exam")
+    cond = ~exam["deleted"]
+    if school_year is not None:
+        cond &= exam["school_year"] == school_year
+    if asmt_natural_id is not None:
+        asmt = wh.read(spark, "asmt").filter(
+            F.col("natural_id") == asmt_natural_id).select("id")
+        ids = [r["id"] for r in asmt.collect()]
+        cond &= exam["asmt_id"].isin(ids) if ids else F.lit(False)
+    if school_natural_id is not None:
+        school = wh.read(spark, "school").filter(
+            F.col("natural_id") == school_natural_id).select("id")
+        ids = [r["id"] for r in school.collect()]
+        cond &= exam["school_id"].isin(ids) if ids else F.lit(False)
+    keys = exam.filter(cond).select("opp_id", "asmt_id")
+    return wh.soft_delete(spark, "exam", keys, import_id)
+
+
+def ingest_groups(
+    spark: SparkSession, wh: TableStore, log: ImportLog, payload: bytes,
+    creator: str | None = None,
+) -> dict[str, int]:
+    """Accept + process one student-group CSV (S3 → K1). GROUPS content
+    always reprocesses; membership/user rows are replaced per group."""
+    rec = log.accept(spark, ImportContent.GROUPS, payload,
+                     content_type="text/csv", creator=creator)
+    try:
+        csv_df = read_groups_csv(spark, payload)
+    except ValueError as exc:  # bad header → whole file rejected
+        log.set_status(spark, rec.id, ImportStatus.BAD_FORMAT, message=str(exc))
+        return {"import_id": rec.id, "groups": 0, "errors": 1}
+
+    out = parse_groups(csv_df, wh.read(spark, "school"), wh.read(spark, "student"))
+    n_errors = out["errors"].count()
+    groups = out["student_group"].withColumn("creator", F.lit(creator))
+    wh.merge_upsert(spark, "student_group", groups, rec.id)
+    wh.replace_children(
+        spark, "student_group_membership", "student_group_id",
+        out["student_group_membership"],
+    )
+    wh.replace_children(
+        spark, "user_student_group", "student_group_id", out["user_student_group"],
+    )
+    n_groups = groups.count()
+    if n_errors:
+        log.set_status(spark, rec.id, ImportStatus.BAD_DATA,
+                       message=[r["error"] for r in out["errors"].collect()])
+    else:
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"import_id": rec.id, "groups": int(n_groups), "errors": int(n_errors)}

@@ -45,7 +45,18 @@ def ingest_exams(
     ]
     if not accepted:
         return {"accepted": 0, "processed": 0, "failed": 0}
+    return {"accepted": len(accepted), **process_accepted(spark, wh, log, accepted)}
 
+
+def process_accepted(
+    spark: SparkSession,
+    wh: TableStore,
+    log: ImportLog,
+    accepted: list[tuple[int, str]],
+) -> dict[str, int]:
+    """Parse→validate→upsert for already-accepted (import_id, payload) pairs.
+    Shared by first-pass ingest and resubmit replay (which re-reads payloads
+    from the archive and keeps the original import ids)."""
     payload_df = spark.createDataFrame(accepted, "import_id long, payload string")
     parsed = parse_trt(payload_df).cache()
 
@@ -192,7 +203,6 @@ def ingest_exams(
     _bulk_status(spark, wh, status_updates.unionByName(processed))
 
     counts = {
-        "accepted": len(accepted),
         "processed": good.count(),
         "failed": int(status_updates.count()),
         "students_upserted": n_students,

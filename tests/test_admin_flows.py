@@ -1,0 +1,119 @@
+"""Admin write-flows: resubmit-by-status replay after reference data
+arrives, bulk exam delete with mart propagation, groups ingest lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdw_spark.sources.admin_flows import (
+    bulk_delete_exams, ingest_groups, resubmit_exams_by_status,
+)
+from rdw_spark.sources.exam_ingest import ingest_exams
+from rdw_spark.sources.org import parse_org_json, resolve_school_district_ids
+from rdw_spark.sources.package import parse_package, read_package_csv
+from rdw_spark.warehouse import ImportLog, ImportStatus, MigrateEngine, TableStore
+from rdw_spark.warehouse.import_log import ImportContent
+
+from tests.test_sources import GROUPS_CSV, ORG_JSON, PACKAGE_CSV, make_trt
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    wh = TableStore(str(tmp_path / "warehouse"))
+    log = ImportLog(wh, archive_root=str(tmp_path / "archive"))
+    rec = log.accept(spark, ImportContent.PACKAGE, PACKAGE_CSV.encode())
+    pkg = parse_package(read_package_csv(spark, PACKAGE_CSV))
+    wh.merge_upsert(spark, "asmt", pkg["asmt"], rec.id)
+    log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return wh, log
+
+
+def _load_orgs(spark, wh, log):
+    rec = log.accept(spark, ImportContent.ORGANIZATION, ORG_JSON.encode())
+    org = parse_org_json(spark, ORG_JSON)
+    wh.merge_upsert(spark, "district", org["district"], rec.id)
+    wh.merge_upsert(
+        spark, "school",
+        resolve_school_district_ids(org["school"], wh.read(spark, "district")),
+        rec.id)
+    log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+
+
+def test_resubmit_after_reference_data_arrives(spark, env):
+    wh, log = env
+    # orgs NOT loaded yet → exam fails with UNKNOWN_SCHOOL (-6)
+    res = ingest_exams(spark, wh, log, [make_trt(opp_id="R-1", ssid="STU001")])
+    assert res["processed"] == 0 and res["failed"] == 1
+    failed = log.by_status(spark, ImportStatus.UNKNOWN_SCHOOL).collect()
+    assert len(failed) == 1
+    orig_id = failed[0]["id"]
+
+    # the missing school arrives; replay from the archive (same import id)
+    _load_orgs(spark, wh, log)
+    res = resubmit_exams_by_status(spark, wh, log, ImportStatus.UNKNOWN_SCHOOL)
+    assert res["resubmitted"] == 1 and res["processed"] == 1
+    assert log.by_status(spark, ImportStatus.UNKNOWN_SCHOOL).count() == 0
+    replayed = log.read(spark).filter(F.col("id") == orig_id).collect()[0]
+    assert replayed["status"] == ImportStatus.PROCESSED
+    assert wh.read(spark, "exam").filter("opp_id = 'R-1'").count() == 1
+
+
+def test_bulk_delete_propagates_to_marts(spark, env, tmp_path):
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="B-1", ssid="STU001", score=2400.0),
+        make_trt(opp_id="B-2", ssid="STU002", score=2500.0),
+    ])
+    eng = MigrateEngine(wh, str(tmp_path / "mart"))
+    eng.run_until_caught_up(spark, "reporting")
+
+    # the delete runs under its own import record (lineage preserved)
+    rec = log.accept(spark, ImportContent.EXAM, b"bulk-delete-2018")
+    n = bulk_delete_exams(spark, wh, rec.id, school_year=2018,
+                          asmt_natural_id="TESTASMT-G6-2018")
+    log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    assert n == 2
+    assert wh.read(spark, "exam").filter("NOT deleted").count() == 0
+    assert wh.read_audit(spark, "exam").filter("action = 'delete'").count() == 2
+
+    # next migrate carries the soft-delete into the mart; P1 filters hide it
+    eng.run_until_caught_up(spark, "reporting")
+    rep = eng.read_mart(spark, "reporting_exam")
+    assert rep.count() == 2 and rep.filter("NOT deleted").count() == 0
+
+
+def test_groups_ingest_lifecycle(spark, env):
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="G-1", ssid="STU001"),
+        make_trt(opp_id="G-2", ssid="STU002"),
+    ])
+
+    res = ingest_groups(spark, wh, log, GROUPS_CSV.encode(), creator="admin@x")
+    assert res["groups"] == 2 and res["errors"] == 0
+    groups = wh.read(spark, "student_group")
+    assert groups.count() == 2
+    assert groups.filter("creator = 'admin@x'").count() == 2
+    assert wh.read(spark, "student_group_membership").count() == 3
+    assert wh.read(spark, "user_student_group").count() == 1
+
+    # bad header → whole file BAD_FORMAT
+    res = ingest_groups(spark, wh, log, b"not,the,right,header\n1,2,3,4\n")
+    assert res["errors"] == 1
+    bad = log.read(spark).filter(F.col("id") == res["import_id"]).collect()[0]
+    assert bad["status"] == ImportStatus.BAD_FORMAT
+
+    # unknown student → BAD_DATA with row-level message
+    csv = GROUPS_CSV + "Grade6Math,55500010001001,2018,,STU404,\n"
+    res = ingest_groups(spark, wh, log, csv.encode())
+    bad = log.read(spark).filter(F.col("id") == res["import_id"]).collect()[0]
+    assert bad["status"] == ImportStatus.BAD_DATA
+    assert "STU404" in bad["message"]
+
+    # GROUPS always reprocess: same payload accepted again (no digest no-op)
+    res2 = ingest_groups(spark, wh, log, GROUPS_CSV.encode())
+    assert res2["import_id"] != res["import_id"]
+    assert res2["errors"] == 0
