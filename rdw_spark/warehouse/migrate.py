@@ -249,6 +249,13 @@ class MigrateEngine:
             out = cur.join(
                 F.broadcast(batch_rows.select(*key).distinct()), key, "left_anti"
             ).unionByName(batch_rows)
+        if partition_by:
+            # Z-ORDER analog (reference X1): cluster rows within each
+            # school_year partition by school so school-scoped queries touch
+            # few row groups (parquet min/max file skipping)
+            sort_cols = [c for c in ("school_id", "student_id") if c in out.columns]
+            if sort_cols:
+                out = out.sortWithinPartitions(*partition_by, *sort_cols)
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
