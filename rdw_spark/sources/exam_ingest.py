@@ -108,7 +108,7 @@ def process_accepted(
         good.withColumn("_rn", F.row_number().over(latest_per_ssid))
         .filter(F.col("_rn") == 1)
         .select("ssid", "first_name", "middle_name", "last_or_surname",
-                "gender", "birthday")
+                "gender", "birthday", "import_id")
     )
     max_import = int(good.agg(F.max("import_id")).collect()[0][0] or 0)
     n_students = 0
@@ -141,9 +141,9 @@ def process_accepted(
     )
     n_exams = 0
     if max_import:
-        stats = wh.merge_upsert(
-            spark, "exam", exam_updates.drop("import_id"), max_import
-        )
+        # per-row import ids: each exam is stamped with the import that
+        # carried it (reference lineage, Runbook.ImportMigrate.md:25-31)
+        stats = wh.merge_upsert(spark, "exam", exam_updates, max_import)
         n_exams = stats["inserted"] + stats["updated"]
 
     resets = good.filter(F.coalesce(F.col("reset"), F.lit(False))).select(

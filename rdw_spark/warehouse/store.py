@@ -138,8 +138,11 @@ class TableStore:
     ) -> dict[str, int]:
         """Upsert ``updates`` into ``name`` keyed by the table's natural key.
 
-        ``updates`` carries natural-key + payload columns (no lineage, no
-        ``id``). Returns counts {"inserted": n, "updated": n, "unchanged": n}.
+        ``updates`` carries natural-key + payload columns (no lineage except,
+        optionally, a per-row ``import_id`` column — the reference stamps each
+        entity with the exact import that created/updated it, and a batch may
+        span many imports; rows without it fall back to the ``import_id``
+        argument). Returns counts {"inserted": n, "updated": n, "unchanged": n}.
         """
         keys = keys or self.natural_keys[name]
         schema = self.schemas[name]
@@ -152,6 +155,13 @@ class TableStore:
 
         current = self.read(spark, name)
         upd = updates.dropDuplicates(keys)
+        if "import_id" not in upd.columns:
+            upd = upd.withColumn("import_id", F.lit(import_id).cast("long"))
+        else:
+            upd = upd.withColumn(
+                "import_id", F.coalesce(F.col("import_id").cast("long"),
+                                        F.lit(import_id).cast("long"))
+            )
         # normalize updates to declared payload types so change-detection
         # compares like-for-like
         for f in schema.fields:
@@ -191,8 +201,8 @@ class TableStore:
                 .otherwise(F.col("cur.deleted")).alias("deleted")
             )
         sel += [
-            F.coalesce(F.col("cur.import_id"), F.lit(import_id)).alias("import_id"),
-            F.when(is_insert | is_changed, F.lit(import_id))
+            F.coalesce(F.col("cur.import_id"), F.col("new.import_id")).alias("import_id"),
+            F.when(is_insert | is_changed, F.col("new.import_id"))
             .otherwise(F.col("cur.update_import_id")).alias("update_import_id"),
             F.coalesce(F.col("cur.created"), now).alias("created"),
             F.when(is_insert | is_changed, now).otherwise(F.col("cur.updated")).alias("updated"),

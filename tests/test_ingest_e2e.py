@@ -75,6 +75,8 @@ def test_minimum_slice(spark, env, tmp_path):
     # performance level was derived from package cut points (no level in TRT)
     exams = {r["opp_id"]: r for r in wh.read(spark, "exam").collect()}
     assert [exams[f"OPP-{i}"]["performance_level"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # per-row lineage: each exam carries its own import id, not the batch max
+    assert len({exams[f"OPP-{i}"]["import_id"] for i in (1, 2, 3, 4)}) == 4
 
     # children landed with the right fan-out
     assert wh.read(spark, "exam_item").count() == 8
