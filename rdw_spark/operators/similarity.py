@@ -8,6 +8,11 @@
   pseudo-random projections; queries only score vectors in their bucket
   (+ optional multiprobe neighbors at Hamming distance 1). This is the
   scale path: the scored set shrinks by ~2^bits.
+- ``ivf_build`` / ``ivf_topk``: inverted-file index — KMeans centroids
+  partition the vectors into cells; a query probes only the ``nprobe``
+  nearest cells. The trained assignment column doubles as the physical
+  partitioning key at scale (write the table partitioned by cell and a
+  probe is a partition-pruned read).
 
 All arithmetic is a sequential double fold (F.aggregate), so scores are
 bit-deterministic and reproducible across engines.
@@ -124,6 +129,89 @@ def ann_topk_srp(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col)).distinct()
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rn").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted file) index — KMeans cells + nprobe search
+# --------------------------------------------------------------------------
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train the coarse quantizer and assign every vector to its cell.
+
+    Returns ``(assigned, centroids)``: ``assigned`` = emb + ``cell`` column
+    (at 100 TB, persist partitioned by ``cell`` so probes prune partitions);
+    ``centroids`` = small driver-side list [(cell_id, [floats])] that
+    broadcasts into the search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_v",
+        predictionCol="cell",
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("_v")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by cosine, scoring only vectors in the query's
+    ``nprobe`` nearest cells. Probe selection is a driver-free broadcast
+    crossJoin (centroid count is tiny); the candidate join is an equality
+    join on ``cell`` — the partition-pruned read at scale."""
+    from pyspark.sql import Window
+
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in centroids], "cell int, centroid array<double>"
+    )
+    # nprobe nearest cells per query (L2 to centroid)
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with(F.col(query_vec_col), F.col("centroid"),
+                   lambda x, y: (_d(x) - y) * (_d(x) - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qc = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(query_id_col, query_vec_col, "cell", l2.alias("_d2"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.col("_d2"), F.col("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    j = assigned.join(F.broadcast(probes), "cell")
+    scored = j.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -102,3 +102,29 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         M.decode_image_features(media, fake=False)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from rdw_spark.operators.similarity import cosine_topk_brute, ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = ivf_build(emb, n_centroids=16)
+    assert len(centroids) == 16
+    # every vector landed in exactly one cell
+    assert assigned.count() == emb.count()
+
+    ivf = ivf_topk(assigned, centroids, q, k=10, nprobe=8).collect()
+    brute = cosine_topk_brute(emb, q, k=10).collect()
+    by_q = lambda rows: {  # noqa: E731
+        qid: {r.vec_id for r in rows if r.query_id == qid}
+        for qid in {r.query_id for r in rows}
+    }
+    ivf_sets, brute_sets = by_q(ivf), by_q(brute)
+    recall = sum(
+        len(ivf_sets.get(qid, set()) & neigh) / len(neigh)
+        for qid, neigh in brute_sets.items()
+    ) / len(brute_sets)
+    assert recall >= 0.5  # half the cells probed → at least half the neighbors
