@@ -111,3 +111,43 @@ def interval_join(
         left[left_point] <= right[right_end],
     ]
     return left.join(F.broadcast(right), cond, "left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Equi-join robust to heavy skew in ``left[on]`` — result-identical to
+    ``left.join(right, on, how)``.
+
+    Left rows get a deterministic salt in ``[0, salt)`` (hash of the whole
+    row, so re-runs partition identically); matching right rows are
+    replicated once per salt value, so one hot key spreads over ``salt``
+    reducers instead of melting a single task. When ``hot_keys`` is given,
+    only those keys are salted/replicated and the rest of the right side is
+    not inflated — the classic split-salting plan for 100 TB facts where
+    AQE skew-splitting can't kick in (e.g. the skewed side feeds an
+    aggregation in the same stage). ``how`` ∈ {inner, left}: right-side
+    rows are replicated, so right/outer would duplicate unmatched rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    row_hash = F.xxhash64(*[F.col(c) for c in left.columns])
+    is_hot_l = F.col(on).isin(hot_keys) if hot_keys is not None else F.lit(True)
+    lt = left.withColumn(
+        "__salt",
+        F.when(is_hot_l, F.pmod(row_hash, F.lit(salt)).cast("int")).otherwise(0),
+    )
+    is_hot_r = F.col(on).isin(hot_keys) if hot_keys is not None else F.lit(True)
+    rt = right.withColumn(
+        "__salt",
+        F.explode(
+            F.when(is_hot_r, F.sequence(F.lit(0), F.lit(salt - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return lt.join(rt, [on, "__salt"], how).drop("__salt")

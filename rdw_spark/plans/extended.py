@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
+from ..operators.joins import salted_join
 from ..streaming.events import sessionize_batch, windowed_event_counts
 from .registry import register
 from .relational import _davg, _dsum
@@ -297,3 +298,31 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = sessionize_batch(ev, gap_minutes=30)
     return out.withColumn("total_value", F.round(F.col("total_value"), 4))
+
+
+@register(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority, l.l_linestatus, COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority, l.l_linestatus
+    """,
+    survey="X4/skew (salted equi-join: deterministic left salt + replicated "
+           "right side spreads a hot key over `salt` reducers; "
+           "result-identical to the plain join — the oracle IS the plain "
+           "join. Scale path for hot school/district keys where AQE "
+           "skew-splitting can't engage; operators/joins.py::salted_join)",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    # hot_keys would come from a cheap pre-count at scale; salting all keys
+    # here exercises the full replicated path.
+    j = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
+    return j.groupBy("o_orderpriority", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(_dsum(F.col("l_quantity")), 4).alias("sum_qty"),
+    )

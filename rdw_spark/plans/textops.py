@@ -305,6 +305,24 @@ def sim_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_srp(e, q, k=10, bits=4)
 
 
+@register(
+    "sim_ann_ivf_topk",
+    oracle=None,  # KMeans quantizer is iterative (non-SQL); recall vs brute force in tests/test_dedup_similarity.py
+    survey="ext: IVF inverted-file approximate top-k (KMeans cells + nprobe; "
+           "cell doubles as the physical partition key at scale so a probe "
+           "is a partition-pruned read)",
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # 16 cells / probe 8 suits the small testdata; at 10^9 vectors you'd use
+    # ~sqrt(N) cells and keep nprobe/n_centroids (the scanned fraction) fixed.
+    assigned, centroids = S.ivf_build(e, n_centroids=16)
+    return S.ivf_topk(assigned, centroids, q, k=10, nprobe=8)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -67,3 +67,27 @@ def test_interval_join(spark):
     out = interval_join(exams, norms, "completed", "start_date", "end_date")
     got = {r.exam_id: r.norm_id for r in out.collect()}
     assert got == {1: 100, 2: None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from rdw_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ([1] * 4 + [2, 3])],  # key 1 hot
+        "k INT, payload INT",
+    )
+    right = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (4, "four")], "k INT, name STRING"
+    )
+    plain = sorted(left.join(right, "k").collect())
+    # full salting
+    assert sorted(salted_join(left, right, "k", salt=8).collect()) == plain
+    # split salting: only the hot key replicated
+    assert sorted(
+        salted_join(left, right, "k", salt=8, hot_keys=[1]).collect()
+    ) == plain
+    # left join keeps unmatched left rows exactly once
+    plain_left = sorted(left.join(right, "k", "left").collect())
+    assert sorted(
+        salted_join(left, right, "k", how="left", salt=8, hot_keys=[1]).collect()
+    ) == plain_left
