@@ -125,6 +125,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # operators that cache intermediates (LSH shingles, simhash sigs)
+        # must not leak blocks into later timings
+        spark.catalog.clearCache()
 
     pipeline = pipeline_bench(spark)
 

@@ -54,18 +54,29 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``hashed=True`` replaces the gram string with its xxhash64 — set
+    semantics are preserved (collisions are ~2^-64 per pair) while the
+    distinct/join/min-hash stages downstream shuffle 8-byte longs instead
+    of strings. At 10^9 docs that's the difference between shuffling
+    terabytes of text and shuffling the hash column."""
     tok = tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
     )
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
+    if hashed:
+        out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -82,7 +93,7 @@ def ngram_jaccard_pairs(
     single hot shingle can't create a quadratic bucket at scale; a pair
     sharing ONLY stop-shingles is (by construction) far below any useful
     threshold anyway."""
-    sh = shingles(df, n, text_col, id_col).cache()
+    sh = shingles(df, n, text_col, id_col, hashed=True).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= max_shingle_freq
@@ -123,10 +134,14 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """K min-hash values per document: one explode + one groupBy (single
-    shuffle). Hash family = xxhash64(shingle, seed_k)."""
-    sh = shingles(df, n, text_col, id_col)
+    shuffle). Hash family = xxhash64(shingle, seed_k). Pass a precomputed
+    (cached) ``shingles_df`` to share the explode with other stages."""
+    sh = shingles_df if shingles_df is not None else shingles(
+        df, n, text_col, id_col, hashed=True
+    )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(k))).alias(f"mh_{k}") for k in range(num_hashes)
     ]
@@ -170,10 +185,12 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band buckets → candidate
-    pairs → exact Jaccard verification on the candidates only."""
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    pairs → exact Jaccard verification on the candidates only. The shingle
+    explode is computed once and cached — signatures, sizes, and both sides
+    of the verification join reuse it."""
+    sh = shingles(df, n, text_col, id_col, hashed=True).cache()
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, shingles_df=sh)
     cands = lsh_candidate_pairs(sigs, bands, id_col)
-    sh = shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -203,17 +220,15 @@ def minhash_dedup_pairs(
 
 _SIMHASH_FOLD = """
 aggregate(
-  zip_with(
-    aggregate(
-      _toks,
-      array_repeat(0L, 64),
-      (acc, t) -> zip_with(
-        acc,
-        transform(sequence(0, 63), i -> (shiftright(xxhash64(t), i) & 1L) * 2L - 1L),
-        (a, b) -> a + b)),
+  transform(_toks, t -> xxhash64(t)),
+  array_repeat(0L, 64),
+  (acc, h) -> zip_with(
+    acc,
     sequence(0, 63),
-    (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
-  0L, (acc, v) -> acc | v)
+    (a, i) -> a + (shiftright(h, i) & 1L) * 2L - 1L),
+  acc -> aggregate(
+    zip_with(acc, sequence(0, 63), (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
+    0L, (x, v) -> x | v))
 """
 
 
@@ -239,6 +254,9 @@ def simhash_near_pairs(
     ``chunks-1`` agrees exactly on >=1 chunk → equality-join per chunk,
     then verify with bit_count(xor). Requires max_hamming < chunks."""
     assert max_hamming < chunks, "pigeonhole needs more chunks than the radius"
+    # both sides of the chunk self-join read sig_df — cache so the (more
+    # expensive) signature stage computes once, not per join side
+    sig_df = sig_df.cache()
     width = 64 // chunks
     mask = (1 << width) - 1
     chunk_exprs = [
@@ -281,17 +299,21 @@ def embedding_near_duplicates(
     ``block_col`` blocks (at scale: an LSH bucket or cluster assignment —
     never unblocked). Cosine computed as a sequential double fold so the
     value is deterministic."""
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    e = emb.select(*cols)
+    # norms are per-row: compute them once before the self-join so each
+    # pair evaluates one array fold (the dot), not three
+    e = emb.select(*cols, norm_expr(F.col(vec_col)).alias("_nrm"))
     a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
     b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
     cond = [F.col(f"{id_col}_a") < F.col(f"{id_col}_b")]
     if block_col:
         cond.append(F.col(f"{block_col}_a") == F.col(f"{block_col}_b"))
     pairs = a.join(b, cond[1] if block_col else F.lit(True), "inner").filter(cond[0])
-    cos = cosine_expr(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
+    cos = dot_expr(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")) / (
+        F.col("_nrm_a") * F.col("_nrm_b")
+    )
     return pairs.select(
         F.col(f"{id_col}_a").alias("a"),
         F.col(f"{id_col}_b").alias("b"),

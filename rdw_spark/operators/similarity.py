@@ -58,11 +58,18 @@ def cosine_topk_brute(
     top-k heads move. Ties broken by id for determinism."""
     from pyspark.sql import Window
 
-    j = emb.crossJoin(F.broadcast(queries))
+    # per-row norms computed once per side; each pair then costs one fold
+    j = emb.withColumn("_nc", norm_expr(F.col(vec_col))).crossJoin(
+        F.broadcast(queries.withColumn("_nq", norm_expr(F.col(query_vec_col))))
+    )
     scored = j.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_nc") * F.col("_nq")),
+            6,
+        ).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -113,21 +120,31 @@ def ann_topk_srp(
     this prunes ~ (1+bits)/2^bits of the table instead of scanning it."""
     from pyspark.sql import Window
 
-    cand = emb.select(F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), bits, dim).alias("bucket"))
+    cand = emb.select(
+        F.col(id_col), F.col(vec_col),
+        srp_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("_nc"),
+    )
     qb = queries.select(
         F.col(query_id_col), F.col(query_vec_col),
         srp_bucket(F.col(query_vec_col), bits, dim).alias("qbucket"),
+        norm_expr(F.col(query_vec_col)).alias("_nq"),
     )
     if multiprobe:
         probes = F.array(F.col("qbucket"), *[
             F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
         ])
-        qb = qb.select(query_id_col, query_vec_col, F.explode(probes).alias("qbucket"))
+        qb = qb.select(query_id_col, query_vec_col, "_nq",
+                       F.explode(probes).alias("qbucket"))
     j = cand.join(F.broadcast(qb), cand.bucket == qb.qbucket)
     scored = j.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_nc") * F.col("_nq")),
+            6,
+        ).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col)).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -207,10 +224,16 @@ def ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .select(query_id_col, query_vec_col, "cell")
     )
-    j = assigned.join(F.broadcast(probes), "cell")
+    j = assigned.withColumn("_nc", norm_expr(F.col(vec_col))).join(
+        F.broadcast(probes.withColumn("_nq", norm_expr(F.col(query_vec_col)))), "cell"
+    )
     scored = j.select(
         F.col(query_id_col), F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_nc") * F.col("_nq")),
+            6,
+        ).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

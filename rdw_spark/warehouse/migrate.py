@@ -178,13 +178,24 @@ class MigrateEngine:
                  import_log: DataFrame | None = None) -> dict:
         if job not in self.JOBS:
             raise ValueError(f"unknown migrate job: {job}")
-        if not self.enabled(spark, job):
-            return {"state": "disabled", "migrated": 0}
 
         from rdw_spark.warehouse.import_log import ImportStatus
 
+        # the control table is tiny: one collect serves the enabled check,
+        # checkpoint, and run-id instead of four separate driver jobs
+        ctrl_rows = self.control(spark).collect()
+        job_rows = [r for r in ctrl_rows if r["job"] == job]
+        last = max(job_rows, key=lambda r: r["id"], default=None)
+        if last is not None and last["status"] == MigrateStatus.FAILED:
+            return {"state": "disabled", "migrated": 0}
+
         log = import_log if import_log is not None else self.wh.read(spark, "import")
-        ckpt = self.checkpoint(spark, job)
+        ckpt = max(
+            (int(r["last_import_id"]) for r in ctrl_rows
+             if r["job"] == job and r["status"] == MigrateStatus.COMPLETED
+             and r["last_import_id"] is not None),
+            default=0,
+        )
         batch = (
             log.filter((F.col("status") == ImportStatus.PROCESSED) & (F.col("id") > ckpt))
             .orderBy("id").limit(self.batch_size)
@@ -196,9 +207,7 @@ class MigrateEngine:
         first, last = int(batch["first"]), int(batch["last"])
 
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        run_id = int(
-            (self.control(spark).agg(F.max("id")).collect()[0][0] or 0) + 1
-        )
+        run_id = int(max((r["id"] for r in ctrl_rows), default=0) + 1)
         self._append_control(spark, Row(
             id=run_id, job=job, status=MigrateStatus.STARTED,
             first_import_id=first, last_import_id=last,
@@ -237,8 +246,12 @@ class MigrateEngine:
     def _merge_mart(self, spark: SparkSession, name: str, batch_rows: DataFrame,
                     key: list[str], partition_by: list[str] | None = None) -> int:
         cur_v = self.mart.latest_version(name)
+        # count + write both consume the batch: cache so the upstream
+        # (batch scan + dim joins) computes once
+        batch_rows = batch_rows.cache()
         n = batch_rows.count()
         if n == 0:
+            batch_rows.unpersist()
             return 0
         if cur_v is None:
             out = batch_rows
@@ -262,6 +275,7 @@ class MigrateEngine:
         writer.parquet(os.path.join(
             self.mart.root, name, f"v={(cur_v or 0) + 1}"
         ))
+        batch_rows.unpersist()
         return n
 
     def _migrate_batch(self, spark: SparkSession, job: str, first: int, last: int) -> int:
@@ -269,12 +283,14 @@ class MigrateEngine:
             rows = self._batch_filter(_reporting_exam(self.wh, spark), first, last)
             return self._merge_mart(spark, "reporting_exam", rows, ["id"])
 
-        # olap: fact fan-out (reference docs/Runbook.BulkDeleteExams.md:109-118)
+        # olap: fact fan-out (reference docs/Runbook.BulkDeleteExams.md:109-118).
+        # All five facts derive from the same batch scan + asmt join — cache
+        # it once so each fact's count/write reads the materialized batch.
         exam = self._batch_filter(self.wh.read(spark, "exam"), first, last)
         asmt = self.wh.read(spark, "asmt").select(
             F.col("id").alias("asmt_id"), F.col("subject_code"),
         )
-        exam = exam.join(F.broadcast(asmt), "asmt_id")
+        exam = exam.join(F.broadcast(asmt), "asmt_id").cache()
         n = self._merge_mart(
             spark, "olap_exam",
             exam.filter(F.col("type_code").isin("ica", "sum")),
@@ -294,16 +310,16 @@ class MigrateEngine:
         scores = self.wh.read(spark, "exam_score").join(
             F.broadcast(exam.select(F.col("id").alias("exam_id"))), "exam_id", "left_semi"
         )
-        if scores.limit(1).count():
-            self._merge_mart(
-                spark, "olap_exam_score",
-                scores.join(
-                    exam.select(F.col("id").alias("exam_id"), "school_year",
-                                "subject_code"),
-                    "exam_id",
-                ),
-                ["exam_id", "claim_code"],
-            )
+        self._merge_mart(
+            spark, "olap_exam_score",
+            scores.join(
+                exam.select(F.col("id").alias("exam_id"), "school_year",
+                            "subject_code"),
+                "exam_id",
+            ),
+            ["exam_id", "claim_code"],
+        )
+        exam.unpersist()
         return n
 
     def read_mart(self, spark: SparkSession, name: str) -> DataFrame:

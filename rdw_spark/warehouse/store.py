@@ -178,7 +178,9 @@ class TableStore:
 
         cur = fingerprint(current).alias("cur")
         new = fingerprint(upd).alias("new")
-        joined = cur.join(new, on=keys, how="full_outer")
+        # counts, audit-key selection, and the snapshot write all consume the
+        # merge join — cache so the table scan + fingerprints run once
+        joined = cur.join(new, on=keys, how="full_outer").cache()
 
         now = F.current_timestamp()
         is_insert = F.col("cur._fp").isNull()
@@ -222,6 +224,7 @@ class TableStore:
             self._append_audit(before, name, "update")
 
         self.write_snapshot(merged, name)
+        joined.unpersist()
         return {
             "inserted": int(counts["inserted"] or 0),
             "updated": int(counts["updated"] or 0),
