@@ -107,6 +107,42 @@ def p_scoped_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p3_status_code_filter",
+    oracle="""
+    SELECT CASE event_type WHEN 'error' THEN -6 WHEN 'signup' THEN 0
+                           WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                           ELSE 3 END AS status,
+           COUNT(*) AS n,
+           MAX(ts) AS last_seen
+    FROM events
+    WHERE CASE event_type WHEN 'error' THEN -6 WHEN 'signup' THEN 0
+                          WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                          ELSE 3 END < 1
+    GROUP BY status
+    """,
+    survey="P3 (docs/Monitoring.md:41-51 status<0; docs/Troubleshooting.md:326-337 status=-6)",
+)
+def p3_status_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerated int status codes with negative error states: the
+    monitoring shape ``SELECT status, count(*) FROM import WHERE status < 0
+    GROUP BY status``. The decode stays a Catalyst CASE expression, so the
+    derived predicate is constant-folded into the scan filter."""
+    status = (
+        F.when(F.col("event_type") == "error", -6)
+        .when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("status", status)
+    return (
+        ev.filter(F.col("status") < 1)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.max("ts").alias("last_seen"))
+    )
+
+
+@register(
     "p5_like_patterns",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
