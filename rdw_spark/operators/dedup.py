@@ -115,9 +115,8 @@ def ngram_jaccard_pairs(
         .select(
             "a",
             "b",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-            ).alias("jaccard"),
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -207,7 +206,7 @@ def minhash_dedup_pairs(
         .join(nb, "b")
         .select(
             "a", "b",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4).alias("jaccard"),
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -317,5 +316,5 @@ def embedding_near_duplicates(
     return pairs.select(
         F.col(f"{id_col}_a").alias("a"),
         F.col(f"{id_col}_b").alias("b"),
-        F.round(cos, 6).alias("cosine"),
+        cos.alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

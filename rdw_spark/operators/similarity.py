@@ -65,11 +65,8 @@ def cosine_topk_brute(
     scored = j.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot_expr(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_nc") * F.col("_nq")),
-            6,
-        ).alias("cosine"),
+        (dot_expr(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("_nc") * F.col("_nq"))).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -140,11 +137,8 @@ def ann_topk_srp(
     scored = j.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot_expr(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_nc") * F.col("_nq")),
-            6,
-        ).alias("cosine"),
+        (dot_expr(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("_nc") * F.col("_nq"))).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col)).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -229,11 +223,8 @@ def ivf_topk(
     )
     scored = j.select(
         F.col(query_id_col), F.col(id_col),
-        F.round(
-            dot_expr(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("_nc") * F.col("_nq")),
-            6,
-        ).alias("cosine"),
+        (dot_expr(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("_nc") * F.col("_nq"))).alias("cosine"),
     ).filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

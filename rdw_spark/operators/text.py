@@ -71,10 +71,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         n_chars.alias("q_n_chars"),
         n_tok.alias("q_n_tokens"),
-        F.round(n_chars.cast("double") / n_tok, 4).alias("q_avg_token_len"),
-        F.round(n_punct.cast("double") / n_chars, 4).alias("q_punct_ratio"),
-        F.round(n_alpha.cast("double") / n_chars, 4).alias("q_alpha_ratio"),
-        F.round(n_stop.cast("double") / n_tok, 4).alias("q_stopword_ratio"),
+        (n_chars.cast("double") / n_tok).alias("q_avg_token_len"),
+        (n_punct.cast("double") / n_chars).alias("q_punct_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("q_alpha_ratio"),
+        (n_stop.cast("double") / n_tok).alias("q_stopword_ratio"),
     )
 
 

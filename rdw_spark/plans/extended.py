@@ -24,7 +24,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            COUNT(*) AS n_items,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
     FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -48,8 +48,7 @@ def j3_snowflake_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-            .alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -89,7 +88,7 @@ def j9_migrate_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j10_delete_cascade_antijoin",
     oracle="""
     SELECT l.l_linestatus, COUNT(*) AS n_kept,
-           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
     FROM lineitem l
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
@@ -112,7 +111,7 @@ def j10_delete_cascade_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(deleted_parents, "l_orderkey", "left_anti")
         .groupBy("l_linestatus")
         .agg(F.count("*").alias("n_kept"),
-             F.round(_dsum(F.col("l_quantity")), 4).alias("sum_qty"))
+             _dsum(F.col("l_quantity")).alias("sum_qty"))
     )
 
 
@@ -120,7 +119,7 @@ def j10_delete_cascade_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j11_audit_union_dims",
     oracle="""
     SELECT state, c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 4) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
     FROM (
       SELECT o_orderkey, o_custkey, o_totalprice, 'current' AS state
       FROM orders WHERE o_orderdate >= DATE '1997-01-01'
@@ -146,7 +145,7 @@ def j11_audit_union_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         unioned.join(F.broadcast(cust), unioned.o_custkey == cust.c_custkey)
         .groupBy("state", F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("n_orders"),
-             F.round(_dsum(F.col("o_totalprice")), 4).alias("total"))
+             _dsum(F.col("o_totalprice")).alias("total"))
     )
 
 
@@ -230,7 +229,7 @@ def p10_column_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
-           ROUND(CAST(SUM(CAST(DATEDIFF('day', l_shipdate, TIMESTAMP '1998-12-01 00:00:00') AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_age_days
+           CAST(SUM(CAST(DATEDIFF('day', l_shipdate, TIMESTAMP '1998-12-01 00:00:00') AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_age_days
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -244,8 +243,7 @@ def a2_conditional_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.round(_davg(F.datediff(F.to_date(ref), F.to_date("l_shipdate"))), 4)
-        .alias("avg_age_days"),
+        _davg(F.datediff(F.to_date(ref), F.to_date("l_shipdate"))).alias("avg_age_days"),
     )
 
 
@@ -255,7 +253,7 @@ def a2_conditional_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -265,8 +263,7 @@ def a2_conditional_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    out = windowed_event_counts(ev, window="1 hour")
-    return out.withColumn("total_value", F.round(F.col("total_value"), 4))
+    return windowed_event_counts(ev, window="1 hour")
 
 
 @register(
@@ -286,7 +283,7 @@ def t_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, sess
     """,
     survey="T ext (gap-based sessionization: batch twin of the "
@@ -296,15 +293,14 @@ def t_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    out = sessionize_batch(ev, gap_minutes=30)
-    return out.withColumn("total_value", F.round(F.col("total_value"), 4))
+    return sessionize_batch(ev, gap_minutes=30)
 
 
 @register(
     "j_salted_skew_join",
     oracle="""
     SELECT o.o_orderpriority, l.l_linestatus, COUNT(*) AS n_items,
-           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority, l.l_linestatus
     """,
@@ -324,5 +320,5 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
     return j.groupBy("o_orderpriority", "l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.round(_dsum(F.col("l_quantity")), 4).alias("sum_qty"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
     )

@@ -25,10 +25,17 @@ def _dsum(col) -> F.Column:
     """Deterministic double sum: accumulate exactly in decimal, cast back.
 
     Plain double summation is order-dependent; Spark's partial-agg order
-    differs run to run and from DuckDB's, so a rounded double sum can land
-    on either side of a rounding boundary. Decimal addition is exact and
-    associative — both engines produce the identical value. Oracle-side
+    differs run to run and from DuckDB's. Decimal addition is exact and
+    associative — both engines produce the identical value, and the final
+    decimal→double conversion is correctly rounded in both. Oracle-side
     equivalent: ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``.
+
+    Outputs derived this way are emitted RAW (never ``ROUND(double, n)``):
+    the two engines' double-round implementations disagree by 1 ulp near
+    rounding boundaries (Java BigDecimal HALF_UP on the exact binary value
+    vs DuckDB's scaled-multiply round), which is exactly the failure class
+    the driver's exact value-hash catches. A bit-identical raw double
+    hashes identically; a rounded one may not.
     """
     return F.sum(col.cast("decimal(27,6)")).cast("double")
 
@@ -45,13 +52,13 @@ def _davg(col) -> F.Column:
     "a1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 4)      AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE), 4) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
            COUNT(*)                                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -66,13 +73,13 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(_dsum(F.col("l_quantity")), 4).alias("sum_qty"),
-            F.round(_dsum(F.col("l_extendedprice")), 4).alias("sum_base_price"),
-            F.round(_dsum(disc), 4).alias("sum_disc_price"),
-            F.round(_dsum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(_davg(F.col("l_quantity")), 4).alias("avg_qty"),
-            F.round(_davg(F.col("l_extendedprice")), 4).alias("avg_price"),
-            F.round(_davg(F.col("l_discount")), 4).alias("avg_disc"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -86,7 +93,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_scoped_filter_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
     FROM events
     WHERE event_type = 'purchase'
       AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
@@ -102,7 +109,7 @@ def p_scoped_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
         )
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.round(_dsum(F.col("value")), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
     )
 
 
@@ -203,7 +210,7 @@ def p8_relative_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_star_revenue",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 4) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -227,7 +234,7 @@ def j1_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -239,7 +246,7 @@ def j1_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            COUNT(o_orderkey)                                         AS n_orders,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-           ROUND(COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0), 4) AS total_spend
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0.0) AS total_spend
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
@@ -255,7 +262,7 @@ def j2_left_join_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
-            F.round(F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0.0)), 4).alias("total_spend"),
+            F.coalesce(_dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
         )
     )
 
@@ -451,7 +458,7 @@ def a6_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS lvl2_count,
            CAST(SUM(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1 ELSE 0 END) AS BIGINT) AS lvl3_count,
            CAST(SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS lvl4_count,
-           ROUND(100.0 * SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) / COUNT(*), 4) AS lvl4_pct
+           100.0 * SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) / COUNT(*) AS lvl4_pct
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment, CAST(year(o_orderdate) AS INT)
     """,
@@ -476,9 +483,7 @@ def a7_aggregate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(cond, 1).otherwise(0)).alias(f"lvl{i + 1}_count")
                 for i, cond in enumerate(lvl)
             ],
-            F.round(
-                100.0 * F.sum(F.when(lvl[3], 1).otherwise(0)) / F.count("*"), 4
-            ).alias("lvl4_pct"),
+            (100.0 * F.sum(F.when(lvl[3], 1).otherwise(0)) / F.count("*")).alias("lvl4_pct"),
         )
     )
 
@@ -496,8 +501,8 @@ def a7_aggregate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT target,
            n AS n_measurements,
-           ROUND(sx / n, 4) AS avg_price,
-           ROUND(CASE WHEN n > 1 THEN SQRT((sxx - sx * sx / n) / (n - 1)) END, 4) AS stddev_price,
+           sx / n AS avg_price,
+           CASE WHEN n > 1 THEN SQRT((sxx - sx * sx / n) / (n - 1)) END AS stddev_price,
            (n < 50 OR CASE WHEN n > 1 THEN SQRT((sxx - sx * sx / n) / (n - 1)) END / SQRT(n) > 200.0)
                AS insufficient_data
     FROM g
@@ -525,8 +530,8 @@ def a8_target_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "target",
         n.alias("n_measurements"),
-        F.round(sx / n, 4).alias("avg_price"),
-        F.round(std, 4).alias("stddev_price"),
+        (sx / n).alias("avg_price"),
+        std.alias("stddev_price"),
         ((n < 50) | (std / F.sqrt(n) > 200.0)).alias("insufficient_data"),
     )
 
@@ -536,8 +541,8 @@ def a8_target_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT) AS order_year,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY year(o_orderdate)
-                                      ORDER BY o_totalprice, o_orderkey), 6) AS price_percentile
+           PERCENT_RANK() OVER (PARTITION BY year(o_orderdate)
+                                ORDER BY o_totalprice, o_orderkey) AS price_percentile
     FROM orders
     """,
     survey="A9 (docs/Norms.md percentile assignment — window variant)",
@@ -548,7 +553,7 @@ def a9_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
-        F.round(F.percent_rank().over(w), 6).alias("price_percentile"),
+        F.percent_rank().over(w).alias("price_percentile"),
     )
 
 
@@ -557,8 +562,8 @@ def a9_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           ROUND(100.0 * SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) / COUNT(*), 4) AS pct_long,
-           ROUND(AVG(n_chars), 4) AS avg_chars
+           100.0 * SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) / COUNT(*) AS pct_long,
+           CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY source
     """,
@@ -568,10 +573,8 @@ def a12_distribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(
-            100.0 * F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)) / F.count("*"), 4
-        ).alias("pct_long"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (100.0 * F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)) / F.count("*")).alias("pct_long"),
+        _davg(F.col("n_chars")).alias("avg_chars"),
     )
 
 
@@ -581,7 +584,7 @@ def a12_distribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS event_date,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY CAST(ts AS DATE), event_type
     """,
@@ -591,7 +594,7 @@ def a13_expression_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.to_date("ts").alias("event_date"), "event_type"
-    ).agg(F.count("*").alias("n_events"), F.round(_dsum(F.col("value")), 4).alias("total_value"))
+    ).agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
 
 
 # --------------------------------------------------------------------------
@@ -636,7 +639,7 @@ def w1_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value,
            LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0), 4) AS delta
+           value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta
     FROM events
     WHERE event_type = 'purchase'
     """,
@@ -649,7 +652,7 @@ def w2_ordered_history_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "value",
         prev.alias("prev_value"),
-        F.round(F.col("value") - F.coalesce(prev, F.lit(0.0)), 4).alias("delta"),
+        (F.col("value") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
     )
 
 
@@ -681,12 +684,12 @@ def w3_first_row_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH yearly AS (
         SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS order_year,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 4) AS spend
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
     )
     SELECT o_custkey, order_year, spend,
            LAG(spend) OVER (PARTITION BY o_custkey ORDER BY order_year) AS prev_year_spend,
-           ROUND(spend - COALESCE(LAG(spend) OVER (PARTITION BY o_custkey ORDER BY order_year), 0), 4) AS yoy_delta
+           spend - COALESCE(LAG(spend) OVER (PARTITION BY o_custkey ORDER BY order_year), 0.0) AS yoy_delta
     FROM yearly
     """,
     survey="W4 A10 (docs/Runbook.BulkDeleteExams.md:116 exam_longitudinal year-over-year)",
@@ -695,13 +698,13 @@ def w4_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     yearly = o.groupBy(
         "o_custkey", F.year("o_orderdate").alias("order_year")
-    ).agg(F.round(_dsum(F.col("o_totalprice")), 4).alias("spend"))
+    ).agg(_dsum(F.col("o_totalprice")).alias("spend"))
     w = Window.partitionBy("o_custkey").orderBy("order_year")
     prev = F.lag("spend").over(w)
     return yearly.select(
         "o_custkey", "order_year", "spend",
         prev.alias("prev_year_spend"),
-        F.round(F.col("spend") - F.coalesce(prev, F.lit(0.0)), 4).alias("yoy_delta"),
+        (F.col("spend") - F.coalesce(prev, F.lit(0.0))).alias("yoy_delta"),
     )
 
 
@@ -841,7 +844,7 @@ def u3_date_dim_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c_acctbal < 0 THEN 'debit'
                 WHEN c_acctbal < 5000 THEN 'normal'
                 ELSE 'premium' END                        AS balance_class,
-           ROUND(abs(c_acctbal), 4)                       AS abs_balance
+           abs(c_acctbal)                                 AS abs_balance
     FROM customer
     WHERE c_custkey <= 500
     """,
@@ -865,7 +868,7 @@ def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_acctbal") < 5000, "normal")
         .otherwise("premium")
         .alias("balance_class"),
-        F.round(F.abs("c_acctbal"), 4).alias("abs_balance"),
+        F.abs("c_acctbal").alias("abs_balance"),
     )
 
 
@@ -874,7 +877,7 @@ def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT) AS k,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -887,5 +890,5 @@ def f_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k", F.regexp_extract("props", r'"k": (-?\d+)', 1).cast("int")
         )
         .groupBy("k")
-        .agg(F.count("*").alias("n_events"), F.round(_davg(F.col("value")), 4).alias("avg_value"))
+        .agg(F.count("*").alias("n_events"), _davg(F.col("value")).alias("avg_value"))
     )

@@ -92,7 +92,7 @@ def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a, b, ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    SELECT a, b, CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
     FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
     """,
@@ -128,9 +128,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -161,10 +161,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, q_n_chars, q_n_tokens,
-           ROUND(CAST(q_n_chars AS DOUBLE) / q_n_tokens, 4) AS q_avg_token_len,
-           ROUND(CAST(n_punct AS DOUBLE) / q_n_chars, 4) AS q_punct_ratio,
-           ROUND(CAST(n_alpha AS DOUBLE) / q_n_chars, 4) AS q_alpha_ratio,
-           ROUND(CAST(n_stop AS DOUBLE) / q_n_tokens, 4) AS q_stopword_ratio
+           CAST(q_n_chars AS DOUBLE) / q_n_tokens AS q_avg_token_len,
+           CAST(n_punct AS DOUBLE) / q_n_chars AS q_punct_ratio,
+           CAST(n_alpha AS DOUBLE) / q_n_chars AS q_alpha_ratio,
+           CAST(n_stop AS DOUBLE) / q_n_tokens AS q_stopword_ratio
     FROM f
     """,
     survey="ext: quality scoring (length/punct/stopword ratios) — map-only, codegen'd",
@@ -216,7 +216,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_subword_est,
-           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*), 4) AS avg_ws_tokens
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
     FROM documents
     GROUP BY source
     """,
@@ -229,7 +229,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.sum(ws).alias("total_ws_tokens"),
         F.sum(sw).alias("total_subword_est"),
-        F.round(F.sum(ws) / F.count("*"), 4).alias("avg_ws_tokens"),
+        (F.sum(ws).cast("double") / F.count("*")).alias("avg_ws_tokens"),
     )
 
 
@@ -243,9 +243,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
         SELECT e.vec_id,
-               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
-                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
         FROM embeddings e, q
         WHERE e.vec_id <> 0
     )
@@ -271,7 +271,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4) AS avg_l2_norm
+           CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_l2_norm
     FROM embeddings
     GROUP BY label
     """,
@@ -282,9 +282,8 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = S.norm_expr(F.col("embedding"))
     return e.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(
-            F.sum(norm.cast("decimal(27,6)")).cast("double") / F.count("*"), 4
-        ).alias("avg_l2_norm"),
+        (F.sum(norm.cast("decimal(27,6)")).cast("double") / F.count("*"))
+        .alias("avg_l2_norm"),
     )
 
 
