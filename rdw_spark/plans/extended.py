@@ -226,7 +226,7 @@ def p10_column_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_conditional_minmax",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
            CAST(SUM(CAST(DATEDIFF('day', l_shipdate, TIMESTAMP '1998-12-01 00:00:00') AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_age_days

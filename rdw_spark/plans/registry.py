@@ -4,9 +4,11 @@ Every operator from SURVEY.md §2 that we claim as implemented registers a
 named query over the driver testdata tables plus (where SQL-expressible)
 the matching DuckDB oracle. The driver compares both at sf=0.01:
 row-count + schema + order-insensitive value hash. Computed columns are
-aliased identically on both sides, and floating-point aggregates are
-rounded on BOTH sides so platform-level summation-order differences
-don't flip the hash.
+aliased identically on both sides and must match in TYPE as well as
+value: float aggregates are made exactly reproducible by summing as
+DECIMAL(27,6) then casting to DOUBLE on both sides (never rounded), and
+integer aggregates are CAST to BIGINT in the oracle (DuckDB widens
+untyped SUMs to HUGEINT, which flips the driver's typed value hash).
 """
 
 from __future__ import annotations
