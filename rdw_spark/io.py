@@ -34,19 +34,39 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) parquet columns arrive as LongType (nanos since epoch)
-    # under spark.sql.legacy.parquet.nanosAsLong; convert to µs timestamps to
-    # match the engine's (and DuckDB's) µs semantics. Integer floor-div — a
-    # double division would lose precision above 2^53 ns.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to one canonical type — TIMESTAMP (LTZ,
+    µs) — regardless of how the parquet writer encoded it. Driver testdata
+    has shipped both shapes across rounds:
+
+    - ``TIMESTAMP(NANOS)`` → LongType nanos-since-epoch (under
+      ``spark.sql.legacy.parquet.nanosAsLong``): integer floor-div to µs —
+      a double division would lose precision above 2^53 ns;
+    - ``timestamp[us]`` without tz → TIMESTAMP_NTZ: cast to LTZ, which is
+      value-preserving because the session time zone is pinned to UTC;
+    - TIMESTAMP (LTZ): already canonical.
+
+    Everything downstream (windows, sessionization, oracle comparison)
+    builds on this one type so a future testdata change lands here, once.
+    """
     from pyspark.sql import functions as F, types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        if field.name != col:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -24,29 +24,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet: TIMESTAMP(NANOS) read as long under nanosAsLong (see
-# rdw_spark.io.load_table); the stream converts to µs timestamps the same way
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
+    """File-source readStream over the events table. The schema is taken
+    from the files themselves (one footer read — streams require an explicit
+    schema, inference is disabled by design) and ``ts`` is normalized via the
+    same helper batch reads use, so legacy nanos-as-long, TIMESTAMP_NTZ and
+    TIMESTAMP data all stream identically."""
+    from rdw_spark.io import normalize_ts
+
+    raw_schema = spark.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return stream.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    return normalize_ts(stream)
 
 
 def windowed_event_counts(
@@ -149,11 +143,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ-safe epoch seconds: timestamp→double casts are illegal for
+    # TIMESTAMP_NTZ, but NTZ→LTZ is value-preserving under the pinned UTC
+    # session TZ and unix_micros is exact (µs-integer) on LTZ.
+    sec = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1_000_000.0)
     with_gap = events.withColumn(
         "_new_session",
-        (F.col("ts").cast("double")
-         - F.lag(F.col("ts").cast("double")).over(w) > gap_minutes * 60)
-        .cast("long"),
+        (sec - F.lag(sec).over(w) > gap_minutes * 60).cast("long"),
     ).withColumn(
         "_session_no",
         F.sum(F.coalesce("_new_session", F.lit(1))).over(
