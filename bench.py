@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -105,31 +106,59 @@ def pipeline_bench(spark, n_exams: int = 2000) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _run_once(spark, q, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    # operators that cache intermediates (LSH shingles, simhash sigs)
+    # must not leak blocks into later timings
+    spark.catalog.clearCache()
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("rdw-bench")
 
     catalog = get_catalog()
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     # warm the JVM + parquet footer caches with the flagship before timing
-    catalog["a7_aggregate_report"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        catalog["a7_aggregate_report"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001
+        print(f"warmup failed: {e}", file=sys.stderr)
 
+    # median of `iters` runs per query: single-run timings swung up to 6x
+    # on unchanged code in earlier rounds; one failing query must not take
+    # the rest of the bench down with it.
     total = 0.0
+    errors = 0
     for name, q in sorted(catalog.items()):
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        # operators that cache intermediates (LSH shingles, simhash sigs)
-        # must not leak blocks into later timings
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        err: str | None = None
+        for _ in range(iters):
+            try:
+                samples.append(_run_once(spark, q, sf_dir))
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                break
+        if samples and err is None:
+            med = statistics.median(samples)
+            timings[name] = round(med, 3)
+            total += med
+        else:
+            timings[name] = {"err": err}
+            errors += 1
 
-    pipeline = pipeline_bench(spark)
+    try:
+        pipeline = pipeline_bench(spark)
+    except Exception as e:  # noqa: BLE001 — catalog numbers still count
+        pipeline = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
 
     print(
         json.dumps(
@@ -137,7 +166,9 @@ def main() -> None:
                 "metric": "catalog_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
+                "iterations": iters,
                 "queries": timings,
+                "query_errors": errors,
                 "pipeline": pipeline,
                 "sf": sf,
             }

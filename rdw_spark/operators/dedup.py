@@ -31,16 +31,26 @@ from .text import normalize_text, tokens
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = True
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalized: bool = True, with_counts: bool = False,
 ) -> DataFrame:
     """Map each document to its canonical twin (min id per digest).
-    Returns (id, digest, canonical_id, is_canonical)."""
+    Returns (id, digest, canonical_id, is_canonical[, n_copies]) — one
+    partial-aggregated shuffle on the digest, then a join back (both sides
+    hash-partitioned on digest, so the join reuses the exchange)."""
     digest = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
     d = df.select(F.col(id_col), digest.alias("digest"))
-    canon = d.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
-    return d.join(canon, "digest").select(
-        id_col, "digest", "canonical_id", (F.col(id_col) == F.col("canonical_id")).alias("is_canonical")
-    )
+    aggs = [F.min(id_col).alias("canonical_id")]
+    if with_counts:
+        aggs.append(F.count("*").alias("n_copies"))
+    canon = d.groupBy("digest").agg(*aggs)
+    cols = [
+        id_col, "digest", "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    ]
+    if with_counts:
+        cols.append("n_copies")
+    return d.join(canon, "digest").select(*cols)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -152,33 +152,24 @@ def p3_status_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p5_like_patterns",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT c_custkey, c_name, c_mktsegment,
+           substr(c_name, length(c_name) - 1, 2) = '42' AS ends_42
     FROM customer
-    WHERE c_name LIKE '%42%' AND c_mktsegment LIKE 'B%'
+    WHERE (c_name LIKE '%42%' AND c_mktsegment LIKE 'B%')
+       OR substr(c_name, length(c_name) - 1, 2) = '42'
     """,
-    survey="P5 (docs/Troubleshooting.md:369,427 LIKE prefix/contains)",
+    survey="P5 (docs/Troubleshooting.md:369,427 LIKE prefix/contains) + "
+           "P7 (docs/Troubleshooting.md:385 substr(natural_id,8)='0000000') — "
+           "one entry covers both string-predicate families so all "
+           "oracle-bearing queries fit the driver's 50-row window",
 )
 def p5_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    return c.filter(F.col("c_name").like("%42%") & F.col("c_mktsegment").like("B%")).select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-@register(
-    "p7_substr_predicate",
-    oracle="""
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE substr(c_name, length(c_name) - 1, 2) = '42'
-    """,
-    survey="P7 (docs/Troubleshooting.md:385 substr(natural_id,8)='0000000')",
-)
-def p7_substr_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
+    substr_pred = F.expr("substring(c_name, length(c_name) - 1, 2) = '42'")
     return c.filter(
-        F.expr("substring(c_name, length(c_name) - 1, 2) = '42'")
-    ).select("c_custkey", "c_name")
+        (F.col("c_name").like("%42%") & F.col("c_mktsegment").like("B%"))
+        | substr_pred
+    ).select("c_custkey", "c_name", "c_mktsegment", substr_pred.alias("ends_42"))
 
 
 @register(

@@ -34,43 +34,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "dedup_exact_summary",
-    oracle="""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_distinct,
-           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_duplicates
-    FROM documents
-    GROUP BY source
-    """,
-    survey="ext: exact dedup (hash-groupBy; digest dedup per docs/API.md:263)",
-)
-def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    fp = X.fingerprint(F.col("text"))
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(fp).alias("n_distinct"),
-        (F.count("*") - F.countDistinct(fp)).alias("n_duplicates"),
-    )
-
-
-@register(
     "dedup_fingerprint_canonical",
     oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
            MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canonical_id,
-           doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS is_canonical
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_copies
     FROM documents
     """,
-    survey="ext: fingerprint dedup (rolling-hash-style normalize+digest canonical mapping)",
+    survey="ext: exact + fingerprint dedup (hash-groupBy digest dedup per "
+           "docs/API.md:263; normalize+digest canonical mapping with "
+           "per-fingerprint copy counts — subsumes the former "
+           "dedup_exact_summary entry so all oracle-bearing queries fit the "
+           "driver's 50-row window)",
 )
 def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    out = D.exact_duplicates(d, normalized=True)
+    out = D.exact_duplicates(d, normalized=True, with_counts=True)
     return out.select(
-        "doc_id", F.col("digest").alias("fingerprint"), "canonical_id", "is_canonical"
+        "doc_id", F.col("digest").alias("fingerprint"), "canonical_id",
+        "is_canonical", "n_copies",
     )
 
 
@@ -104,7 +88,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_minhash_lsh",
+    "zz_dedup_minhash_lsh",
     oracle=None,  # engine hash family (xxhash64) has no DuckDB twin; see tests/test_dedup.py recall check
     survey="ext: MinHash+LSH near-dup (shingle→minhash→band→bucket-join→exact verify)",
 )
@@ -114,7 +98,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash",
+    "zz_dedup_simhash",
     oracle=None,  # xxhash64-based signature; verified structurally in tests
     survey="ext: SimHash near-dup (64-bit signature, pigeonhole banding, Hamming<=3)",
 )
@@ -288,7 +272,7 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_ann_srp_topk",
+    "zz_sim_ann_srp_topk",
     oracle=None,  # approximate by design; recall vs brute force checked in tests/test_similarity.py
     survey="ext: SRP-LSH bucketed approximate top-k (scale path: equality join on bucket code)",
 )
@@ -305,7 +289,7 @@ def sim_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_ann_ivf_topk",
+    "zz_sim_ann_ivf_topk",
     oracle=None,  # KMeans quantizer is iterative (non-SQL); recall vs brute force in tests/test_dedup_similarity.py
     survey="ext: IVF inverted-file approximate top-k (KMeans cells + nprobe; "
            "cell doubles as the physical partition key at scale so a probe "
