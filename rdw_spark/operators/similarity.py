@@ -160,11 +160,15 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    sample_rows: int | None = 8192,
 ):
     """Train the coarse quantizer and assign every vector to its cell.
 
-    Returns ``(assigned, centroids)``: ``assigned`` = emb + ``cell`` column
-    (at 100 TB, persist partitioned by ``cell`` so probes prune partitions);
+    The quantizer fits on a ``sample_rows``-row sample (pass ``None`` for a
+    full fit); assignment is always the full table. Returns
+    ``(assigned, centroids)``: ``assigned`` = emb + ``cell`` column
+    (at 100 TB, persist partitioned by ``cell`` so probes prune partitions —
+    :func:`ivf_index` does exactly that);
     ``centroids`` = small driver-side list [(cell_id, [floats])] that
     broadcasts into the search.
     """
@@ -172,13 +176,61 @@ def ivf_build(
     from pyspark.ml.functions import array_to_vector
 
     vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_on = vecs
+    if sample_rows is not None:
+        # the quantizer only needs a representative sample — fitting KMeans
+        # on the full table is O(N·k·iters) for no recall benefit
+        n = emb.count()
+        if n > sample_rows:
+            fit_on = vecs.sample(False, sample_rows / n, seed)
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_v",
         predictionCol="cell",
-    ).fit(vecs)
+    ).fit(fit_on)
     assigned = model.transform(vecs).drop("_v")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return assigned, centroids
+
+
+def ivf_index(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_rows: int | None = 8192,
+):
+    """Build-once / probe-many IVF: materialize the cell assignment as a
+    parquet table **partitioned by cell** plus a centroids sidecar. The
+    first call builds (sample-fit quantizer + one assignment pass); every
+    later call just reads — so repeated probes pay only the probe, and a
+    probe against the cell-partitioned layout is a partition-pruned read
+    (this IS the 100 TB layout, not a cache trick).
+
+    Returns ``(assigned, centroids)`` exactly like :func:`ivf_build`.
+    """
+    import json
+    import os
+
+    cfile = os.path.join(index_path, "centroids.json")
+    vdir = os.path.join(index_path, "vectors")
+    if not os.path.exists(cfile):
+        assigned, centroids = ivf_build(
+            emb, n_centroids, id_col, vec_col, seed, max_iter,
+            sample_rows=sample_rows,
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(vdir)
+        os.makedirs(index_path, exist_ok=True)
+        tmp = os.path.join(index_path, ".centroids.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(centroids, fh)
+        os.replace(tmp, cfile)  # atomic publish: index valid iff sidecar exists
+    with open(cfile) as fh:
+        centroids = [(int(c), [float(x) for x in v]) for c, v in json.load(fh)]
+    return spark.read.parquet(vdir), centroids
 
 
 def ivf_topk(

@@ -120,9 +120,11 @@ def process_accepted(
     student_ids = wh.read(spark, "student").select(
         "ssid", F.col("id").alias("student_id")
     )
+    # student is fact-sized (millions of rows at state scale) — no broadcast
+    # hint; AQE picks broadcast only when the table is actually small
     exam_rows = (
         good.filter(~F.coalesce(F.col("reset"), F.lit(False)))
-        .join(F.broadcast(student_ids), "ssid")
+        .join(student_ids, "ssid")
     )
     # derive performance level from cut scores when the TRT omitted it
     exam_rows = with_performance_level(
@@ -235,21 +237,27 @@ def _refresh_inferred_school(spark: SparkSession, wh: TableStore, import_id: int
 
 
 def _bulk_status(spark: SparkSession, wh: TableStore, updates: DataFrame) -> None:
-    """One snapshot write for the whole batch's status transitions."""
-    log = wh.read(spark, "import")
+    """One partition-scoped merge for the whole batch's status transitions:
+    only the id buckets the batch's imports live in are read and rewritten
+    (O(batch) I/O, not O(log))."""
+    from rdw_spark.warehouse.store import IMPORT_ID_BUCKET
+
     upd = updates.select(
         F.col("import_id").alias("id"), F.col("status").alias("_new_status"),
         F.col("message").alias("_new_message"),
     )
+    buckets = [
+        str(r[0]) for r in
+        upd.select((F.col("id") / IMPORT_ID_BUCKET).cast("long")).distinct().collect()
+    ]
+    if not buckets:
+        return
+    log = wh.read_partitions(spark, "import", buckets)
     merged = (
-        log.join(F.broadcast(upd), "id", "left")
+        log.join(F.broadcast(upd), "id")  # batch-sized: broadcast is safe
         .withColumn("status", F.coalesce("_new_status", "status"))
         .withColumn("message", F.coalesce("_new_message", "message"))
-        .withColumn(
-            "updated",
-            F.when(F.col("_new_status").isNotNull(), F.current_timestamp())
-            .otherwise(F.col("updated")),
-        )
+        .withColumn("updated", F.current_timestamp())
         .drop("_new_status", "_new_message")
     )
-    wh.write_snapshot(merged.select(*log.columns), "import")
+    wh.merge_rows(spark, "import", merged.select(*log.columns), ["id"])

@@ -87,7 +87,18 @@ class ImportLog:
         return self.store.read(spark, "import")
 
     def _next_id(self, spark: SparkSession) -> int:
-        row = self.read(spark).agg(F.max("id")).collect()[0]
+        # ids are strictly increasing, so the max lives in the top id bucket
+        # — read one partition, not the whole log
+        pt = self.store.part_table("import")
+        if pt is not None:
+            _, man = pt.latest()
+            if not man:
+                return 1
+            top = max(man, key=int)
+            src = pt.read(spark, parts=[top])
+        else:
+            src = self.read(spark)
+        row = src.agg(F.max("id")).collect()[0]
         return int(row[0] or 0) + 1
 
     def _archive(self, content: int, digest: str, payload: bytes) -> None:
@@ -174,8 +185,11 @@ class ImportLog:
         if new_rows:
             from rdw_spark.warehouse import schemas as S
 
-            self.store.write_snapshot(
-                log.unionByName(spark.createDataFrame(new_rows, S.IMPORT)), "import"
+            # partition-scoped append: only the tail id-bucket is rewritten,
+            # the rest of the log stays untouched on disk (T6 ordering is by
+            # id, which the bucketing preserves)
+            self.store.merge_rows(
+                spark, "import", spark.createDataFrame(new_rows, S.IMPORT), ["id"]
             )
         return out
 
@@ -183,18 +197,24 @@ class ImportLog:
         self, spark: SparkSession, import_id: int, status: int,
         message: str | list | dict | None = None,
     ) -> None:
+        """Point status transition: reads and rewrites ONE id bucket —
+        O(bucket) I/O per transition instead of the O(table) full-snapshot
+        rewrite this used to cost."""
+        from rdw_spark.warehouse.store import IMPORT_ID_BUCKET
+
         if message is not None and not isinstance(message, str):
             message = json.dumps(message)
-        log = self.read(spark)
-        updated = log.withColumns({
-            "status": F.when(F.col("id") == import_id, F.lit(status))
-                       .otherwise(F.col("status")),
-            "message": F.when(F.col("id") == import_id, F.lit(message))
-                        .otherwise(F.col("message")),
-            "updated": F.when(F.col("id") == import_id, F.current_timestamp())
-                        .otherwise(F.col("updated")),
-        })
-        self.store.write_snapshot(updated, "import")
+        bucket = str(import_id // IMPORT_ID_BUCKET)
+        row = (
+            self.store.read_partitions(spark, "import", [bucket])
+            .filter(F.col("id") == import_id)
+            .withColumns({
+                "status": F.lit(status),
+                "message": F.lit(message),
+                "updated": F.current_timestamp(),
+            })
+        )
+        self.store.merge_rows(spark, "import", row, ["id"])
 
     def by_status(self, spark: SparkSession, status: int) -> DataFrame:
         """Backlog by status — the resubmit entry point (docs/API.md:422-449):

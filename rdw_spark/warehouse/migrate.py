@@ -31,20 +31,23 @@ Mart shapes:
 - **olap.exam_score** — per-claim score fact (docs/Runbook.BulkDeleteExams.md:30).
 
 Scale: the incremental batch is ``update_import_id ∈ (first, last]`` — a
-filter the parquet scan pushes down; mart MERGE joins the (small) batch
-against the mart on the id key with the batch side broadcast. At 100 TB the
-mart tables are partitioned by school_year so the rewrite touches only the
-years present in the batch.
+filter the parquet scan pushes down. Mart tables live in manifest-versioned
+``PartitionedTable`` storage keyed by ``school_year``: a MERGE reads,
+anti-joins, and rewrites only the year partitions present in the batch
+(O(batch years), never O(mart)); the control table is bucketed by
+(job, run-id range) so the per-run status transitions touch one small
+bucket. ``maintain()`` compacts fragmented partitions and GCs superseded
+snapshot versions after a drain.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
 
+from rdw_spark.warehouse.partstore import PartitionedTable
 from rdw_spark.warehouse.store import TableStore
 
 MIGRATE_SCHEMA = T.StructType([
@@ -92,9 +95,12 @@ def _reporting_exam(wh: TableStore, spark: SparkSession) -> DataFrame:
         F.col("label").alias("asmt_label"),
         F.col("subject_code"),
     )
+    # student is fact-sized (docs/Troubleshooting.md:434-455 treats it as a
+    # big table) — a forced broadcast OOMs executors at state scale, so the
+    # student join is left to AQE; true dims keep their broadcast hints
     return (
         exam
-        .join(F.broadcast(student), "student_id")
+        .join(student, "student_id")
         .join(F.broadcast(school), "school_id")
         .join(F.broadcast(district), "district_id")
         .join(F.broadcast(asmt), "asmt_id")
@@ -104,13 +110,38 @@ def _reporting_exam(wh: TableStore, spark: SparkSession) -> DataFrame:
 class MigrateEngine:
     JOBS = ("reporting", "olap")
 
+    # mart tables: merge key + school_year partitioning (a batch rewrites
+    # only the years it touches — an exam's school_year is immutable, it
+    # derives from the asmt natural key, so replace-by-key never strands a
+    # row in another year's partition)
+    MART_KEYS = {
+        "reporting_exam": ["id"],
+        "olap_exam": ["id"],
+        "olap_iab_exam": ["id"],
+        "olap_exam_longitudinal": ["id"],
+        "olap_exam_score": ["exam_id", "claim_code"],
+    }
+
     def __init__(self, warehouse: TableStore, mart_root: str, batch_size: int = 2000):
         self.wh = warehouse
         self.batch_size = batch_size
-        # mart store is schema-free (schemas come from the transform output);
-        # control table has a declared schema
-        self.mart = TableStore(mart_root, audit_enabled=False,
-                               schemas={"migrate": MIGRATE_SCHEMA}, natural_keys={})
+        # control table: one row per run, bucketed by (job, id range) so a
+        # status transition rewrites one small bucket, never the whole
+        # run history
+        self.mart = TableStore(
+            mart_root, audit_enabled=False,
+            schemas={"migrate": MIGRATE_SCHEMA}, natural_keys={},
+            partitioned={"migrate": (
+                "concat(job, '_', CAST(id DIV 1000 AS STRING))", ["id"],
+            )},
+        )
+        self._mart_tables = {
+            name: PartitionedTable(
+                mart_root, name, "school_year", keys,
+                sort_cols=("school_id", "student_id"),
+            )
+            for name, keys in self.MART_KEYS.items()
+        }
 
     # ---------- control table (T4) ----------
 
@@ -118,25 +149,28 @@ class MigrateEngine:
         return self.mart.read(spark, "migrate")
 
     def _append_control(self, spark: SparkSession, row: Row) -> None:
-        cur = self.control(spark)
-        self.mart.write_snapshot(
-            cur.unionByName(spark.createDataFrame([row], MIGRATE_SCHEMA)), "migrate"
+        # partition-scoped append: touches one (job, id-range) bucket
+        self.mart.merge_rows(
+            spark, "migrate", spark.createDataFrame([row], MIGRATE_SCHEMA), ["id"]
         )
 
-    def _update_control(self, spark: SparkSession, run_id: int, status: int,
-                        message: str | None) -> None:
+    def _update_control(self, spark: SparkSession, job: str, run_id: int,
+                        status: int, message: str | None) -> None:
         """One control row per run, status updated in place (the reference
         mutates its migrate row through the lifecycle,
-        docs/Troubleshooting.md:228-239)."""
-        cur = self.control(spark)
-        self.mart.write_snapshot(cur.withColumns({
-            "status": F.when(F.col("id") == run_id, F.lit(status))
-                       .otherwise(F.col("status")),
-            "message": F.when(F.col("id") == run_id, F.lit(message))
-                        .otherwise(F.col("message")),
-            "updated": F.when(F.col("id") == run_id, F.current_timestamp())
-                        .otherwise(F.col("updated")),
-        }), "migrate")
+        docs/Troubleshooting.md:228-239). Reads and rewrites only the run's
+        own control bucket."""
+        part = f"{job}_{run_id // 1000}"
+        row = (
+            self.mart.read_partitions(spark, "migrate", [part])
+            .filter(F.col("id") == run_id)
+            .withColumns({
+                "status": F.lit(status),
+                "message": F.lit(message),
+                "updated": F.current_timestamp(),
+            })
+        )
+        self.mart.merge_rows(spark, "migrate", row, ["id"])
 
     def _last_row(self, spark: SparkSession, job: str) -> Row | None:
         rows = (
@@ -156,13 +190,8 @@ class MigrateEngine:
         last = self._last_row(spark, job)
         if last is None or last["status"] != MigrateStatus.FAILED:
             return
-        cur = self.control(spark)
-        fixed = cur.withColumn(
-            "status",
-            F.when(F.col("id") == last["id"], F.lit(MigrateStatus.ABANDONED))
-            .otherwise(F.col("status")),
-        )
-        self.mart.write_snapshot(fixed, "migrate")
+        self._update_control(spark, job, int(last["id"]),
+                             MigrateStatus.ABANDONED, last["message"])
 
     def checkpoint(self, spark: SparkSession, job: str) -> int:
         row = (
@@ -181,21 +210,23 @@ class MigrateEngine:
 
         from rdw_spark.warehouse.import_log import ImportStatus
 
-        # the control table is tiny: one collect serves the enabled check,
-        # checkpoint, and run-id instead of four separate driver jobs
-        ctrl_rows = self.control(spark).collect()
-        job_rows = [r for r in ctrl_rows if r["job"] == job]
-        last = max(job_rows, key=lambda r: r["id"], default=None)
-        if last is not None and last["status"] == MigrateStatus.FAILED:
+        # one aggregation row serves the enabled check, checkpoint, and
+        # run-id — never a full collect of the run history (it grows one row
+        # per run, ~500k/year at reference cadence)
+        ctrl = self.control(spark)
+        agg = ctrl.agg(
+            F.max("id").alias("max_id"),
+            F.max_by("status", F.when(F.col("job") == job, F.col("id"))).alias("last_status"),
+            F.max(F.when(
+                (F.col("job") == job) & (F.col("status") == MigrateStatus.COMPLETED),
+                F.col("last_import_id"),
+            )).alias("ckpt"),
+        ).collect()[0]
+        if agg["last_status"] == MigrateStatus.FAILED:
             return {"state": "disabled", "migrated": 0}
 
         log = import_log if import_log is not None else self.wh.read(spark, "import")
-        ckpt = max(
-            (int(r["last_import_id"]) for r in ctrl_rows
-             if r["job"] == job and r["status"] == MigrateStatus.COMPLETED
-             and r["last_import_id"] is not None),
-            default=0,
-        )
+        ckpt = int(agg["ckpt"] or 0)
         batch = (
             log.filter((F.col("status") == ImportStatus.PROCESSED) & (F.col("id") > ckpt))
             .orderBy("id").limit(self.batch_size)
@@ -207,7 +238,7 @@ class MigrateEngine:
         first, last = int(batch["first"]), int(batch["last"])
 
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        run_id = int(max((r["id"] for r in ctrl_rows), default=0) + 1)
+        run_id = int(agg["max_id"] or 0) + 1
         self._append_control(spark, Row(
             id=run_id, job=job, status=MigrateStatus.STARTED,
             first_import_id=first, last_import_id=last,
@@ -218,7 +249,7 @@ class MigrateEngine:
             status, msg = MigrateStatus.COMPLETED, None
         except Exception as exc:  # noqa: BLE001 — recorded + job halted (T4)
             n, status, msg = 0, MigrateStatus.FAILED, json.dumps({"error": str(exc)[:500]})
-        self._update_control(spark, run_id, status, msg)
+        self._update_control(spark, job, run_id, status, msg)
         return {"state": MigrateStatus.COMPLETED == status and "completed" or "failed",
                 "migrated": n, "first_import_id": first, "last_import_id": last}
 
@@ -243,45 +274,19 @@ class MigrateEngine:
             (F.col("update_import_id") >= first) & (F.col("update_import_id") <= last)
         )
 
-    def _merge_mart(self, spark: SparkSession, name: str, batch_rows: DataFrame,
-                    key: list[str], partition_by: list[str] | None = None) -> int:
-        cur_v = self.mart.latest_version(name)
-        # count + write both consume the batch: cache so the upstream
-        # (batch scan + dim joins) computes once
-        batch_rows = batch_rows.cache()
-        n = batch_rows.count()
-        if n == 0:
-            batch_rows.unpersist()
-            return 0
-        if cur_v is None:
-            out = batch_rows
-        else:
-            cur = spark.read.parquet(
-                os.path.join(self.mart.root, name, f"v={cur_v}")
-            )
-            out = cur.join(
-                F.broadcast(batch_rows.select(*key).distinct()), key, "left_anti"
-            ).unionByName(batch_rows)
-        if partition_by:
-            # Z-ORDER analog (reference X1): cluster rows within each
-            # school_year partition by school so school-scoped queries touch
-            # few row groups (parquet min/max file skipping)
-            sort_cols = [c for c in ("school_id", "student_id") if c in out.columns]
-            if sort_cols:
-                out = out.sortWithinPartitions(*partition_by, *sort_cols)
-        writer = out.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(
-            self.mart.root, name, f"v={(cur_v or 0) + 1}"
-        ))
-        batch_rows.unpersist()
-        return n
+    def _merge_mart(self, spark: SparkSession, name: str,
+                    batch_rows: DataFrame) -> int:
+        """Partition-scoped MERGE: only the school_year partitions present
+        in the batch are read, anti-joined, and rewritten — O(batch years),
+        never O(mart). The previous design rewrote the entire mart per
+        2000-row batch, which at the reference's batch-per-minute cadence is
+        O(mart) I/O per minute — the clearest scale-killer this replaces."""
+        return self._mart_tables[name].merge_rows(spark, batch_rows)
 
     def _migrate_batch(self, spark: SparkSession, job: str, first: int, last: int) -> int:
         if job == "reporting":
             rows = self._batch_filter(_reporting_exam(self.wh, spark), first, last)
-            return self._merge_mart(spark, "reporting_exam", rows, ["id"])
+            return self._merge_mart(spark, "reporting_exam", rows)
 
         # olap: fact fan-out (reference docs/Runbook.BulkDeleteExams.md:109-118).
         # All five facts derive from the same batch scan + asmt join — cache
@@ -292,20 +297,17 @@ class MigrateEngine:
         )
         exam = exam.join(F.broadcast(asmt), "asmt_id").cache()
         n = self._merge_mart(
-            spark, "olap_exam",
-            exam.filter(F.col("type_code").isin("ica", "sum")),
-            ["id"], partition_by=["school_year"],
+            spark, "olap_exam", exam.filter(F.col("type_code").isin("ica", "sum")),
         )
         n += self._merge_mart(
             spark, "olap_iab_exam", exam.filter(F.col("type_code") == "iab"),
-            ["id"], partition_by=["school_year"],
         )
         longitudinal = (
             exam.filter((F.col("type_code") == "sum") & (~F.col("deleted")))
             .select("id", "student_id", "subject_code", "school_year",
                     "scale_score", "performance_level", "grade_code")
         )
-        n += self._merge_mart(spark, "olap_exam_longitudinal", longitudinal, ["id"])
+        n += self._merge_mart(spark, "olap_exam_longitudinal", longitudinal)
 
         scores = self.wh.read(spark, "exam_score").join(
             F.broadcast(exam.select(F.col("id").alias("exam_id"))), "exam_id", "left_semi"
@@ -317,13 +319,32 @@ class MigrateEngine:
                             "subject_code"),
                 "exam_id",
             ),
-            ["exam_id", "claim_code"],
         )
         exam.unpersist()
         return n
 
     def read_mart(self, spark: SparkSession, name: str) -> DataFrame:
-        v = self.mart.latest_version(name)
-        if v is None:
-            raise FileNotFoundError(f"mart table {name} has no published snapshot")
-        return spark.read.parquet(os.path.join(self.mart.root, name, f"v={v}"))
+        return self._mart_tables[name].read(spark)
+
+    # ---------- post-migrate maintenance (reference X3, docs/Performance.md:9-28) ----------
+
+    def maintain(self, spark: SparkSession, max_files: int = 4,
+                 keep_manifests: int = 1) -> dict[str, dict[str, int]]:
+        """OPTIMIZE/VACUUM analog, run after a migrate drain: compact
+        partitions fragmented by many small merges, then drop snapshot
+        versions (partition dirs + manifests) older than ``keep_manifests``.
+        Without this, per-minute merges accumulate one version dir per run
+        forever — the same failure mode the reference schedules ANALYZE /
+        OPTIMIZE for."""
+        report: dict[str, dict[str, int]] = {}
+        for name, pt in self._mart_tables.items():
+            compacted = pt.compact(spark, max_files=max_files)
+            removed = pt.gc(keep_manifests=keep_manifests)
+            report[name] = {"compacted_partitions": compacted, "removed_dirs": removed}
+        ctrl = self.mart.part_table("migrate")
+        if ctrl is not None:
+            report["migrate"] = {
+                "compacted_partitions": ctrl.compact(spark, max_files=max_files),
+                "removed_dirs": ctrl.gc(keep_manifests=keep_manifests),
+            }
+        return report

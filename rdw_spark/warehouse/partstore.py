@@ -1,0 +1,256 @@
+"""Manifest-versioned, partition-scoped parquet tables.
+
+The whole-snapshot ``TableStore`` layout (``<table>/v=N``) is correct but
+O(table) per write: every micro-batch rewrites every row. At the 100 TB
+target the marts and the import log take a batch per minute
+(reference docs/Runbook.md:160-193), so the write path must be
+O(touched partitions), not O(table). This module is the storage layer that
+makes that true — the same role Delta/Iceberg MERGE INTO plays on a real
+cluster, reduced to the two primitives we need (replace-rows-by-key and
+whole-partition rewrite) with no external dependency:
+
+Layout::
+
+    <root>/<table>/part=<value>/v=<N>/part-*.parquet   -- partition data
+    <root>/<table>/_manifests/v<N>.json                -- snapshot manifests
+
+A *snapshot* is a manifest: ``{"version": N, "parts": {part_value: M, ...}}``
+mapping each partition to the version directory holding its current data.
+Writers stage new partition dirs, then publish by atomically renaming a new
+manifest into place — a crashed writer leaves unreferenced dirs, never a
+torn table (same two-phase contract as TableStore's ``_SUCCESS`` publish,
+reference docs/Runbook.md:164). Readers resolve the newest manifest and read
+exactly the referenced dirs, so a merge that touched one school year leaves
+every other year's files byte-identical and unread.
+
+Invariants callers must hold:
+- the partition value is a deterministic expression over data columns
+  (``part_expr``), e.g. ``school_year``, ``id DIV 100000`` — it is
+  recomputed, never stored;
+- a key's partition value is immutable (an exam's school_year never moves;
+  an import id never changes buckets). A moved key would strand its old
+  copy in the old partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_MANIFEST_DIR = "_manifests"
+
+
+class PartitionedTable:
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        part_expr: str,
+        keys: list[str],
+        schema: T.StructType | None = None,
+        sort_cols: tuple[str, ...] = (),
+    ):
+        self.root = root
+        self.name = name
+        self.part_expr = part_expr
+        self.keys = keys
+        self.schema = schema
+        self.sort_cols = sort_cols
+
+    # ---------- layout ----------
+
+    def _dir(self) -> str:
+        return os.path.join(self.root, self.name)
+
+    def _part_dir(self, part: str, version: int) -> str:
+        return os.path.join(self._dir(), f"part={urllib.parse.quote(part, safe='')}",
+                            f"v={version}")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._dir(), _MANIFEST_DIR, f"v{version:012d}.json")
+
+    def latest(self) -> tuple[int, dict[str, int]]:
+        """(snapshot version, {partition value: data version}); (0, {}) when
+        the table has never been published."""
+        d = os.path.join(self._dir(), _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return 0, {}
+        best = 0
+        for entry in os.listdir(d):
+            if entry.startswith("v") and entry.endswith(".json"):
+                try:
+                    best = max(best, int(entry[1:-5]))
+                except ValueError:
+                    continue
+        if best == 0:
+            return 0, {}
+        with open(self._manifest_path(best)) as fh:
+            m = json.load(fh)
+        return best, dict(m["parts"])
+
+    def _publish(self, version: int, parts: dict[str, int]) -> None:
+        d = os.path.join(self._dir(), _MANIFEST_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-v{version}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "parts": parts}, fh)
+        os.replace(tmp, self._manifest_path(version))  # atomic publish
+
+    # ---------- read ----------
+
+    def read(self, spark: SparkSession, parts: list[str] | None = None) -> DataFrame:
+        """Current snapshot — all partitions, or just ``parts`` (the
+        manifest-level analog of partition pruning; year- or bucket-scoped
+        readers pass the values they need and never open other dirs)."""
+        _, man = self.latest()
+        if parts is not None:
+            man = {p: v for p, v in man.items() if p in set(parts)}
+        paths = [self._part_dir(p, v) for p, v in sorted(man.items())]
+        if not paths:
+            if self.schema is not None:
+                return spark.createDataFrame([], self.schema)
+            raise FileNotFoundError(f"partitioned table {self.name} has no published snapshot")
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(*paths)
+
+    # ---------- write ----------
+
+    def _part_col(self):
+        return F.expr(self.part_expr).cast("string")
+
+    def _write_parts(self, out: DataFrame, version: int) -> list[str]:
+        """Stage ``out`` (which carries ``_part``) as one partitioned write,
+        then move each staged partition dir into its versioned home. Returns
+        the partition values written."""
+        stage = os.path.join(self._dir(), f"_stage-v{version}")
+        sort_cols = [c for c in self.sort_cols if c in out.columns]
+        if sort_cols:
+            # cluster within each partition so min/max row-group stats prune
+            # file reads for the common scoped queries (Z-ORDER analog)
+            out = out.repartition(F.col("_part")).sortWithinPartitions("_part", *sort_cols)
+        out.write.mode("overwrite").partitionBy("_part").parquet(stage)
+        written: list[str] = []
+        for entry in os.listdir(stage):
+            if not entry.startswith("_part="):
+                continue
+            part = urllib.parse.unquote(entry[len("_part="):])
+            dest = self._part_dir(part, version)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)  # leftover from a crashed writer
+            os.rename(os.path.join(stage, entry), dest)
+            written.append(part)
+        shutil.rmtree(stage, ignore_errors=True)
+        return written
+
+    def merge_rows(self, spark: SparkSession, rows: DataFrame, keys: list[str] | None = None) -> int:
+        """Replace-by-key upsert touching only the partitions ``rows`` lands
+        in: read those partitions' current data, anti-join on the key, union
+        the new rows, rewrite those partitions, publish. Everything else is
+        untouched on disk."""
+        keys = keys or self.keys
+        batch = rows.withColumn("_part", self._part_col()).cache()
+        try:
+            touched = [r["_part"] for r in batch.select("_part").distinct().collect()]
+            if not touched:
+                return 0
+            n = batch.count()
+            ver, man = self.latest()
+            cols = rows.columns
+            cur_paths = [self._part_dir(p, man[p]) for p in touched if p in man]
+            if cur_paths:
+                reader = spark.read
+                if self.schema is not None:
+                    reader = reader.schema(self.schema)
+                cur = reader.parquet(*cur_paths)
+                kept = (
+                    cur.join(batch.select(*keys).distinct(), keys, "left_anti")
+                    .withColumn("_part", self._part_col())
+                )
+                out = kept.select(*cols, "_part").unionByName(batch.select(*cols, "_part"))
+            else:
+                out = batch.select(*cols, "_part")
+            new_ver = ver + 1
+            written = self._write_parts(out, new_ver)
+            man2 = dict(man)
+            man2.update({p: new_ver for p in written})
+            self._publish(new_ver, man2)
+            return n
+        finally:
+            batch.unpersist()
+
+    def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
+        """Full rewrite: the new snapshot references exactly the partitions
+        present in ``df`` (a partition absent from ``df`` is dropped)."""
+        ver, _ = self.latest()
+        new_ver = ver + 1
+        out = df.withColumn("_part", self._part_col())
+        written = self._write_parts(out, new_ver)
+        self._publish(new_ver, {p: new_ver for p in written})
+        return new_ver
+
+    # ---------- maintenance (reference X3, docs/Performance.md:9-28) ----------
+
+    def compact(self, spark: SparkSession, max_files: int = 4) -> int:
+        """Rewrite partitions fragmented past ``max_files`` data files into
+        one file each (OPTIMIZE analog). Returns partitions compacted."""
+        ver, man = self.latest()
+        frag = []
+        for p, v in man.items():
+            d = self._part_dir(p, v)
+            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n_files > max_files:
+                frag.append(p)
+        if not frag:
+            return 0
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        out = (
+            reader.parquet(*[self._part_dir(p, man[p]) for p in frag])
+            .withColumn("_part", self._part_col())
+            .repartition(F.col("_part"))  # one task → one file per partition
+        )
+        new_ver = ver + 1
+        written = self._write_parts(out, new_ver)
+        man2 = dict(man)
+        man2.update({p: new_ver for p in written})
+        self._publish(new_ver, man2)
+        return len(frag)
+
+    def gc(self, keep_manifests: int = 1) -> int:
+        """Drop partition version dirs (and manifests) no longer referenced
+        by the ``keep_manifests`` newest snapshots. Returns dirs removed."""
+        d = os.path.join(self._dir(), _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return 0
+        versions = sorted(
+            int(e[1:-5]) for e in os.listdir(d)
+            if e.startswith("v") and e.endswith(".json")
+        )
+        keep = versions[-keep_manifests:]
+        live: set[tuple[str, int]] = set()
+        for v in keep:
+            with open(self._manifest_path(v)) as fh:
+                live.update((p, pv) for p, pv in json.load(fh)["parts"].items())
+        removed = 0
+        table_dir = self._dir()
+        for entry in os.listdir(table_dir):
+            if not entry.startswith("part="):
+                continue
+            part = urllib.parse.unquote(entry[len("part="):])
+            pdir = os.path.join(table_dir, entry)
+            for vdir in os.listdir(pdir):
+                if vdir.startswith("v=") and (part, int(vdir[2:])) not in live:
+                    shutil.rmtree(os.path.join(pdir, vdir))
+                    removed += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+        return removed

@@ -40,6 +40,18 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from rdw_spark.warehouse import schemas as S
+from rdw_spark.warehouse.partstore import PartitionedTable
+
+# Tables whose write path must be O(touched partitions), not O(table):
+# the import log takes a status transition per payload at a batch per
+# minute (reference docs/Runbook.md:160-193) — bucketed by id range so a
+# transition rewrites one ~100k-row bucket, never the whole 10.9M-row log
+# (reference production size, docs/Monitoring.md:111).
+IMPORT_ID_BUCKET = 100_000
+
+DEFAULT_PARTITIONED: dict[str, tuple[str, list[str]]] = {
+    "import": (f"id DIV {IMPORT_ID_BUCKET}", ["id"]),
+}
 
 _AUDIT_FIELDS = [
     T.StructField("action", T.StringType(), False),      # update | delete
@@ -55,12 +67,20 @@ def surrogate_id(*key_cols: str):
 
 class TableStore:
     def __init__(self, root: str, audit_enabled: bool = True, user: str = "rdw_spark",
-                 schemas: dict | None = None, natural_keys: dict | None = None):
+                 schemas: dict | None = None, natural_keys: dict | None = None,
+                 partitioned: dict[str, tuple[str, list[str]]] | None = None):
         self.root = root
         self.audit_enabled = audit_enabled
         self.user = user
         self.schemas = schemas if schemas is not None else S.SCHEMAS
         self.natural_keys = natural_keys if natural_keys is not None else S.NATURAL_KEYS
+        if partitioned is None:
+            partitioned = DEFAULT_PARTITIONED
+        self._part_tables = {
+            name: PartitionedTable(root, name, expr, keys, schema=self.schemas[name])
+            for name, (expr, keys) in partitioned.items()
+            if name in self.schemas
+        }
         os.makedirs(root, exist_ok=True)
 
     # ---------- snapshot plumbing ----------
@@ -85,6 +105,8 @@ class TableStore:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Current snapshot, or an empty frame with the declared schema."""
+        if name in self._part_tables:
+            return self._part_tables[name].read(spark)
         v = self.latest_version(name)
         if v is None:
             return spark.createDataFrame([], self.schemas[name])
@@ -92,12 +114,38 @@ class TableStore:
             os.path.join(self._table_dir(name), f"v={v}")
         )
 
+    def read_partitions(self, spark: SparkSession, name: str, parts: list[str]) -> DataFrame:
+        """Partition-scoped read (manifest-level pruning); falls back to the
+        full snapshot for unpartitioned tables."""
+        if name in self._part_tables:
+            return self._part_tables[name].read(spark, parts=parts)
+        return self.read(spark, name)
+
     def write_snapshot(self, df: DataFrame, name: str) -> int:
         """Write the next version dir; the _SUCCESS marker is the atomic publish."""
+        if name in self._part_tables:
+            return self._part_tables[name].overwrite(df.sparkSession, df)
         v = (self.latest_version(name) or 0) + 1
         path = os.path.join(self._table_dir(name), f"v={v}")
         df.write.mode("overwrite").parquet(path)
         return v
+
+    def merge_rows(self, spark: SparkSession, name: str, rows: DataFrame,
+                   keys: list[str] | None = None) -> int:
+        """Replace-by-key upsert. Partitioned tables rewrite only the
+        partitions the rows land in; unpartitioned tables fall back to a
+        whole-snapshot anti-join merge."""
+        if name in self._part_tables:
+            return self._part_tables[name].merge_rows(spark, rows, keys)
+        keys = keys or self.natural_keys[name]
+        cur = self.read(spark, name)
+        kept = cur.join(rows.select(*keys).distinct(), keys, "left_anti")
+        out = kept.unionByName(rows.select(*cur.columns))
+        self.write_snapshot(out, name)
+        return rows.count()
+
+    def part_table(self, name: str) -> PartitionedTable | None:
+        return self._part_tables.get(name)
 
     # ---------- audit ----------
 

@@ -1,0 +1,215 @@
+"""Partition-scoped storage (partstore.PartitionedTable) + the scale gates
+the verdict asked for: a one-year batch rewrites O(partition) files, point
+status transitions touch one bucket, the student join is not force-broadcast,
+and maintenance prunes superseded snapshot versions."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from rdw_spark.warehouse import ImportLog, ImportStatus, MigrateEngine, TableStore
+from rdw_spark.warehouse.import_log import ImportContent
+from rdw_spark.warehouse.migrate import _reporting_exam
+from rdw_spark.warehouse.partstore import PartitionedTable
+
+
+def _files_under(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+class TestPartitionedTable:
+    def test_merge_touches_only_batch_partitions(self, spark, tmp_path):
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        base = spark.createDataFrame(
+            [Row(id=i, school_year=2015 + (i % 4), v="a") for i in range(40)]
+        )
+        pt.overwrite(spark, base)
+        files_before = {
+            p: set(os.listdir(os.path.join(str(tmp_path), "fact", f"part={p}")))
+            for p in ("2015", "2016", "2017", "2018")
+        }
+
+        # a batch touching ONLY 2018 (updates + an insert)
+        batch = spark.createDataFrame(
+            [Row(id=3, school_year=2018, v="UPDATED"), Row(id=99, school_year=2018, v="NEW")]
+        )
+        n = pt.merge_rows(spark, batch)
+        assert n == 2
+
+        # untouched years keep their exact version dirs; 2018 gained one
+        for p in ("2015", "2016", "2017"):
+            after = set(os.listdir(os.path.join(str(tmp_path), "fact", f"part={p}")))
+            assert after == files_before[p], f"partition {p} was rewritten"
+        p2018 = set(os.listdir(os.path.join(str(tmp_path), "fact", "part=2018")))
+        assert p2018 == files_before["2018"] | {"v=2"}
+
+        # merged content is correct: replaced row + new row + all others
+        rows = {r["id"]: r for r in pt.read(spark).collect()}
+        assert len(rows) == 41
+        assert rows[3]["v"] == "UPDATED" and rows[99]["v"] == "NEW"
+        assert rows[7]["v"] == "a"
+
+    def test_read_scoped_to_partitions(self, spark, tmp_path):
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        pt.overwrite(spark, spark.createDataFrame(
+            [Row(id=i, school_year=2015 + (i % 2)) for i in range(10)]
+        ))
+        only_2016 = pt.read(spark, parts=["2016"]).collect()
+        assert {r["school_year"] for r in only_2016} == {2016}
+
+    def test_gc_prunes_superseded_versions(self, spark, tmp_path):
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        pt.overwrite(spark, spark.createDataFrame(
+            [Row(id=1, school_year=2018, v="a")]
+        ))
+        for i in range(3):
+            pt.merge_rows(spark, spark.createDataFrame(
+                [Row(id=1, school_year=2018, v=f"u{i}")]
+            ))
+        pdir = os.path.join(str(tmp_path), "fact", "part=2018")
+        assert len(os.listdir(pdir)) == 4  # v=1..v=4 accumulate
+        removed = pt.gc(keep_manifests=1)
+        assert removed == 3
+        assert os.listdir(pdir) == ["v=4"]
+        assert pt.read(spark).collect()[0]["v"] == "u2"
+
+    def test_compact_merges_small_files(self, spark, tmp_path):
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        # many single-row merges fragment the partition
+        pt.overwrite(spark, spark.createDataFrame(
+            [Row(id=i, school_year=2018) for i in range(8)]).repartition(8))
+        n_before = len(_files_under(os.path.join(str(tmp_path), "fact", "part=2018", "v=1")))
+        assert n_before > 4
+        assert pt.compact(spark, max_files=4) == 1
+        _, man = pt.latest()
+        n_after = len(_files_under(
+            os.path.join(str(tmp_path), "fact", "part=2018", f"v={man['2018']}")))
+        assert n_after == 1
+        assert pt.read(spark).count() == 8
+
+
+class TestImportLogPartitioned:
+    def test_set_status_touches_one_bucket(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"))
+        log = ImportLog(wh)
+        recs = log.accept_batch(
+            spark, ImportContent.EXAM, [f"<p{i}/>".encode() for i in range(5)]
+        )
+        imp_dir = str(tmp_path / "wh" / "import")
+        bucket_dir = os.path.join(imp_dir, "part=0")
+        vers_before = set(os.listdir(bucket_dir))
+        log.set_status(spark, recs[2].id, ImportStatus.PROCESSED)
+        # one new version in the single id bucket, and the row is updated
+        assert len(set(os.listdir(bucket_dir)) - vers_before) == 1
+        rows = {r["id"]: r["status"] for r in log.read(spark).collect()}
+        assert rows[recs[2].id] == ImportStatus.PROCESSED
+        assert rows[recs[0].id] == ImportStatus.ACCEPTED
+
+
+class TestMigratePartitionScoped:
+    def _seed(self, spark, wh, log, years=(2017, 2018)):
+        wh.merge_upsert(spark, "district", spark.createDataFrame(
+            [Row(natural_id="D1", name="D1")]), 1)
+        d_id = wh.read(spark, "district").collect()[0]["id"]
+        wh.merge_upsert(spark, "school", spark.createDataFrame(
+            [Row(natural_id="S1", name="S1", district_id=d_id)]), 1)
+        s_id = wh.read(spark, "school").collect()[0]["id"]
+        wh.merge_upsert(spark, "asmt", spark.createDataFrame([
+            Row(natural_id=f"A{y}", name=f"A{y}", label="a", version="1",
+                type_code="sum", subject_code="Math", grade_code="06",
+                school_year=y, min_score=2000.0, max_score=3000.0,
+                cut_point_1=2380.0, cut_point_2=2490.0, cut_point_3=2600.0)
+            for y in years
+        ]), 1)
+        asmt = {r["school_year"]: r["id"] for r in wh.read(spark, "asmt").collect()}
+        wh.merge_upsert(spark, "student", spark.createDataFrame(
+            [Row(ssid=f"SS{i}", first_name="F", last_or_surname="L")
+             for i in range(4)]), 1)
+        students = [r["id"] for r in wh.read(spark, "student").collect()]
+        return d_id, s_id, asmt, students
+
+    def _exams(self, spark, wh, log, year, asmt, students, s_id, tag):
+        recs = log.accept_batch(
+            spark, ImportContent.EXAM,
+            [f"<e {tag} {year} {i}/>".encode() for i in range(len(students))],
+        )
+        rows = [
+            Row(opp_id=f"{tag}-{year}-{i}", asmt_id=asmt[year], opportunity=1,
+                asmt_version="1", type_code="sum", school_year=year,
+                student_id=students[i], school_id=s_id, grade_code="06",
+                completeness="Complete", administration_condition="Valid",
+                session_id="s", scale_score=2400.0 + i, scale_score_std_err=20.0,
+                performance_level=2, completed_at=datetime(year, 4, 1 + i),
+                iep=False, lep=False,
+                section504=False, economic_disadvantage=False,
+                migrant_status=False, language_code="eng",
+                military_connected="No", import_id=recs[i].id)
+            for i in range(len(students))
+        ]
+        wh.merge_upsert(spark, "exam", spark.createDataFrame(rows), recs[-1].id)
+        for r in recs:
+            log.set_status(spark, r.id, ImportStatus.PROCESSED)
+
+    def test_one_year_batch_rewrites_one_partition(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh)
+        eng = MigrateEngine(wh, str(tmp_path / "mart"), batch_size=100)
+        d_id, s_id, asmt, students = self._seed(spark, wh, log)
+
+        # batch 1: exams across 2017 + 2018 → both partitions created
+        self._exams(spark, wh, log, 2017, asmt, students, s_id, "b1")
+        self._exams(spark, wh, log, 2018, asmt, students, s_id, "b2")
+        assert eng.run_until_caught_up(spark, "olap") == 16  # 8 olap_exam + 8 longitudinal
+        olap_dir = str(tmp_path / "mart" / "olap_exam")
+        f2017 = set(os.listdir(os.path.join(olap_dir, "part=2017")))
+        assert f2017
+
+        # batch 2: exams ONLY in 2018 → 2017's files must be untouched
+        self._exams(spark, wh, log, 2018, asmt, students, s_id, "b3")
+        assert eng.run_until_caught_up(spark, "olap") == 8  # 4 olap_exam + 4 longitudinal
+        assert set(os.listdir(os.path.join(olap_dir, "part=2017"))) == f2017
+        assert eng.read_mart(spark, "olap_exam").count() == 12
+
+    def test_maintain_compacts_and_gcs(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh)
+        eng = MigrateEngine(wh, str(tmp_path / "mart"), batch_size=2)
+        d_id, s_id, asmt, students = self._seed(spark, wh, log)
+        self._exams(spark, wh, log, 2018, asmt, students, s_id, "b1")
+        # batch_size=2 → several merge runs → several version dirs
+        assert eng.run_until_caught_up(spark, "reporting") == 4
+        rep_dir = str(tmp_path / "mart" / "reporting_exam" / "part=2018")
+        assert len(os.listdir(rep_dir)) > 1
+        report = eng.maintain(spark)
+        assert report["reporting_exam"]["removed_dirs"] >= 1
+        assert len(os.listdir(rep_dir)) == 1  # only the live version remains
+        assert eng.read_mart(spark, "reporting_exam").count() == 4
+
+
+class TestNoStudentBroadcast:
+    def test_reporting_join_leaves_student_to_aqe(self, spark, tmp_path):
+        """The student side must carry no broadcast hint: with the auto
+        threshold disabled, hinted dims still broadcast but the student join
+        must plan as a shuffle join (at state scale student is fact-sized;
+        a forced broadcast OOMs executors)."""
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh)
+        d_id, s_id, asmt, students = TestMigratePartitionScoped()._seed(
+            spark, wh, log)
+        TestMigratePartitionScoped()._exams(
+            spark, wh, log, 2018, asmt, students, s_id, "b1")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = _reporting_exam(wh, spark)._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert plan.count("BroadcastHashJoin") == 3  # school/district/asmt only
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
