@@ -278,3 +278,57 @@ def missing_data_report(exam: DataFrame,
     return exam.filter(~F.col("deleted")).groupBy("school_year").agg(
         F.count("*").alias("n_exams"), *aggs
     ).orderBy("school_year")
+
+
+# --------------------------------------------------------------------------
+# user_report: saved report requests (docs/Troubleshooting.md:425-437)
+# --------------------------------------------------------------------------
+
+
+def save_user_report(
+    spark, store, user_login: str, report_request: dict | str,
+    label: str | None = None, status: str = "PENDING",
+) -> int:
+    """Persist a report request (the reference stores the request object as
+    a JSON document in ``user_report.report_request``). Returns the id.
+
+    The id is content-derived (digest of user+request+label) so retries
+    are idempotent — no sequence bottleneck, same property as the
+    warehouse surrogate ids."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import Row
+
+    req = report_request if isinstance(report_request, str) else _json.dumps(
+        report_request, sort_keys=True
+    )
+    digest = hashlib.md5(
+        f"{user_login}\x00{req}\x00{label}".encode()
+    ).digest()
+    rid = int.from_bytes(digest[:8], "big", signed=True)
+    now = F.current_timestamp()
+    row = spark.createDataFrame(
+        [Row(id=rid, user_login=user_login, label=label,
+             report_request=req, status=status)],
+        "id long, user_login string, label string, report_request string, status string",
+    ).withColumns({"created": now, "updated": now})
+    store.merge_rows(spark, "user_report", row, ["id"])
+    return rid
+
+
+def find_user_reports(user_report: DataFrame, **request_fields) -> DataFrame:
+    """Support query: locate report requests by fields embedded in the JSON
+    ``report_request`` document — the Spark-native form of the runbook's
+    ``report_request LIKE '%schoolID":6470%'`` (docs/Troubleshooting.md:427),
+    using ``get_json_object`` so 6470 matches as a value, not a substring.
+
+    ``find_user_reports(ur, schoolId=6470, schoolYear=2018)``
+    """
+    out = user_report
+    for field, value in request_fields.items():
+        out = out.filter(
+            F.get_json_object(F.col("report_request"), f"$.{field}")
+            == F.lit(str(value))
+        )
+    return out.orderBy(F.desc("updated"))

@@ -108,3 +108,31 @@ def ingest_groups(
     else:
         log.set_status(spark, rec.id, ImportStatus.PROCESSED)
     return {"import_id": rec.id, "groups": int(n_groups), "errors": int(n_errors)}
+
+
+def purge_deleted_exams(
+    spark: SparkSession, wh: TableStore, school_year: int | None = None,
+) -> dict[str, int]:
+    """Hard purge: physically remove soft-deleted exams and their child
+    rows (the runbook's two-stage delete — soft-delete first via
+    :func:`bulk_delete_exams`, then this purge pass, reference
+    docs/Runbook.BulkDeleteExams.md:158-218: DELETE exam_item/
+    exam_available_accommodation/exam_score WHERE e.deleted = 1, then the
+    exams). Child deletes anti-join on the staged id set exactly like the
+    runbook's staging-table partitioned deletes. Returns per-table counts."""
+    exam = wh.read(spark, "exam")
+    doomed = exam.filter(F.col("deleted"))
+    if school_year is not None:
+        doomed = doomed.filter(F.col("school_year") == school_year)
+    ids = doomed.select(F.col("id").alias("exam_id"))
+    counts: dict[str, int] = {"exam": doomed.count()}
+    if counts["exam"] == 0:
+        return counts
+    for child in ("exam_item", "exam_score", "exam_available_accommodation"):
+        cur = wh.read(spark, child)
+        kept = cur.join(ids, "exam_id", "left_anti")
+        counts[child] = cur.count() - kept.count()
+        wh.write_snapshot(kept, child)
+    kept_exams = exam.join(ids.withColumnRenamed("exam_id", "id"), "id", "left_anti")
+    wh.write_snapshot(kept_exams.select(*exam.columns), "exam")
+    return counts

@@ -267,6 +267,19 @@ DISTRICT_EMBARGO = _tbl(
     T.StructField("aggregate", T.IntegerType(), False),
 )
 
+# --- user_report: saved report requests (reference reporting DB,
+# docs/Troubleshooting.md:425-437 — support queries it by JSON fields
+# embedded in report_request, e.g. LIKE '%schoolID":6470%') ---
+USER_REPORT = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("user_login", T.StringType(), False),
+    T.StructField("label", T.StringType(), True),
+    T.StructField("report_request", T.StringType(), False),  # JSON document
+    T.StructField("status", T.StringType(), False),  # PENDING|COMPLETED|FAILED
+    T.StructField("created", T.TimestampType(), False),
+    T.StructField("updated", T.TimestampType(), False),
+])
+
 # every table the TableStore knows how to MERGE, with its natural key
 # (used for upsert matching; reference exam matching is (oppId, assessment),
 # docs/API.md:369)
@@ -310,4 +323,5 @@ SCHEMAS: dict[str, T.StructType] = {
     "item_difficulty_cuts": ITEM_DIFFICULTY_CUTS,
     "state_embargo": STATE_EMBARGO,
     "district_embargo": DISTRICT_EMBARGO,
+    "user_report": USER_REPORT,
 }

@@ -117,3 +117,58 @@ def test_groups_ingest_lifecycle(spark, env):
     res2 = ingest_groups(spark, wh, log, GROUPS_CSV.encode())
     assert res2["import_id"] != res["import_id"]
     assert res2["errors"] == 0
+
+
+def test_purge_deleted_exams_hard_removes_rows(spark, env):
+    from rdw_spark.sources.admin_flows import purge_deleted_exams
+
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="P-1", ssid="STU001"),
+        make_trt(opp_id="P-2", ssid="STU002"),
+        make_trt(opp_id="P-3", ssid="STU003"),
+    ])
+    assert wh.read(spark, "exam").count() == 3
+    items_before = wh.read(spark, "exam_item").count()
+    assert items_before > 0
+
+    bulk_delete_exams(spark, wh, import_id=999, school_year=2018)
+    # soft-deleted rows still physically present
+    assert wh.read(spark, "exam").count() == 3
+
+    counts = purge_deleted_exams(spark, wh)
+    assert counts["exam"] == 3 and counts["exam_item"] == items_before
+    # physically gone now (runbook post-validation: counts match)
+    assert wh.read(spark, "exam").count() == 0
+    assert wh.read(spark, "exam_item").count() == 0
+    assert wh.read(spark, "exam_score").count() == 0
+    # idempotent
+    assert purge_deleted_exams(spark, wh)["exam"] == 0
+
+
+def test_user_report_save_and_json_query(spark, tmp_path):
+    from rdw_spark.plans.rdw_reports import find_user_reports, save_user_report
+
+    wh = TableStore(str(tmp_path / "wh"))
+    r1 = save_user_report(spark, wh, "teacher@x", {
+        "@class": "SchoolGradeExamReportRequest", "schoolYear": 2018,
+        "schoolId": 6470, "gradeId": 11, "name": "Awesome Academy 2018",
+    }, label="aa-2018")
+    r2 = save_user_report(spark, wh, "teacher@x", {
+        "@class": "SchoolGradeExamReportRequest", "schoolYear": 2018,
+        "schoolId": 9999, "gradeId": 11,
+    })
+    # idempotent retry: same request → same id, no duplicate row
+    assert save_user_report(spark, wh, "teacher@x", {
+        "@class": "SchoolGradeExamReportRequest", "schoolYear": 2018,
+        "schoolId": 6470, "gradeId": 11, "name": "Awesome Academy 2018",
+    }, label="aa-2018") == r1
+    ur = wh.read(spark, "user_report")
+    assert ur.count() == 2
+
+    # the Troubleshooting.md:427 support query, by JSON value not substring
+    hits = find_user_reports(ur, schoolId=6470).collect()
+    assert [h["id"] for h in hits] == [r1]
+    assert find_user_reports(ur, schoolId=9999, gradeId=11).collect()[0]["id"] == r2
+    assert find_user_reports(ur, schoolId=647).count() == 0  # no substring match
