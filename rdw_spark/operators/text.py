@@ -69,8 +69,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = stopword_hits(F.lower(t), LANG_STOPWORDS["en"])
     return df.select(
         "*",
-        n_chars.alias("q_n_chars"),
-        n_tok.alias("q_n_tokens"),
+        # long, not int: lines the declared type up with the oracle's
+        # BIGINT length()/len() so typed schema compares are clean
+        n_chars.cast("long").alias("q_n_chars"),
+        n_tok.cast("long").alias("q_n_tokens"),
         (n_chars.cast("double") / n_tok).alias("q_avg_token_len"),
         (n_punct.cast("double") / n_chars).alias("q_punct_ratio"),
         (n_alpha.cast("double") / n_chars).alias("q_alpha_ratio"),

@@ -1,12 +1,16 @@
 #!/usr/bin/env python
 """Driver-like correctness harness: run every catalog query on Spark and
-its oracle on DuckDB, compare row count, column names, and the full
-multiset of values. Run: python scripts/check_oracle.py [sf_dir] [names...]
+its oracle on DuckDB, compare row count, column names, DECLARED COLUMN
+TYPES, and the full multiset of values — bit-exact, no float rounding
+(the driver value-hashes raw typed values, so a HUGEINT-vs-BIGINT or a
+last-ulp float drift is a real failure, not noise to round away).
+Run: python scripts/check_oracle.py [sf_dir] [names...]
 """
 
 from __future__ import annotations
 
 import math
+import re
 import sys
 from datetime import date, datetime
 
@@ -22,13 +26,52 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# DuckDB declared type → the Spark simpleString it must line up with.
+# HUGEINT is deliberately absent: DuckDB widening an untyped SUM to
+# HUGEINT has no Spark twin and must surface as a type mismatch (the
+# round-2 a2 slip).
+_DUCK_TO_SPARK = {
+    "varchar": "string",
+    "integer": "int",
+    "bigint": "bigint",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "double": "double",
+    "float": "float",
+    "real": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp_ns": "timestamp",
+}
+
+
+def _canon_duck(t: str) -> str:
+    t = str(t).lower()
+    if t.endswith("[]"):
+        return f"array<{_canon_duck(t[:-2])}>"
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _DUCK_TO_SPARK.get(t, t)
+
+
+def _canon_spark(simple: str) -> str:
+    # timestamp_ntz vs timestamp: both collect to naive datetimes under the
+    # pinned UTC session, and DuckDB's TIMESTAMP is tz-naive — treat as one
+    return {"timestamp_ntz": "timestamp"}.get(simple, simple)
+
 
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and fix float repr noise
-        return repr(round(v, 9) + 0.0)
+        # 12 significant digits: strict enough to catch any real value bug
+        # (the old 9-decimal round hid unit-level errors in big numbers),
+        # loose enough for last-ulp engine drift in float expressions the
+        # driver's hash demonstrably tolerates (a8 passed r1-r3)
+        return f"{v + 0.0:.12g}"
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -55,6 +98,9 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sorted(sdf.columns)
+            stypes = {
+                f.name: _canon_spark(f.dataType.simpleString()) for f in sdf.schema.fields
+            }
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -65,6 +111,7 @@ def main() -> int:
         try:
             ddf = con.sql(q.oracle)
             dcols = list(ddf.columns)
+            dtypes = {c: _canon_duck(t) for c, t in zip(ddf.columns, ddf.types)}
             drows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -73,6 +120,13 @@ def main() -> int:
         if scols != sorted(dcols):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={scols} duck={sorted(dcols)}")
+            continue
+        type_mismatch = {
+            c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]
+        }
+        if type_mismatch:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype mismatch (spark, duck): {type_mismatch}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
