@@ -194,8 +194,12 @@ def process_accepted(
     if ethnicities.limit(1).count():
         wh.replace_children(spark, "student_ethnicity", "student_id", ethnicities)
 
-    # 6. inferred_school_id: most recent completed exam per student (W1)
-    _refresh_inferred_school(spark, wh, max_import)
+    # 6. inferred_school_id: most recent completed exam per student (W1) —
+    # scoped to the students this batch touched, not the whole student table
+    _refresh_inferred_school(
+        spark, wh, max_import,
+        student_ids=exam_rows.select("student_id").distinct(),
+    )
 
     # 7. statuses: failures with messages; successes PROCESSED (bulk, one write)
     processed = good.select(
@@ -216,10 +220,18 @@ def process_accepted(
     return counts
 
 
-def _refresh_inferred_school(spark: SparkSession, wh: TableStore, import_id: int) -> None:
+def _refresh_inferred_school(
+    spark: SparkSession, wh: TableStore, import_id: int,
+    student_ids: DataFrame | None = None,
+) -> None:
+    """W1 refresh. With ``student_ids`` the latest-exam window runs over
+    only the touched students' exam history (a semi-join the scan can use)
+    instead of windowing the entire fact table per micro-batch."""
     if not import_id:
         return
     exam = wh.read(spark, "exam").filter(~F.col("deleted"))
+    if student_ids is not None:
+        exam = exam.join(student_ids, "student_id", "left_semi")
     w = Window.partitionBy("student_id").orderBy(F.desc("completed_at"))
     latest = (
         exam.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)

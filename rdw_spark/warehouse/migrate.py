@@ -225,8 +225,20 @@ class MigrateEngine:
         if agg["last_status"] == MigrateStatus.FAILED:
             return {"state": "disabled", "migrated": 0}
 
-        log = import_log if import_log is not None else self.wh.read(spark, "import")
         ckpt = int(agg["ckpt"] or 0)
+        if import_log is not None:
+            log = import_log
+        else:
+            log = self.wh.read(spark, "import")
+            pt = self.wh.part_table("import")
+            if pt is not None:
+                # manifest-level pruning: ids are increasing, so buckets
+                # below the checkpoint's can never hold new work
+                from rdw_spark.warehouse.store import IMPORT_ID_BUCKET
+
+                _, man = pt.latest()
+                live = [p for p in man if int(p) >= ckpt // IMPORT_ID_BUCKET]
+                log = pt.read(spark, parts=live)
         batch = (
             log.filter((F.col("status") == ImportStatus.PROCESSED) & (F.col("id") > ckpt))
             .orderBy("id").limit(self.batch_size)

@@ -124,6 +124,13 @@ class PartitionedTable:
     def _part_col(self):
         return F.expr(self.part_expr).cast("string")
 
+    def parts_of(self, df: DataFrame) -> list[str]:
+        """Partition values a frame's rows land in (collect is bounded by
+        the partition count, e.g. school years)."""
+        return [
+            r["_p"] for r in df.select(self._part_col().alias("_p")).distinct().collect()
+        ]
+
     def _write_parts(self, out: DataFrame, version: int) -> list[str]:
         """Stage ``out`` (which carries ``_part``) as one partitioned write,
         then move each staged partition dir into its versioned home. Returns
@@ -184,6 +191,21 @@ class PartitionedTable:
             return n
         finally:
             batch.unpersist()
+
+    def replace_parts(self, spark: SparkSession, df: DataFrame) -> int:
+        """Publish ``df`` as the complete new content of exactly the
+        partitions it contains; every other partition keeps its current
+        version untouched. This is the primitive under merge_rows — use it
+        directly when the caller has already assembled the full partition
+        content (e.g. a MERGE that computed old∪new itself)."""
+        ver, man = self.latest()
+        new_ver = ver + 1
+        out = df.withColumn("_part", self._part_col())
+        written = self._write_parts(out, new_ver)
+        man2 = dict(man)
+        man2.update({p: new_ver for p in written})
+        self._publish(new_ver, man2)
+        return new_ver
 
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
         """Full rewrite: the new snapshot references exactly the partitions

@@ -43,14 +43,21 @@ from rdw_spark.warehouse import schemas as S
 from rdw_spark.warehouse.partstore import PartitionedTable
 
 # Tables whose write path must be O(touched partitions), not O(table):
-# the import log takes a status transition per payload at a batch per
-# minute (reference docs/Runbook.md:160-193) — bucketed by id range so a
-# transition rewrites one ~100k-row bucket, never the whole 10.9M-row log
-# (reference production size, docs/Monitoring.md:111).
+# - the import log takes a status transition per payload at a batch per
+#   minute (reference docs/Runbook.md:160-193) — bucketed by id range so a
+#   transition rewrites one ~100k-row bucket, never the whole 10.9M-row
+#   log (reference production size, docs/Monitoring.md:111);
+# - exam is the 100 TB fact table, ingest batches cluster on the current
+#   school year, and an exam's year is immutable (it derives from the
+#   asmt in the natural key) — a year-partitioned merge touches one
+#   partition. (student is NOT here: its natural key is uniformly
+#   random, so every batch touches every bucket and partitioning buys
+#   nothing for the write path.)
 IMPORT_ID_BUCKET = 100_000
 
 DEFAULT_PARTITIONED: dict[str, tuple[str, list[str]]] = {
     "import": (f"id DIV {IMPORT_ID_BUCKET}", ["id"]),
+    "exam": ("school_year", ["opp_id", "asmt_id"]),
 }
 
 _AUDIT_FIELDS = [
@@ -191,6 +198,11 @@ class TableStore:
         entity with the exact import that created/updated it, and a batch may
         span many imports; rows without it fall back to the ``import_id``
         argument). Returns counts {"inserted": n, "updated": n, "unchanged": n}.
+
+        For partitioned tables the whole MERGE — change-detection join,
+        audit, and write — is scoped to the partitions the updates land in
+        (valid because the partition value is immutable per natural key),
+        so "unchanged" counts rows of touched partitions only.
         """
         keys = keys or self.natural_keys[name]
         schema = self.schemas[name]
@@ -201,7 +213,6 @@ class TableStore:
             if f.name not in lineage and f.name not in keys and f.name != "deleted"
         ]
 
-        current = self.read(spark, name)
         upd = updates.dropDuplicates(keys)
         if "import_id" not in upd.columns:
             upd = upd.withColumn("import_id", F.lit(import_id).cast("long"))
@@ -218,6 +229,12 @@ class TableStore:
         for c in payload_cols:
             if c not in upd.columns:
                 upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
+
+        pt = self._part_tables.get(name)
+        if pt is not None:
+            current = pt.read(spark, parts=pt.parts_of(upd))
+        else:
+            current = self.read(spark, name)
 
         def fingerprint(df: DataFrame) -> DataFrame:
             return df.withColumn(
@@ -271,7 +288,11 @@ class TableStore:
             before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
             self._append_audit(before, name, "update")
 
-        self.write_snapshot(merged, name)
+        if pt is not None:
+            # merged IS the complete new content of the touched partitions
+            pt.replace_parts(spark, merged)
+        else:
+            self.write_snapshot(merged, name)
         joined.unpersist()
         return {
             "inserted": int(counts["inserted"] or 0),
@@ -290,6 +311,16 @@ class TableStore:
         if n == 0:
             return 0
         self._append_audit(hit, name, "delete")
+        pt = self._part_tables.get(name)
+        if pt is not None:
+            # merge only the flipped rows — rewrites just their partitions
+            flipped = hit.withColumns({
+                "deleted": F.lit(True),
+                "update_import_id": F.lit(import_id).cast("long"),
+                "updated": F.current_timestamp(),
+            })
+            pt.merge_rows(spark, flipped.select(*self.schemas[name].fieldNames()), keys)
+            return n
         merged = (
             current.join(keys_df.select(*keys).distinct().withColumn("_del", F.lit(True)),
                          keys, "left")
