@@ -10,8 +10,9 @@ Reference semantics (docs/Runbook.Pipeline.md):
   rows; publishing is blocked unless ≥1 test exists and all pass
   (Runbook.Pipeline.md:137-145, 176-211).
 - the legacy *XSLT* transform path (docs/Runbook.DataSpecifications.md:55-93)
-  is expressed as just another step kind; it needs lxml, which is gated
-  behind an import-try (stub raises NotImplementedError when absent).
+  is expressed as just another step kind; full XSLT uses lxml when
+  installed, else ``xslt_lite`` executes the documented identity+rewrite
+  subset on the stdlib parser (NotImplementedError beyond the subset).
 
 Spark shape: a pipeline is a *data* description (list of steps), compiled to
 one Python function applied per document inside ``mapInPandas`` —
@@ -90,13 +91,15 @@ class Pipeline:
                 elif s.kind == "xslt":
                     try:
                         from lxml import etree  # noqa: PLC0415 — optional dep
-                    except ImportError as exc:  # pragma: no cover
-                        raise NotImplementedError(
-                            "XSLT steps need lxml; not present in this "
-                            "environment (F3 stub)"
-                        ) from exc
-                    transform = etree.XSLT(etree.fromstring(s.xslt.encode()))
-                    doc = str(transform(etree.fromstring(doc.encode())))
+                        transform = etree.XSLT(etree.fromstring(s.xslt.encode()))
+                        doc = str(transform(etree.fromstring(doc.encode())))
+                    except ImportError:
+                        # F3 fallback: the stdlib subset interpreter covers
+                        # the documented identity+rewrite shape; anything
+                        # beyond it raises NotImplementedError honestly
+                        from rdw_spark.functions import xslt_lite  # noqa: PLC0415
+
+                        doc = xslt_lite.transform(s.xslt, doc)
                 else:
                     raise ValueError(f"unknown step kind {s.kind}")
             return doc

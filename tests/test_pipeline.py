@@ -88,3 +88,76 @@ class TestScalars:
         assert df.filter(after_expr("-PT1H")).count() == 1
         old = spark.sql("SELECT timestamp'2000-01-01 00:00:00' AS updated")
         assert old.filter(after_expr("-PT1H")).count() == 0
+
+
+SAMPLE_XSLT = """<xsl:stylesheet version="2.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:output method="xml" omit-xml-declaration="yes" indent="yes"/>
+  <xsl:template match="@*|node()">
+    <xsl:copy>
+      <xsl:apply-templates select="@*|node()"/>
+    </xsl:copy>
+  </xsl:template>
+  <xsl:template match="Item/@bankKey['10200']">
+    <xsl:attribute name="bankKey">
+      <xsl:value-of select="'200'"/>
+    </xsl:attribute>
+  </xsl:template>
+</xsl:stylesheet>"""
+
+
+class TestXsltLite:
+    """F3: the docs/Runbook.DataSpecifications.md:70-93 sample transform,
+    runnable without lxml via the stdlib subset interpreter."""
+
+    def test_doc_sample_bankkey_rewrite(self):
+        from rdw_spark.functions.xslt_lite import transform
+
+        doc = ('<TDSReport><Opportunity>'
+               '<Item position="1" bankKey="10200" key="77"/>'
+               '<Item position="2" bankKey="9" key="78"/>'
+               '</Opportunity></TDSReport>')
+        out = transform(SAMPLE_XSLT, doc)
+        import xml.etree.ElementTree as ET
+        items = ET.fromstring(out).findall(".//Item")
+        assert items[0].get("bankKey") == "200"      # matched + rewritten
+        assert items[0].get("key") == "77"           # untouched attrs survive
+        assert items[1].get("bankKey") == "9"        # predicate filtered
+
+    def test_element_text_rewrite_and_delete(self):
+        from rdw_spark.functions.xslt_lite import transform
+
+        xslt = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="@*|node()"><xsl:copy><xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+          <xsl:template match="Grade">06</xsl:template>
+          <xsl:template match="Debug"/>
+        </xsl:stylesheet>"""
+        out = transform(xslt, "<R><Grade>6</Grade><Debug>x</Debug><Keep/></R>")
+        assert "<Grade>06</Grade>" in out
+        assert "Debug" not in out and "<Keep />" in out or "<Keep/>" in out
+
+    def test_unsupported_constructs_raise(self):
+        import pytest as _pytest
+
+        from rdw_spark.functions.xslt_lite import transform
+
+        no_identity = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="A">b</xsl:template>
+        </xsl:stylesheet>"""
+        with _pytest.raises(NotImplementedError):
+            transform(no_identity, "<A/>")
+        for_each = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="@*|node()"><xsl:copy><xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+          <xsl:template match="A"><xsl:for-each select="B"/></xsl:template>
+        </xsl:stylesheet>"""
+        with _pytest.raises(NotImplementedError):
+            transform(for_each, "<A/>")
+
+    def test_xslt_step_in_pipeline(self, spark):
+        from rdw_spark.functions.pipeline import Pipeline, xslt_step
+
+        pipe = Pipeline(name="bankkey-fix", steps=[xslt_step(SAMPLE_XSLT)])
+        df = spark.createDataFrame(
+            [('<TDSReport><Item bankKey="10200"/></TDSReport>',)], "payload string"
+        )
+        out = pipe.apply(df).collect()[0]["payload"]
+        assert 'bankKey="200"' in out
