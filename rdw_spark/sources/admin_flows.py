@@ -136,3 +136,49 @@ def purge_deleted_exams(
     kept_exams = exam.join(ids.withColumnRenamed("exam_id", "id"), "id", "left_anti")
     wh.write_snapshot(kept_exams.select(*exam.columns), "exam")
     return counts
+
+
+def purge_school_year(
+    spark: SparkSession, wh: TableStore, school_year: int,
+) -> dict[str, int]:
+    """Purge every record referencing a school year — the runbook's
+    "Delete School Year" flow (docs/Runbook.BulkDeleteExams.md:219-252:
+    exams first, then assessments and their items, accommodation
+    translations, and student groups with their membership/user rows).
+    Exams for the year must already be soft-deleted (bulk_delete_exams);
+    this hard-purges them and the year-scoped reference data."""
+    counts = purge_deleted_exams(spark, wh, school_year=school_year)
+
+    asmt = wh.read(spark, "asmt")
+    doomed_asmt = asmt.filter(F.col("school_year") == school_year)
+    asmt_ids = doomed_asmt.select(F.col("id").alias("asmt_id"))
+    counts["asmt"] = doomed_asmt.count()
+    if counts["asmt"]:
+        items = wh.read(spark, "item")
+        kept_items = items.join(asmt_ids, "asmt_id", "left_anti")
+        counts["item"] = items.count() - kept_items.count()
+        wh.write_snapshot(kept_items, "item")
+        wh.write_snapshot(asmt.join(asmt_ids.withColumnRenamed("asmt_id", "id"),
+                                    "id", "left_anti").select(*asmt.columns), "asmt")
+
+    at = wh.read(spark, "accommodation_translation")
+    if "school_year" in at.columns:
+        kept_at = at.filter(F.col("school_year") != school_year)
+        counts["accommodation_translation"] = at.count() - kept_at.count()
+        if counts["accommodation_translation"]:
+            wh.write_snapshot(kept_at, "accommodation_translation")
+
+    sg = wh.read(spark, "student_group")
+    doomed_sg = sg.filter(F.col("school_year") == school_year)
+    counts["student_group"] = doomed_sg.count()
+    if counts["student_group"]:
+        sg_ids = doomed_sg.select(F.col("id").alias("student_group_id"))
+        for child in ("student_group_membership", "user_student_group"):
+            cur = wh.read(spark, child)
+            kept = cur.join(sg_ids, "student_group_id", "left_anti")
+            counts[child] = cur.count() - kept.count()
+            wh.write_snapshot(kept, child)
+        wh.write_snapshot(
+            sg.join(sg_ids.withColumnRenamed("student_group_id", "id"),
+                    "id", "left_anti").select(*sg.columns), "student_group")
+    return counts

@@ -132,7 +132,7 @@ class MigrateEngine:
             mart_root, audit_enabled=False,
             schemas={"migrate": MIGRATE_SCHEMA}, natural_keys={},
             partitioned={"migrate": (
-                "concat(job, '_', CAST(id DIV 1000 AS STRING))", ["id"],
+                "concat(job, '_', CAST(id DIV 1000 AS STRING))", ["id"], ("id",),
             )},
         )
         self._mart_tables = {

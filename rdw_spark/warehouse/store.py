@@ -55,9 +55,12 @@ from rdw_spark.warehouse.partstore import PartitionedTable
 #   nothing for the write path.)
 IMPORT_ID_BUCKET = 100_000
 
-DEFAULT_PARTITIONED: dict[str, tuple[str, list[str]]] = {
-    "import": (f"id DIV {IMPORT_ID_BUCKET}", ["id"]),
-    "exam": ("school_year", ["opp_id", "asmt_id"]),
+# name -> (partition expr, merge keys, within-partition cluster columns —
+# the cluster sort also coalesces each partition write to one file instead
+# of one file per shuffle task)
+DEFAULT_PARTITIONED: dict[str, tuple[str, list[str], tuple[str, ...]]] = {
+    "import": (f"id DIV {IMPORT_ID_BUCKET}", ["id"], ("id",)),
+    "exam": ("school_year", ["opp_id", "asmt_id"], ("school_id", "student_id")),
 }
 
 _AUDIT_FIELDS = [
@@ -84,8 +87,10 @@ class TableStore:
         if partitioned is None:
             partitioned = DEFAULT_PARTITIONED
         self._part_tables = {
-            name: PartitionedTable(root, name, expr, keys, schema=self.schemas[name])
-            for name, (expr, keys) in partitioned.items()
+            name: PartitionedTable(root, name, spec[0], spec[1],
+                                   schema=self.schemas[name],
+                                   sort_cols=tuple(spec[2]) if len(spec) > 2 else ())
+            for name, spec in partitioned.items()
             if name in self.schemas
         }
         os.makedirs(root, exist_ok=True)

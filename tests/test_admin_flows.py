@@ -172,3 +172,30 @@ def test_user_report_save_and_json_query(spark, tmp_path):
     assert [h["id"] for h in hits] == [r1]
     assert find_user_reports(ur, schoolId=9999, gradeId=11).collect()[0]["id"] == r2
     assert find_user_reports(ur, schoolId=647).count() == 0  # no substring match
+
+
+def test_purge_school_year_sweeps_reference_data(spark, env):
+    from pyspark.sql import Row
+
+    from rdw_spark.sources.admin_flows import purge_school_year
+
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="Y-1", ssid="STU001"),
+        make_trt(opp_id="Y-2", ssid="STU002"),
+    ])
+    ingest_groups(spark, wh, log, GROUPS_CSV.encode())
+    assert wh.read(spark, "student_group").filter("school_year = 2018").count() > 0
+    n_asmt_2018 = wh.read(spark, "asmt").filter("school_year = 2018").count()
+    assert n_asmt_2018 > 0
+
+    bulk_delete_exams(spark, wh, import_id=999, school_year=2018)
+    counts = purge_school_year(spark, wh, 2018)
+
+    assert counts["exam"] == 2 and counts["asmt"] == n_asmt_2018
+    assert counts["student_group"] > 0
+    assert wh.read(spark, "exam").count() == 0
+    assert wh.read(spark, "asmt").filter("school_year = 2018").count() == 0
+    assert wh.read(spark, "student_group").count() == 0
+    assert wh.read(spark, "student_group_membership").count() == 0
