@@ -164,3 +164,54 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
              .alias("total_value"))
         .drop("_session_no")
     )
+
+
+def stream_events_to_mart(
+    spark: SparkSession,
+    events_path: str,
+    mart_root: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Continuously maintain the windowed-count mart from the event stream:
+    readStream → watermarked tumbling aggregation → ``foreachBatch`` merge
+    into a ``PartitionedTable`` keyed by window.
+
+    Exactly-once effective semantics by composition: Spark's checkpoint
+    makes each micro-batch replayable, the merge is replace-by-key (so a
+    replayed batch lands idempotently), and the manifest rename publishes
+    atomically (a crash mid-write leaves the previous snapshot visible).
+    The mart partitions by window date, so a micro-batch — whose updated
+    windows cluster near the watermark — rewrites only the last day or
+    two of partitions, never the history (the same O(touched partitions)
+    contract as the migrate marts).
+
+    Returns the StreamingQuery; with ``available_now`` the stream drains
+    the source and stops (the migrate runbook's catch-up mode).
+    """
+    from rdw_spark.warehouse.partstore import PartitionedTable
+
+    pt = PartitionedTable(
+        mart_root, "event_counts", "CAST(window_start AS DATE)",
+        keys=["window_start", "window_end", "event_type"],
+        sort_cols=("window_start", "event_type"),
+    )
+    agg = windowed_event_counts(
+        read_events_stream(spark, events_path), window, watermark
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pt.merge_rows(batch_df.sparkSession, batch_df)
+
+    writer = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

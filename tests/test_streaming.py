@@ -84,3 +84,38 @@ class TestSessionize:
         assert len(got) > 0
         for r in got:
             assert (r["user_id"], r["session_start"], r["n_events"]) in want
+
+
+class TestStreamToMart:
+    def test_foreachbatch_mart_matches_batch_agg(self, spark, events_dir, tmp_path):
+        """T7 sink: drain the stream into a PartitionedTable mart and the
+        mart must equal the batch aggregation — and a second drain over the
+        same checkpoint must be a no-op (exactly-once effective)."""
+        from rdw_spark.streaming.events import stream_events_to_mart
+        from rdw_spark.warehouse.partstore import PartitionedTable
+
+        mart_root = str(tmp_path / "mart")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_events_to_mart(spark, events_dir, mart_root, ckpt)
+        q.awaitTermination(120)
+
+        pt = PartitionedTable(
+            mart_root, "event_counts", "CAST(window_start AS DATE)",
+            keys=["window_start", "window_end", "event_type"],
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in pt.read(spark).collect()
+        }
+        expect = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in windowed_event_counts(_batch_events(spark)).collect()
+        }
+        assert got == expect
+
+        # replay over the same checkpoint: no new data -> snapshot unchanged
+        ver_before, _ = pt.latest()
+        q2 = stream_events_to_mart(spark, events_dir, mart_root, ckpt)
+        q2.awaitTermination(120)
+        ver_after, _ = pt.latest()
+        assert ver_after == ver_before
