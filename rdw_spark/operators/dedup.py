@@ -20,7 +20,7 @@ Scale design (the point of each strategy at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
@@ -40,17 +40,19 @@ def exact_duplicates(
     hash-partitioned on digest, so the join reuses the exchange)."""
     digest = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
     d = df.select(F.col(id_col), digest.alias("digest"))
-    aggs = [F.min(id_col).alias("canonical_id")]
+    # window over the digest, not groupBy+join-back: one scan of the input
+    # and one shuffle instead of two scans, a shuffle, and a join
+    w = Window.partitionBy("digest")
+    d = d.withColumn("canonical_id", F.min(id_col).over(w))
     if with_counts:
-        aggs.append(F.count("*").alias("n_copies"))
-    canon = d.groupBy("digest").agg(*aggs)
+        d = d.withColumn("n_copies", F.count("*").over(w))
     cols = [
         id_col, "digest", "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     ]
     if with_counts:
         cols.append("n_copies")
-    return d.join(canon, "digest").select(*cols)
+    return d.select(*cols)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
