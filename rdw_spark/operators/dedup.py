@@ -325,12 +325,27 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_full_cross_join: bool = False,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold. Pairwise only within
     ``block_col`` blocks (at scale: an LSH bucket or cluster assignment —
     never unblocked). Cosine computed as a sequential double fold so the
-    value is deterministic."""
+    value is deterministic.
+
+    Without a block column the pair space is O(N^2) — that is a deliberate
+    small-data/debug mode and must be requested explicitly with
+    ``allow_full_cross_join=True``; silently degrading to a cross join at
+    10^9 rows is exactly the failure mode blocking exists to prevent
+    (use :func:`~rdw_spark.operators.similarity.srp_bucket` or an IVF cell
+    as the block)."""
     from .similarity import dot_expr, norm_expr
+
+    if block_col is None and not allow_full_cross_join:
+        raise ValueError(
+            "embedding_near_duplicates without block_col is an O(N^2) cross "
+            "join; pass a blocking column (SRP bucket, IVF cell, label) or "
+            "set allow_full_cross_join=True for small-data use"
+        )
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     # norms are per-row: compute them once before the self-join so each
