@@ -339,3 +339,18 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     media = M.documents_as_media(d)
     return M.decode_image_features(media, fake=True)
+
+
+@register(
+    "zz_mm_frame_sample",
+    oracle=None,  # fan-out shape + byte arithmetic verified in tests/test_dedup_similarity.py::test_frame_sample (driver window holds the 50 oracle-bearing entries)
+    survey="ext: multimodal frame-sampling plumbing (one media row -> n_frames "
+           "rows via Arrow-batched mapInPandas; ffmpeg decode stubbed, byte "
+           "slicing real)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    media = M.documents_as_media(d)
+    return M.sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_index", "frame_offset", "frame_n_bytes"
+    )

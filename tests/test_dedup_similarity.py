@@ -128,3 +128,34 @@ def test_ivf_topk_recall(spark, sf_dir):
         for qid, neigh in brute_sets.items()
     ) / len(brute_sets)
     assert recall >= 0.5  # half the cells probed → at least half the neighbors
+
+
+def test_frame_sample_and_resize_plumbing(spark, sf_dir):
+    from rdw_spark.io import load_table
+    from rdw_spark.operators import multimodal as M
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    media = M.documents_as_media(d)
+
+    frames = M.sample_frames(media, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: r["media"] for r in media.collect()}
+    assert by_doc  # fan-out happened
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
+        step = len(src[doc_id]) // 4
+        for r in rows:
+            assert r["frame_n_bytes"] == step == len(r["frame"])
+            assert bytes(r["frame"]) == bytes(src[doc_id])[r["frame_offset"]:r["frame_offset"] + step]
+
+    resized = M.resize_images(media, width=16, height=16).collect()
+    assert all(r["n_bytes"] == 256 and r["out_width"] == 16 for r in resized)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        M.resize_images(media, fake=False)
+    with _pytest.raises(NotImplementedError):
+        M.sample_frames(media, fake=False)
