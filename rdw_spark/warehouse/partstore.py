@@ -29,7 +29,12 @@ Invariants callers must hold:
   recomputed, never stored;
 - a key's partition value is immutable (an exam's school_year never moves;
   an import id never changes buckets). A moved key would strand its old
-  copy in the old partition.
+  copy in the old partition;
+- one writer per table at a time (the reference's single-consumer rule,
+  docs/Runbook.md:162, which the migrate control protocol already
+  enforces). Concurrent writers could both stage version N+1; the last
+  manifest rename would win and orphan the other's dirs — readers would
+  still never see a torn table.
 """
 
 from __future__ import annotations
@@ -122,7 +127,11 @@ class PartitionedTable:
     # ---------- write ----------
 
     def _part_col(self):
-        return F.expr(self.part_expr).cast("string")
+        # null partition values get a sentinel so the directory name, the
+        # manifest key, and the recomputed value on read-back all agree
+        # (Spark's own __HIVE_DEFAULT_PARTITION__ would NOT round-trip: the
+        # recomputed expression yields null, never the sentinel string)
+        return F.coalesce(F.expr(self.part_expr).cast("string"), F.lit("__NULL__"))
 
     def parts_of(self, df: DataFrame) -> list[str]:
         """Partition values a frame's rows land in (collect is bounded by

@@ -213,3 +213,17 @@ class TestNoStudentBroadcast:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert plan.count("BroadcastHashJoin") == 3  # school/district/asmt only
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestNullPartitionValues:
+    def test_null_part_round_trips(self, spark, tmp_path):
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        pt.overwrite(spark, spark.createDataFrame(
+            [(1, 2018, "a"), (2, None, "b")], "id long, school_year int, v string"
+        ))
+        assert os.path.isdir(os.path.join(str(tmp_path), "fact", "part=__NULL__"))
+        # merge into the null partition replaces by key there, not elsewhere
+        pt.merge_rows(spark, spark.createDataFrame(
+            [(2, None, "B2")], "id long, school_year int, v string"))
+        rows = {r["id"]: r["v"] for r in pt.read(spark).collect()}
+        assert rows == {1: "a", 2: "B2"}
