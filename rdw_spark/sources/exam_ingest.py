@@ -239,6 +239,14 @@ def _refresh_inferred_school(
                 F.col("school_id").alias("_new_school"))
     )
     student = wh.read(spark, "student")
+    # skip the snapshot write entirely when no student's school changed
+    # (replayed/duplicate batches): the write is O(student table)
+    changed = (
+        student.join(latest, "id")
+        .filter(~F.col("_new_school").eqNullSafe(F.col("inferred_school_id")))
+    )
+    if changed.isEmpty():
+        return
     updated = (
         student.join(latest, "id", "left")
         .withColumn("inferred_school_id",

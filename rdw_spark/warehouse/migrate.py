@@ -335,8 +335,13 @@ class MigrateEngine:
         exam.unpersist()
         return n
 
-    def read_mart(self, spark: SparkSession, name: str) -> DataFrame:
-        return self._mart_tables[name].read(spark)
+    def read_mart(self, spark: SparkSession, name: str,
+                  school_years: list[int] | None = None) -> DataFrame:
+        """Current mart snapshot; pass ``school_years`` for a
+        manifest-pruned read that opens only those year partitions (the
+        common year-scoped report never touches history)."""
+        parts = [str(y) for y in school_years] if school_years is not None else None
+        return self._mart_tables[name].read(spark, parts=parts)
 
     # ---------- post-migrate maintenance (reference X3, docs/Performance.md:9-28) ----------
 

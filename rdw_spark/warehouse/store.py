@@ -293,7 +293,11 @@ class TableStore:
             before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
             self._append_audit(before, name, "update")
 
-        if pt is not None:
+        if not int(counts["inserted"] or 0) and not int(counts["updated"] or 0):
+            # pure no-op batch (digest-identical replay): the merged frame
+            # is byte-identical to the current snapshot — skip the write
+            pass
+        elif pt is not None:
             # merged IS the complete new content of the touched partitions
             pt.replace_parts(spark, merged)
         else:
