@@ -227,3 +227,22 @@ class TestNullPartitionValues:
             [(2, None, "B2")], "id long, school_year int, v string"))
         rows = {r["id"]: r["v"] for r in pt.read(spark).collect()}
         assert rows == {1: "a", 2: "B2"}
+
+
+class TestManifestPruning:
+    def test_read_mart_school_years_opens_only_those_files(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh)
+        eng = MigrateEngine(wh, str(tmp_path / "mart"), batch_size=100)
+        helper = TestMigratePartitionScoped()
+        d_id, s_id, asmt, students = helper._seed(spark, wh, log)
+        helper._exams(spark, wh, log, 2017, asmt, students, s_id, "b1")
+        helper._exams(spark, wh, log, 2018, asmt, students, s_id, "b2")
+        eng.run_until_caught_up(spark, "olap")
+
+        pruned = eng.read_mart(spark, "olap_exam", school_years=[2018])
+        files = pruned.inputFiles()
+        assert files and all("part=2018" in f for f in files)
+        assert pruned.count() == 4
+        full = eng.read_mart(spark, "olap_exam")
+        assert any("part=2017" in f for f in full.inputFiles())
