@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the semantics-critical kernels:
+PartitionedTable merge against a plain dict model, and batch
+sessionization against a brute-force Python reference. Random structured
+inputs catch the edge shapes example tests miss (empty batches, all-dup
+keys, single-event sessions, gap-boundary ties)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rdw_spark.streaming.events import sessionize_batch
+from rdw_spark.warehouse.partstore import PartitionedTable
+
+# one spark action per example: keep the example count tight
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# (id, year, payload) batches: ids collide across batches, years from a
+# tiny pool so partitions both repeat and appear fresh
+_row = st.tuples(
+    st.integers(0, 15),
+    st.sampled_from([2016, 2017, 2018]),
+    st.text(alphabet="abc", min_size=1, max_size=3),
+)
+_batches = st.lists(st.lists(_row, min_size=1, max_size=6), min_size=1, max_size=4)
+
+
+@given(batches=_batches)
+@settings(**_SETTINGS)
+def test_partstore_merge_matches_dict_model(spark, tmp_path_factory, batches):
+    root = str(tmp_path_factory.mktemp("pt"))
+    pt = PartitionedTable(root, "t", "year", ["id"])
+    model: dict[int, tuple[int, str]] = {}
+    for batch in batches:
+        # a key may appear twice in one batch with different years — the
+        # store's immutable-partition invariant forbids that; keep last
+        dedup = {}
+        for i, y, v in batch:
+            # enforce the invariant the real tables hold: a key's partition
+            # never moves. First year wins for the key, across the run.
+            y = model.get(i, (y, None))[0]
+            dedup[i] = (y, v)
+        rows = [(i, y, v) for i, (y, v) in dedup.items()]
+        pt.merge_rows(spark, spark.createDataFrame(
+            rows, "id long, year int, v string"))
+        model.update(dedup)
+    got = {r["id"]: (r["year"], r["v"]) for r in pt.read(spark).collect()}
+    assert got == model
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),                        # user_id
+        st.integers(0, 500),                      # minutes offset
+        st.floats(0, 10, allow_nan=False),        # value
+    ),
+    min_size=1, max_size=30,
+)
+
+
+def _q6(v: float) -> float:
+    """The engine's deliberate total_value semantic: each value is cast to
+    DECIMAL(27,6) (HALF_UP) before the exact decimal sum, making the result
+    summation-order-independent (and DuckDB-oracle-identical) at the cost
+    of quantizing below 1e-6."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _sessions_ref(events, gap_minutes=30):
+    """Brute-force reference sessionizer."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for uid, minute, value in events:
+        by_user.setdefault(uid, []).append((minute, value))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        cur = None
+        for minute, value in evs:
+            if cur is None or minute - cur["end"] > gap_minutes:
+                cur = {"start": minute, "end": minute, "n": 1, "total": _q6(value)}
+                sessions.append(cur)
+            else:
+                cur["end"] = minute
+                cur["n"] += 1
+                cur["total"] += _q6(value)
+        out[uid] = [
+            (s["start"], s["end"], s["n"], pytest.approx(s["total"], rel=1e-9))
+            for s in sessions
+        ]
+    return out
+
+
+@given(events=_events)
+@settings(**_SETTINGS)
+def test_sessionize_batch_matches_bruteforce(spark, events):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, uid, base + timedelta(minutes=m), v)
+        for i, (uid, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got: dict[int, list] = {}
+    for r in sessionize_batch(df, gap_minutes=30).collect():
+        mins = lambda t: int((t - base).total_seconds() // 60)  # noqa: E731
+        got.setdefault(r["user_id"], []).append(
+            (mins(r["session_start"]), mins(r["session_end"]),
+             r["n_events"], r["total_value"]))
+    for uid in got:
+        got[uid].sort()
+    assert got == _sessions_ref(events)
