@@ -132,7 +132,10 @@ def process_accepted(
         asmt_tbl, out_col="_derived_level",
     ).withColumn(
         "performance_level", F.coalesce("_given_level", "_derived_level")
-    )
+    ).cache()
+    # cached: the exam MERGE, all four child-table writes, and the
+    # inferred-school scope each consume this join chain — without the
+    # cache every consumer re-runs the student join + level derivation
     exam_updates = exam_rows.select(
         "opp_id", "asmt_id", "opportunity", "asmt_version", "type_code",
         "school_year", "student_id", "school_id", "grade_code", "completeness",
@@ -217,6 +220,7 @@ def process_accepted(
     parsed.unpersist()
     resolved.unpersist()
     good.unpersist()
+    exam_rows.unpersist()
     return counts
 
 
