@@ -99,29 +99,48 @@ def _value_of(el: ET.Element, context_text: str) -> str:
 
 
 def _parse_body(tmpl: ET.Element) -> tuple:
-    """Body ops relative to the matched node."""
-    ops = []
+    """Body ops relative to the matched node.
+
+    ``xsl:copy`` / ``xsl:apply-templates`` are the identity machinery (the
+    engine copies by default) — a body containing them is NOT a delete,
+    and ops nested inside ``xsl:copy`` are collected recursively. Only a
+    genuinely empty body (no children, no text) deletes the matched node.
+    """
+    ops: list[tuple] = []
+    saw_identity = False
+
+    def visit(node: ET.Element) -> None:
+        nonlocal saw_identity
+        for child in node:
+            if child.tag == _xsl("attribute"):
+                name = child.get("name")
+                val = (child.text or "").strip()
+                for sub in child:
+                    if sub.tag == _xsl("value-of"):
+                        val += _value_of(sub, "")
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported node in xsl:attribute: {sub.tag}")
+                ops.append(("set_attr", name, val))
+            elif child.tag == _xsl("value-of"):
+                ops.append(("text", _value_of(child, "")))
+            elif child.tag == _xsl("copy"):
+                saw_identity = True
+                visit(child)  # rewrites nested inside the copy still apply
+            elif child.tag == _xsl("apply-templates"):
+                saw_identity = True
+            else:
+                raise NotImplementedError(
+                    f"unsupported template body node: {child.tag}")
+
     if tmpl.text and tmpl.text.strip():
         ops.append(("text", tmpl.text.strip()))
-    for child in tmpl:
-        if child.tag == _xsl("attribute"):
-            name = child.get("name")
-            val = (child.text or "").strip()
-            for sub in child:
-                if sub.tag == _xsl("value-of"):
-                    val += _value_of(sub, "")
-                else:
-                    raise NotImplementedError(
-                        f"unsupported node in xsl:attribute: {sub.tag}")
-            ops.append(("set_attr", name, val))
-        elif child.tag == _xsl("value-of"):
-            ops.append(("text", _value_of(child, "")))
-        elif child.tag in (_xsl("copy"), _xsl("apply-templates")):
-            # identity machinery — the engine copies by default
-            continue
-        else:
-            raise NotImplementedError(f"unsupported template body node: {child.tag}")
-    return tuple(ops) if ops else (("delete",),)
+    visit(tmpl)
+    if ops:
+        return tuple(ops)
+    if saw_identity:
+        return ()  # explicit keep-as-is override — no-op, not a delete
+    return (("delete",),)
 
 
 def parse_stylesheet(xslt: str) -> list[_Template]:

@@ -315,18 +315,21 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
-    # split-salting, the production config: a cheap pre-count finds the keys
-    # heavy enough to melt a reducer, ONLY those are salted/replicated — the
-    # rest of the right side is never inflated. (Salting everything, the old
-    # config here, replicated the entire right side x8 and was the single
-    # most expensive catalog entry; result is identical either way.)
+    # split-salting, the production config: a cheap pre-count picks the
+    # heaviest keys, ONLY those are salted/replicated — the rest of the
+    # right side is never inflated. (Salting everything, the old config
+    # here, replicated the entire right side x8 and was the single most
+    # expensive catalog entry; result is identical either way.) Top-N by
+    # count rather than an absolute threshold so the replicated path stays
+    # exercised on this data (TPC-H lineitem tops out ~7 rows/key; a real
+    # deployment would use a threshold tied to reducer capacity).
     hot = [
         r[0] for r in
-        li.groupBy("l_orderkey").count().filter(F.col("count") > 1000)
-        .limit(1000).collect()
+        li.groupBy("l_orderkey").count()
+        .orderBy(F.desc("count"), "l_orderkey").limit(20).collect()
     ]
     j = salted_join(li, o, on="l_orderkey", how="inner", salt=8,
-                    hot_keys=hot or [-1])  # -1: no key qualifies → plain join
+                    hot_keys=hot or [-1])
     return j.groupBy("o_orderpriority", "l_linestatus").agg(
         F.count("*").alias("n_items"),
         _dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -198,11 +198,14 @@ def process_accepted(
         wh.replace_children(spark, "student_ethnicity", "student_id", ethnicities)
 
     # 6. inferred_school_id: most recent completed exam per student (W1) —
-    # scoped to the students this batch touched, not the whole student table
-    _refresh_inferred_school(
-        spark, wh, max_import,
-        student_ids=exam_rows.select("student_id").distinct(),
+    # scoped to the students this batch touched, not the whole student
+    # table. Scope from `good` (NOT exam_rows, which excludes resets): a
+    # reset soft-deletes the student's exam, which can change their
+    # latest-completed school and must re-trigger the window for them.
+    touched_students = (
+        good.join(student_ids, "ssid").select("student_id").distinct()
     )
+    _refresh_inferred_school(spark, wh, max_import, student_ids=touched_students)
 
     # 7. statuses: failures with messages; successes PROCESSED (bulk, one write)
     processed = good.select(

@@ -32,8 +32,12 @@ def read_events_stream(
     schema, inference is disabled by design) and ``ts`` is normalized via the
     same helper batch reads use, so legacy nanos-as-long, TIMESTAMP_NTZ and
     TIMESTAMP data all stream identically."""
-    from rdw_spark.io import normalize_ts
+    from rdw_spark.io import _ensure_session_confs, normalize_ts
 
+    # same defensive confs as batch loads: nanosAsLong so legacy
+    # TIMESTAMP(NANOS) files are readable at all, UTC so the NTZ→LTZ
+    # normalization is value-preserving on a driver-built session
+    _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(raw_schema)

@@ -364,4 +364,11 @@ class MigrateEngine:
                 "compacted_partitions": ctrl.compact(spark, max_files=max_files),
                 "removed_dirs": ctrl.gc(keep_manifests=keep_manifests),
             }
+        # the warehouse's own partitioned tables (import log, exam fact)
+        # accumulate versions at the same cadence — one maintenance pass
+        # covers the whole pipeline
+        for name, rep in self.wh.maintain(
+            spark, max_files=max_files, keep_manifests=keep_manifests
+        ).items():
+            report[f"warehouse.{name}"] = rep
         return report

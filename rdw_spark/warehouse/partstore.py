@@ -112,12 +112,19 @@ class PartitionedTable:
         manifest-level analog of partition pruning; year- or bucket-scoped
         readers pass the values they need and never open other dirs)."""
         _, man = self.latest()
+        full_man = man
         if parts is not None:
             man = {p: v for p, v in man.items() if p in set(parts)}
         paths = [self._part_dir(p, v) for p, v in sorted(man.items())]
         if not paths:
             if self.schema is not None:
                 return spark.createDataFrame([], self.schema)
+            if full_man:
+                # published table, but no partition matches the filter
+                # (e.g. a report year with no data yet): empty frame with
+                # the table's real schema, not an error
+                p, v = next(iter(sorted(full_man.items())))
+                return spark.read.parquet(self._part_dir(p, v)).limit(0)
             raise FileNotFoundError(f"partitioned table {self.name} has no published snapshot")
         reader = spark.read
         if self.schema is not None:

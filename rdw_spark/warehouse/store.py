@@ -159,6 +159,20 @@ class TableStore:
     def part_table(self, name: str) -> PartitionedTable | None:
         return self._part_tables.get(name)
 
+    def maintain(self, spark: SparkSession, max_files: int = 4,
+                 keep_manifests: int = 1) -> dict[str, dict[str, int]]:
+        """Compact + GC every partitioned table this store owns (import
+        log, exam fact). Without this the per-batch merges accumulate one
+        version dir per write forever — same hook MigrateEngine.maintain
+        provides for the marts; run it on the same cadence."""
+        return {
+            name: {
+                "compacted_partitions": pt.compact(spark, max_files=max_files),
+                "removed_dirs": pt.gc(keep_manifests=keep_manifests),
+            }
+            for name, pt in self._part_tables.items()
+        }
+
     # ---------- audit ----------
 
     def _audit_schema(self, name: str) -> T.StructType:
@@ -282,10 +296,19 @@ class TableStore:
         merged = joined.select(*[sel_col for sel_col in sel])
         merged = merged.select(*schema.fieldNames())
 
+        # a payload-identical update still clears a soft-delete flag
+        # (re-importing a reset exam resurrects it, API.md:369) — count
+        # those so the skip-write shortcut below cannot drop them
+        is_resurrect = (
+            (~is_insert & ~is_changed & F.col("new._fp").isNotNull()
+             & F.col("cur.deleted"))
+            if has_delete else F.lit(False)
+        )
         counts = joined.agg(
             F.sum(is_insert.cast("long")).alias("inserted"),
             F.sum(is_changed.cast("long")).alias("updated"),
             F.sum((~is_insert & ~is_changed).cast("long")).alias("unchanged"),
+            F.sum(is_resurrect.cast("long")).alias("resurrected"),
         ).collect()[0]
 
         if int(counts["updated"] or 0):  # audit job only when something changed
@@ -293,9 +316,11 @@ class TableStore:
             before = current.join(F.broadcast(changed_keys), on=keys, how="left_semi")
             self._append_audit(before, name, "update")
 
-        if not int(counts["inserted"] or 0) and not int(counts["updated"] or 0):
-            # pure no-op batch (digest-identical replay): the merged frame
-            # is byte-identical to the current snapshot — skip the write
+        if (not int(counts["inserted"] or 0) and not int(counts["updated"] or 0)
+                and not int(counts["resurrected"] or 0)):
+            # pure no-op batch (digest-identical replay, nothing to
+            # un-delete): the merged frame is byte-identical to the
+            # current snapshot — skip the write
             pass
         elif pt is not None:
             # merged IS the complete new content of the touched partitions

@@ -161,3 +161,17 @@ class TestXsltLite:
         )
         out = pipe.apply(df).collect()[0]["payload"]
         assert 'bankKey="200"' in out
+
+    def test_copy_only_body_is_identity_not_delete(self):
+        """An explicit keep-as-is override (body = xsl:copy + apply) must
+        copy the node through, and rewrites nested inside xsl:copy apply."""
+        from rdw_spark.functions.xslt_lite import transform
+
+        xslt = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="@*|node()"><xsl:copy><xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+          <xsl:template match="Keep"><xsl:copy><xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+          <xsl:template match="Item"><xsl:copy><xsl:attribute name="bankKey"><xsl:value-of select="'200'"/></xsl:attribute></xsl:copy></xsl:template>
+        </xsl:stylesheet>"""
+        out = transform(xslt, '<R><Keep a="1">x</Keep><Item bankKey="9"/></R>')
+        assert 'a="1"' in out and ">x<" in out          # Keep survived intact
+        assert 'bankKey="200"' in out                   # nested rewrite applied

@@ -5,6 +5,7 @@ migrate with the status machine and halt-on-failure (T2-T4, K2/K3)."""
 from __future__ import annotations
 
 import pytest
+from datetime import datetime
 from pyspark.sql import Row, functions as F
 
 from rdw_spark.warehouse import ImportLog, ImportStatus, MigrateEngine, MigrateStatus, TableStore
@@ -240,3 +241,35 @@ class TestMigrate:
         assert res["state"] == "completed" and res["migrated"] == 2
         statuses = [r["status"] for r in eng.control(spark).orderBy("id", "updated").collect()]
         assert MigrateStatus.FAILED in statuses or MigrateStatus.ABANDONED in statuses
+
+
+class TestNoOpSkipSemantics:
+    def test_identical_reimport_resurrects_soft_deleted_row(self, spark, wh):
+        """API.md:369: re-importing identical content must clear a
+        soft-delete even though the payload fingerprint is unchanged (the
+        skip-identical-batch shortcut must not drop the resurrection)."""
+        rows = spark.createDataFrame([Row(
+            opp_id="OPP-1", asmt_id=7, opportunity=1, asmt_version="1",
+            type_code="sum", school_year=2018, student_id=1, school_id=2,
+            grade_code="06", completeness="Complete",
+            administration_condition="Valid", session_id="s",
+            scale_score=2400.0, scale_score_std_err=20.0, performance_level=2,
+            completed_at=datetime(2018, 4, 1), iep=False, lep=False, section504=False,
+            economic_disadvantage=False, migrant_status=False,
+            language_code="eng", military_connected="No",
+        )])
+        wh.merge_upsert(spark, "exam", rows, 10)
+        wh.soft_delete(spark, "exam", rows.select("opp_id", "asmt_id"), 11)
+        assert wh.read(spark, "exam").collect()[0]["deleted"] is True
+
+        # byte-identical re-import: 0 inserted, 0 updated — but undeleted
+        wh.merge_upsert(spark, "exam", rows, 12)
+        assert wh.read(spark, "exam").collect()[0]["deleted"] is False
+
+    def test_identical_batch_without_deletes_skips_write(self, spark, wh):
+        rows = spark.createDataFrame(
+            [Row(ssid="S1", first_name="A", last_or_surname="B")])
+        wh.merge_upsert(spark, "student", rows, 1)
+        v1 = wh.latest_version("student")
+        wh.merge_upsert(spark, "student", rows, 2)  # no change, no delete
+        assert wh.latest_version("student") == v1  # write skipped
