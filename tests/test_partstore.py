@@ -246,3 +246,22 @@ class TestManifestPruning:
         assert pruned.count() == 4
         full = eng.read_mart(spark, "olap_exam")
         assert any("part=2017" in f for f in full.inputFiles())
+
+
+class TestWarehouseMaintain:
+    def test_import_log_versions_pruned(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"))
+        log = ImportLog(wh)
+        recs = log.accept_batch(
+            spark, ImportContent.EXAM, [f"<m{i}/>".encode() for i in range(3)]
+        )
+        for r in recs:  # three point transitions → three more versions
+            log.set_status(spark, r.id, ImportStatus.PROCESSED)
+        bucket = os.path.join(str(tmp_path / "wh"), "import", "part=0")
+        assert len(os.listdir(bucket)) == 4
+        report = wh.maintain(spark)
+        assert report["import"]["removed_dirs"] == 3
+        assert len(os.listdir(bucket)) == 1
+        # content survives maintenance
+        assert {r["status"] for r in log.read(spark).collect()} == {
+            ImportStatus.PROCESSED}
