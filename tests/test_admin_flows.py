@@ -199,3 +199,31 @@ def test_purge_school_year_sweeps_reference_data(spark, env):
     assert wh.read(spark, "asmt").filter("school_year = 2018").count() == 0
     assert wh.read(spark, "student_group").count() == 0
     assert wh.read(spark, "student_group_membership").count() == 0
+
+
+def test_reset_only_batch_refreshes_inferred_school(spark, env):
+    """Review regression: a batch containing ONLY resets must still
+    re-run the inferred-school window for the affected students (the
+    reset soft-deletes an exam, which can change the latest school)."""
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    # two schools, two completed exams: the later one at school 2002
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="R-1", ssid="STU001", school="55500010001001",
+                 completed="2018-03-01T10:00:00"),
+        make_trt(opp_id="R-2", ssid="STU001", school="55500010001002",
+                 completed="2018-04-01T10:00:00"),
+    ])
+    schools = {r["natural_id"]: r["id"]
+               for r in wh.read(spark, "school").collect()}
+    stu = wh.read(spark, "student").collect()[0]
+    assert stu["inferred_school_id"] == schools["55500010001002"]
+
+    # reset-only batch: soft-deletes the later exam -> school must revert
+    reset_trt = make_trt(
+        opp_id="R-2", ssid="STU001", school="55500010001002",
+        completed="2018-04-01T10:00:00",
+    ).replace(b"<Opportunity", b"<Opportunity status=\"reset\"", 1)
+    ingest_exams(spark, wh, log, [reset_trt])
+    stu = wh.read(spark, "student").collect()[0]
+    assert stu["inferred_school_id"] == schools["55500010001001"]
