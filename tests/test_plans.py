@@ -82,3 +82,18 @@ class TestPushdownAndPruning:
         )
         assert "partial_sum" in plan
         assert plan.index("partial_sum") > plan.index("Exchange")  # below it
+
+
+class TestNormalizeTsPushdown:
+    def test_ts_filter_pushes_through_normalization(self, spark):
+        """normalize_ts's NTZ→LTZ cast must not block predicate pushdown:
+        the time-range filter has to reach the parquet scan (a scan reading
+        all of events for a 24h window is wrong at any scale)."""
+        from pyspark.sql import functions as F
+
+        from rdw_spark.io import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        q = ev.filter(F.col("ts") >= "2024-06-01").select("event_id", "ts")
+        plan = q._jdf.queryExecution().toString()
+        assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
