@@ -273,9 +273,12 @@ def _bulk_status(spark: SparkSession, wh: TableStore, updates: DataFrame) -> Non
         F.col("import_id").alias("id"), F.col("status").alias("_new_status"),
         F.col("message").alias("_new_message"),
     )
+    # the bucket MUST be computed with the exact storage partition expression
+    # (`id DIV n`, integer semantics) — float division can round differently
+    # for very large ids and miss the row's bucket
     buckets = [
         str(r[0]) for r in
-        upd.select((F.col("id") / IMPORT_ID_BUCKET).cast("long")).distinct().collect()
+        upd.select(F.expr(f"id DIV {IMPORT_ID_BUCKET}")).distinct().collect()
     ]
     if not buckets:
         return

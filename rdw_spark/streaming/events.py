@@ -18,11 +18,24 @@ modes, which is exactly Spark's unified batch/stream model.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# canonical events schema — used when the stream is defined before any file
+# has landed (schema-from-file needs at least one footer to read)
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
@@ -38,7 +51,15 @@ def read_events_stream(
     # TIMESTAMP(NANOS) files are readable at all, UTC so the NTZ→LTZ
     # normalization is value-preserving on a driver-built session
     _ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(path).schema
+    try:
+        raw_schema = spark.read.parquet(path).schema
+    except Exception:
+        # source dir empty or not yet created — fall back to the canonical
+        # declared schema so a stream can start ahead of data arrival (the
+        # file source also needs the dir to exist for its initial listing)
+        raw_schema = EVENTS_RAW_SCHEMA
+        if "://" not in path:
+            os.makedirs(path, exist_ok=True)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -346,7 +346,7 @@ class MigrateEngine:
     # ---------- post-migrate maintenance (reference X3, docs/Performance.md:9-28) ----------
 
     def maintain(self, spark: SparkSession, max_files: int = 4,
-                 keep_manifests: int = 1) -> dict[str, dict[str, int]]:
+                 keep_manifests: int = 2) -> dict[str, dict[str, int]]:
         """OPTIMIZE/VACUUM analog, run after a migrate drain: compact
         partitions fragmented by many small merges, then drop snapshot
         versions (partition dirs + manifests) older than ``keep_manifests``.

@@ -262,9 +262,14 @@ class PartitionedTable:
         self._publish(new_ver, man2)
         return len(frag)
 
-    def gc(self, keep_manifests: int = 1) -> int:
+    def gc(self, keep_manifests: int = 2) -> int:
         """Drop partition version dirs (and manifests) no longer referenced
-        by the ``keep_manifests`` newest snapshots. Returns dirs removed."""
+        by the ``keep_manifests`` newest snapshots. Returns dirs removed.
+
+        Default keeps the two newest snapshots: Spark reads are lazy, so a
+        DataFrame handle created just before a maintain() can still be
+        evaluated afterwards — keeping N-1 alive gives in-flight readers in
+        the same process a grace window."""
         d = os.path.join(self._dir(), _MANIFEST_DIR)
         if not os.path.isdir(d):
             return 0

@@ -115,9 +115,27 @@ class TableStore:
         vs = self._versions(name)
         return vs[-1] if vs else None
 
+    def _ensure_part_layout(self, spark: SparkSession, name: str) -> None:
+        """Auto-convert a legacy whole-snapshot ``<table>/v=N`` dir into the
+        manifest-based partitioned layout the first time the table is
+        touched. Without this, a warehouse written by an older version would
+        silently read as empty (no manifest → empty frame)."""
+        pt = self._part_tables[name]
+        ver, _ = pt.latest()
+        if ver:
+            return
+        legacy = self._versions(name)
+        if not legacy:
+            return
+        df = spark.read.schema(self.schemas[name]).parquet(
+            os.path.join(self._table_dir(name), f"v={legacy[-1]}")
+        )
+        pt.overwrite(spark, df)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Current snapshot, or an empty frame with the declared schema."""
         if name in self._part_tables:
+            self._ensure_part_layout(spark, name)
             return self._part_tables[name].read(spark)
         v = self.latest_version(name)
         if v is None:
@@ -130,6 +148,7 @@ class TableStore:
         """Partition-scoped read (manifest-level pruning); falls back to the
         full snapshot for unpartitioned tables."""
         if name in self._part_tables:
+            self._ensure_part_layout(spark, name)
             return self._part_tables[name].read(spark, parts=parts)
         return self.read(spark, name)
 
@@ -148,6 +167,7 @@ class TableStore:
         partitions the rows land in; unpartitioned tables fall back to a
         whole-snapshot anti-join merge."""
         if name in self._part_tables:
+            self._ensure_part_layout(spark, name)
             return self._part_tables[name].merge_rows(spark, rows, keys)
         keys = keys or self.natural_keys[name]
         cur = self.read(spark, name)
@@ -160,7 +180,7 @@ class TableStore:
         return self._part_tables.get(name)
 
     def maintain(self, spark: SparkSession, max_files: int = 4,
-                 keep_manifests: int = 1) -> dict[str, dict[str, int]]:
+                 keep_manifests: int = 2) -> dict[str, dict[str, int]]:
         """Compact + GC every partitioned table this store owns (import
         log, exam fact). Without this the per-batch merges accumulate one
         version dir per write forever — same hook MigrateEngine.maintain
@@ -251,7 +271,18 @@ class TableStore:
 
         pt = self._part_tables.get(name)
         if pt is not None:
-            current = pt.read(spark, parts=pt.parts_of(upd))
+            self._ensure_part_layout(spark, name)
+            parts = pt.parts_of(upd)
+            # fail fast on a null partition value: silently routing to the
+            # __NULL__ partition would leave the real partition unread and
+            # duplicate the natural key across two partitions
+            if "__NULL__" in parts:
+                raise ValueError(
+                    f"merge_upsert({name}): updates produce a null partition "
+                    f"value for expression `{pt.part_expr}` — the partition "
+                    "source columns must be present and non-null"
+                )
+            current = pt.read(spark, parts=parts)
         else:
             current = self.read(spark, name)
 

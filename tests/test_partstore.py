@@ -187,7 +187,9 @@ class TestMigratePartitionScoped:
         assert eng.run_until_caught_up(spark, "reporting") == 4
         rep_dir = str(tmp_path / "mart" / "reporting_exam" / "part=2018")
         assert len(os.listdir(rep_dir)) > 1
-        report = eng.maintain(spark)
+        # default keep_manifests=2 leaves a grace version for in-flight
+        # lazy readers; keep_manifests=1 prunes to exactly the live version
+        report = eng.maintain(spark, keep_manifests=1)
         assert report["reporting_exam"]["removed_dirs"] >= 1
         assert len(os.listdir(rep_dir)) == 1  # only the live version remains
         assert eng.read_mart(spark, "reporting_exam").count() == 4
@@ -259,9 +261,59 @@ class TestWarehouseMaintain:
             log.set_status(spark, r.id, ImportStatus.PROCESSED)
         bucket = os.path.join(str(tmp_path / "wh"), "import", "part=0")
         assert len(os.listdir(bucket)) == 4
+        # default (keep_manifests=2) leaves one superseded version as a
+        # grace window for lazy readers created before the maintain()
         report = wh.maintain(spark)
-        assert report["import"]["removed_dirs"] == 3
+        assert report["import"]["removed_dirs"] == 2
+        assert len(os.listdir(bucket)) == 2
+        report = wh.maintain(spark, keep_manifests=1)
+        assert report["import"]["removed_dirs"] == 1
         assert len(os.listdir(bucket)) == 1
         # content survives maintenance
         assert {r["status"] for r in log.read(spark).collect()} == {
             ImportStatus.PROCESSED}
+
+
+class TestLayoutMigration:
+    def _import_rows(self, spark, n):
+        from rdw_spark.warehouse import schemas as S
+
+        now = datetime(2018, 1, 1)
+        return spark.createDataFrame(
+            [(i, 1, 4, "xml", f"d{i}", "b", "t", now, now, "m")
+             for i in range(1, n + 1)],
+            S.SCHEMAS["import"],
+        )
+
+    def test_legacy_snapshot_auto_converts(self, spark, tmp_path):
+        """A warehouse written by a pre-partstore version (<table>/v=N
+        whole-snapshot dirs) must stay readable: the first touch through the
+        partitioned layout auto-converts it instead of reading empty."""
+        root = str(tmp_path / "wh")
+        legacy = TableStore(root, partitioned={})  # old layout writer
+        legacy.write_snapshot(self._import_rows(spark, 5), "import")
+        assert os.path.isdir(os.path.join(root, "import", "v=1"))
+
+        wh = TableStore(root)  # new layout (import is partitioned by default)
+        got = wh.read(spark, "import")
+        assert got.count() == 5
+        # converted into the manifest layout, not re-read from legacy dirs
+        assert wh.part_table("import").latest()[0] == 1
+        # and writes keep working partition-scoped afterwards
+        wh.merge_rows(spark, "import",
+                      self._import_rows(spark, 6).filter(F.col("id") == 6), ["id"])
+        assert wh.read(spark, "import").count() == 6
+
+    def test_merge_upsert_rejects_null_partition_value(self, spark, tmp_path):
+        """An exam update batch missing its school_year must fail fast, not
+        silently land in the __NULL__ partition (which would duplicate the
+        natural key across partitions)."""
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        bad = spark.createDataFrame(
+            [("o1", 1, None, 1, 1, "06", "sum", datetime(2018, 4, 1))],
+            "opp_id string, asmt_id long, school_year int, student_id long, "
+            "school_id long, grade_code string, type_code string, "
+            "completed_at timestamp",
+        )
+        with pytest.raises(ValueError, match="null partition"):
+            wh.merge_upsert(spark, "exam", bad, 1)

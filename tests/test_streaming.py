@@ -119,3 +119,13 @@ class TestStreamToMart:
         q2.awaitTermination(120)
         ver_after, _ = pt.latest()
         assert ver_after == ver_before
+
+
+class TestStreamAheadOfData:
+    def test_stream_starts_on_empty_source_dir(self, spark, tmp_path):
+        """A stream defined before the first file lands must fall back to
+        the canonical declared schema instead of raising at definition."""
+        empty = str(tmp_path / "not_yet_created")
+        stream = read_events_stream(spark, empty)
+        assert stream.isStreaming
+        assert dict(stream.dtypes)["ts"] == "timestamp"
