@@ -246,21 +246,18 @@ def _refresh_inferred_school(
                 F.col("school_id").alias("_new_school"))
     )
     student = wh.read(spark, "student")
-    # skip the snapshot write entirely when no student's school changed
-    # (replayed/duplicate batches): the write is O(student table)
+    # only the students whose school actually changed are written back —
+    # merge_rows on the merge-on-read student table appends them as an
+    # O(changed) delta (replayed/duplicate batches append nothing)
     changed = (
         student.join(latest, "id")
         .filter(~F.col("_new_school").eqNullSafe(F.col("inferred_school_id")))
+        .withColumn("inferred_school_id", F.col("_new_school"))
+        .drop("_new_school")
     )
     if changed.isEmpty():
         return
-    updated = (
-        student.join(latest, "id", "left")
-        .withColumn("inferred_school_id",
-                    F.coalesce("_new_school", "inferred_school_id"))
-        .drop("_new_school")
-    )
-    wh.write_snapshot(updated.select(*student.columns), "student")
+    wh.merge_rows(spark, "student", changed.select(*student.columns), ["ssid"])
 
 
 def _bulk_status(spark: SparkSession, wh: TableStore, updates: DataFrame) -> None:

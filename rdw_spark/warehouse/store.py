@@ -40,6 +40,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from rdw_spark.warehouse import schemas as S
+from rdw_spark.warehouse.morstore import MergeOnReadTable
 from rdw_spark.warehouse.partstore import PartitionedTable
 
 # Tables whose write path must be O(touched partitions), not O(table):
@@ -63,6 +64,14 @@ DEFAULT_PARTITIONED: dict[str, tuple[str, list[str], tuple[str, ...]]] = {
     "exam": ("school_year", ["opp_id", "asmt_id"], ("school_id", "student_id")),
 }
 
+# Tables whose natural key is uniformly random (every batch touches every
+# partition, so partitioning cannot scope the write): merge-on-read —
+# upserts append O(batch) delta files, reads resolve latest-per-key with
+# the W1 window, maintain() compacts deltas back into the base snapshot.
+DEFAULT_MERGE_ON_READ: dict[str, list[str]] = {
+    "student": ["ssid"],
+}
+
 _AUDIT_FIELDS = [
     T.StructField("action", T.StringType(), False),      # update | delete
     T.StructField("audited", T.TimestampType(), False),
@@ -78,7 +87,8 @@ def surrogate_id(*key_cols: str):
 class TableStore:
     def __init__(self, root: str, audit_enabled: bool = True, user: str = "rdw_spark",
                  schemas: dict | None = None, natural_keys: dict | None = None,
-                 partitioned: dict[str, tuple[str, list[str]]] | None = None):
+                 partitioned: dict[str, tuple[str, list[str]]] | None = None,
+                 merge_on_read: dict[str, list[str]] | None = None):
         self.root = root
         self.audit_enabled = audit_enabled
         self.user = user
@@ -91,6 +101,13 @@ class TableStore:
                                    schema=self.schemas[name],
                                    sort_cols=tuple(spec[2]) if len(spec) > 2 else ())
             for name, spec in partitioned.items()
+            if name in self.schemas
+        }
+        if merge_on_read is None:
+            merge_on_read = DEFAULT_MERGE_ON_READ
+        self._mor_tables = {
+            name: MergeOnReadTable(root, name, keys, schema=self.schemas[name])
+            for name, keys in merge_on_read.items()
             if name in self.schemas
         }
         os.makedirs(root, exist_ok=True)
@@ -132,8 +149,26 @@ class TableStore:
         )
         pt.overwrite(spark, df)
 
+    def _ensure_mor_layout(self, spark: SparkSession, name: str) -> None:
+        """Same auto-conversion as ``_ensure_part_layout`` for merge-on-read
+        tables: fold a legacy ``<table>/v=N`` snapshot into the base."""
+        mor = self._mor_tables[name]
+        base, deltas = mor._scan()
+        if base is not None or deltas:
+            return
+        legacy = self._versions(name)
+        if not legacy:
+            return
+        df = spark.read.schema(self.schemas[name]).parquet(
+            os.path.join(self._table_dir(name), f"v={legacy[-1]}")
+        )
+        mor.overwrite(df)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Current snapshot, or an empty frame with the declared schema."""
+        if name in self._mor_tables:
+            self._ensure_mor_layout(spark, name)
+            return self._mor_tables[name].read(spark)
         if name in self._part_tables:
             self._ensure_part_layout(spark, name)
             return self._part_tables[name].read(spark)
@@ -154,6 +189,8 @@ class TableStore:
 
     def write_snapshot(self, df: DataFrame, name: str) -> int:
         """Write the next version dir; the _SUCCESS marker is the atomic publish."""
+        if name in self._mor_tables:
+            return self._mor_tables[name].overwrite(df)
         if name in self._part_tables:
             return self._part_tables[name].overwrite(df.sparkSession, df)
         v = (self.latest_version(name) or 0) + 1
@@ -166,6 +203,12 @@ class TableStore:
         """Replace-by-key upsert. Partitioned tables rewrite only the
         partitions the rows land in; unpartitioned tables fall back to a
         whole-snapshot anti-join merge."""
+        if name in self._mor_tables:
+            # replace-by-key under latest-wins resolution IS an append
+            self._ensure_mor_layout(spark, name)
+            n = rows.count()
+            self._mor_tables[name].append_delta(rows)
+            return n
         if name in self._part_tables:
             self._ensure_part_layout(spark, name)
             return self._part_tables[name].merge_rows(spark, rows, keys)
@@ -179,19 +222,26 @@ class TableStore:
     def part_table(self, name: str) -> PartitionedTable | None:
         return self._part_tables.get(name)
 
+    def mor_table(self, name: str) -> MergeOnReadTable | None:
+        return self._mor_tables.get(name)
+
     def maintain(self, spark: SparkSession, max_files: int = 4,
                  keep_manifests: int = 2) -> dict[str, dict[str, int]]:
         """Compact + GC every partitioned table this store owns (import
-        log, exam fact). Without this the per-batch merges accumulate one
-        version dir per write forever — same hook MigrateEngine.maintain
-        provides for the marts; run it on the same cadence."""
-        return {
+        log, exam fact) and rebase merge-on-read tables (student). Without
+        this the per-batch merges accumulate one version/delta dir per
+        write forever — same hook MigrateEngine.maintain provides for the
+        marts; run it on the same cadence."""
+        report = {
             name: {
                 "compacted_partitions": pt.compact(spark, max_files=max_files),
                 "removed_dirs": pt.gc(keep_manifests=keep_manifests),
             }
             for name, pt in self._part_tables.items()
         }
+        for name, mor in self._mor_tables.items():
+            report[name] = {"folded_deltas": mor.compact(spark)}
+        return report
 
     # ---------- audit ----------
 
@@ -270,7 +320,15 @@ class TableStore:
                 upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
 
         pt = self._part_tables.get(name)
-        if pt is not None:
+        mor = self._mor_tables.get(name)
+        if mor is not None:
+            # merge-on-read: the change-detection join needs only the
+            # touched keys' current values — the semi-join runs before the
+            # resolution window, and the write below appends only the
+            # inserted/changed rows (O(batch) bytes)
+            self._ensure_mor_layout(spark, name)
+            current = mor.read(spark, keys_of=upd)
+        elif pt is not None:
             self._ensure_part_layout(spark, name)
             parts = pt.parts_of(upd)
             # fail fast on a null partition value: silently routing to the
@@ -324,9 +382,6 @@ class TableStore:
             F.coalesce(F.col("cur.created"), now).alias("created"),
             F.when(is_insert | is_changed, now).otherwise(F.col("cur.updated")).alias("updated"),
         ]
-        merged = joined.select(*[sel_col for sel_col in sel])
-        merged = merged.select(*schema.fieldNames())
-
         # a payload-identical update still clears a soft-delete flag
         # (re-importing a reset exam resurrects it, API.md:369) — count
         # those so the skip-write shortcut below cannot drop them
@@ -335,6 +390,10 @@ class TableStore:
              & F.col("cur.deleted"))
             if has_delete else F.lit(False)
         )
+        # _dirty marks the rows a merge-on-read delta must carry
+        merged = joined.select(
+            *sel, (is_insert | is_changed | is_resurrect).alias("_dirty")
+        ).select(*schema.fieldNames(), "_dirty")
         counts = joined.agg(
             F.sum(is_insert.cast("long")).alias("inserted"),
             F.sum(is_changed.cast("long")).alias("updated"),
@@ -353,11 +412,15 @@ class TableStore:
             # un-delete): the merged frame is byte-identical to the
             # current snapshot — skip the write
             pass
+        elif mor is not None:
+            # append only the inserted/changed/resurrected rows: the
+            # untouched keys' current rows stay authoritative in the base
+            mor.append_delta(merged.filter(F.col("_dirty")).drop("_dirty"))
         elif pt is not None:
             # merged IS the complete new content of the touched partitions
-            pt.replace_parts(spark, merged)
+            pt.replace_parts(spark, merged.drop("_dirty"))
         else:
-            self.write_snapshot(merged, name)
+            self.write_snapshot(merged.drop("_dirty"), name)
         joined.unpersist()
         return {
             "inserted": int(counts["inserted"] or 0),
@@ -376,6 +439,15 @@ class TableStore:
         if n == 0:
             return 0
         self._append_audit(hit, name, "delete")
+        mor = self._mor_tables.get(name)
+        if mor is not None:
+            flipped = hit.withColumns({
+                "deleted": F.lit(True),
+                "update_import_id": F.lit(import_id).cast("long"),
+                "updated": F.current_timestamp(),
+            })
+            mor.append_delta(flipped.select(*self.schemas[name].fieldNames()))
+            return n
         pt = self._part_tables.get(name)
         if pt is not None:
             # merge only the flipped rows — rewrites just their partitions

@@ -270,6 +270,6 @@ class TestNoOpSkipSemantics:
         rows = spark.createDataFrame(
             [Row(ssid="S1", first_name="A", last_or_surname="B")])
         wh.merge_upsert(spark, "student", rows, 1)
-        v1 = wh.latest_version("student")
+        v1 = wh.mor_table("student").current_seq()
         wh.merge_upsert(spark, "student", rows, 2)  # no change, no delete
-        assert wh.latest_version("student") == v1  # write skipped
+        assert wh.mor_table("student").current_seq() == v1  # write skipped
