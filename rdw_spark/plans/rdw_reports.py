@@ -155,17 +155,22 @@ def target_report(
     sum_exams = exam.filter((F.col("type_code") == "sum") & (~F.col("deleted"))).select(
         F.col("id").alias("exam_id"), "student_id", "asmt_id",
     )
-    it = item.select(F.col("key").alias("item_key"), "asmt_id", "target_code",
-                     "max_points")
+    it = item.select(F.col("key").alias("item_key"), "asmt_id", "claim_code",
+                     "target_code", "max_points")
     joined = (
         exam_item.join(sum_exams, "exam_id")
         .join(F.broadcast(it), ["item_key", "asmt_id"])
         .withColumn("pct_score", F.col("score") / F.col("max_points"))
     )
     if target_exclusions is not None:
+        # the target's claim is part of the exclusion identity ("the
+        # target's claim must be included for uniqueness",
+        # docs/Runbook.SystemConfiguration.md:153)
+        ex_keys = (["asmt_id", "claim_code", "target_code"]
+                   if "claim_code" in target_exclusions.columns
+                   else ["asmt_id", "target_code"])
         joined = joined.join(
-            F.broadcast(target_exclusions.select("asmt_id", "target_code")),
-            ["asmt_id", "target_code"], "left_anti",
+            F.broadcast(target_exclusions.select(*ex_keys)), ex_keys, "left_anti",
         )
     agg = joined.groupBy("asmt_id", "target_code").agg(
         F.countDistinct("student_id").alias("n_students"),
@@ -180,6 +185,59 @@ def target_report(
     )
 
 
+def org_hierarchy(school: DataFrame, district: DataFrame,
+                  school_group: DataFrame | None = None,
+                  district_group: DataFrame | None = None) -> DataFrame:
+    """J3: flattened org snowflake — school → (school group) → district →
+    (district group) — over the warehouse org tables including the group
+    entities (docs/Runbook.ImportMigrate.md:17; hierarchy docs/API.md:452-569).
+    All four inputs are dims; every join broadcasts."""
+    out = school.select(
+        F.col("id").alias("school_id"),
+        F.col("natural_id").alias("school_natural_id"),
+        F.col("name").alias("school_name"),
+        "district_id",
+        *(["school_group_id"] if "school_group_id" in school.columns else []),
+    )
+    d = district.select(
+        F.col("id").alias("district_id"),
+        F.col("natural_id").alias("district_natural_id"),
+        F.col("name").alias("district_name"),
+        *(["district_group_id"] if "district_group_id" in district.columns else []),
+    )
+    out = out.join(F.broadcast(d), "district_id", "left")
+    if school_group is not None:
+        sg = school_group.select(
+            F.col("id").alias("school_group_id"),
+            F.col("natural_id").alias("school_group_natural_id"),
+            F.col("name").alias("school_group_name"),
+        )
+        out = out.join(F.broadcast(sg), "school_group_id", "left")
+    if district_group is not None:
+        dg = district_group.select(
+            F.col("id").alias("district_group_id"),
+            F.col("natural_id").alias("district_group_natural_id"),
+            F.col("name").alias("district_group_name"),
+        )
+        out = out.join(F.broadcast(dg), "district_group_id", "left")
+    return out
+
+
+def target_report_from_warehouse(
+    spark, wh, min_students: int = 10, std_err_max: float = 0.2,
+) -> DataFrame:
+    """A8 against warehouse tables, applying the ``asmt_target_exclusion``
+    table (docs/Runbook.SystemConfiguration.md:148-167) — rows land there
+    via ``admin_flows.add_target_exclusions``."""
+    exclusions = wh.read(spark, "asmt_target_exclusion")
+    return target_report(
+        wh.read(spark, "exam_item"), wh.read(spark, "item"),
+        wh.read(spark, "exam"), min_students=min_students,
+        std_err_max=std_err_max,
+        target_exclusions=None if exclusions.isEmpty() else exclusions,
+    )
+
+
 def longitudinal_trend(olap_exam_longitudinal: DataFrame) -> DataFrame:
     """A10/W4: per-student summative score trajectory with year-over-year
     delta (docs/Runbook.BulkDeleteExams.md:116)."""
@@ -191,17 +249,27 @@ def longitudinal_trend(olap_exam_longitudinal: DataFrame) -> DataFrame:
     )
 
 
-def claim_score_report(exam_score: DataFrame, exam: DataFrame) -> DataFrame:
+def claim_score_report(exam_score: DataFrame, exam: DataFrame,
+                       claim: DataFrame | None = None) -> DataFrame:
     """A11: per-claim score distribution for completed exams
-    (docs/Runbook.Audit.md:58, exam_score child fact)."""
+    (docs/Runbook.Audit.md:58, exam_score child fact). Pass the ``claim``
+    SUBJECT dim (docs/Runbook.ImportMigrate.md:20) to resolve display
+    names; without it the report falls back to the raw claim code."""
     ex = exam.filter(~F.col("deleted")).select(
         F.col("id").alias("exam_id"), "school_year", "type_code",
     )
-    return (
+    agg = (
         exam_score.join(ex, "exam_id")
         .groupBy("school_year", "type_code", "claim_code")
         .agg(F.count("*").alias("n"),
              F.round(F.avg("scale_score"), 2).alias("avg_scale_score"))
+    )
+    if claim is None:
+        return agg.withColumn("claim_name", F.col("claim_code"))
+    names = claim.select(F.col("code").alias("claim_code"),
+                         F.col("name").alias("claim_name"))
+    return agg.join(F.broadcast(names), "claim_code", "left").withColumn(
+        "claim_name", F.coalesce("claim_name", "claim_code")
     )
 
 

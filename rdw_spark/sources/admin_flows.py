@@ -110,6 +110,65 @@ def ingest_groups(
     return {"import_id": rec.id, "groups": int(n_groups), "errors": int(n_errors)}
 
 
+def add_target_exclusions(
+    spark: SparkSession, wh: TableStore, log: ImportLog,
+    asmt_natural_id: str, exclusions: list[tuple[str, str]],
+) -> dict[str, int]:
+    """A8 target exclusions — the runbook's IT flow
+    (docs/Runbook.SystemConfiguration.md:148-167): insert
+    ``asmt_target_exclusion`` rows for (claim code, target natural id)
+    pairs, then trigger migration by creating a PACKAGE import row and
+    bumping the assessment's ``update_import_id`` so the next migrate batch
+    re-materializes its reports."""
+    asmt = wh.read(spark, "asmt").filter(F.col("natural_id") == asmt_natural_id)
+    rows = asmt.collect()
+    if not rows:
+        raise ValueError(f"unknown assessment: {asmt_natural_id}")
+    asmt_id = int(rows[0]["id"])
+
+    target = wh.read(spark, "target")
+    pairs = spark.createDataFrame(
+        list(exclusions), "claim_code string, target_code string")
+    excl = (
+        pairs.join(
+            target.select("claim_code",
+                          F.col("natural_id").alias("target_code"),
+                          F.col("id").alias("target_id")),
+            ["claim_code", "target_code"], "left",
+        )
+        # a target absent from the subject config still excludes by code;
+        # its surrogate id is computed the same way the dim's would be
+        .withColumn("target_id", F.coalesce(
+            "target_id", F.xxhash64(F.lit(None).cast("string"),
+                                    "claim_code", "target_code")))
+        .withColumn("asmt_id", F.lit(asmt_id).cast("long"))
+        .select("asmt_id", "target_id", "claim_code", "target_code")
+    )
+    n = excl.count()
+    cur = wh.read(spark, "asmt_target_exclusion")
+    wh.write_snapshot(
+        cur.unionByName(excl).dropDuplicates(["asmt_id", "claim_code", "target_code"]),
+        "asmt_target_exclusion",
+    )
+
+    # trigger migration exactly as the documented SQL does: a PACKAGE
+    # import row ('target exclusions' payload) that the asmt's
+    # update_import_id points at, marked PROCESSED for the migrate tail
+    rec = log.accept(
+        spark, ImportContent.PACKAGE,
+        f"target exclusions {asmt_natural_id}:{sorted(exclusions)}".encode(),
+        content_type="target exclusions",
+    )
+    if not rec.existing:
+        touched = asmt.withColumns({
+            "update_import_id": F.lit(rec.id).cast("long"),
+            "updated": F.current_timestamp(),
+        })
+        wh.merge_rows(spark, "asmt", touched.select(*asmt.columns), ["natural_id"])
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"exclusions_added": n, "import_id": rec.id}
+
+
 def purge_deleted_exams(
     spark: SparkSession, wh: TableStore, school_year: int | None = None,
 ) -> dict[str, int]:
@@ -128,7 +187,8 @@ def purge_deleted_exams(
     counts: dict[str, int] = {"exam": doomed.count()}
     if counts["exam"] == 0:
         return counts
-    for child in ("exam_item", "exam_score", "exam_available_accommodation"):
+    for child in ("exam_item", "exam_score", "exam_available_accommodation",
+                  "exam_item_trait_score"):
         cur = wh.read(spark, child)
         kept = cur.join(ids, "exam_id", "left_anti")
         counts[child] = cur.count() - kept.count()

@@ -33,6 +33,16 @@ CODES = {
     ],
     # docs/Runbook.SystemConfiguration.md:245-263
     "military_connected": ["NotMilitaryConnected", "ActiveDuty", "NationalGuardOrReserve"],
+    # docs/Runbook.ImportMigrate.md:12 lists math_practice and
+    # item_trait_score among the pre-loaded CODES dims; the math practices
+    # are the 8 SBAC practices, the trait-score codes are the writing
+    # purpose×category codes enumerated in deploy/ELA_subject.xml:863-880
+    "math_practice": ["1", "2", "3", "4", "5", "6", "7", "8"],
+    "item_trait_score": [
+        f"SOCK_{purpose}_{category}"
+        for purpose in ("ARGU", "EXPL", "INFO", "NARR", "OPIN")
+        for category in ("ORG", "CON", "EVI")
+    ],
 }
 
 

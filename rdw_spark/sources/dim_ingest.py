@@ -46,8 +46,34 @@ def ingest_organizations(spark: SparkSession, wh: TableStore, log: ImportLog,
     except Exception as exc:  # noqa: BLE001 — malformed payload → BAD_FORMAT
         log.set_status(spark, rec.id, ImportStatus.BAD_FORMAT, message=str(exc))
         return {"import_id": rec.id, "status": "BAD_FORMAT", "errors": [str(exc)]}
-    wh.merge_upsert(spark, "district", out["district"], rec.id)
+    # parents land before children so fk resolution sees this payload's rows
+    if "district_group" in out and not out["district_group"].isEmpty():
+        wh.merge_upsert(spark, "district_group", out["district_group"], rec.id)
+    district = out["district"]
+    if "district_group_natural_id" in district.columns:
+        dg = wh.read(spark, "district_group").select(
+            F.col("natural_id").alias("district_group_natural_id"),
+            F.col("id").alias("district_group_id"))
+        district = district.join(F.broadcast(dg), "district_group_natural_id",
+                                 "left").drop("district_group_natural_id")
+    wh.merge_upsert(spark, "district", district, rec.id)
+
+    district_ids = wh.read(spark, "district").select(
+        F.col("natural_id").alias("district_natural_id"),
+        F.col("id").alias("district_id"))
+    if "school_group" in out and not out["school_group"].isEmpty():
+        sg = out["school_group"].join(
+            F.broadcast(district_ids), "district_natural_id", "left"
+        ).drop("district_natural_id")
+        wh.merge_upsert(spark, "school_group", sg, rec.id)
+
     schools = resolve_school_district_ids(out["school"], wh.read(spark, "district"))
+    if "school_group_natural_id" in schools.columns:
+        sg_ids = wh.read(spark, "school_group").select(
+            F.col("natural_id").alias("school_group_natural_id"),
+            F.col("id").alias("school_group_id"))
+        schools = schools.join(F.broadcast(sg_ids), "school_group_natural_id",
+                               "left").drop("school_group_natural_id")
     orphans = [r["natural_id"] for r in
                schools.filter(F.col("district_id").isNull()).collect()]
     wh.merge_upsert(spark, "school",
@@ -68,6 +94,11 @@ def ingest_package(spark: SparkSession, wh: TableStore, log: ImportLog,
         F.col("natural_id").alias("asmt_natural_id"), F.col("id").alias("asmt_id"))
     items = out["item"].join(F.broadcast(ids), "asmt_natural_id").drop("asmt_natural_id")
     wh.replace_children(spark, "item", "asmt_id", items)
+    # item children (docs/Runbook.ImportMigrate.md:16)
+    for child in ("item_common_core_standard", "item_other_target"):
+        rows = out[child].join(F.broadcast(ids), "asmt_natural_id").drop("asmt_natural_id")
+        if not rows.isEmpty():
+            wh.replace_children(spark, child, "asmt_id", rows)
     return _finish(spark, log, rec)
 
 
@@ -116,7 +147,9 @@ def ingest_subject(spark: SparkSession, wh: TableStore, log: ImportLog,
     out = parse_subject_xml(spark, payload)
     wh.merge_upsert(spark, "subject", out["subject"], rec.id)
     for child in ("subject_asmt_type", "subject_performance_level",
-                  "depth_of_knowledge", "item_difficulty_cuts"):
+                  "depth_of_knowledge", "item_difficulty_cuts",
+                  "claim", "target", "common_core_standard",
+                  "subject_score", "subject_translation"):
         if out[child].columns:
             wh.replace_children(spark, child, "subject_code", out[child])
     return _finish(spark, log, rec)

@@ -172,6 +172,32 @@ def process_accepted(
         .filter(F.col("item_key").isNotNull())
     )
     wh.replace_children(spark, "exam_item", "exam_id", items)
+    # A11 writing-trait sub-scores → exam_item_trait_score; the writing
+    # purpose comes from the package item's PtWritingType, the category
+    # (dimension) from the TRT sub-score itself
+    trait_rows = (
+        with_exam_id.select("exam_id", "asmt_id", F.explode_outer("items").alias("it"))
+        .select("exam_id", "asmt_id",
+                F.when(F.col("it.bank_key").isNotNull(),
+                       F.concat_ws("-", "it.bank_key", "it.key"))
+                .otherwise(F.col("it.key")).alias("item_key"),
+                F.explode_outer("it.trait_scores").alias("ts"))
+        .filter(F.col("ts.category").isNotNull())
+    )
+    if not trait_rows.isEmpty():
+        purpose_map = wh.read(spark, "item").select(
+            "asmt_id", F.col("key").alias("item_key"),
+            F.col("pt_writing_type").alias("purpose"),
+        )
+        trait_scores = (
+            trait_rows.join(F.broadcast(purpose_map), ["asmt_id", "item_key"], "left")
+            .select("exam_id", "item_key", "purpose",
+                    F.col("ts.category").alias("category"),
+                    F.col("ts.score").alias("score"),
+                    F.col("ts.max_score").alias("max_score"),
+                    F.col("ts.condition_code").alias("condition_code"))
+        )
+        wh.replace_children(spark, "exam_item_trait_score", "exam_id", trait_scores)
     scores = (
         with_exam_id.select("exam_id", F.explode_outer("claim_scores").alias("cs"))
         .select("exam_id", F.col("cs.claim_code").alias("claim_code"),

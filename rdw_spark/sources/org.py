@@ -59,19 +59,54 @@ def parse_org_json(spark: SparkSession, payload: str | bytes) -> dict[str, DataF
         spark.createDataFrame([], _ENTITY)
     )
 
+    # group entities (docs/Runbook.ImportMigrate.md:17): the ART hierarchy
+    # is STATE → GROUPOFDISTRICTS → DISTRICT → GROUPOFINSTITUTIONS →
+    # INSTITUTION, and a school "in a group under a district" arrives with
+    # all three present (docs/API.md:459) — so a school's parent may be the
+    # group, and its district resolves through the group's parent
+    _GOD = ("GROUPOFDISTRICTS", "GROUP_OF_DISTRICTS", "DISTRICT_GROUP")
+    _GOI = ("GROUPOFINSTITUTIONS", "GROUP_OF_INSTITUTIONS",
+            "INSTITUTION_GROUP", "SCHOOL_GROUP")
+    district_group = (
+        ent.filter(F.col("entityType").isin(*_GOD))
+        .select(F.col("entityId").alias("natural_id"), F.col("entityName").alias("name"))
+    )
+    gods = ent.filter(F.col("entityType").isin(*_GOD)).select(
+        F.col("entityId").alias("_god_id"))
     district = (
         ent.filter(F.col("entityType") == "DISTRICT")
-        .select(F.col("entityId").alias("natural_id"), F.col("entityName").alias("name"))
+        .join(F.broadcast(gods),
+              F.col("parentEntityId") == F.col("_god_id"), "left")
+        .select(F.col("entityId").alias("natural_id"),
+                F.col("entityName").alias("name"),
+                F.col("_god_id").alias("district_group_natural_id"))
+    )
+    gois = ent.filter(F.col("entityType").isin(*_GOI)).select(
+        F.col("entityId").alias("_goi_id"),
+        F.col("entityName").alias("_goi_name"),
+        F.col("parentEntityId").alias("_goi_parent"),
+    )
+    school_group = gois.select(
+        F.col("_goi_id").alias("natural_id"),
+        F.col("_goi_name").alias("name"),
+        F.col("_goi_parent").alias("district_natural_id"),
     )
     school = (
         ent.filter(F.col("entityType") == "INSTITUTION")
+        .join(F.broadcast(gois),
+              F.col("parentEntityId") == F.col("_goi_id"), "left")
         .select(
             F.col("entityId").alias("natural_id"),
             F.col("entityName").alias("name"),
-            F.col("parentEntityId").alias("district_natural_id"),
+            # parent is either the district itself or a school group whose
+            # own parent is the district
+            F.coalesce(F.col("_goi_parent"), F.col("parentEntityId"))
+            .alias("district_natural_id"),
+            F.col("_goi_id").alias("school_group_natural_id"),
         )
     )
-    return {"district": district, "school": school}
+    return {"district": district, "school": school,
+            "district_group": district_group, "school_group": school_group}
 
 
 CALPADS_COLUMNS = [

@@ -68,8 +68,53 @@ def parse_package(csv_df: DataFrame) -> dict[str, DataFrame]:
         F.col("Target").alias("target_code"),
         F.col("MathematicalPractice").alias("math_practice"),
         F.col("CommonCore").alias("common_core_standard"),
+        (F.col("PtWritingType") if "PtWritingType" in csv_df.columns
+         else F.lit(None).cast("string")).alias("pt_writing_type"),
         F.col("a").cast("double").alias("irt_a"),
         F.col("b0_b").cast("double").alias("irt_b"),
         F.col("b1_c").cast("double").alias("irt_c"),
     ).filter(F.col("key").isNotNull())
-    return {"asmt": asmt, "item": item}
+
+    # item children (docs/Runbook.ImportMigrate.md:16): the standards
+    # columns normalized one row per standard/target. Tabulator packs
+    # multiple standards into one cell separated by ';' or '|';
+    # SecondaryClaimContentTarget carries 'claim|target' pairs.
+    def _opt(col: str):
+        # simple-variant exports omit the standards columns entirely
+        return F.col(col) if col in csv_df.columns else F.lit(None).cast("string")
+
+    def _split_standards(col: str, secondary: bool) -> DataFrame:
+        return (
+            csv_df.select(
+                F.col("AssessmentId").alias("asmt_natural_id"),
+                F.col("FullItemKey").alias("item_key"),
+                F.explode(F.split(_opt(col), r"[;|]")).alias("natural_id"),
+                F.lit(secondary).alias("secondary"),
+            )
+            .withColumn("natural_id", F.trim("natural_id"))
+            .filter(F.col("item_key").isNotNull() & (F.col("natural_id") != ""))
+        )
+
+    item_ccs = _split_standards("CommonCore", False).unionByName(
+        _split_standards("SecondaryCommonCore", True)
+    ).distinct()
+    item_other_target = (
+        csv_df.select(
+            F.col("AssessmentId").alias("asmt_natural_id"),
+            F.col("FullItemKey").alias("item_key"),
+            F.trim(_opt("SecondaryClaimContentTarget")).alias("cct"),
+        )
+        .filter(F.col("item_key").isNotNull()
+                & F.col("cct").isNotNull() & (F.col("cct") != ""))
+        .select(
+            "asmt_natural_id", "item_key",
+            F.when(F.col("cct").contains("|"),
+                   F.split(F.col("cct"), r"\|").getItem(0)).alias("claim_code"),
+            F.when(F.col("cct").contains("|"),
+                   F.split(F.col("cct"), r"\|").getItem(1))
+            .otherwise(F.col("cct")).alias("target_code"),
+        ).distinct()
+    )
+    return {"asmt": asmt, "item": item,
+            "item_common_core_standard": item_ccs,
+            "item_other_target": item_other_target}

@@ -61,6 +61,47 @@ def parse_subject_xml(spark: SparkSession, payload: str | bytes) -> dict[str, Da
                     "color": lvl.get("color"),
                 })
 
+    # SUBJECT child dims (docs/Runbook.ImportMigrate.md:20):
+    # <Claims>/<Claim>/<Targets>/<Target> (deploy/ELA_subject.xml:881+),
+    # <Standards>/<Standard> (:2247+), <Traits>/<Trait> (:863-880),
+    # <Messages>/<Message> → subject_translation display strings (:3+)
+    claim_rows, target_rows, std_rows, trait_rows, msg_rows = [], [], [], [], []
+    for cl in root.findall("./Claims/Claim"):
+        cl_code = cl.get("code")
+        desc = cl.find("Description")
+        claim_rows.append({
+            "subject_code": code, "code": cl_code, "name": cl.get("name"),
+            "description": desc.text if desc is not None else None,
+            "scorable": cl.get("scorable") != "false",
+            "organizational": cl.get("organizational") == "true",
+            "display_order": int(cl.get("displayOrder")) if cl.get("displayOrder") else None,
+        })
+        for tg in cl.findall("./Targets/Target"):
+            tdesc = tg.find("Description")
+            target_rows.append({
+                "subject_code": code, "claim_code": cl_code,
+                "natural_id": tg.get("code"), "name": tg.get("name"),
+                "description": tdesc.text if tdesc is not None else None,
+            })
+    for std in root.findall("./Standards/Standard"):
+        sdesc = std.find("Description")
+        std_rows.append({
+            "subject_code": code, "natural_id": std.get("code"),
+            "description": sdesc.text if sdesc is not None else None,
+        })
+    for tr in root.findall("./Traits/Trait"):
+        trait_rows.append({
+            "subject_code": code, "code": tr.get("code"),
+            "purpose": tr.get("purpose"), "category": tr.get("category"),
+            "max_score": int(tr.get("maxScore")) if tr.get("maxScore") else None,
+        })
+    for msg in root.findall("./Messages/Message"):
+        msg_rows.append({
+            "subject_code": code, "label_code": msg.get("key"),
+            "language_code": msg.get("language", "en"),
+            "value": (msg.text or "").strip() or None,
+        })
+
     for dok in root.findall("./DepthsOfKnowledge/DepthOfKnowledge"):
         ref = dok.find("Reference")
         dok_rows.append({
@@ -87,10 +128,29 @@ def parse_subject_xml(spark: SparkSession, payload: str | bytes) -> dict[str, Da
             ))
         return spark.createDataFrame(rows)
 
+    def typed(rows: list[dict], schema, surrogate: list[str] | None = None) -> DataFrame:
+        """Declared-schema frame (inference would break on all-None columns);
+        ``surrogate`` names the key columns hashed into the ``id`` field."""
+        import pyspark.sql.functions as F
+        import pyspark.sql.types as T
+
+        body = T.StructType([f for f in schema.fields if f.name != "id"])
+        out = spark.createDataFrame(rows, body)
+        if surrogate:
+            out = out.withColumn("id", F.xxhash64(*surrogate))
+        return out.select(*[f.name for f in schema.fields])
+
     return {
         "subject": spark.createDataFrame(subject_rows),
         "subject_asmt_type": df(sat_rows, S.SUBJECT_ASMT_TYPE),
         "subject_performance_level": df(perf_rows, S.SUBJECT_PERFORMANCE_LEVEL),
         "depth_of_knowledge": df(dok_rows, S.DEPTH_OF_KNOWLEDGE),
         "item_difficulty_cuts": df(idc_rows, S.ITEM_DIFFICULTY_CUTS),
+        "claim": typed(claim_rows, S.CLAIM, ["subject_code", "code"]),
+        "target": typed(target_rows, S.TARGET,
+                        ["subject_code", "claim_code", "natural_id"]),
+        "common_core_standard": typed(std_rows, S.COMMON_CORE_STANDARD,
+                                      ["subject_code", "natural_id"]),
+        "subject_score": typed(trait_rows, S.SUBJECT_SCORE),
+        "subject_translation": typed(msg_rows, S.SUBJECT_TRANSLATION),
     }

@@ -33,6 +33,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+TRAIT_SCORE_STRUCT = T.StructType([  # WER writing-trait sub-scores
+    T.StructField("category", T.StringType()),   # ScoreInfo@scoreDimension
+    T.StructField("score", T.DoubleType()),
+    T.StructField("max_score", T.DoubleType()),
+    T.StructField("condition_code", T.StringType()),
+])
 ITEM_STRUCT = T.StructType([
     T.StructField("key", T.StringType()),
     T.StructField("bank_key", T.StringType()),
@@ -40,6 +46,7 @@ ITEM_STRUCT = T.StructType([
     T.StructField("score", T.DoubleType()),
     T.StructField("score_status", T.StringType()),
     T.StructField("response", T.StringType()),
+    T.StructField("trait_scores", T.ArrayType(TRAIT_SCORE_STRUCT)),
 ])
 CLAIM_SCORE_STRUCT = T.StructType([
     T.StructField("claim_code", T.StringType()),
@@ -214,6 +221,23 @@ def _parse_one(import_id: int, payload: str, required: list[str]) -> dict:
             resp = it.find("Response")
             pos = it.get("position")
             sc = it.get("score")
+            if sc in (None, ""):  # some TRTs carry it on ScoreInfo instead
+                si_overall = it.find("ScoreInfo")
+                if si_overall is not None:
+                    sc = si_overall.get("scorePoint")
+            # writing-trait sub-scores: <ScoreInfo><SubScoreList><ScoreInfo
+            # scoreDimension scorePoint maxScore conditionCode/>… — the TRT
+            # carry for the subject XML's <Traits> definitions (A11,
+            # deploy/ELA_subject.xml:863-880)
+            traits = []
+            for si in it.findall("./ScoreInfo/SubScoreList/ScoreInfo"):
+                sp, mx = si.get("scorePoint"), si.get("maxScore")
+                traits.append({
+                    "category": si.get("scoreDimension"),
+                    "score": float(sp) if sp not in (None, "") else None,
+                    "max_score": float(mx) if mx not in (None, "") else None,
+                    "condition_code": si.get("conditionCode") or None,
+                })
             items.append({
                 "key": it.get("key"),
                 "bank_key": it.get("bankKey"),
@@ -221,6 +245,7 @@ def _parse_one(import_id: int, payload: str, required: list[str]) -> dict:
                 "score": float(sc) if sc else None,
                 "score_status": it.get("scoreStatus"),
                 "response": resp.text if resp is not None else None,
+                "trait_scores": traits or None,
             })
         row["items"] = items or None
         row["accommodations"] = [

@@ -120,6 +120,7 @@ class MigrateEngine:
         "olap_iab_exam": ["id"],
         "olap_exam_longitudinal": ["id"],
         "olap_exam_score": ["exam_id", "claim_code"],
+        "olap_exam_target_score": ["exam_id", "claim_code", "target_code"],
     }
 
     def __init__(self, warehouse: TableStore, mart_root: str, batch_size: int = 2000):
@@ -332,6 +333,36 @@ class MigrateEngine:
                 "exam_id",
             ),
         )
+        # 5th fact: exam_target_score — "scored target data for Summative
+        # exams" (docs/Runbook.BulkDeleteExams.md:117). The target of each
+        # item comes from the package (item.claim_code/target_code); the
+        # per-(exam, target) score is the earned/possible point aggregate
+        # over the exam's scored items. (The reference's exact residual
+        # formula lives in unvendored RDW_Ingest source; the fact grain,
+        # summative-only filter, and target identity follow the docs.)
+        sum_exam = exam.filter(F.col("type_code") == "sum").select(
+            F.col("id").alias("exam_id"), "asmt_id", "school_year", "subject_code",
+        )
+        exam_items = self.wh.read(spark, "exam_item").join(
+            F.broadcast(sum_exam.select("exam_id")), "exam_id", "left_semi"
+        )
+        item_dim = self.wh.read(spark, "item").select(
+            "asmt_id", F.col("key").alias("item_key"),
+            "claim_code", "target_code", "max_points",
+        )
+        target_scores = (
+            exam_items.join(F.broadcast(sum_exam), "exam_id")
+            .join(F.broadcast(item_dim), ["asmt_id", "item_key"])
+            .filter(F.col("target_code").isNotNull() & F.col("score").isNotNull())
+            .groupBy("exam_id", "claim_code", "target_code")
+            .agg(F.first("asmt_id").alias("asmt_id"),
+                 F.first("school_year").alias("school_year"),
+                 F.first("subject_code").alias("subject_code"),
+                 F.count("*").alias("num_items"),
+                 F.sum("score").alias("points_earned"),
+                 F.sum("max_points").cast("double").alias("points_possible"))
+        )
+        self._merge_mart(spark, "olap_exam_target_score", target_scores)
         exam.unpersist()
         return n
 

@@ -57,6 +57,7 @@ DISTRICT = _tbl(
     T.StructField("id", T.LongType(), False),
     T.StructField("natural_id", T.StringType(), False),
     T.StructField("name", T.StringType(), False),
+    T.StructField("district_group_id", T.LongType(), True), # GROUP_OF_DISTRICTS parent
 )
 SCHOOL = _tbl(
     T.StructField("id", T.LongType(), False),
@@ -64,6 +65,21 @@ SCHOOL = _tbl(
     T.StructField("natural_id", T.StringType(), False),
     T.StructField("name", T.StringType(), False),
     T.StructField("external_id", T.StringType(), True),
+    T.StructField("school_group_id", T.LongType(), True),   # GROUP_OF_INSTITUTIONS parent
+)
+# org group entities (docs/Runbook.ImportMigrate.md:17; ART hierarchy
+# STATE → group of districts → DISTRICT → group of institutions →
+# INSTITUTION, docs/API.md:452-569)
+DISTRICT_GROUP = _tbl(
+    T.StructField("id", T.LongType(), False),
+    T.StructField("natural_id", T.StringType(), False),
+    T.StructField("name", T.StringType(), False),
+)
+SCHOOL_GROUP = _tbl(
+    T.StructField("id", T.LongType(), False),
+    T.StructField("natural_id", T.StringType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("district_id", T.LongType(), True),
 )
 
 # --- students (reference docs/Runbook.Audit.md:516-527) ---
@@ -112,9 +128,34 @@ ITEM = T.StructType([  # child of asmt (tools/TestPackage.csv header)
     T.StructField("target_code", T.StringType(), True),
     T.StructField("math_practice", T.StringType(), True),
     T.StructField("common_core_standard", T.StringType(), True),
+    T.StructField("pt_writing_type", T.StringType(), True), # WER purpose (PtWritingType col)
     T.StructField("irt_a", T.DoubleType(), True),           # IRT params (API.md:719-721)
     T.StructField("irt_b", T.DoubleType(), True),
     T.StructField("irt_c", T.DoubleType(), True),
+])
+# PACKAGE item children (reference docs/Runbook.ImportMigrate.md:16): the
+# tabulator CSV's CommonCore/SecondaryCommonCore and
+# SecondaryClaimContentTarget columns, normalized one standard/target per row
+ITEM_COMMON_CORE_STANDARD = T.StructType([
+    T.StructField("asmt_id", T.LongType(), False),
+    T.StructField("item_key", T.StringType(), False),
+    T.StructField("natural_id", T.StringType(), False),     # e.g. 11-12.L.1
+    T.StructField("secondary", T.BooleanType(), False),
+])
+ITEM_OTHER_TARGET = T.StructType([
+    T.StructField("asmt_id", T.LongType(), False),
+    T.StructField("item_key", T.StringType(), False),
+    T.StructField("claim_code", T.StringType(), True),
+    T.StructField("target_code", T.StringType(), False),
+])
+# A8 target exclusions (docs/Runbook.SystemConfiguration.md:148-167):
+# IT-maintained table; rows are added by the admin flow which also triggers
+# migration via a PACKAGE import row (mirroring the documented SQL)
+ASMT_TARGET_EXCLUSION = T.StructType([
+    T.StructField("asmt_id", T.LongType(), False),
+    T.StructField("target_id", T.LongType(), False),        # surrogate of the target dim
+    T.StructField("claim_code", T.StringType(), False),
+    T.StructField("target_code", T.StringType(), False),
 ])
 
 # --- exams (EXAM content, reference docs/Runbook.Audit.md:233-263) ---
@@ -160,6 +201,19 @@ EXAM_SCORE = T.StructType([  # one row per claim score (Audit.md:58)
     T.StructField("scale_score", T.DoubleType(), True),
     T.StructField("scale_score_std_err", T.DoubleType(), True),
     T.StructField("performance_level", T.IntegerType(), True),
+])
+# writing-trait sub-scores per WER item (TRT ScoreInfo/SubScoreList; trait
+# definitions come from the subject XML <Traits> block,
+# deploy/ELA_subject.xml:863-880; the item_trait_score CODES dim names the
+# legal trait codes, docs/Runbook.ImportMigrate.md:12)
+EXAM_ITEM_TRAIT_SCORE = T.StructType([
+    T.StructField("exam_id", T.LongType(), False),
+    T.StructField("item_key", T.StringType(), False),
+    T.StructField("purpose", T.StringType(), True),         # writing purpose (ARGU/EXPL/…)
+    T.StructField("category", T.StringType(), False),       # dimension (ORG/EVI/CON)
+    T.StructField("score", T.DoubleType(), True),
+    T.StructField("max_score", T.DoubleType(), True),
+    T.StructField("condition_code", T.StringType(), True),  # e.g. blank/off-topic flags
 ])
 EXAM_AVAILABLE_ACCOMMODATION = T.StructType([
     T.StructField("exam_id", T.LongType(), False),
@@ -251,6 +305,46 @@ ITEM_DIFFICULTY_CUTS = T.StructType([
     T.StructField("moderate_low_end", T.DoubleType(), False),
     T.StructField("difficult_low_end", T.DoubleType(), False),
 ])
+# SUBJECT child dims (reference docs/Runbook.ImportMigrate.md:20; element
+# shapes from deploy/ELA_subject.xml: <Claims> :881, <Standards> :2247,
+# <Traits> :863-880, <Messages> :3)
+CLAIM = T.StructType([
+    T.StructField("id", T.LongType(), False),               # surrogate of (subject, code)
+    T.StructField("subject_code", T.StringType(), False),
+    T.StructField("code", T.StringType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("scorable", T.BooleanType(), False),
+    T.StructField("organizational", T.BooleanType(), False),
+    T.StructField("display_order", T.IntegerType(), True),
+])
+TARGET = T.StructType([
+    T.StructField("id", T.LongType(), False),               # surrogate of (subject, claim, code)
+    T.StructField("subject_code", T.StringType(), False),
+    T.StructField("claim_code", T.StringType(), False),
+    T.StructField("natural_id", T.StringType(), False),     # Target@code
+    T.StructField("name", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+])
+COMMON_CORE_STANDARD = T.StructType([
+    T.StructField("id", T.LongType(), False),               # surrogate of (subject, natural_id)
+    T.StructField("subject_code", T.StringType(), False),
+    T.StructField("natural_id", T.StringType(), False),     # Standard@code
+    T.StructField("description", T.StringType(), True),
+])
+SUBJECT_SCORE = T.StructType([  # writing-trait definitions (<Traits>)
+    T.StructField("subject_code", T.StringType(), False),
+    T.StructField("code", T.StringType(), False),           # e.g. SOCK_ARGU_ORG
+    T.StructField("purpose", T.StringType(), True),         # ARGU/EXPL/INFO/NARR/OPIN
+    T.StructField("category", T.StringType(), True),        # ORG/EVI/CON
+    T.StructField("max_score", T.IntegerType(), True),
+])
+SUBJECT_TRANSLATION = T.StructType([  # display strings (<Messages>)
+    T.StructField("subject_code", T.StringType(), False),
+    T.StructField("label_code", T.StringType(), False),     # Message@key
+    T.StructField("language_code", T.StringType(), False),  # 'en' for the base document
+    T.StructField("value", T.StringType(), True),
+])
 
 # --- embargo (EMBARGO content, reference docs/Runbook.ManualDataModifications.md:23-32) ---
 STATE_EMBARGO = _tbl(
@@ -286,6 +380,8 @@ USER_REPORT = T.StructType([
 NATURAL_KEYS: dict[str, list[str]] = {
     "district": ["natural_id"],
     "school": ["natural_id"],
+    "district_group": ["natural_id"],
+    "school_group": ["natural_id"],
     "student": ["ssid"],
     "asmt": ["natural_id"],
     "exam": ["opp_id", "asmt_id"],
@@ -301,6 +397,8 @@ SCHEMAS: dict[str, T.StructType] = {
     "import": IMPORT,
     "district": DISTRICT,
     "school": SCHOOL,
+    "district_group": DISTRICT_GROUP,
+    "school_group": SCHOOL_GROUP,
     "student": STUDENT,
     "student_ethnicity": STUDENT_ETHNICITY,
     "asmt": ASMT,
@@ -321,6 +419,15 @@ SCHEMAS: dict[str, T.StructType] = {
     "subject_performance_level": SUBJECT_PERFORMANCE_LEVEL,
     "depth_of_knowledge": DEPTH_OF_KNOWLEDGE,
     "item_difficulty_cuts": ITEM_DIFFICULTY_CUTS,
+    "claim": CLAIM,
+    "target": TARGET,
+    "common_core_standard": COMMON_CORE_STANDARD,
+    "subject_score": SUBJECT_SCORE,
+    "subject_translation": SUBJECT_TRANSLATION,
+    "item_common_core_standard": ITEM_COMMON_CORE_STANDARD,
+    "item_other_target": ITEM_OTHER_TARGET,
+    "asmt_target_exclusion": ASMT_TARGET_EXCLUSION,
+    "exam_item_trait_score": EXAM_ITEM_TRAIT_SCORE,
     "state_embargo": STATE_EMBARGO,
     "district_embargo": DISTRICT_EMBARGO,
     "user_report": USER_REPORT,

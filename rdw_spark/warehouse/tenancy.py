@@ -52,7 +52,8 @@ class Tenant:
                 f"{self.tenant_id}_{t}"
             )
         for mart in ("reporting_exam", "olap_exam", "olap_iab_exam",
-                     "olap_exam_longitudinal", "olap_exam_score"):
+                     "olap_exam_longitudinal", "olap_exam_score",
+                     "olap_exam_target_score"):
             try:
                 self.migrate.read_mart(spark, mart).createOrReplaceTempView(
                     f"{self.tenant_id}_{mart}"

@@ -54,9 +54,9 @@ Homeroom6A,55500010001001,2018,All,,
 Homeroom6A,55500010001001,2018,,STU001,
 """
 
-PACKAGE_CSV = """AssessmentId,AssessmentName,AssessmentSubject,AssessmentGrade,AssessmentType,AssessmentLabel,AssessmentVersion,AcademicYear,FullItemKey,BankKey,ItemId,ItemType,Grade,Claim,Target,DOK,MaxPoints,MathematicalPractice,CommonCore,ItemPosition,a,b0_b,b1_c,CutPoint1,ScaledLow1,ScaledHigh1,CutPoint2,ScaledLow2,ScaledHigh2,CutPoint3,ScaledLow3,ScaledHigh3,CutPoint4,ScaledLow4,ScaledHigh4
-TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1001,100,1001,MC,6,C1,T1,2,1,MP1,6.NS.1,1,0.8,-0.5,0.1,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
-TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1002,100,1002,SA,6,C2,T2,3,2,MP2,6.RP.2,2,1.1,0.3,0.0,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
+PACKAGE_CSV = """AssessmentId,AssessmentName,AssessmentSubject,AssessmentGrade,AssessmentType,AssessmentLabel,AssessmentVersion,AcademicYear,FullItemKey,BankKey,ItemId,ItemType,Grade,Claim,Target,DOK,MaxPoints,MathematicalPractice,CommonCore,SecondaryCommonCore,SecondaryClaimContentTarget,PtWritingType,ItemPosition,a,b0_b,b1_c,CutPoint1,ScaledLow1,ScaledHigh1,CutPoint2,ScaledLow2,ScaledHigh2,CutPoint3,ScaledLow3,ScaledHigh3,CutPoint4,ScaledLow4,ScaledHigh4
+TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1001,100,1001,MC,6,C1,T1,2,1,MP1,6.NS.1;6.NS.2,6.RP.1,C2|T9,,1,0.8,-0.5,0.1,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
+TESTASMT-G6-2018,Grade 6 Test,Math,6,SUM,G6,2.0,2018,100-1002,100,1002,WER,6,C2,T2,3,2,MP2,6.RP.2,,,EXPL,2,1.1,0.3,0.0,1,2000,2379,2,2380,2489,3,2490,2599,4,2600,3000
 """
 
 SUBJECT_XML = """<?xml version="1.0" encoding="UTF-8"?>
@@ -86,6 +86,36 @@ SUBJECT_XML = """<?xml version="1.0" encoding="UTF-8"?>
   <ItemDifficulties>
     <ItemDifficulty gradeCode="06" moderateLowEnd="-0.5" difficultLowEnd="0.9"/>
   </ItemDifficulties>
+  <Messages>
+    <Message key="standard-description">Standards column help text</Message>
+    <Message key="trait.category.ORG.name">Organization / Purpose</Message>
+  </Messages>
+  <Traits>
+    <Trait code="TSUB_EXPL_ORG" purpose="EXPL" category="ORG" maxScore="4"/>
+    <Trait code="TSUB_EXPL_CON" purpose="EXPL" category="CON" maxScore="2"/>
+  </Traits>
+  <Claims>
+    <Claim code="C1" name="Concepts" scorable="true" displayOrder="1">
+      <Description>Concepts and Procedures</Description>
+      <Targets>
+        <Target code="T1" name="A">
+          <Description>Apply concepts</Description>
+        </Target>
+        <Target code="T9" name="B"/>
+      </Targets>
+    </Claim>
+    <Claim code="C2" name="Problem Solving" scorable="false">
+      <Targets>
+        <Target code="T2" name="C"/>
+      </Targets>
+    </Claim>
+  </Claims>
+  <Standards>
+    <Standard code="6.NS.1">
+      <Description>Interpret and compute quotients of fractions</Description>
+    </Standard>
+    <Standard code="6.RP.2"/>
+  </Standards>
 </Subject>
 """
 
@@ -115,7 +145,7 @@ ACCOMMODATIONS_XML = """<?xml version="1.0" encoding="utf-8"?>
 def make_trt(
     opp_id="OPP-1", ssid="STU001", school="55500010001001",
     asmt="TESTASMT-G6-2018", score=2500.0, completed="2018-04-12T10:30:00",
-    include_items=True, drop_school=False, perf_level=None,
+    include_items=True, drop_school=False, perf_level=None, wer_item=False,
 ) -> bytes:
     school_rel = (
         "" if drop_school else
@@ -135,6 +165,20 @@ def make_trt(
         </Item>
         """ if include_items else ""
     )
+    if wer_item:
+        # a WER (writing extended-response) item whose ScoreInfo carries
+        # per-trait sub-scores (A11; trait defs deploy/ELA_subject.xml:863-880)
+        items += """
+        <Item position="3" bankKey="100" key="1002" scoreStatus="SCORED" format="WER">
+          <ScoreInfo maxScore="6" scorePoint="4" scoreDimension="overall" scoreStatus="Scored">
+            <SubScoreList>
+              <ScoreInfo scoreDimension="ORG" scorePoint="3" maxScore="4" scoreStatus="Scored"/>
+              <ScoreInfo scoreDimension="CON" scorePoint="1" maxScore="2" scoreStatus="Scored" conditionCode=""/>
+            </SubScoreList>
+          </ScoreInfo>
+          <Response>essay text</Response>
+        </Item>
+        """
     return f"""<TDSReport>
   <Test name="{asmt}" subject="Math" grade="06" assessmentType="SUM"
         academicYear="2018" assessmentVersion="2.0"/>
@@ -257,6 +301,36 @@ class TestPackage:
         assert len(items) == 2
         assert items[0]["key"] == "100-1001" and items[0]["dok_level"] == 2
         assert items[1]["irt_a"] == 1.1
+        assert items[1]["pt_writing_type"] == "EXPL"
+
+    def test_item_children(self, spark):
+        """item_common_core_standard / item_other_target
+        (docs/Runbook.ImportMigrate.md:16): multi-standard cells split,
+        secondary standards flagged, claim|target pairs parsed."""
+        out = parse_package(read_package_csv(spark, PACKAGE_CSV))
+        ccs = {(r["item_key"], r["natural_id"]): r["secondary"]
+               for r in out["item_common_core_standard"].collect()}
+        assert ccs[("100-1001", "6.NS.1")] is False
+        assert ccs[("100-1001", "6.NS.2")] is False   # split from the same cell
+        assert ccs[("100-1001", "6.RP.1")] is True    # SecondaryCommonCore
+        assert ccs[("100-1002", "6.RP.2")] is False
+        ot = out["item_other_target"].collect()
+        assert len(ot) == 1
+        assert (ot[0]["item_key"], ot[0]["claim_code"], ot[0]["target_code"]) == (
+            "100-1001", "C2", "T9")
+
+    def test_simple_variant_without_standards_columns(self, spark):
+        """Simple tabulator exports omit the standards columns entirely
+        (tools/TestPackage.Simple.csv) — children parse as empty, not error."""
+        cols = [c for c in PACKAGE_CSV.splitlines()[0].split(",")
+                if c not in ("SecondaryCommonCore", "SecondaryClaimContentTarget",
+                             "PtWritingType")]
+        keep = [PACKAGE_CSV.splitlines()[0].split(",").index(c) for c in cols]
+        lines = [",".join(ln.split(",")[i] for i in keep)
+                 for ln in PACKAGE_CSV.strip().splitlines()]
+        out = parse_package(read_package_csv(spark, "\n".join(lines) + "\n"))
+        assert out["item"].count() == 2
+        assert out["item_other_target"].count() == 0
 
 
 class TestSubjectXml:
@@ -272,6 +346,32 @@ class TestSubjectXml:
         assert out["depth_of_knowledge"].count() == 2
         idc = out["item_difficulty_cuts"].collect()[0]
         assert idc["grade_code"] == "06" and idc["difficult_low_end"] == 0.9
+
+    def test_child_dims(self, spark):
+        """SUBJECT child dims (docs/Runbook.ImportMigrate.md:20): claim,
+        target, common_core_standard, subject_score traits, translations."""
+        out = parse_subject_xml(spark, SUBJECT_XML)
+        claims = {r["code"]: r for r in out["claim"].collect()}
+        assert set(claims) == {"C1", "C2"}
+        assert claims["C1"]["name"] == "Concepts"
+        assert claims["C1"]["description"].startswith("Concepts and")
+        assert claims["C1"]["scorable"] is True and claims["C1"]["display_order"] == 1
+        assert claims["C2"]["scorable"] is False
+        targets = {r["natural_id"]: r for r in out["target"].collect()}
+        assert set(targets) == {"T1", "T9", "T2"}
+        assert targets["T1"]["claim_code"] == "C1"
+        assert targets["T1"]["description"] == "Apply concepts"
+        assert targets["T2"]["claim_code"] == "C2"
+        stds = {r["natural_id"]: r["description"]
+                for r in out["common_core_standard"].collect()}
+        assert stds["6.NS.1"].startswith("Interpret")
+        assert stds["6.RP.2"] is None
+        traits = {r["code"]: r for r in out["subject_score"].collect()}
+        assert traits["TSUB_EXPL_ORG"]["category"] == "ORG"
+        assert traits["TSUB_EXPL_ORG"]["max_score"] == 4
+        msgs = {r["label_code"]: r for r in out["subject_translation"].collect()}
+        assert msgs["trait.category.ORG.name"]["value"] == "Organization / Purpose"
+        assert msgs["standard-description"]["language_code"] == "en"
 
 
 class TestAccommodations:
@@ -330,3 +430,91 @@ class TestTrt:
         assert out["exam_score"].count() == 4
         assert out["exam_available_accommodation"].count() == 2
         assert out["student_ethnicity"].count() == 4
+
+
+ORG_JSON_GROUPS = """
+[
+  {"entityId": "GOD-1", "entityType": "GROUPOFDISTRICTS",
+   "entityName": "North Region", "parentEntityId": "WA",
+   "parentEntityType": "STATE"},
+  {"entityId": "55500010000000", "entityType": "DISTRICT",
+   "entityName": "Northlake District", "parentEntityId": "GOD-1",
+   "parentEntityType": "GROUPOFDISTRICTS"},
+  {"entityId": "GOI-1", "entityType": "GROUPOFINSTITUTIONS",
+   "entityName": "Lakeside Schools", "parentEntityId": "55500010000000",
+   "parentEntityType": "DISTRICT"},
+  {"entityId": "55500010001001", "entityType": "INSTITUTION",
+   "entityName": "Cedar Elementary", "parentEntityId": "GOI-1",
+   "parentEntityType": "GROUPOFINSTITUTIONS"},
+  {"entityId": "55500010001002", "entityType": "INSTITUTION",
+   "entityName": "Maple Middle", "parentEntityId": "55500010000000",
+   "parentEntityType": "DISTRICT"}
+]
+"""
+
+
+class TestOrgGroups:
+    def test_hierarchy_with_groups(self, spark):
+        """The full ART hierarchy (docs/API.md:452-569): state → district
+        group → district → school group → school; a school parented by a
+        group resolves its district THROUGH the group."""
+        out = parse_org_json(spark, ORG_JSON_GROUPS)
+        dg = out["district_group"].collect()
+        assert len(dg) == 1 and dg[0]["natural_id"] == "GOD-1"
+        d = out["district"].collect()
+        assert len(d) == 1
+        assert d[0]["district_group_natural_id"] == "GOD-1"
+        sg = out["school_group"].collect()
+        assert len(sg) == 1
+        assert (sg[0]["natural_id"], sg[0]["district_natural_id"]) == (
+            "GOI-1", "55500010000000")
+        schools = {r["natural_id"]: r for r in out["school"].collect()}
+        assert schools["55500010001001"]["district_natural_id"] == "55500010000000"
+        assert schools["55500010001001"]["school_group_natural_id"] == "GOI-1"
+        assert schools["55500010001002"]["school_group_natural_id"] is None
+
+    def test_ingest_lands_all_four_tables(self, spark, tmp_path):
+        from rdw_spark.sources.dim_ingest import ingest_organizations
+        from rdw_spark.warehouse import ImportLog, TableStore
+
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh, archive_root=None)
+        res = ingest_organizations(spark, wh, log, ORG_JSON_GROUPS.encode())
+        assert res["status"] == "PROCESSED"
+        assert wh.read(spark, "district_group").count() == 1
+        assert wh.read(spark, "school_group").count() == 1
+        d = wh.read(spark, "district").collect()[0]
+        dg = wh.read(spark, "district_group").collect()[0]
+        assert d["district_group_id"] == dg["id"]
+        sg = wh.read(spark, "school_group").collect()[0]
+        assert sg["district_id"] == d["id"]
+        schools = {r["natural_id"]: r for r in wh.read(spark, "school").collect()}
+        assert schools["55500010001001"]["district_id"] == d["id"]
+        assert schools["55500010001001"]["school_group_id"] == sg["id"]
+        assert schools["55500010001002"]["school_group_id"] is None
+
+        from rdw_spark.plans.rdw_reports import org_hierarchy
+        flat = org_hierarchy(
+            wh.read(spark, "school"), wh.read(spark, "district"),
+            wh.read(spark, "school_group"), wh.read(spark, "district_group"),
+        )
+        rows = {r["school_natural_id"]: r for r in flat.collect()}
+        assert rows["55500010001001"]["school_group_name"] == "Lakeside Schools"
+        assert rows["55500010001001"]["district_group_name"] == "North Region"
+        assert rows["55500010001002"]["school_group_name"] is None
+
+
+class TestTrtTraitScores:
+    def test_wer_subscores_parse(self, spark):
+        from rdw_spark.sources.trt import parse_trt
+
+        payload = make_trt(include_items=False, wer_item=True).decode("utf-8")
+        df = spark.createDataFrame([(1, payload)], "import_id long, payload string")
+        row = parse_trt(df).collect()[0]
+        items = row["items"]
+        assert len(items) == 1
+        it = items[0]
+        assert it["score"] == 4.0  # falls back to ScoreInfo@scorePoint
+        traits = {t["category"]: t for t in it["trait_scores"]}
+        assert traits["ORG"]["score"] == 3.0 and traits["ORG"]["max_score"] == 4.0
+        assert traits["CON"]["score"] == 1.0

@@ -1,0 +1,125 @@
+"""Target-score fact, target exclusions, and writing-trait scores — the
+round-5 entity-inventory additions:
+
+- ``olap_exam_target_score`` is the 5th OLAP fan-out fact ("scored target
+  data for Summative exams", reference docs/Runbook.BulkDeleteExams.md:117)
+- ``asmt_target_exclusion`` is the IT-maintained exclusion table whose
+  insert flow also triggers migration
+  (docs/Runbook.SystemConfiguration.md:148-167)
+- ``exam_item_trait_score`` lands WER sub-scores from the TRT, typed by the
+  subject XML trait definitions (deploy/ELA_subject.xml:863-880)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdw_spark.plans import rdw_reports as R
+from rdw_spark.sources.admin_flows import add_target_exclusions
+from rdw_spark.sources.dim_ingest import (
+    ingest_organizations, ingest_package, ingest_subject,
+)
+from rdw_spark.sources.exam_ingest import ingest_exams
+from rdw_spark.warehouse import ImportLog, MigrateEngine, TableStore
+
+from tests.test_sources import ORG_JSON, PACKAGE_CSV, SUBJECT_XML, make_trt
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    wh = TableStore(str(tmp_path / "warehouse"), audit_enabled=False)
+    log = ImportLog(wh, archive_root=None)
+    assert ingest_organizations(spark, wh, log, ORG_JSON.encode())["status"] == "PROCESSED"
+    assert ingest_package(spark, wh, log, PACKAGE_CSV.encode())["status"] == "PROCESSED"
+    assert ingest_subject(spark, wh, log, SUBJECT_XML.encode())["status"] == "PROCESSED"
+    payloads = [
+        make_trt(opp_id=f"OPP-{i}", ssid=f"STU00{i}", score=2400.0 + 50 * i)
+        for i in range(1, 4)
+    ]
+    res = ingest_exams(spark, wh, log, payloads, batch="tt")
+    assert res["processed"] == 3
+    return wh, log
+
+
+class TestTargetScoreFact:
+    def test_olap_fanout_includes_target_scores(self, spark, env, tmp_path):
+        wh, log = env
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        eng.run_until_caught_up(spark, "olap")
+        fact = eng.read_mart(spark, "olap_exam_target_score").collect()
+        # 3 exams × 2 items, one item per (claim, target) → 2 rows per exam
+        assert len(fact) == 6
+        by_key = {(r["exam_id"], r["target_code"]): r for r in fact}
+        for r in fact:
+            assert r["school_year"] == 2018
+            assert r["subject_code"] == "Math"
+            assert r["num_items"] == 1
+        t1 = [r for r in fact if r["target_code"] == "T1"]
+        assert {r["claim_code"] for r in t1} == {"C1"}
+        assert all(r["points_earned"] == 1.0 and r["points_possible"] == 1.0
+                   for r in t1)
+        t2 = [r for r in fact if r["target_code"] == "T2"]
+        assert all(r["points_earned"] == 0.5 and r["points_possible"] == 2.0
+                   for r in t2)
+
+    def test_exclusion_flow_and_report(self, spark, env, tmp_path):
+        wh, log = env
+        # baseline target report sees both targets
+        base = R.target_report_from_warehouse(spark, wh, min_students=1)
+        assert {r["target_code"] for r in base.collect()} == {"T1", "T2"}
+
+        res = add_target_exclusions(spark, wh, log, "TESTASMT-G6-2018",
+                                    [("C1", "T1")])
+        assert res["exclusions_added"] == 1
+        excl = wh.read(spark, "asmt_target_exclusion").collect()
+        assert len(excl) == 1
+        assert (excl[0]["claim_code"], excl[0]["target_code"]) == ("C1", "T1")
+        # the exclusion resolved the target dim's surrogate id
+        tgt = wh.read(spark, "target").filter("natural_id = 'T1'").collect()[0]
+        assert excl[0]["target_id"] == tgt["id"]
+
+        # the report now drops the excluded target
+        rep = R.target_report_from_warehouse(spark, wh, min_students=1)
+        assert {r["target_code"] for r in rep.collect()} == {"T2"}
+
+        # the documented trigger: a PROCESSED PACKAGE import the asmt's
+        # update_import_id points at, so migrate re-materializes it
+        asmt = wh.read(spark, "asmt").collect()[0]
+        assert asmt["update_import_id"] == res["import_id"]
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        assert eng.run_until_caught_up(spark, "olap") > 0
+
+    def test_duplicate_exclusion_noop(self, spark, env, tmp_path):
+        wh, log = env
+        add_target_exclusions(spark, wh, log, "TESTASMT-G6-2018", [("C1", "T1")])
+        add_target_exclusions(spark, wh, log, "TESTASMT-G6-2018", [("C1", "T1")])
+        assert wh.read(spark, "asmt_target_exclusion").count() == 1
+
+
+class TestTraitScores:
+    def test_wer_traits_land_with_purpose(self, spark, env):
+        wh, log = env
+        res = ingest_exams(
+            spark, wh, log,
+            [make_trt(opp_id="OPP-W", ssid="STU009", include_items=False,
+                      wer_item=True)],
+        )
+        assert res["processed"] == 1
+        rows = wh.read(spark, "exam_item_trait_score").collect()
+        assert len(rows) == 2
+        by_cat = {r["category"]: r for r in rows}
+        assert by_cat["ORG"]["score"] == 3.0 and by_cat["ORG"]["max_score"] == 4.0
+        assert by_cat["CON"]["score"] == 1.0
+        # purpose resolved from the package item's PtWritingType
+        assert by_cat["ORG"]["purpose"] == "EXPL"
+        assert by_cat["ORG"]["item_key"] == "100-1002"
+
+    def test_claim_report_resolves_names(self, spark, env):
+        wh, log = env
+        rep = R.claim_score_report(
+            wh.read(spark, "exam_score"), wh.read(spark, "exam"),
+            claim=wh.read(spark, "claim"),
+        ).collect()
+        names = {r["claim_code"]: r["claim_name"] for r in rep}
+        assert names["C1"] == "Concepts"
+        assert names["C2"] == "Problem Solving"
