@@ -125,26 +125,29 @@ def ngram_jaccard_pairs(
     single hot shingle can't create a quadratic bucket at scale; a pair
     sharing ONLY stop-shingles is (by construction) far below any useful
     threshold anyway."""
-    sh = shingles(df, n, text_col, id_col, hashed=True).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    freq_ok = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
-        F.col("df_") <= max_shingle_freq
+    # windows instead of agg+join-back: set sizes and doc frequencies are
+    # annotated onto the shingle rows in place (the n_sh window runs BEFORE
+    # the stop-shingle filter, so Jaccard denominators stay uncapped), and
+    # the pair aggregation folds them in with first() — zero post-agg
+    # joins, and the shingle-hash window leaves both self-join sides
+    # already partitioned on the join key
+    sh = shingles(df, n, text_col, id_col, hashed=True)
+    both = (
+        sh.withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+        .withColumn("df_", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df_") <= max_shingle_freq)
     )
-    indexed = sh.join(freq_ok.select("shingle"), "shingle")
-    a = indexed.select(F.col(id_col).alias("a"), "shingle")
-    b = indexed.select(F.col(id_col).alias("b"), "shingle")
+    a = both.select(F.col(id_col).alias("a"), "shingle", F.col("n_sh").alias("na"))
+    b = both.select(F.col(id_col).alias("b"), "shingle", F.col("n_sh").alias("nb"))
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
+        inter.select(
             "a",
             "b",
             (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))

@@ -71,9 +71,14 @@ def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE len(l) >= 3
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), live AS (
+        -- stop-shingle cap: shingles in more than 1000 docs leave the
+        -- inverted index (sizes stay uncapped), mirroring the operator
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
     ), inter AS (
         SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN live l ON a.shingle = l.shingle
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT a, b, CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
@@ -83,8 +88,11 @@ def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext: n-gram Jaccard dedup via inverted shingle index (exact-verify stage of MinHash-LSH)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the oracle-checked entry runs the SAME capped scale path the operator
+    # ships with (stop-shingles leave the index); the cap is expressed in
+    # the DuckDB oracle too, so correctness covers the real plan
     d = _docs(spark, sf_dir).filter(F.size(X.tokens(F.col("text"))) >= 3)
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_shingle_freq=10**9)
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1, max_shingle_freq=1000)
 
 
 @register(
