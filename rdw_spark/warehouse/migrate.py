@@ -296,10 +296,22 @@ class MigrateEngine:
         O(mart) I/O per minute — the clearest scale-killer this replaces."""
         return self._mart_tables[name].merge_rows(spark, batch_rows)
 
+    def _delete_mart(self, spark: SparkSession, name: str,
+                     keys_df: DataFrame, keys: list[str]) -> int:
+        """Physically remove mart rows — the reference deletes migrated
+        soft-deletes from both marts ("the system has already deleted the
+        records in the data mart", docs/Runbook.BulkDeleteExams.md:104-111)."""
+        return self._mart_tables[name].delete_rows(spark, keys_df, keys)
+
     def _migrate_batch(self, spark: SparkSession, job: str, first: int, last: int) -> int:
         if job == "reporting":
-            rows = self._batch_filter(_reporting_exam(self.wh, spark), first, last)
-            return self._merge_mart(spark, "reporting_exam", rows)
+            rows = self._batch_filter(_reporting_exam(self.wh, spark), first, last).cache()
+            n = self._merge_mart(spark, "reporting_exam",
+                                 rows.filter(~F.col("deleted")))
+            dead = rows.filter(F.col("deleted")).select("id", "school_year")
+            n += self._delete_mart(spark, "reporting_exam", dead, ["id"])
+            rows.unpersist()
+            return n
 
         # olap: fact fan-out (reference docs/Runbook.BulkDeleteExams.md:109-118).
         # All five facts derive from the same batch scan + asmt join — cache
@@ -309,26 +321,32 @@ class MigrateEngine:
             F.col("id").alias("asmt_id"), F.col("subject_code"),
         )
         exam = exam.join(F.broadcast(asmt), "asmt_id").cache()
+        # soft-deleted exams in the batch leave every OLAP fact physically
+        # (the reference "automatically deletes the records in the OLAP
+        # data mart during migration", docs/Runbook.BulkDeleteExams.md:111)
+        live = exam.filter(~F.col("deleted"))
+        dead = exam.filter(F.col("deleted")).select(
+            "id", F.col("id").alias("exam_id"), "school_year")
         n = self._merge_mart(
-            spark, "olap_exam", exam.filter(F.col("type_code").isin("ica", "sum")),
+            spark, "olap_exam", live.filter(F.col("type_code").isin("ica", "sum")),
         )
         n += self._merge_mart(
-            spark, "olap_iab_exam", exam.filter(F.col("type_code") == "iab"),
+            spark, "olap_iab_exam", live.filter(F.col("type_code") == "iab"),
         )
         longitudinal = (
-            exam.filter((F.col("type_code") == "sum") & (~F.col("deleted")))
+            live.filter(F.col("type_code") == "sum")
             .select("id", "student_id", "subject_code", "school_year",
                     "scale_score", "performance_level", "grade_code")
         )
         n += self._merge_mart(spark, "olap_exam_longitudinal", longitudinal)
 
         scores = self.wh.read(spark, "exam_score").join(
-            F.broadcast(exam.select(F.col("id").alias("exam_id"))), "exam_id", "left_semi"
+            F.broadcast(live.select(F.col("id").alias("exam_id"))), "exam_id", "left_semi"
         )
         self._merge_mart(
             spark, "olap_exam_score",
             scores.join(
-                exam.select(F.col("id").alias("exam_id"), "school_year",
+                live.select(F.col("id").alias("exam_id"), "school_year",
                             "subject_code"),
                 "exam_id",
             ),
@@ -340,7 +358,7 @@ class MigrateEngine:
         # over the exam's scored items. (The reference's exact residual
         # formula lives in unvendored RDW_Ingest source; the fact grain,
         # summative-only filter, and target identity follow the docs.)
-        sum_exam = exam.filter(F.col("type_code") == "sum").select(
+        sum_exam = live.filter(F.col("type_code") == "sum").select(
             F.col("id").alias("exam_id"), "asmt_id", "school_year", "subject_code",
         )
         exam_items = self.wh.read(spark, "exam_item").join(
@@ -363,6 +381,13 @@ class MigrateEngine:
                  F.sum("max_points").cast("double").alias("points_possible"))
         )
         self._merge_mart(spark, "olap_exam_target_score", target_scores)
+
+        if not dead.isEmpty():
+            n += self._delete_mart(spark, "olap_exam", dead, ["id"])
+            n += self._delete_mart(spark, "olap_iab_exam", dead, ["id"])
+            self._delete_mart(spark, "olap_exam_longitudinal", dead, ["id"])
+            self._delete_mart(spark, "olap_exam_score", dead, ["exam_id"])
+            self._delete_mart(spark, "olap_exam_target_score", dead, ["exam_id"])
         exam.unpersist()
         return n
 

@@ -97,13 +97,30 @@ class PartitionedTable:
             m = json.load(fh)
         return best, dict(m["parts"])
 
-    def _publish(self, version: int, parts: dict[str, int]) -> None:
+    def _publish(self, version: int, parts: dict[str, int],
+                 schema_json: str | None = None) -> None:
         d = os.path.join(self._dir(), _MANIFEST_DIR)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-v{version}.json")
+        body = {"version": version, "parts": parts}
+        if schema_json is None:
+            schema_json = self._manifest_schema()
+        if schema_json is not None:
+            # persisted so an all-rows-deleted table still reads as a typed
+            # empty frame (schema-less tables would otherwise be unreadable
+            # once their last partition is dropped)
+            body["schema"] = schema_json
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "parts": parts}, fh)
+            json.dump(body, fh)
         os.replace(tmp, self._manifest_path(version))  # atomic publish
+
+    def _manifest_schema(self) -> str | None:
+        """Schema JSON recorded by the newest manifest, if any."""
+        ver, _ = self.latest()
+        if not ver:
+            return None
+        with open(self._manifest_path(ver)) as fh:
+            return json.load(fh).get("schema")
 
     # ---------- read ----------
 
@@ -125,6 +142,11 @@ class PartitionedTable:
                 # the table's real schema, not an error
                 p, v = next(iter(sorted(full_man.items())))
                 return spark.read.parquet(self._part_dir(p, v)).limit(0)
+            stored = self._manifest_schema()
+            if stored is not None:
+                # every row was deleted — typed empty frame from the
+                # schema the last publish recorded
+                return spark.createDataFrame([], T.StructType.fromJson(json.loads(stored)))
             raise FileNotFoundError(f"partitioned table {self.name} has no published snapshot")
         reader = spark.read
         if self.schema is not None:
@@ -203,25 +225,57 @@ class PartitionedTable:
             written = self._write_parts(out, new_ver)
             man2 = dict(man)
             man2.update({p: new_ver for p in written})
-            self._publish(new_ver, man2)
+            self._publish(new_ver, man2, out.drop("_part").schema.json())
             return n
         finally:
             batch.unpersist()
 
-    def replace_parts(self, spark: SparkSession, df: DataFrame) -> int:
+    def replace_parts(self, spark: SparkSession, df: DataFrame,
+                      parts: list[str] | None = None) -> int:
         """Publish ``df`` as the complete new content of exactly the
         partitions it contains; every other partition keeps its current
         version untouched. This is the primitive under merge_rows — use it
         directly when the caller has already assembled the full partition
-        content (e.g. a MERGE that computed old∪new itself)."""
+        content (e.g. a MERGE that computed old∪new itself).
+
+        Pass ``parts`` to declare the partitions being replaced explicitly:
+        a declared partition with no surviving rows in ``df`` is dropped
+        from the manifest (a partition-write of zero rows produces no dir,
+        so without the declaration it would silently keep its old data)."""
         ver, man = self.latest()
         new_ver = ver + 1
         out = df.withColumn("_part", self._part_col())
         written = self._write_parts(out, new_ver)
         man2 = dict(man)
         man2.update({p: new_ver for p in written})
-        self._publish(new_ver, man2)
+        if parts is not None:
+            for p in parts:
+                if p not in written:
+                    man2.pop(p, None)
+        self._publish(new_ver, man2, out.drop("_part").schema.json())
         return new_ver
+
+    def delete_rows(self, spark: SparkSession, keys_df: DataFrame,
+                    keys: list[str] | None = None) -> int:
+        """Remove rows matching ``keys_df`` — partition-scoped like
+        merge_rows, so ``keys_df`` must carry the partition expression's
+        source columns (the caller knows which partitions its keys live
+        in). ``keys`` may be a prefix of the table key to delete all of a
+        parent's child rows (e.g. every claim row of an exam)."""
+        keys = keys or self.keys
+        parts = self.parts_of(keys_df)
+        _, man = self.latest()
+        parts = [p for p in parts if p in man]
+        if not parts:
+            return 0
+        cur = self.read(spark, parts=parts)
+        drop = keys_df.select(*keys).distinct()
+        n = cur.join(drop, keys, "left_semi").count()
+        if n == 0:
+            return 0
+        kept = cur.join(drop, keys, "left_anti")
+        self.replace_parts(spark, kept, parts=parts)
+        return n
 
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
         """Full rewrite: the new snapshot references exactly the partitions
@@ -230,7 +284,8 @@ class PartitionedTable:
         new_ver = ver + 1
         out = df.withColumn("_part", self._part_col())
         written = self._write_parts(out, new_ver)
-        self._publish(new_ver, {p: new_ver for p in written})
+        self._publish(new_ver, {p: new_ver for p in written},
+                      out.drop("_part").schema.json())
         return new_ver
 
     # ---------- maintenance (reference X3, docs/Performance.md:9-28) ----------

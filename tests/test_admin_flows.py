@@ -78,10 +78,11 @@ def test_bulk_delete_propagates_to_marts(spark, env, tmp_path):
     assert wh.read(spark, "exam").filter("NOT deleted").count() == 0
     assert wh.read_audit(spark, "exam").filter("action = 'delete'").count() == 2
 
-    # next migrate carries the soft-delete into the mart; P1 filters hide it
+    # next migrate physically deletes the rows from the mart ("the system
+    # has already deleted the records in the data mart",
+    # docs/Runbook.BulkDeleteExams.md:104-111)
     eng.run_until_caught_up(spark, "reporting")
-    rep = eng.read_mart(spark, "reporting_exam")
-    assert rep.count() == 2 and rep.filter("NOT deleted").count() == 0
+    assert eng.read_mart(spark, "reporting_exam").count() == 0
 
 
 def test_groups_ingest_lifecycle(spark, env):

@@ -123,3 +123,42 @@ class TestTraitScores:
         names = {r["claim_code"]: r["claim_name"] for r in rep}
         assert names["C1"] == "Concepts"
         assert names["C2"] == "Problem Solving"
+
+
+class TestMartDeletes:
+    def test_soft_delete_migrate_removes_all_fact_rows(self, spark, env, tmp_path):
+        """The reference deletes migrated soft-deletes from every OLAP fact
+        ("the system automatically deletes the records in the OLAP data
+        mart during migration", docs/Runbook.BulkDeleteExams.md:111) — no
+        stale rows may remain in the score/target/longitudinal facts."""
+        from rdw_spark.sources.admin_flows import bulk_delete_exams
+        from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+        wh, log = env
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        eng.run_until_caught_up(spark, "olap")
+        eng.run_until_caught_up(spark, "reporting")
+        assert eng.read_mart(spark, "olap_exam").count() == 3
+        assert eng.read_mart(spark, "olap_exam_score").count() == 6
+        assert eng.read_mart(spark, "olap_exam_target_score").count() == 6
+        assert eng.read_mart(spark, "olap_exam_longitudinal").count() == 3
+
+        rec = log.accept(spark, ImportContent.EXAM, b"delete-all-tt")
+        assert bulk_delete_exams(spark, wh, rec.id, school_year=2018) == 3
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+        eng.run_until_caught_up(spark, "olap")
+        eng.run_until_caught_up(spark, "reporting")
+
+        for mart in ("olap_exam", "olap_exam_score", "olap_exam_target_score",
+                     "olap_exam_longitudinal", "reporting_exam"):
+            assert eng.read_mart(spark, mart).count() == 0, mart
+
+        # resurrection: re-importing the exam (fresh payload — a
+        # byte-identical one would digest-no-op, T5) un-deletes it and the
+        # next migrate restores the fact rows (docs/API.md:369)
+        res = ingest_exams(spark, wh, log, [
+            make_trt(opp_id="OPP-1", ssid="STU001", score=2460.0)])
+        assert res["processed"] == 1
+        eng.run_until_caught_up(spark, "olap")
+        assert eng.read_mart(spark, "olap_exam").count() == 1
+        assert eng.read_mart(spark, "olap_exam_target_score").count() == 2
