@@ -47,9 +47,15 @@ _SEQ = "_mor_seq"
 
 
 class MergeOnReadTable:
+    """``mode="key"``: a delta row replaces the current row of its key
+    (upsert). ``mode="group"``: a delta carries the COMPLETE new content of
+    each group key it mentions (the reference's replace-children-per-parent
+    write, docs/API.md:369 update semantics) — at read, a group resolves to
+    all rows of the newest sequence that contains it."""
+
     def __init__(self, root: str, name: str, keys: list[str],
                  schema: T.StructType | None = None,
-                 order_col: str | None = None):
+                 order_col: str | None = None, mode: str = "key"):
         self.root = root
         self.name = name
         self.keys = keys
@@ -57,6 +63,7 @@ class MergeOnReadTable:
         # tie-break within a key beyond the sequence (defensive; deltas
         # hold unique keys so it rarely fires)
         self.order_col = order_col
+        self.mode = mode
 
     # ---------- layout ----------
 
@@ -120,7 +127,14 @@ class MergeOnReadTable:
         if keys_of is not None:
             df = df.join(keys_of.select(*self.keys).distinct(), self.keys, "left_semi")
         if len(parts) == 1:
+            # base only (post-compaction steady state): no window needed
             return df.drop(_SEQ)
+        if self.mode == "group":
+            w = Window.partitionBy(*self.keys)
+            return (
+                df.withColumn("_mx", F.max(_SEQ).over(w))
+                .filter(F.col(_SEQ) == F.col("_mx")).drop("_mx", _SEQ)
+            )
         order = [F.desc(_SEQ)] + (
             [F.desc_nulls_last(self.order_col)] if self.order_col else []
         )

@@ -72,6 +72,21 @@ DEFAULT_MERGE_ON_READ: dict[str, list[str]] = {
     "student": ["ssid"],
 }
 
+# Fact-sized child tables written replace-per-parent (an exam update
+# rewrites its items/scores/accommodations, docs/API.md:369). exam_item is
+# the reference's largest production table; their parent keys are hashes,
+# so — like student — partitioning can't scope the write and the old
+# whole-snapshot rewrite was O(table) per micro-batch. Group-mode
+# merge-on-read appends the batch (complete per-parent content) and
+# resolves newest-sequence-per-parent at read.
+DEFAULT_MERGE_ON_READ_GROUPS: dict[str, str] = {
+    "exam_item": "exam_id",
+    "exam_score": "exam_id",
+    "exam_available_accommodation": "exam_id",
+    "exam_item_trait_score": "exam_id",
+    "student_ethnicity": "student_id",
+}
+
 _AUDIT_FIELDS = [
     T.StructField("action", T.StringType(), False),      # update | delete
     T.StructField("audited", T.TimestampType(), False),
@@ -88,7 +103,8 @@ class TableStore:
     def __init__(self, root: str, audit_enabled: bool = True, user: str = "rdw_spark",
                  schemas: dict | None = None, natural_keys: dict | None = None,
                  partitioned: dict[str, tuple[str, list[str]]] | None = None,
-                 merge_on_read: dict[str, list[str]] | None = None):
+                 merge_on_read: dict[str, list[str]] | None = None,
+                 merge_on_read_groups: dict[str, str] | None = None):
         self.root = root
         self.audit_enabled = audit_enabled
         self.user = user
@@ -110,6 +126,14 @@ class TableStore:
             for name, keys in merge_on_read.items()
             if name in self.schemas
         }
+        if merge_on_read_groups is None:
+            merge_on_read_groups = DEFAULT_MERGE_ON_READ_GROUPS
+        self._mor_tables.update({
+            name: MergeOnReadTable(root, name, [group_col],
+                                   schema=self.schemas[name], mode="group")
+            for name, group_col in merge_on_read_groups.items()
+            if name in self.schemas
+        })
         os.makedirs(root, exist_ok=True)
 
     # ---------- snapshot plumbing ----------
@@ -321,6 +345,11 @@ class TableStore:
 
         pt = self._part_tables.get(name)
         mor = self._mor_tables.get(name)
+        if mor is not None and mor.mode == "group":
+            raise ValueError(
+                f"merge_upsert({name}): group-mode tables take complete "
+                "per-parent content via replace_children, not row upserts"
+            )
         if mor is not None:
             # merge-on-read: the change-detection join needs only the
             # touched keys' current values — the semi-join runs before the
@@ -489,6 +518,13 @@ class TableStore:
         typed = children.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        mor = self._mor_tables.get(name)
+        if mor is not None and mor.mode == "group":
+            # O(batch): the delta IS the complete new content of its
+            # parents; read resolves newest-sequence-per-parent
+            self._ensure_mor_layout(spark, name)
+            mor.append_delta(typed)
+            return
         current = self.read(spark, name)
         parents = typed.select(parent_col).distinct()
         kept = current.join(F.broadcast(parents), parent_col, "left_anti")

@@ -108,3 +108,53 @@ class TestMergeOnReadStudent:
             _students(spark, range(30, 35)), 2)
         assert stats["inserted"] == 5
         assert wh.read(spark, "student").count() == 35
+
+
+class TestGroupModeChildren:
+    def _items(self, spark, exam_ids, tag="a", per_exam=4):
+        return spark.createDataFrame(
+            [(e, f"k{j}", j, 1.0, "SCORED", f"{tag}:{e}:{j}:" + f"{e*7919+j:09d}" * 20)
+             for e in exam_ids for j in range(per_exam)],
+            "exam_id long, item_key string, position int, score double, "
+            "score_status string, response string",
+        )
+
+    def test_replace_children_writes_obatch_bytes(self, spark, tmp_path):
+        """exam_item is the reference's largest table: a child-replace batch
+        must append O(batch) bytes, leave base files byte-identical, and the
+        newest batch's content must fully replace each touched parent's rows."""
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        wh.replace_children(spark, "exam_item", "exam_id",
+                            self._items(spark, range(1000), "v1"))
+        wh.maintain(spark)
+        mor = wh.mor_table("exam_item")
+        base_dir = os.path.join(str(tmp_path / "wh"), "exam_item",
+                                f"base-s={mor.current_seq()}")
+        base_files = sorted(os.listdir(base_dir))
+        base_bytes = _dir_bytes(base_dir)
+
+        # update 5 exams: fewer items per exam (2 instead of 4)
+        wh.replace_children(spark, "exam_item", "exam_id",
+                            self._items(spark, range(5), "v2", per_exam=2))
+        assert sorted(os.listdir(base_dir)) == base_files
+        delta_dir = os.path.join(str(tmp_path / "wh"), "exam_item",
+                                 f"delta-s={mor.current_seq()}")
+        assert spark.read.parquet(delta_dir).count() == 10  # O(batch) rows
+        assert _dir_bytes(delta_dir) < base_bytes / 5
+
+        rows = wh.read(spark, "exam_item")
+        assert rows.count() == 995 * 4 + 5 * 2  # replaced parents shrank
+        touched = rows.filter("exam_id < 5").collect()
+        assert all(r["response"].startswith("v2:") for r in touched)
+        assert wh.read(spark, "exam_item").filter("exam_id = 7").count() == 4
+
+    def test_compact_folds_group_deltas(self, spark, tmp_path):
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        for i in range(3):
+            wh.replace_children(spark, "exam_item", "exam_id",
+                                self._items(spark, range(10), f"v{i}"))
+        report = wh.maintain(spark)
+        assert report["exam_item"]["folded_deltas"] == 3
+        rows = wh.read(spark, "exam_item")
+        assert rows.count() == 40
+        assert all(r["response"].startswith("v2:") for r in rows.collect())
