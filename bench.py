@@ -175,6 +175,10 @@ def main() -> None:
                 "query_errors": errors,
                 "pipeline": pipeline,
                 "sf": sf,
+                # box load when the run started/ended: numbers swing ±20-50%
+                # when other Spark jobs share the box, so record the context
+                # the swing is attributable to
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -55,7 +55,8 @@ class MergeOnReadTable:
 
     def __init__(self, root: str, name: str, keys: list[str],
                  schema: T.StructType | None = None,
-                 order_col: str | None = None, mode: str = "key"):
+                 order_col: str | None = None, mode: str = "key",
+                 auto_compact_at: int = 64):
         self.root = root
         self.name = name
         self.keys = keys
@@ -64,6 +65,11 @@ class MergeOnReadTable:
         # hold unique keys so it rarely fires)
         self.order_col = order_col
         self.mode = mode
+        # rebase automatically once this many deltas are outstanding: at a
+        # batch per minute (reference cadence, docs/Runbook.md:160-193) an
+        # unmaintained table would otherwise union thousands of delta dirs
+        # per read. Amortized cost: one O(table) rebase per N batches.
+        self.auto_compact_at = auto_compact_at
 
     # ---------- layout ----------
 
@@ -157,6 +163,8 @@ class MergeOnReadTable:
         out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self._dir(), f"delta-s={seq}")
         )
+        if self.auto_compact_at and self.delta_count() >= self.auto_compact_at:
+            self.compact(df.sparkSession)
         return seq
 
     def overwrite(self, df: DataFrame) -> int:

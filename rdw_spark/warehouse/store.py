@@ -93,6 +93,14 @@ _AUDIT_FIELDS = [
     T.StructField("database_user", T.StringType(), False),
 ]
 
+# child tables the reference audits (docs/Runbook.Audit.md:54-64): a
+# replace-per-parent write records the replaced rows as 'delete'
+# before-images (the reference's triggers fire per child DELETE)
+AUDITED_CHILDREN = {
+    "exam_item", "exam_score", "exam_available_accommodation",
+    "student_ethnicity", "student_group_membership", "user_student_group",
+}
+
 
 def surrogate_id(*key_cols: str):
     """Deterministic 64-bit surrogate id from the natural key."""
@@ -518,14 +526,22 @@ class TableStore:
         typed = children.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        parents = typed.select(parent_col).distinct()
         mor = self._mor_tables.get(name)
         if mor is not None and mor.mode == "group":
             # O(batch): the delta IS the complete new content of its
             # parents; read resolves newest-sequence-per-parent
             self._ensure_mor_layout(spark, name)
+            if self.audit_enabled and name in AUDITED_CHILDREN:
+                replaced = mor.read(spark, keys_of=parents)
+                if not replaced.isEmpty():
+                    self._append_audit(replaced, name, "delete")
             mor.append_delta(typed)
             return
         current = self.read(spark, name)
-        parents = typed.select(parent_col).distinct()
         kept = current.join(F.broadcast(parents), parent_col, "left_anti")
+        if self.audit_enabled and name in AUDITED_CHILDREN:
+            replaced = current.join(F.broadcast(parents), parent_col, "left_semi")
+            if not replaced.isEmpty():
+                self._append_audit(replaced, name, "delete")
         self.write_snapshot(kept.unionByName(typed), name)

@@ -158,3 +158,18 @@ class TestGroupModeChildren:
         rows = wh.read(spark, "exam_item")
         assert rows.count() == 40
         assert all(r["response"].startswith("v2:") for r in rows.collect())
+
+
+class TestAutoCompaction:
+    def test_delta_count_stays_bounded(self, spark, tmp_path):
+        """At a batch per minute an unmaintained table would union
+        thousands of delta dirs per read — append_delta rebases itself once
+        auto_compact_at deltas are outstanding."""
+        from rdw_spark.warehouse.morstore import MergeOnReadTable
+
+        mor = MergeOnReadTable(str(tmp_path), "t", ["k"], auto_compact_at=5)
+        for i in range(12):
+            mor.append_delta(spark.createDataFrame([(i % 3, i)], "k int, v int"))
+        assert mor.delta_count() < 5
+        rows = {r["k"]: r["v"] for r in mor.read(spark).collect()}
+        assert rows == {0: 9, 1: 10, 2: 11}  # latest write per key survived

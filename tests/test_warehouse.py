@@ -273,3 +273,33 @@ class TestNoOpSkipSemantics:
         v1 = wh.mor_table("student").current_seq()
         wh.merge_upsert(spark, "student", rows, 2)  # no change, no delete
         assert wh.mor_table("student").current_seq() == v1  # write skipped
+
+
+class TestChildAudit:
+    def test_replaced_children_get_delete_before_images(self, spark, tmp_path):
+        """The reference audits child DELETEs (exam_item Update/Delete,
+        exam_score Update, accommodation/ethnicity Delete —
+        docs/Runbook.Audit.md:54-64); our replace-per-parent write records
+        the replaced rows as 'delete' before-images."""
+        wh = TableStore(str(tmp_path / "wh"))  # audit on
+        items = spark.createDataFrame(
+            [(1, "k1", 1, 1.0, "SCORED", "a"), (1, "k2", 2, 0.0, "SCORED", "b")],
+            "exam_id long, item_key string, position int, score double, "
+            "score_status string, response string",
+        )
+        wh.replace_children(spark, "exam_item", "exam_id", items)
+        # first write replaces nothing — no audit rows
+        assert wh.read_audit(spark, "exam_item").count() == 0
+
+        update = spark.createDataFrame(
+            [(1, "k1", 1, 2.0, "SCORED", "a2")],
+            "exam_id long, item_key string, position int, score double, "
+            "score_status string, response string",
+        )
+        wh.replace_children(spark, "exam_item", "exam_id", update)
+        audit = wh.read_audit(spark, "exam_item").collect()
+        assert len(audit) == 2  # both replaced rows captured
+        assert {r["item_key"] for r in audit} == {"k1", "k2"}
+        assert all(r["action"] == "delete" for r in audit)
+        # live content is the new set only
+        assert wh.read(spark, "exam_item").count() == 1
