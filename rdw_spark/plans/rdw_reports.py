@@ -315,6 +315,31 @@ def ingest_latency_histogram(import_log: DataFrame) -> DataFrame:
     )
 
 
+def slowest_migrates(migrate_control: DataFrame, k: int = 5) -> DataFrame:
+    """O1 ops query: top-k slowest completed migrate runs
+    (docs/Monitoring.md:211-220)."""
+    return (
+        migrate_control.filter(F.col("status") == 20)  # COMPLETED
+        .withColumn(
+            "runtime_sec",
+            F.unix_timestamp("updated") - F.unix_timestamp("created"),
+        )
+        .select("id", "job", "first_import_id", "last_import_id", "runtime_sec")
+        .orderBy(F.desc("runtime_sec")).limit(k)
+    )
+
+
+def exams_by_type_and_condition(exam: DataFrame) -> DataFrame:
+    """A1 ops query: exam counts by assessment type × administration
+    condition (docs/Monitoring.md:283-299)."""
+    return (
+        exam.filter(~F.col("deleted"))
+        .groupBy("type_code", "administration_condition")
+        .agg(F.count("*").alias("n"))
+        .orderBy("type_code", "administration_condition")
+    )
+
+
 def reconciliation_report(import_log: DataFrame, exam: DataFrame) -> DataFrame:
     """K4 (docs/API.md:911-924): per-day exam import counts vs landed exam
     rows — the daily reconciliation feed."""

@@ -55,6 +55,44 @@ def seed_codes(spark: SparkSession) -> dict[str, DataFrame]:
     }
 
 
+def seed_core_dims(spark: SparkSession) -> dict[str, DataFrame]:
+    """The reference's pre-loaded immutable core tables
+    (docs/Runbook.ImportMigrate.md:11: asmt_type, import_content,
+    import_status, language — 'must be pre-loaded as part of the initial
+    schema set, cannot be modified later'). Exposed as (code, name) dims so
+    warehouse queries can resolve the integer codes the engine uses."""
+    from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+    asmt_type = spark.createDataFrame(
+        [(1, "ica", "Interim Comprehensive Assessment"),
+         (2, "iab", "Interim Assessment Block"),
+         (3, "sum", "Summative")],
+        "id int, code string, name string",
+    )
+    import_status = spark.createDataFrame(
+        sorted(ImportStatus.NAMES.items()), "id int, name string",
+    )
+    import_content = spark.createDataFrame(
+        sorted(
+            (getattr(ImportContent, n), n)
+            for n in vars(ImportContent)
+            if n.isupper() and isinstance(getattr(ImportContent, n), int)
+        ),
+        "id int, name string",
+    )
+    # ISO-639 codes observed in the reference docs/samples (TRT
+    # LanguageCode, accommodation translations)
+    language = spark.createDataFrame(
+        [("eng", "English"), ("spa", "Spanish"), ("vie", "Vietnamese"),
+         ("cmn", "Mandarin"), ("yue", "Cantonese"), ("fil", "Filipino"),
+         ("kor", "Korean"), ("pan", "Punjabi"), ("rus", "Russian"),
+         ("ukr", "Ukrainian"), ("ara", "Arabic"), ("som", "Somali")],
+        "code string, name string",
+    )
+    return {"asmt_type": asmt_type, "import_status": import_status,
+            "import_content": import_content, "language": language}
+
+
 def school_years(spark: SparkSession, years: list[int]) -> DataFrame:
     """Registered school years (docs/Runbook.SystemConfiguration.md:31-46):
     exams for unregistered years are rejected at ingest."""

@@ -391,6 +391,41 @@ class MigrateEngine:
         exam.unpersist()
         return n
 
+    def refresh_aggregate_cache(self, spark: SparkSession) -> int:
+        """X10 analog of the reference's aggregate repository cache (flushed
+        daily after the OLAP migrate,
+        config/rdw-reporting-aggregate-service.yml:28-34): materialize the
+        A7 per-performance-level counts from the olap_exam fact into an
+        ``aggregate_cache`` mart table, partition-scoped by school year.
+        Returns rows materialized. Run after ``run_until_caught_up("olap")``
+        on the same cadence the reference schedules the flush."""
+        from rdw_spark.plans.rdw_reports import aggregate_report
+
+        olap = self.read_mart(spark, "olap_exam")
+        rows = aggregate_report(
+            olap, group_cols=["school_id", "school_year", "subject_code",
+                              "grade_code"],
+        )
+        cache = PartitionedTable(
+            self.mart.root, "aggregate_cache", "school_year",
+            ["school_id", "school_year", "subject_code", "grade_code",
+             "performance_level"],
+        )
+        if olap.isEmpty():
+            return 0
+        cache.overwrite(spark, rows)
+        return rows.count()
+
+    def read_aggregate_cache(self, spark: SparkSession,
+                             school_years: list[int] | None = None) -> DataFrame:
+        cache = PartitionedTable(
+            self.mart.root, "aggregate_cache", "school_year",
+            ["school_id", "school_year", "subject_code", "grade_code",
+             "performance_level"],
+        )
+        parts = [str(y) for y in school_years] if school_years is not None else None
+        return cache.read(spark, parts=parts)
+
     def read_mart(self, spark: SparkSession, name: str,
                   school_years: list[int] | None = None) -> DataFrame:
         """Current mart snapshot; pass ``school_years`` for a

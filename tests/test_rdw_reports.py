@@ -158,3 +158,21 @@ def test_audit_monitoring_reconciliation(spark, mart_env):
     assert missing["n_exams"] == 4
     assert missing["pct_session_id"] == 100.0
     assert missing["pct_military_connected"] == 0.0
+
+
+def test_ops_queries_and_aggregate_cache(spark, mart_env, tmp_path):
+    wh, log, eng = mart_env
+    rows = R.exams_by_type_and_condition(wh.read(spark, "exam")).collect()
+    assert rows and all(r["n"] > 0 for r in rows)
+    assert {r["type_code"] for r in rows} == {"sum"}
+
+    slow = R.slowest_migrates(eng.control(spark), k=3).collect()
+    assert slow and all(r["runtime_sec"] >= 0 for r in slow)
+
+    n = eng.refresh_aggregate_cache(spark)
+    assert n > 0
+    cached = eng.read_aggregate_cache(spark, school_years=[2018])
+    assert cached.count() == n
+    assert {r["performance_level"] for r in cached.collect()} <= {1, 2, 3, 4}
+    # pruned read opens only the requested year's files
+    assert all("part=2018" in f for f in cached.inputFiles())

@@ -93,3 +93,22 @@ def test_embargo_ingest_feeds_filter(spark, tmp_path):
     assert {(r["school_year"], r["type_code"]) for r in visible.collect()} == {
         (2018, "iab"), (2017, "sum")  # embargoed 2018 summative hidden
     }
+
+
+class TestCoreDims:
+    def test_seed_core_dims(self, spark):
+        """Pre-loaded immutable core tables
+        (docs/Runbook.ImportMigrate.md:11)."""
+        from rdw_spark.sources.codes_embargo import seed_core_dims
+
+        dims = seed_core_dims(spark)
+        types = {r["code"]: r["name"] for r in dims["asmt_type"].collect()}
+        assert types == {"ica": "Interim Comprehensive Assessment",
+                         "iab": "Interim Assessment Block",
+                         "sum": "Summative"}
+        statuses = {r["id"]: r["name"] for r in dims["import_status"].collect()}
+        assert statuses[1] == "PROCESSED" and statuses[-6] == "UNKNOWN_SCHOOL"
+        contents = {r["name"]: r["id"] for r in dims["import_content"].collect()}
+        assert contents["EXAM"] == 1 and contents["PACKAGE"] == 3
+        langs = dict(dims["language"].collect())
+        assert langs["eng"] == "English" and langs["spa"] == "Spanish"
