@@ -120,3 +120,68 @@ def test_sessionize_batch_matches_bruteforce(spark, events):
     for uid in got:
         got[uid].sort()
     assert got == _sessions_ref(events)
+
+
+# -------------------------------------------------------------------------
+# Merge-on-read equivalence: the MOR store must be observationally
+# identical to a plain dict model under random upsert sequences (key mode)
+# and random replace-per-parent sequences (group mode), including
+# interleaved compactions.
+# -------------------------------------------------------------------------
+
+_mor_row = st.tuples(st.integers(0, 12), st.text(alphabet="xyz", min_size=1, max_size=3))
+_mor_batches = st.lists(
+    st.tuples(st.lists(_mor_row, min_size=1, max_size=5), st.booleans()),
+    min_size=1, max_size=5,
+)
+
+
+@given(batches=_mor_batches)
+@settings(**_SETTINGS)
+def test_mor_key_mode_matches_dict_model(spark, tmp_path_factory, batches):
+    from rdw_spark.warehouse.morstore import MergeOnReadTable
+
+    root = str(tmp_path_factory.mktemp("mor"))
+    mor = MergeOnReadTable(root, "t", ["k"], auto_compact_at=0)
+    model: dict[int, str] = {}
+    for rows, do_compact in batches:
+        dedup = dict(rows)  # last value per key within the batch
+        mor.append_delta(spark.createDataFrame(
+            list(dedup.items()), "k long, v string"))
+        model.update(dedup)
+        if do_compact:
+            mor.compact(spark)
+    got = {r["k"]: r["v"] for r in mor.read(spark).collect()}
+    assert got == model
+
+
+_grp_batch = st.lists(
+    st.tuples(st.integers(0, 5), st.lists(st.text(alphabet="pq", min_size=1, max_size=2),
+                                          min_size=1, max_size=3)),
+    min_size=1, max_size=4,
+)
+_grp_batches = st.lists(st.tuples(_grp_batch, st.booleans()), min_size=1, max_size=4)
+
+
+@given(batches=_grp_batches)
+@settings(**_SETTINGS)
+def test_mor_group_mode_matches_dict_model(spark, tmp_path_factory, batches):
+    from rdw_spark.warehouse.morstore import MergeOnReadTable
+
+    root = str(tmp_path_factory.mktemp("morg"))
+    mor = MergeOnReadTable(root, "t", ["parent"], mode="group", auto_compact_at=0)
+    model: dict[int, list[str]] = {}
+    for groups, do_compact in batches:
+        content = {}
+        for parent, vals in groups:
+            content[parent] = vals  # last occurrence in batch wins
+        rows = [(p, v) for p, vals in content.items() for v in vals]
+        mor.append_delta(spark.createDataFrame(rows, "parent long, v string"))
+        model.update(content)
+        if do_compact:
+            mor.compact(spark)
+    got: dict[int, list[str]] = {}
+    for r in mor.read(spark).collect():
+        got.setdefault(r["parent"], []).append(r["v"])
+    assert {p: sorted(v) for p, v in got.items()} == {
+        p: sorted(v) for p, v in model.items()}
