@@ -59,12 +59,31 @@ def embargo_filter(
     return out
 
 
-def permission_scope(exam: DataFrame, allowed_schools: DataFrame) -> DataFrame:
+def permission_scope(exam: DataFrame, allowed_schools: DataFrame,
+                     transfer_enabled: bool = False,
+                     student: DataFrame | None = None) -> DataFrame:
     """Org-scoped permissions: rows restricted to the user's school set via
-    semi-join (docs/Troubleshooting.md:720-768)."""
-    return exam.join(
-        F.broadcast(allowed_schools.select("school_id").distinct()),
-        "school_id", "left_semi",
+    semi-join (docs/Troubleshooting.md:720-768).
+
+    ``transfer_enabled`` is the optional ``transfer-access-enabled`` feature
+    (docs/Runbook.SystemConfiguration.md:169-177, default off): users also
+    see results "administered at another institution" for students whose
+    *current* (inferred) school is in their scope — pass the ``student``
+    dim to resolve it."""
+    allowed = F.broadcast(allowed_schools.select("school_id").distinct())
+    scoped = exam.join(allowed, "school_id", "left_semi")
+    if not transfer_enabled:
+        return scoped
+    if student is None:
+        raise ValueError("transfer_enabled requires the student dim")
+    transfer_students = (
+        student.join(allowed.withColumnRenamed("school_id", "inferred_school_id"),
+                     "inferred_school_id", "left_semi")
+        .select(F.col("id").alias("student_id"))
+    )
+    transferred = exam.join(F.broadcast(transfer_students), "student_id", "left_semi")
+    return scoped.unionByName(transferred).dropDuplicates(
+        ["id"] if "id" in exam.columns else exam.columns
     )
 
 

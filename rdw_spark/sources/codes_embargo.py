@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CODES = {
     # docs/Runbook.ImportMigrate.md:12; values from deploy/ and API docs
@@ -91,6 +91,93 @@ def seed_core_dims(spark: SparkSession) -> dict[str, DataFrame]:
     )
     return {"asmt_type": asmt_type, "import_status": import_status,
             "import_content": import_content, "language": language}
+
+
+def load_default_codes(spark: SparkSession, wh, log) -> dict:
+    """Pre-load the CODES warehouse tables ("pre-loaded from SBAC
+    blueprints and specifications. Allows for manual updates.",
+    docs/Runbook.ImportMigrate.md:12) under a CODES import record."""
+    from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+    rec = log.accept(spark, ImportContent.CODES, b"default CODES seed",
+                     content_type="codes seed")
+    if rec.existing:
+        return {"import_id": rec.id, "status": "DUPLICATE"}
+    for name, values in CODES.items():
+        wh.write_snapshot(
+            spark.createDataFrame([(v, v) for v in values], "code string, name string"),
+            name,
+        )
+    from rdw_spark.sources.codes_embargo import seed_core_dims
+
+    lang = seed_core_dims(spark)["language"]
+    wh.write_snapshot(lang.select("code", "name"), "language")
+    log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"import_id": rec.id, "status": "PROCESSED"}
+
+
+def update_codes(spark: SparkSession, wh, log, table: str,
+                 add: list[tuple[str, str]] = (), remove: list[str] = ()) -> dict:
+    """The documented manual code-change flow
+    (docs/Runbook.SystemConfiguration.md:200-263): edit the code table,
+    then trigger a CODES migration by inserting an import row — e.g.
+    ``INSERT INTO language ...; INSERT INTO import (status, content,
+    contentType, digest) VALUES (1, 3, 'update language', ...)``."""
+    from rdw_spark.warehouse import schemas as S
+    from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+    if table not in S.CODE_TABLES:
+        raise ValueError(f"not a CODES table: {table}")
+    cur = wh.read(spark, table)
+    if remove:
+        cur = cur.filter(~F.col("code").isin(*remove))
+    if add:
+        cur = cur.filter(~F.col("code").isin(*[c for c, _ in add])).unionByName(
+            spark.createDataFrame(list(add), "code string, name string")
+        )
+    wh.write_snapshot(cur, table)
+    rec = log.accept(
+        spark, ImportContent.CODES,
+        f"update {table}: +{sorted(c for c, _ in add)} -{sorted(remove)}".encode(),
+        content_type=f"update {table}",
+    )
+    if not rec.existing:
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"import_id": rec.id, "table": table,
+            "codes": wh.read(spark, table).count()}
+
+
+def unknown_code_report(spark: SparkSession, wh) -> DataFrame:
+    """Reconciliation-style check (SURVEY §5.6): values on warehouse rows
+    that are missing from their CODES dim — the set-based analog of the
+    reference's per-row ingest code validation. Empty = clean."""
+    exam = wh.read(spark, "exam").filter(~F.col("deleted"))
+    checks = [
+        ("language", exam.select(F.col("language_code").alias("code"))),
+        ("military_connected", exam.select(F.col("military_connected").alias("code"))),
+        ("grade", exam.select(F.col("grade_code").alias("code"))),
+        ("administration_condition",
+         exam.select(F.col("administration_condition").alias("code"))),
+        ("completeness", exam.select(F.col("completeness").alias("code"))),
+        ("ethnicity",
+         wh.read(spark, "student_ethnicity").select(F.col("ethnicity").alias("code"))),
+    ]
+    out = None
+    for table, vals in checks:
+        dim = wh.read(spark, table).select("code")
+        if dim.isEmpty():
+            continue  # codes not loaded for this deployment — nothing to check
+        bad = (
+            vals.filter(F.col("code").isNotNull())
+            .join(F.broadcast(dim), "code", "left_anti")
+            .groupBy("code").agg(F.count("*").alias("n"))
+            .withColumn("code_table", F.lit(table))
+            .select("code_table", "code", "n")
+        )
+        out = bad if out is None else out.unionByName(bad)
+    if out is None:
+        return spark.createDataFrame([], "code_table string, code string, n long")
+    return out
 
 
 def school_years(spark: SparkSession, years: list[int]) -> DataFrame:

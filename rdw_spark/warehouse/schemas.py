@@ -374,6 +374,20 @@ USER_REPORT = T.StructType([
     T.StructField("updated", T.TimestampType(), False),
 ])
 
+# CODES lookup dims (docs/Runbook.ImportMigrate.md:12-13) — landed as real
+# warehouse tables so the documented manual-update flow (edit table +
+# trigger CODES migration, docs/Runbook.SystemConfiguration.md:200-263)
+# has something to edit. One shared shape: (code, name).
+CODE_TABLES = (
+    "administration_condition", "completeness", "grade", "gender",
+    "ethnicity", "military_connected", "math_practice", "item_trait_score",
+    "language",
+)
+CODE_SCHEMA = T.StructType([
+    T.StructField("code", T.StringType(), False),
+    T.StructField("name", T.StringType(), True),
+])
+
 # every table the TableStore knows how to MERGE, with its natural key
 # (used for upsert matching; reference exam matching is (oppId, assessment),
 # docs/API.md:369)
@@ -431,4 +445,6 @@ SCHEMAS: dict[str, T.StructType] = {
     "state_embargo": STATE_EMBARGO,
     "district_embargo": DISTRICT_EMBARGO,
     "user_report": USER_REPORT,
+    **{name: CODE_SCHEMA for name in CODE_TABLES},
 }
+NATURAL_KEYS.update({name: ["code"] for name in CODE_TABLES})

@@ -176,3 +176,29 @@ def test_ops_queries_and_aggregate_cache(spark, mart_env, tmp_path):
     assert {r["performance_level"] for r in cached.collect()} <= {1, 2, 3, 4}
     # pruned read opens only the requested year's files
     assert all("part=2018" in f for f in cached.inputFiles())
+
+
+def test_transfer_enabled_permission_scope(spark, mart_env):
+    """transfer-access-enabled (docs/Runbook.SystemConfiguration.md:169-177,
+    default off): with the flag, a user also sees results administered
+    elsewhere for students whose current school is in their scope."""
+    wh, log, eng = mart_env
+    exam = wh.read(spark, "exam")
+    student = wh.read(spark, "student")
+    schools = {r["natural_id"]: r["id"]
+               for r in wh.read(spark, "school").collect()}
+    allowed = spark.createDataFrame(
+        [Row(school_id=schools["55500010001001"])])
+
+    base = R.permission_scope(exam, allowed)
+    # students whose inferred school is allowed, including exams taken at
+    # the other school
+    wide = R.permission_scope(exam, allowed, transfer_enabled=True,
+                              student=student)
+    assert wide.count() >= base.count()
+    extra = wide.join(base.select("id"), "id", "left_anti")
+    if extra.count():
+        # every extra row belongs to a student currently at an allowed school
+        cur = {r["id"]: r["inferred_school_id"] for r in student.collect()}
+        for r in extra.collect():
+            assert cur[r["student_id"]] == schools["55500010001001"]

@@ -112,3 +112,59 @@ class TestCoreDims:
         assert contents["EXAM"] == 1 and contents["PACKAGE"] == 3
         langs = dict(dims["language"].collect())
         assert langs["eng"] == "English" and langs["spa"] == "Spanish"
+
+
+class TestCodesTables:
+    def test_load_update_and_validate(self, spark, tmp_path):
+        """CODES as warehouse tables with the documented manual-update flow
+        (edit table + trigger CODES migration import,
+        docs/Runbook.SystemConfiguration.md:200-263) and a set-based
+        unknown-code reconciliation report."""
+        from rdw_spark.sources.codes_embargo import (
+            load_default_codes, unknown_code_report, update_codes,
+        )
+        from rdw_spark.warehouse import ImportLog, TableStore
+
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh, archive_root=None)
+        res = load_default_codes(spark, wh, log)
+        assert res["status"] == "PROCESSED"
+        assert wh.read(spark, "grade").count() == 15
+        assert wh.read(spark, "language").filter("code = 'spa'").count() == 1
+
+        # the documented language example: add Norse, drop a code
+        res = update_codes(spark, wh, log, "language",
+                           add=[("non", "Norse")], remove=["som"])
+        langs = {r["code"] for r in wh.read(spark, "language").collect()}
+        assert "non" in langs and "som" not in langs
+        # the trigger import row exists and is PROCESSED
+        imp = log.read(spark).filter(f"id = {res['import_id']}").collect()[0]
+        assert imp["status"] == 1 and imp["contentType"] == "update language"
+
+        # unknown-code report: clean warehouse → empty
+        assert unknown_code_report(spark, wh).count() == 0
+        with pytest.raises(ValueError, match="not a CODES table"):
+            update_codes(spark, wh, log, "exam", add=[("x", "x")])
+
+    def test_unknown_code_report_flags_bad_values(self, spark, tmp_path):
+        from datetime import datetime
+
+        from rdw_spark.sources.codes_embargo import (
+            load_default_codes, unknown_code_report,
+        )
+        from rdw_spark.warehouse import ImportLog, TableStore
+
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh, archive_root=None)
+        load_default_codes(spark, wh, log)
+        wh.merge_upsert(spark, "exam", spark.createDataFrame(
+            [("o1", 1, 2018, 1, 1, "06", "sum", datetime(2018, 4, 1), "zz", "Valid", "Complete"),
+             ("o2", 1, 2018, 1, 1, "99", "sum", datetime(2018, 4, 1), "eng", "Valid", "Complete")],
+            "opp_id string, asmt_id long, school_year int, student_id long, "
+            "school_id long, grade_code string, type_code string, "
+            "completed_at timestamp, language_code string, "
+            "administration_condition string, completeness string",
+        ), 1)
+        bad = {(r["code_table"], r["code"]): r["n"]
+               for r in unknown_code_report(spark, wh).collect()}
+        assert bad == {("language", "zz"): 1, ("grade", "99"): 1}
