@@ -186,6 +186,35 @@ def school_years(spark: SparkSession, years: list[int]) -> DataFrame:
     return spark.createDataFrame([(y,) for y in years], "school_year int")
 
 
+def register_school_year(spark: SparkSession, wh, log, year: int) -> dict:
+    """The new-school-year flow (docs/Runbook.SystemConfiguration.md:31-46):
+    ``INSERT INTO school_year (year) VALUES (...)`` plus a CODES import row
+    ('add school year N') so migration picks it up."""
+    from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+    cur = wh.read(spark, "school_year")
+    wh.write_snapshot(
+        cur.unionByName(spark.createDataFrame([(year,)], "year int")).distinct(),
+        "school_year",
+    )
+    rec = log.accept(spark, ImportContent.CODES,
+                     f"add school year {year}".encode(),
+                     content_type=f"add school year {year}")
+    if not rec.existing:
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"import_id": rec.id,
+            "years": sorted(r["year"] for r in wh.read(spark, "school_year").collect())}
+
+
+def restrict_to_known_years(df: DataFrame, school_year_tbl: DataFrame,
+                            col: str = "school_year") -> DataFrame:
+    """Reporting restriction to registered years ("the system restricts
+    reporting to the 'known' school years") — a broadcast semi-join any
+    mart query can wrap itself in."""
+    years = school_year_tbl.select(F.col("year").alias(col)).distinct()
+    return df.join(F.broadcast(years), col, "left_semi")
+
+
 def parse_embargo_json(spark: SparkSession, payload: str | bytes) -> dict[str, DataFrame]:
     """JSON → {"state_embargo", "district_embargo"} warehouse frames.
 

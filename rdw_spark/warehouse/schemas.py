@@ -387,6 +387,9 @@ CODE_SCHEMA = T.StructType([
     T.StructField("code", T.StringType(), False),
     T.StructField("name", T.StringType(), True),
 ])
+# registered school years (docs/Runbook.SystemConfiguration.md:31-46):
+# "the system restricts reporting to the known school years"
+SCHOOL_YEAR = T.StructType([T.StructField("year", T.IntegerType(), False)])
 
 # every table the TableStore knows how to MERGE, with its natural key
 # (used for upsert matching; reference exam matching is (oppId, assessment),
@@ -446,5 +449,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "district_embargo": DISTRICT_EMBARGO,
     "user_report": USER_REPORT,
     **{name: CODE_SCHEMA for name in CODE_TABLES},
+    "school_year": SCHOOL_YEAR,
 }
 NATURAL_KEYS.update({name: ["code"] for name in CODE_TABLES})
+NATURAL_KEYS["school_year"] = ["year"]

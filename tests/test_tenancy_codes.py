@@ -168,3 +168,24 @@ class TestCodesTables:
         bad = {(r["code_table"], r["code"]): r["n"]
                for r in unknown_code_report(spark, wh).collect()}
         assert bad == {("language", "zz"): 1, ("grade", "99"): 1}
+
+
+class TestSchoolYearRegistration:
+    def test_register_and_restrict(self, spark, tmp_path):
+        from rdw_spark.sources.codes_embargo import (
+            register_school_year, restrict_to_known_years,
+        )
+        from rdw_spark.warehouse import ImportLog, TableStore
+
+        wh = TableStore(str(tmp_path / "wh"), audit_enabled=False)
+        log = ImportLog(wh, archive_root=None)
+        register_school_year(spark, wh, log, 2018)
+        res = register_school_year(spark, wh, log, 2019)
+        assert res["years"] == [2018, 2019]
+        imp = log.read(spark).filter(f"id = {res['import_id']}").collect()[0]
+        assert imp["contentType"] == "add school year 2019"
+
+        facts = spark.createDataFrame(
+            [(1, 2017), (2, 2018), (3, 2019)], "id long, school_year int")
+        kept = restrict_to_known_years(facts, wh.read(spark, "school_year"))
+        assert {r["school_year"] for r in kept.collect()} == {2018, 2019}
