@@ -99,16 +99,21 @@ def shingles(
             cur = F.zip_with(cur, F.slice(thc, j + 1, size),
                              lambda a, b: F.xxhash64(a, b))
         grams = F.slice(cur, 1, F.greatest(size - n + 1, F.lit(1)))
-        return d2.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+        # per-document dedup happens in place (array_distinct) — the rows
+        # are unique by construction afterwards, so no global .distinct()
+        # shuffle is needed at all
+        return d2.select(
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+        )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
     )
-    out = (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
-    return out.distinct()
 
 
 def ngram_jaccard_pairs(
