@@ -110,6 +110,52 @@ def ingest_groups(
     return {"import_id": rec.id, "groups": int(n_groups), "errors": int(n_errors)}
 
 
+def snapshot_warehouse(spark: SparkSession, wh: TableStore, dest_root: str,
+                       include_audit: bool = True) -> dict[str, int]:
+    """The engine analog of the archive runbook (docs/Runbook.Archive.md:
+    snapshot the database, store it in an archival location, restore and
+    query it later): export every table's CURRENT resolved state as plain
+    parquet under ``dest_root`` — independent of the internal storage
+    layouts (versioned snapshots, partition manifests, merge-on-read
+    deltas), so the archive is queryable directly with any parquet reader.
+    Run while the writers are quiescent (the runbook's own requirement)."""
+    import os
+
+    counts: dict[str, int] = {}
+    for name in wh.schemas:
+        df = wh.read(spark, name)
+        n = df.count()
+        if n == 0:
+            continue
+        df.write.mode("overwrite").parquet(os.path.join(dest_root, name))
+        counts[name] = n
+        if include_audit:
+            audit = wh.read_audit(spark, name)
+            na = audit.count()
+            if na:
+                audit.write.mode("overwrite").parquet(
+                    os.path.join(dest_root, f"audit_{name}"))
+                counts[f"audit_{name}"] = na
+    return counts
+
+
+def restore_warehouse(spark: SparkSession, src_root: str, wh: TableStore) -> dict[str, int]:
+    """Restore an archive produced by :func:`snapshot_warehouse` into a
+    (fresh) TableStore — each table lands through write_snapshot, so the
+    target store's own layout rules (partitioning, merge-on-read) apply."""
+    import os
+
+    counts: dict[str, int] = {}
+    for name in wh.schemas:
+        path = os.path.join(src_root, name)
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.schema(wh.schemas[name]).parquet(path)
+        wh.write_snapshot(df, name)
+        counts[name] = df.count()
+    return counts
+
+
 def add_target_exclusions(
     spark: SparkSession, wh: TableStore, log: ImportLog,
     asmt_natural_id: str, exclusions: list[tuple[str, str]],

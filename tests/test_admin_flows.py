@@ -228,3 +228,32 @@ def test_reset_only_batch_refreshes_inferred_school(spark, env):
     ingest_exams(spark, wh, log, [reset_trt])
     stu = wh.read(spark, "student").collect()[0]
     assert stu["inferred_school_id"] == schools["55500010001001"]
+
+
+def test_snapshot_and_restore_warehouse(spark, env, tmp_path):
+    """docs/Runbook.Archive.md analog: the archive is layout-independent
+    parquet; restoring into a fresh store preserves every table's resolved
+    content (incl. merge-on-read and partitioned tables)."""
+    from rdw_spark.sources.admin_flows import (
+        restore_warehouse, snapshot_warehouse,
+    )
+
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="A-1", ssid="STU001", score=2400.0),
+        make_trt(opp_id="A-2", ssid="STU002", score=2500.0),
+    ])
+    counts = snapshot_warehouse(spark, wh, str(tmp_path / "archive"))
+    assert counts["exam"] == 2 and counts["student"] == 2
+    # the archive is plain parquet, queryable directly
+    direct = spark.read.parquet(str(tmp_path / "archive" / "exam"))
+    assert direct.count() == 2
+
+    fresh = TableStore(str(tmp_path / "restored"), audit_enabled=False)
+    restored = restore_warehouse(spark, str(tmp_path / "archive"), fresh)
+    assert restored["exam"] == 2
+    for name in ("exam", "student", "exam_item", "school", "import"):
+        want = {tuple(r) for r in wh.read(spark, name).collect()}
+        got = {tuple(r) for r in fresh.read(spark, name).collect()}
+        assert got == want, name
