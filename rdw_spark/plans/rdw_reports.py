@@ -334,6 +334,38 @@ def ingest_latency_histogram(import_log: DataFrame) -> DataFrame:
     )
 
 
+def instructional_resources_for(
+    resources: DataFrame, asmt_id: int, performance_level: int,
+    school_id: int | None = None, district_id: int | None = None,
+) -> DataFrame:
+    """Resolve instructional-resource links for an (assessment,
+    performance level) with most-specific-org-wins override semantics
+    (docs/Runbook.SystemConfiguration.md:121-127: SmarterBalanced 'system'
+    resources, with organization-specific resources configured on top by
+    administrative users)."""
+    rank = (
+        F.when(F.col("org_level") == "School", 4)
+        .when(F.col("org_level") == "District", 3)
+        .when(F.col("org_level") == "State", 2)
+        .otherwise(1)  # System
+    )
+    scoped = resources.filter(
+        (F.col("asmt_id") == asmt_id)
+        & (F.col("performance_level").isNull()
+           | (F.col("performance_level") == performance_level))
+        & (
+            (F.col("org_level").isin("System", "State"))
+            | ((F.col("org_level") == "District") & (F.col("org_id") == district_id))
+            | ((F.col("org_level") == "School") & (F.col("org_id") == school_id))
+        )
+    ).withColumn("_rank", rank)
+    best = scoped.agg(F.max("_rank").alias("_best"))
+    return (
+        scoped.join(F.broadcast(best), F.col("_rank") == F.col("_best"))
+        .select("org_level", "resource")
+    )
+
+
 def slowest_migrates(migrate_control: DataFrame, k: int = 5) -> DataFrame:
     """O1 ops query: top-k slowest completed migrate runs
     (docs/Monitoring.md:211-220)."""

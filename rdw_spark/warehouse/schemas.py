@@ -391,6 +391,18 @@ CODE_SCHEMA = T.StructType([
 # "the system restricts reporting to the known school years"
 SCHOOL_YEAR = T.StructType([T.StructField("year", T.IntegerType(), False)])
 
+# instructional resource links (docs/Runbook.SystemConfiguration.md:121-127;
+# docs/Runbook.md:275 — admin-managed links per assessment/performance level
+# with org-specific overrides; the exact column set is not in the public
+# docs, so this is the minimal shape the documented behavior needs)
+INSTRUCTIONAL_RESOURCE = T.StructType([
+    T.StructField("asmt_id", T.LongType(), False),
+    T.StructField("performance_level", T.IntegerType(), True),  # NULL → all levels
+    T.StructField("org_level", T.StringType(), False),  # System|State|District|School
+    T.StructField("org_id", T.LongType(), True),        # NULL for System/State
+    T.StructField("resource", T.StringType(), False),   # the link
+])
+
 # every table the TableStore knows how to MERGE, with its natural key
 # (used for upsert matching; reference exam matching is (oppId, assessment),
 # docs/API.md:369)
@@ -450,6 +462,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "user_report": USER_REPORT,
     **{name: CODE_SCHEMA for name in CODE_TABLES},
     "school_year": SCHOOL_YEAR,
+    "instructional_resource": INSTRUCTIONAL_RESOURCE,
 }
 NATURAL_KEYS.update({name: ["code"] for name in CODE_TABLES})
 NATURAL_KEYS["school_year"] = ["year"]

@@ -202,3 +202,23 @@ def test_transfer_enabled_permission_scope(spark, mart_env):
         cur = {r["id"]: r["inferred_school_id"] for r in student.collect()}
         for r in extra.collect():
             assert cur[r["student_id"]] == schools["55500010001001"]
+
+
+def test_instructional_resources_most_specific_wins(spark):
+    res = spark.createDataFrame(
+        [(1, 2, "System", None, "sys-link"),
+         (1, 2, "State", None, "state-link"),
+         (1, 2, "District", 77, "district-link"),
+         (1, 2, "School", 901, "school-link"),
+         (1, None, "System", None, "all-levels-link"),
+         (2, 2, "System", None, "other-asmt")],
+        "asmt_id long, performance_level int, org_level string, org_id long, "
+        "resource string",
+    )
+    got = R.instructional_resources_for(res, asmt_id=1, performance_level=2,
+                                        school_id=901, district_id=77).collect()
+    assert {r["resource"] for r in got} == {"school-link"}
+    # no school/district overrides in scope → state wins over system
+    got = R.instructional_resources_for(res, asmt_id=1, performance_level=2,
+                                        school_id=999, district_id=888).collect()
+    assert {r["resource"] for r in got} == {"state-link"}
