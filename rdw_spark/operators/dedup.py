@@ -373,3 +373,118 @@ def embedding_near_duplicates(
         F.col(f"{id_col}_b").alias("b"),
         cos.alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: pairs -> connected components -> deduped corpus
+# --------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor LARGER than u to u's minimum neighborhood
+    label: emit (v, m) for v in N(u), v > u, m = min(N(u) + {u}).
+    Window-annotated, not collect_set — a hot node's neighborhood stays
+    row-distributed instead of materializing as one giant array."""
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        und.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor <= u (and u itself) to the minimum label.
+    On edges oriented large->small: emit (v, m) for v in N(u), v != m,
+    plus the center's own (u, m), m = min(N(u))."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    ann = oriented.withColumn("m", F.min("v").over(w))
+    leaves = ann.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = ann.select(F.col("u"), F.col("m").alias("v")).distinct()
+    return leaves.union(centers).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve similarity PAIRS into clusters: (node, cluster_id) for every
+    node that appears in ``pairs``, where cluster_id is the minimum node id
+    of its connected component.
+
+    This is the step after candidate-pair generation that an actual corpus
+    dedup needs — MinHash/SimHash/Jaccard emit PAIRS, but "keep one copy"
+    requires the transitive closure (A~B, B~C => drop two of {A,B,C}).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — converges
+    in O(log^2 n) rounds independent of component diameter, each round two
+    hash shuffles on the node id, so a 10^9-node graph with a long chain
+    still resolves in ~25 rounds where naive label propagation would need
+    one round per hop. Lineage is cut each round (localCheckpoint) so the
+    plan doesn't grow with iterations. Convergence = edge multiset stable
+    (count + order-insensitive hash-sum, one cheap agg per round).
+    """
+    edges = (
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # hash-sum in decimal(38,0): ANSI mode makes a long sum overflow an
+        # error, and the signature only needs equality, not a narrow type
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # post-convergence the edge set is a star forest: (member, root) with
+    # root = component minimum; roots themselves get a self-label
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    return members.union(roots).distinct()
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The end-to-end 'keep one copy' resolve: documents minus every
+    non-canonical member of a near-dup cluster. Canonical = minimum id per
+    connected component of ``pairs``; documents in no pair survive
+    untouched. The drop set is (cluster members) minus (cluster minima) —
+    broadcast-joined away when small, hash anti-join otherwise (left to
+    AQE by size)."""
+    cc = connected_components(pairs, a_col, b_col)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

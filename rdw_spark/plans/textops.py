@@ -140,6 +140,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_duplicates(e, threshold=0.3, block_col="label")
 
 
+@register(
+    "zz_dedup_cluster_resolution",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+    ), edges AS (
+        SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    """,
+    survey="ext: near-dup cluster resolution — similarity pairs -> connected "
+           "components (alternating large-star/small-star, O(log^2 n) "
+           "rounds) -> (node, min-id cluster label); the transitive-closure "
+           "step every corpus dedup needs after pair generation",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pairs = D.embedding_near_duplicates(e, threshold=0.3, block_col="label")
+    return D.connected_components(pairs)
+
+
+@register(
+    "zz_dedup_corpus_resolve",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks WHERE len(l) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), live AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN live l ON a.shingle = l.shingle
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT a, b
+        FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                   JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+    ), edges AS (
+        SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), drop_set AS (
+        SELECT u AS doc_id FROM reach
+        GROUP BY u HAVING LEAST(u, MIN(v)) <> u
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d ANTI JOIN drop_set x ON d.doc_id = x.doc_id
+    """,
+    survey="ext: end-to-end corpus dedup resolve — capped n-gram Jaccard "
+           "pairs -> connected components -> keep the min-id canonical per "
+           "cluster, untouched docs pass through (anti-join drop set)",
+)
+def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    eligible = d.filter(F.size(X.tokens(F.col("text"))) >= 3)
+    pairs = D.ngram_jaccard_pairs(eligible, n=3, threshold=0.1, max_shingle_freq=1000)
+    return D.dedup_corpus(d, pairs).select("doc_id", "source", "lang")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

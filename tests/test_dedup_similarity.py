@@ -159,3 +159,47 @@ def test_frame_sample_and_resize_plumbing(spark, sf_dir):
         M.resize_images(media, fake=False)
     with _pytest.raises(NotImplementedError):
         M.sample_frames(media, fake=False)
+
+
+def test_connected_components_shapes(spark):
+    """Path, star, singleton-free multi-component graph: every node gets the
+    component minimum as its label; nodes absent from pairs don't appear."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a path, {10,11} an edge, {20,21,22} a star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (22, 20)],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path is the worst case for label propagation (diameter
+    200); large-star/small-star must resolve it well inside the O(log^2 n)
+    round budget."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    out = D.connected_components(pairs, max_iterations=25).collect()
+    assert len(out) == n + 1
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_dedup_corpus_keeps_canonicals_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_corpus(docs, pairs).collect())
+    # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; 3,4,7 untouched
+    assert kept == [0, 3, 4, 5, 7]
