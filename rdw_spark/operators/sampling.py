@@ -1,0 +1,110 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is non-reproducible across runs/partitionings (seed is
+per-partition), which breaks the two properties a 100 TB corpus pipeline
+needs from a sample: (1) the same row set on re-run (resumable jobs,
+auditable experiments), and (2) consistency across tables — sampling
+`documents` and `embeddings` by the same key yields aligned rows.
+
+All operators here key the decision on md5(seed || key): a pure map-side
+expression (zero shuffle for Bernoulli/stratified), stable under
+repartitioning, identical across engines (the oracle runs the same
+predicate in DuckDB). The first 8 hex chars of md5 are compared
+lexicographically against a precomputed hex threshold — fixed-width
+lowercase hex compares identically to the numeric value, so no
+hex->int conversion is needed on either side.
+
+Reference analog: the RDW reporting stack has no sampler (samples are a
+training-data concern); this extends the engine per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 16 ** 8  # first 8 hex chars of md5
+
+
+def _hash_hex(key: Column, seed: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8)
+
+
+def threshold_hex(fraction: float) -> str:
+    """Lexicographic cutoff: keep rows whose 8-hex-char prefix sorts below
+    it. Exposed so oracles can embed the same literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * HASH_SPACE), HASH_SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep ~fraction of rows, chosen by
+    md5(seed || key). Map-only (no shuffle, no driver state); changing the
+    seed draws an independent sample; the same (seed, key) always decides
+    the same way, in any engine."""
+    return df.filter(_hash_sample_pred(F.col(key_col), fraction, seed))
+
+
+def _hash_sample_pred(key: Column, fraction: float, seed: str) -> Column:
+    return _hash_hex(key, seed) < F.lit(threshold_hex(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli: ``fractions`` is either one
+    rate for every stratum or a per-stratum dict (missing strata keep
+    nothing — explicit is safer than a silent 100%). Still map-only: the
+    stratum picks the threshold, the hash picks the rows."""
+    if isinstance(fractions, dict):
+        thr = None
+        for value, frac in sorted(fractions.items()):
+            cond = F.col(strata_col) == value
+            lit = F.lit(threshold_hex(frac))
+            thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+        thr = thr.otherwise(F.lit("00000000")) if thr is not None else F.lit("00000000")
+    else:
+        thr = F.lit(threshold_hex(float(fractions)))
+    # salt the hash with the stratum so per-stratum draws are independent:
+    # without it, a row kept at rate r in one stratum is always kept at
+    # rate r' >= r in another — correlated samples across strata
+    key = F.concat(F.col(strata_col).cast("string"), F.lit("|"),
+                   F.col(key_col).cast("string"))
+    return df.filter(_hash_hex(key, seed) < thr)
+
+
+def sample_k_per_stratum(
+    df: DataFrame, strata_col: str, k: int, key_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, uniform without
+    replacement: rank rows by their hash within the stratum and keep the
+    first k. The distributed reservoir-sampling equivalent — one shuffle
+    on the stratum key, no driver pass. Ties broken by key for full
+    determinism (md5 collisions on distinct keys notwithstanding)."""
+    h = _hash_hex(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def split_train_eval(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float = 0.01,
+    seed: str = "split0",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic train/eval split by key — the
+    contamination guard: a key lands on the same side in every table and
+    every run. Returns (train, eval)."""
+    pred = _hash_sample_pred(F.col(key_col), eval_fraction, seed)
+    return df.filter(~pred), df.filter(pred)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as SA
 from ..operators import similarity as S
 from ..operators import text as X
 from .registry import register
@@ -217,6 +218,80 @@ def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = d.filter(F.size(X.tokens(F.col("text"))) >= 3)
     pairs = D.ngram_jaccard_pairs(eligible, n=3, threshold=0.1, max_shingle_freq=1000)
     return D.dedup_corpus(d, pairs).select("doc_id", "source", "lang")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling
+# --------------------------------------------------------------------------
+
+@register(
+    "zz_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('s0' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang WHEN 'en' THEN '19999999'   -- 10%: downsample the majority
+                      WHEN 'de' THEN '80000000'   -- 50%
+                      WHEN 'es' THEN '80000000'
+                      WHEN 'fr' THEN '80000000'
+                      WHEN 'zh' THEN '80000000'
+                      ELSE '00000000' END
+    """,
+    survey="ext: deterministic stratified sampling — per-stratum "
+           "md5-threshold Bernoulli, map-only (zero shuffle), reproducible "
+           "across runs/engines/partitionings; the language-rebalance shape "
+           "a corpus pipeline runs",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rates = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    return SA.stratified_sample(d, "lang", rates, key_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "zz_sample_k_per_stratum",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+    survey="ext: exact-k-per-stratum sampling (distributed reservoir "
+           "equivalent) — hash-rank rows within each stratum, keep the "
+           "first k; one shuffle on the stratum key, no driver pass",
+)
+def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return SA.sample_k_per_stratum(d, "source", k=5, key_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "zz_sample_train_eval_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '0ccccccc' THEN 'eval' ELSE 'train' END AS side
+    FROM documents
+    """,
+    survey="ext: deterministic train/eval split by key (contamination "
+           "guard) — disjoint + exhaustive, same side for a key in every "
+           "table and every run",
+)
+def sample_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    train, ev = SA.split_train_eval(d, "doc_id", eval_fraction=0.05)
+    return train.select("doc_id", F.lit("train").alias("side")).unionAll(
+        ev.select("doc_id", F.lit("eval").alias("side"))
+    )
 
 
 # --------------------------------------------------------------------------
