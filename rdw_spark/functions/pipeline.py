@@ -158,3 +158,207 @@ class Pipeline:
             raise ValueError(
                 f"pipeline {self.name!r}: {failed} golden test(s) failing"
             )
+
+
+# --------------------------------------------------------------------------
+# Warehouse-backed pipeline configuration (docs/Runbook.Pipeline.md:119-145)
+# --------------------------------------------------------------------------
+
+# the persistable script dialect: a JSON array of DECLARATIVE steps only
+# (regex_replace / xslt). Arbitrary-callable steps (F2) are system scripts
+# loaded from code, exactly like the reference's classpath pre/post-process
+# scripts — they are not publishable through the repository.
+_DECLARATIVE_KINDS = {"regex_replace", "xslt"}
+
+
+def compile_body(body: str, name: str = "pipeline") -> Pipeline:
+    """Parse a persisted user-script body (JSON step list) into a Pipeline.
+    Raises ValueError on non-declarative or unknown step kinds — the
+    sandbox boundary (Runbook.Pipeline.md:34-68) enforced at load time."""
+    import json
+
+    try:
+        spec = json.loads(body)
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"pipeline body is not valid JSON: {exc}") from exc
+    if not isinstance(spec, list):
+        raise ValueError("pipeline body must be a JSON array of steps")
+    steps: list[Step] = []
+    for i, s in enumerate(spec):
+        kind = s.get("kind")
+        if kind not in _DECLARATIVE_KINDS:
+            raise ValueError(f"step {i}: kind {kind!r} is not a sandboxed step")
+        if kind == "regex_replace":
+            steps.append(regex_replace(s["pattern"], s["replacement"]))
+        else:
+            steps.append(xslt_step(s["stylesheet"]))
+    return Pipeline(name=name, steps=steps)
+
+
+class PipelineRepository:
+    """The reference's pipeline persistence, re-expressed on the engine's
+    stores: config rows in the warehouse (``pipeline`` /
+    ``pipeline_script`` WIP / ``pipeline_test`` tables,
+    Runbook.Pipeline.md:119-145), published immutable script versions in
+    the archive zone at ``pipelines/<code>/user.<version>.json``
+    (Runbook.Pipeline.md:104-112 — every version kept, enabling rollback;
+    publish is gated on the golden tests, :137-145)."""
+
+    def __init__(self, wh, archive_root: str):
+        import os
+
+        self.wh = wh
+        self.archive_root = archive_root
+        os.makedirs(archive_root, exist_ok=True)
+
+    # ---------- ids ----------
+
+    @staticmethod
+    def _pid(code: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.md5(f"pipeline|{code}".encode()).digest()[:8], "big"
+        ) // 2  # keep positive in a signed long
+
+    # ---------- authoring ----------
+
+    def save_script(self, spark: SparkSession, code: str, body: str,
+                    input_type: str = "xml", user: str = "rdw_spark") -> None:
+        """Upsert the pipeline row + its single WIP script row. The body is
+        validated (parseable, declarative-only) on save, like the UI."""
+        compile_body(body, code)  # reject garbage before it lands
+        from pyspark.sql import functions as F
+
+        pid = self._pid(code)
+        cur = self.wh.read(spark, "pipeline").filter(F.col("code") == code).collect()
+        active = cur[0]["active_version"] if cur else None
+        prow = spark.createDataFrame(
+            [(pid, code, input_type, active)], self.wh.schemas["pipeline"]
+        )
+        self.wh.merge_rows(spark, "pipeline", prow, ["code"])
+        prev = (
+            self.wh.read(spark, "pipeline_script")
+            .filter(F.col("pipeline_id") == pid).collect()
+        )
+        created = prev[0]["created"] if prev else None
+        srow = spark.createDataFrame(
+            [(pid, pid, body, created, user)],
+            "id long, pipeline_id long, body string, created timestamp, updated_by string",
+        ).withColumn("updated", F.current_timestamp()).withColumn(
+            "created", F.coalesce(F.col("created"), F.current_timestamp())
+        ).select(*[f.name for f in self.wh.schemas["pipeline_script"].fields])
+        self.wh.merge_rows(spark, "pipeline_script", srow, ["pipeline_id"])
+
+    def save_test(self, spark: SparkSession, code: str, name: str,
+                  example_input: str, expected_output: str,
+                  user: str = "rdw_spark") -> None:
+        from pyspark.sql import functions as F
+
+        pid = self._pid(code)
+        tid = self._pid(f"{code}|test|{name}")
+        prev = (
+            self.wh.read(spark, "pipeline_test")
+            .filter((F.col("pipeline_id") == pid) & (F.col("name") == name))
+            .collect()
+        )
+        created = prev[0]["created"] if prev else None
+        trow = spark.createDataFrame(
+            [(tid, pid, name, example_input, expected_output, created, user)],
+            "id long, pipeline_id long, name string, example_input string, "
+            "expected_output string, created timestamp, updated_by string",
+        ).withColumn("updated", F.current_timestamp()).withColumn(
+            "created", F.coalesce(F.col("created"), F.current_timestamp())
+        ).select(*[f.name for f in self.wh.schemas["pipeline_test"].fields])
+        self.wh.merge_rows(spark, "pipeline_test", trow, ["pipeline_id", "name"])
+
+    # ---------- loading ----------
+
+    def _wip_pipeline(self, spark: SparkSession, code: str) -> Pipeline:
+        from pyspark.sql import functions as F
+
+        pid = self._pid(code)
+        rows = (
+            self.wh.read(spark, "pipeline_script")
+            .filter(F.col("pipeline_id") == pid).collect()
+        )
+        if not rows:
+            raise ValueError(f"pipeline {code!r}: no saved script")
+        p = compile_body(rows[0]["body"], code)
+        tests = (
+            self.wh.read(spark, "pipeline_test")
+            .filter(F.col("pipeline_id") == pid).orderBy("name").collect()
+        )
+        p.tests.extend((t["example_input"], t["expected_output"]) for t in tests)
+        return p
+
+    # ---------- publish / rollback / activate ----------
+
+    def _version_path(self, code: str, version: int) -> str:
+        import os
+
+        return os.path.join(self.archive_root, "pipelines", code,
+                            f"user.{version}.json")
+
+    def publish(self, spark: SparkSession, code: str,
+                user: str = "rdw_spark") -> int:
+        """Golden-test gate, then write the next immutable script version to
+        the archive and point active_version at it. Returns the version."""
+        import glob
+        import os
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        p = self._wip_pipeline(spark, code)
+        p.publish_gate(spark)  # >=1 test, all passing (F4)
+        existing = glob.glob(self._version_path(code, 0).replace("user.0.", "user.*."))
+        versions = [
+            int(m.group(1)) for f in existing
+            if (m := _re.search(r"user\.(\d+)\.json$", f))
+        ]
+        v = max(versions, default=0) + 1
+        path = self._version_path(code, v)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        body = (
+            self.wh.read(spark, "pipeline_script")
+            .filter(F.col("pipeline_id") == self._pid(code)).collect()[0]["body"]
+        )
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(body)
+        self.set_active_version(spark, code, v)
+        return v
+
+    def set_active_version(self, spark: SparkSession, code: str,
+                           version: int | None) -> None:
+        """Activate a published version (rollback = activate an older one);
+        None deactivates user-script processing for the pipeline."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        if version is not None and not os.path.exists(self._version_path(code, version)):
+            raise ValueError(f"pipeline {code!r}: version {version} not published")
+        row = (
+            self.wh.read(spark, "pipeline")
+            .filter(F.col("code") == code)
+            .withColumn("active_version", F.lit(version).cast("int"))
+        )
+        if not row.collect():
+            raise ValueError(f"pipeline {code!r}: not saved")
+        self.wh.merge_rows(spark, "pipeline", row, ["code"])
+
+    def active_pipeline(self, spark: SparkSession, code: str) -> Pipeline | None:
+        """The published pipeline the ingest process would run, or None if
+        no version is active (Runbook.Pipeline.md: null active_version
+        means no user script runs)."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.wh.read(spark, "pipeline").filter(F.col("code") == code).collect()
+        )
+        if not rows or rows[0]["active_version"] is None:
+            return None
+        with open(self._version_path(code, rows[0]["active_version"]),
+                  encoding="utf-8") as fh:
+            return compile_body(fh.read(), code)

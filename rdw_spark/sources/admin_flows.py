@@ -90,6 +90,17 @@ def ingest_groups(
         log.set_status(spark, rec.id, ImportStatus.BAD_FORMAT, message=str(exc))
         return {"import_id": rec.id, "groups": 0, "errors": 1}
 
+    # stage the intermediate rows under this import id BEFORE processing
+    # (docs/Troubleshooting.md:459-468): a failed import retains them for
+    # tier-3 diagnosis; a clean one deletes its own staging rows below
+    staged = csv_df.withColumn("import_id", F.lit(rec.id)).select(
+        *[f.name for f in wh.schemas["upload_student_group"].fields]
+    )
+    wh.write_snapshot(
+        wh.read(spark, "upload_student_group").unionByName(staged),
+        "upload_student_group",
+    )
+
     out = parse_groups(csv_df, wh.read(spark, "school"), wh.read(spark, "student"))
     n_errors = out["errors"].count()
     groups = out["student_group"].withColumn("creator", F.lit(creator))
@@ -107,7 +118,38 @@ def ingest_groups(
                        message=[r["error"] for r in out["errors"].collect()])
     else:
         log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+        cleanup_upload_student_group(spark, wh, import_id=rec.id)
     return {"import_id": rec.id, "groups": int(n_groups), "errors": int(n_errors)}
+
+
+def cleanup_upload_student_group(
+    spark: SparkSession, wh: TableStore, import_id: int | None = None,
+    older_than_days: int | None = None, log: ImportLog | None = None,
+) -> int:
+    """The two documented staging cleanups (docs/Troubleshooting.md:459-468):
+    by failed import id, or every entry whose import row is older than N
+    days (needs ``log`` for the import timestamps). The staging table only
+    ever holds failed-import leftovers, so the snapshot rewrite is O(tiny).
+    Returns rows deleted."""
+    cur = wh.read(spark, "upload_student_group")
+    if import_id is not None:
+        keep = cur.filter(F.col("import_id") != F.lit(import_id))
+    elif older_than_days is not None:
+        if log is None:
+            raise ValueError("older_than_days cleanup needs the import log")
+        cutoff = F.expr(f"current_timestamp() - INTERVAL {int(older_than_days)} DAYS")
+        old = (
+            log.read(spark).filter(F.col("updated") < cutoff)
+            .select(F.col("id").alias("import_id"))
+        )
+        keep = cur.join(old, "import_id", "left_anti")
+    else:
+        raise ValueError("pass import_id or older_than_days")
+    n_before = cur.count()
+    n_keep = keep.count()
+    if n_keep != n_before:
+        wh.write_snapshot(keep, "upload_student_group")
+    return n_before - n_keep
 
 
 def snapshot_warehouse(spark: SparkSession, wh: TableStore, dest_root: str,

@@ -403,6 +403,45 @@ INSTRUCTIONAL_RESOURCE = T.StructType([
     T.StructField("resource", T.StringType(), False),   # the link
 ])
 
+# --- GROUPS staging (docs/Troubleshooting.md:459-468: a failed group
+# import RETAINS its intermediate rows in upload_student_group for tier-3
+# diagnosis; successful imports clean theirs up) ---
+UPLOAD_STUDENT_GROUP = T.StructType([
+    T.StructField("import_id", T.LongType(), False),
+    T.StructField("group_name", T.StringType(), True),
+    T.StructField("school_natural_id", T.StringType(), True),
+    T.StructField("school_year", T.IntegerType(), True),
+    T.StructField("subject_code", T.StringType(), True),
+    T.StructField("student_ssid", T.StringType(), True),
+    T.StructField("group_user_login", T.StringType(), True),
+])
+
+# --- pipeline config tables (docs/Runbook.Pipeline.md:119-145) ---
+PIPELINE = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("code", T.StringType(), False),
+    T.StructField("input_type", T.StringType(), False),     # 'xml' | 'csv'
+    T.StructField("active_version", T.IntegerType(), True),  # NULL = none
+])
+PIPELINE_SCRIPT = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("pipeline_id", T.LongType(), False),
+    T.StructField("body", T.StringType(), False),            # WIP user script
+    T.StructField("created", T.TimestampType(), False),
+    T.StructField("updated", T.TimestampType(), False),
+    T.StructField("updated_by", T.StringType(), False),
+])
+PIPELINE_TEST = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("pipeline_id", T.LongType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("example_input", T.StringType(), False),
+    T.StructField("expected_output", T.StringType(), False),
+    T.StructField("created", T.TimestampType(), False),
+    T.StructField("updated", T.TimestampType(), False),
+    T.StructField("updated_by", T.StringType(), False),
+])
+
 # every table the TableStore knows how to MERGE, with its natural key
 # (used for upsert matching; reference exam matching is (oppId, assessment),
 # docs/API.md:369)
@@ -463,6 +502,13 @@ SCHEMAS: dict[str, T.StructType] = {
     **{name: CODE_SCHEMA for name in CODE_TABLES},
     "school_year": SCHOOL_YEAR,
     "instructional_resource": INSTRUCTIONAL_RESOURCE,
+    "upload_student_group": UPLOAD_STUDENT_GROUP,
+    "pipeline": PIPELINE,
+    "pipeline_script": PIPELINE_SCRIPT,
+    "pipeline_test": PIPELINE_TEST,
 }
+NATURAL_KEYS["pipeline"] = ["code"]
+NATURAL_KEYS["pipeline_script"] = ["pipeline_id"]   # one WIP script per pipeline
+NATURAL_KEYS["pipeline_test"] = ["pipeline_id", "name"]
 NATURAL_KEYS.update({name: ["code"] for name in CODE_TABLES})
 NATURAL_KEYS["school_year"] = ["year"]

@@ -257,3 +257,91 @@ def test_snapshot_and_restore_warehouse(spark, env, tmp_path):
         want = {tuple(r) for r in wh.read(spark, name).collect()}
         got = {tuple(r) for r in fresh.read(spark, name).collect()}
         assert got == want, name
+
+
+def test_upload_student_group_staging_retention(spark, env):
+    """docs/Troubleshooting.md:459-468 — a failed import RETAINS its
+    intermediate upload_student_group rows; a clean one removes its own;
+    the two documented cleanups delete by import id / by age."""
+    from rdw_spark.sources.admin_flows import cleanup_upload_student_group
+
+    wh, log = env
+    _load_orgs(spark, wh, log)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="U-1", ssid="STU001"),
+        make_trt(opp_id="U-2", ssid="STU002"),
+    ])
+
+    # clean import: staging rows written then cleaned up
+    res = ingest_groups(spark, wh, log, GROUPS_CSV.encode())
+    assert res["errors"] == 0
+    staged = wh.read(spark, "upload_student_group")
+    assert staged.filter(F.col("import_id") == res["import_id"]).count() == 0
+
+    # failing import: rows retained under its import id
+    csv = GROUPS_CSV + "Grade6Math,55500010001001,2018,,STU404,\n"
+    bad = ingest_groups(spark, wh, log, csv.encode())
+    assert bad["errors"] == 1
+    retained = wh.read(spark, "upload_student_group")
+    n_rows = retained.filter(F.col("import_id") == bad["import_id"]).count()
+    assert n_rows == 7  # all CSV body rows staged, not just the bad one
+
+    # targeted cleanup (DELETE FROM upload_student_group WHERE import_id=…)
+    deleted = cleanup_upload_student_group(spark, wh, import_id=bad["import_id"])
+    assert deleted == n_rows
+    assert wh.read(spark, "upload_student_group").count() == 0
+
+    # age-based cleanup: nothing young enough to delete → 0
+    bad2 = ingest_groups(spark, wh, log, csv.encode())
+    assert cleanup_upload_student_group(
+        spark, wh, older_than_days=3, log=log) == 0
+    assert wh.read(spark, "upload_student_group").filter(
+        F.col("import_id") == bad2["import_id"]).count() == 7
+
+
+def test_pipeline_repository_lifecycle(spark, tmp_path):
+    """Runbook.Pipeline.md:104-145 — WIP script + tests in warehouse
+    tables, publish gated on golden tests, immutable archive versions,
+    rollback by re-activating an older version."""
+    import pytest as _pytest
+
+    from rdw_spark.functions.pipeline import PipelineRepository
+
+    wh = TableStore(str(tmp_path / "warehouse"))
+    repo = PipelineRepository(wh, str(tmp_path / "archive"))
+
+    body_v1 = '[{"kind": "regex_replace", "pattern": "foo", "replacement": "bar"}]'
+    repo.save_script(spark, "exam", body_v1, user="dev@x")
+    assert wh.read(spark, "pipeline").collect()[0]["active_version"] is None
+    assert wh.read(spark, "pipeline_script").count() == 1
+
+    # publish blocked without tests (F4 gate)
+    with _pytest.raises(ValueError, match="at least one test"):
+        repo.publish(spark, "exam")
+
+    repo.save_test(spark, "exam", "t1", "say foo", "say bar")
+    v1 = repo.publish(spark, "exam", user="dev@x")
+    assert v1 == 1
+    assert wh.read(spark, "pipeline").collect()[0]["active_version"] == 1
+    active = repo.active_pipeline(spark, "exam")
+    assert active.compile()("foo x foo") == "bar x bar"
+
+    # new WIP version; failing golden test blocks publish
+    body_v2 = '[{"kind": "regex_replace", "pattern": "foo", "replacement": "baz"}]'
+    repo.save_script(spark, "exam", body_v2)
+    with _pytest.raises(ValueError, match="failing"):
+        repo.publish(spark, "exam")
+    # fix the expectation and publish v2
+    repo.save_test(spark, "exam", "t1", "say foo", "say baz")
+    assert repo.publish(spark, "exam") == 2
+    assert repo.active_pipeline(spark, "exam").compile()("foo") == "baz"
+
+    # both archive versions kept; rollback re-activates v1
+    repo.set_active_version(spark, "exam", 1)
+    assert repo.active_pipeline(spark, "exam").compile()("foo") == "bar"
+    with _pytest.raises(ValueError, match="not published"):
+        repo.set_active_version(spark, "exam", 9)
+
+    # non-declarative bodies are rejected at save (sandbox boundary)
+    with _pytest.raises(ValueError, match="not a sandboxed step"):
+        repo.save_script(spark, "exam", '[{"kind": "callable"}]')
