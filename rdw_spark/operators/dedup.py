@@ -387,18 +387,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
     row-distributed instead of materializing as one giant array."""
     und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
+    # no distinct here: duplicate edges don't change any min, and the
+    # round's closing small-star dedups — saves one shuffle per round
     return (
         und.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Attach every neighbor <= u (and u itself) to the minimum label.
     On edges oriented large->small: emit (v, m) for v in N(u), v != m,
-    plus the center's own (u, m), m = min(N(u))."""
+    plus the center's own (u, m), m = min(N(u)). ``dedup=False`` skips the
+    closing distinct when the caller dedups right after anyway."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -408,7 +410,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     centers = ann.select(F.col("u"), F.col("m").alias("v")).distinct()
-    return leaves.union(centers).distinct()
+    out = leaves.union(centers)
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -442,24 +445,43 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _sig(e: DataFrame) -> tuple[int, int]:
-        # hash-sum in decimal(38,0): ANSI mode makes a long sum overflow an
-        # error, and the signature only needs equality, not a narrow type
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        # converged ⟺ the edge relation is a star forest: every child has
+        # exactly one parent and no parent is itself a child (stars always
+        # point at the neighborhood min, so forest roots ARE component
+        # minima). Checking the structure directly detects convergence on
+        # the round that PRODUCES the forest — the signature-compare
+        # alternative burns one extra full round re-deriving it.
+        viol = (
+            e.select(F.col("u").alias("n"), F.col("v").alias("p"))
+            .union(e.select(F.col("v").alias("n"), F.lit(None).alias("p")))
+            .groupBy("n")
+            .agg(
+                F.count_distinct("p").alias("np"),
+                F.max(F.col("p").isNull().cast("int")).alias("is_parent"),
+            )
+            .filter(
+                (F.col("np") > 1)
+                | ((F.col("np") >= 1) & (F.col("is_parent") == 1))
+            )
+        )
+        return viol.limit(1).count() == 0
 
-    prev = None
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _sig(edges)
-        if cur == prev:
+        # the jump's distinct dedups the round's output — skip small-star's
+        edges = _small_star(_large_star(edges), dedup=False)
+        # pointer jump: remap each parent to ITS parent before the next
+        # round — path-halving on top of the star alternation, which cuts
+        # the productive round count on chainy components
+        par = edges.select(F.col("u").alias("_j"), F.col("v").alias("_jv"))
+        edges = (
+            edges.join(par, edges["v"] == par["_j"], "left")
+            .select("u", F.least(F.coalesce("_jv", "v"), F.col("v")).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if _is_star_forest(edges):
             break
-        prev = cur
 
     # post-convergence the edge set is a star forest: (member, root) with
     # root = component minimum; roots themselves get a self-label
