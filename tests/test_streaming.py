@@ -129,3 +129,57 @@ class TestStreamAheadOfData:
         stream = read_events_stream(spark, empty)
         assert stream.isStreaming
         assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_exam_ingest_end_to_end(spark, tmp_path):
+    """The async-queue analog: TRT files dropped in a landing dir are
+    ingested exactly-once — the file-source checkpoint skips already-seen
+    files across restarts, and digest dedup no-ops a re-dropped payload."""
+    from rdw_spark.sources.package import parse_package, read_package_csv
+    from rdw_spark.sources.org import parse_org_json, resolve_school_district_ids
+    from rdw_spark.streaming.ingest import stream_exam_ingest
+    from rdw_spark.warehouse import ImportLog, TableStore
+    from rdw_spark.warehouse.import_log import ImportContent, ImportStatus
+
+    from tests.test_sources import ORG_JSON, PACKAGE_CSV, make_trt
+
+    wh = TableStore(str(tmp_path / "warehouse"))
+    log = ImportLog(wh, archive_root=str(tmp_path / "archive"))
+    rec = log.accept(spark, ImportContent.PACKAGE, PACKAGE_CSV.encode())
+    wh.merge_upsert(spark, "asmt",
+                    parse_package(read_package_csv(spark, PACKAGE_CSV))["asmt"],
+                    rec.id)
+    rec2 = log.accept(spark, ImportContent.ORGANIZATION, ORG_JSON.encode())
+    org = parse_org_json(spark, ORG_JSON)
+    wh.merge_upsert(spark, "district", org["district"], rec2.id)
+    wh.merge_upsert(
+        spark, "school",
+        resolve_school_district_ids(org["school"], wh.read(spark, "district")),
+        rec2.id)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "a.xml").write_bytes(make_trt(opp_id="S-1", ssid="STU001"))
+    (landing / "b.xml").write_bytes(make_trt(opp_id="S-2", ssid="STU002"))
+
+    q = stream_exam_ingest(spark, wh, log, str(landing), ckpt)
+    q.awaitTermination(120)
+    assert sorted(
+        r["opp_id"] for r in wh.read(spark, "exam").select("opp_id").collect()
+    ) == ["S-1", "S-2"]
+
+    # drop one new file + one byte-identical duplicate of a.xml, restart
+    (landing / "c.xml").write_bytes(make_trt(opp_id="S-3", ssid="STU001"))
+    (landing / "a_again.xml").write_bytes(make_trt(opp_id="S-1", ssid="STU001"))
+    q = stream_exam_ingest(spark, wh, log, str(landing), ckpt)
+    q.awaitTermination(120)
+
+    exams = sorted(
+        r["opp_id"] for r in wh.read(spark, "exam").select("opp_id").collect()
+    )
+    assert exams == ["S-1", "S-2", "S-3"]  # duplicate payload no-opped
+    imports = log.read(spark).filter(F.col("content") == ImportContent.EXAM)
+    # 3 distinct digests; the re-dropped payload reused its import row
+    assert imports.count() == 3
+    assert imports.filter(F.col("status") == ImportStatus.PROCESSED).count() == 3
