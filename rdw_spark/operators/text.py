@@ -90,3 +90,40 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint = md5 of the normalized text (the reference
     dedups payloads by md5 digest — docs/API.md:263, docs/Monitoring.md:448)."""
     return F.md5(normalize_text(text))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every word n-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum — the
+    guaranteed-coverage sparse fingerprint set (any shared run of
+    window+n-1 tokens yields a shared fingerprint, so local plagiarism /
+    near-dup overlap is detectable from a ~1/window-size sample of the
+    grams).
+
+    One map-only pass of array expressions — no shuffle, no UDF; the hash
+    is the first 8 hex chars of md5 so the DuckDB oracle computes the
+    identical value. Returns (id, fingerprint) exploded pairs; docs
+    shorter than n + window - 1 tokens yield none."""
+    tok = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    hs = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - window + 1),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+    )
+    return (
+        df.filter(F.size(tok) >= n + window - 1)
+        .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    )

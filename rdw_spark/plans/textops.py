@@ -220,6 +220,34 @@ def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_corpus(d, pairs).select("doc_id", "source", "lang")
 
 
+@register(
+    "zz_text_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), g AS (
+        SELECT doc_id, list_transform(range(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+        FROM toks WHERE len(l) >= 3
+    ), h AS (
+        SELECT doc_id, list_transform(grams, x -> substr(md5(x), 1, 8)) AS hs FROM g
+    ), f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+        FROM h WHERE len(hs) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """,
+    survey="ext: winnowing (MOSS rolling-hash) document fingerprints — "
+           "min-hash per sliding window over word-3-gram hashes, map-only "
+           "array expressions, guaranteed detection of shared runs >= "
+           "window+n-1 tokens from a ~1/window sparse sample",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnowing_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling
 # --------------------------------------------------------------------------

@@ -203,3 +203,26 @@ def test_dedup_corpus_keeps_canonicals_and_untouched(spark):
     kept = sorted(r["doc_id"] for r in D.dedup_corpus(docs, pairs).collect())
     # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; 3,4,7 untouched
     assert kept == [0, 3, 4, 5, 7]
+
+
+def test_winnowing_guarantee_and_sparsity(spark):
+    """Winnowing's coverage guarantee: any shared token run of length >=
+    n + window - 1 produces at least one shared fingerprint; and the
+    fingerprint set is a sparse subset of the full gram-hash set."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n+window-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven"),
+            (3, "totally different words with nothing in common here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = X.winnowing_fingerprints(docs, n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared run detected
+    assert not (by_doc[1] & by_doc[3])    # unrelated docs don't collide
+    # sparsity: fewer fingerprints than grams (doc 1 has 10 tokens -> 8 grams)
+    assert len(by_doc[1]) < 8
