@@ -97,3 +97,49 @@ class TestNormalizeTsPushdown:
         q = ev.filter(F.col("ts") >= "2024-06-01").select("event_id", "ts")
         plan = q._jdf.queryExecution().toString()
         assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
+class TestTrainingOpPlans:
+    """Scale gates for the training-data operators added in r5."""
+
+    def test_sampling_is_map_only(self, spark, catalog):
+        # Bernoulli/stratified sampling must be a pure scan+filter: no
+        # Exchange anywhere in the plan at any scale
+        for name in ("zz_sample_stratified", "zz_sample_train_eval_split"):
+            plan = _plan(spark, catalog, name)
+            assert "Exchange" not in plan, f"{name} shuffles"
+
+    def test_winnowing_is_map_only(self, spark, catalog):
+        plan = _plan(spark, catalog, "zz_text_winnowing")
+        assert "Exchange" not in plan  # fingerprints = scan + generate only
+
+    def test_k_per_stratum_single_shuffle_with_map_side_topk(self, spark, catalog):
+        # exact-k = ONE hash exchange on the stratum key, and Spark's
+        # WindowGroupLimit prunes to the top k per stratum BEFORE the
+        # exchange (Partial below, Final above) — only k rows per stratum
+        # per mapper ever shuffle, the true reservoir-sampling behavior
+        import re
+
+        plan = _plan(spark, catalog, "zz_sample_k_per_stratum")
+        # formatted explain numbers nodes bottom-up: "(N) <Node>" headers
+        # with the node's Arguments below — smaller id = earlier in
+        # execution. Split into per-node detail blocks and classify.
+        blocks = re.split(r"\n\((\d+)\) ", "\n" + plan.split("== Physical Plan ==")[-1])
+        nodes = {}  # id -> block text
+        for i in range(1, len(blocks) - 1, 2):
+            nodes[int(blocks[i])] = blocks[i + 1]
+        exchanges = [i for i, b in nodes.items() if b.startswith("Exchange")]
+        partials = [i for i, b in nodes.items()
+                    if b.startswith("WindowGroupLimit") and "Partial" in b]
+        finals = [i for i, b in nodes.items()
+                  if b.startswith("WindowGroupLimit") and "Final" in b]
+        assert len(exchanges) == 1  # exactly one shuffle
+        assert partials and finals
+        assert partials[0] < exchanges[0] < finals[0]
+
+    def test_sample_filter_stays_in_scan_stage(self, spark, catalog):
+        # the md5-threshold predicate is not parquet-pushable (expression
+        # over a column), but it must evaluate inside the scan's codegen
+        # stage: WholeStageCodegen(1) contains both Scan and Filter
+        plan = _plan(spark, catalog, "zz_sample_train_eval_split")
+        assert "Filter" in plan and "Scan parquet" in plan

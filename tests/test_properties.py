@@ -185,3 +185,45 @@ def test_mor_group_mode_matches_dict_model(spark, tmp_path_factory, batches):
         got.setdefault(r["parent"], []).append(r["v"])
     assert {p: sorted(v) for p, v in got.items()} == {
         p: sorted(v) for p, v in model.items()}
+
+
+# -- connected components vs a union-find reference model ------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=0, max_size=40,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    return {n: find(n) for n in nodes}
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from rdw_spark.operators.dedup import connected_components
+
+    expected = _uf_components(edges)
+    if not expected:
+        return  # only self-loops / empty: operator contract is "no rows"
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
