@@ -518,3 +518,61 @@ class TestTrtTraitScores:
         traits = {t["category"]: t for t in it["trait_scores"]}
         assert traits["ORG"]["score"] == 3.0 and traits["ORG"]["max_score"] == 4.0
         assert traits["CON"]["score"] == 1.0
+
+
+class TestValidatorCli:
+    """The standalone validator (tools/README.md:55-68 analog): same rules
+    the loaders enforce, pure Python, row/element-level messages."""
+
+    def test_subject_xml_valid_and_invalid(self):
+        from rdw_spark.sources.validator import validate_subject_xml
+
+        assert validate_subject_xml(SUBJECT_XML) == []
+        assert validate_subject_xml(b"<oops") == [
+            e for e in validate_subject_xml(b"<oops")
+        ]  # parse error reported, not raised
+        bad = SUBJECT_XML.replace(
+            'minScore="2000"', 'minScore="abc"'
+        ).replace('level="1"', 'level="x"', 1)
+        errs = validate_subject_xml(bad)
+        assert any("minScore" in e for e in errs)
+        assert any("level" in e for e in errs)
+
+    def test_package_csv_valid_and_invalid(self):
+        from rdw_spark.sources.validator import validate_package_csv
+
+        assert validate_package_csv(PACKAGE_CSV) == []
+        # header damage fails the whole file
+        errs = validate_package_csv(PACKAGE_CSV.replace("AssessmentId", "AsmtId", 1))
+        assert errs and "missing required column" in errs[0]
+        # row damage is reported per line
+        bad = PACKAGE_CSV.replace("2018", "20x8")
+        errs = validate_package_csv(bad)
+        assert any("AcademicYear" in e for e in errs)
+
+    def test_reference_sample_package_header_compatible(self):
+        # tools/TestPackage.csv is a header-only sample: every required
+        # column must resolve (the only finding is the absence of rows)
+        from rdw_spark.sources.validator import validate_package_csv
+
+        with open("/root/reference/tools/TestPackage.csv", encoding="utf-8") as fh:
+            assert validate_package_csv(fh.read()) == ["no data rows"]
+
+    def test_cli_exit_codes(self, tmp_path):
+        import subprocess
+        import sys
+
+        good = tmp_path / "good.csv"
+        good.write_text(PACKAGE_CSV)
+        bad = tmp_path / "bad.csv"
+        bad.write_text(PACKAGE_CSV.replace("AssessmentId", "X", 1))
+        r = subprocess.run(
+            [sys.executable, "scripts/validate.py", "-t", str(good)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0 and "OK" in r.stdout
+        r = subprocess.run(
+            [sys.executable, "scripts/validate.py", "-t", str(good), "-t", str(bad)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 1 and "INVALID" in r.stdout
