@@ -78,24 +78,33 @@ class PartitionedTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._dir(), _MANIFEST_DIR, f"v{version:012d}.json")
 
-    def latest(self) -> tuple[int, dict[str, int]]:
-        """(snapshot version, {partition value: data version}); (0, {}) when
-        the table has never been published."""
+    def versions(self) -> list[int]:
+        """Snapshot versions still on disk, oldest first — the time-travel
+        window (bounded by gc's ``keep_manifests``)."""
         d = os.path.join(self._dir(), _MANIFEST_DIR)
         if not os.path.isdir(d):
-            return 0, {}
-        best = 0
+            return []
+        out = []
         for entry in os.listdir(d):
             if entry.startswith("v") and entry.endswith(".json"):
                 try:
-                    best = max(best, int(entry[1:-5]))
+                    out.append(int(entry[1:-5]))
                 except ValueError:
                     continue
-        if best == 0:
+        return sorted(out)
+
+    def manifest(self, version: int) -> dict[str, int]:
+        """{partition value: data version} as of snapshot ``version``."""
+        with open(self._manifest_path(version)) as fh:
+            return dict(json.load(fh)["parts"])
+
+    def latest(self) -> tuple[int, dict[str, int]]:
+        """(snapshot version, {partition value: data version}); (0, {}) when
+        the table has never been published."""
+        vs = self.versions()
+        if not vs:
             return 0, {}
-        with open(self._manifest_path(best)) as fh:
-            m = json.load(fh)
-        return best, dict(m["parts"])
+        return vs[-1], self.manifest(vs[-1])
 
     def _publish(self, version: int, parts: dict[str, int],
                  schema_json: str | None = None) -> None:
@@ -124,11 +133,26 @@ class PartitionedTable:
 
     # ---------- read ----------
 
-    def read(self, spark: SparkSession, parts: list[str] | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, parts: list[str] | None = None,
+             version: int | None = None) -> DataFrame:
         """Current snapshot — all partitions, or just ``parts`` (the
         manifest-level analog of partition pruning; year- or bucket-scoped
-        readers pass the values they need and never open other dirs)."""
-        _, man = self.latest()
+        readers pass the values they need and never open other dirs).
+
+        ``version`` reads an older snapshot instead (time travel): every
+        manifest still on disk — bounded by ``gc(keep_manifests=…)`` — is a
+        complete, immutable view, because data dirs are copy-on-write and
+        gc only deletes dirs unreferenced by every kept manifest. The same
+        read-at-a-manifest mechanism Delta/Iceberg expose as VERSION AS OF."""
+        if version is not None:
+            if version not in self.versions():
+                raise ValueError(
+                    f"{self.name}: snapshot v{version} not on disk "
+                    f"(available: {self.versions() or 'none'})"
+                )
+            man = self.manifest(version)
+        else:
+            _, man = self.latest()
         full_man = man
         if parts is not None:
             man = {p: v for p, v in man.items() if p in set(parts)}

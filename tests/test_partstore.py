@@ -317,3 +317,37 @@ class TestLayoutMigration:
         )
         with pytest.raises(ValueError, match="null partition"):
             wh.merge_upsert(spark, "exam", bad, 1)
+
+
+class TestTimeTravel:
+    def test_read_as_of_version(self, spark, tmp_path):
+        """Every manifest still on disk is a complete immutable snapshot:
+        reading VERSION AS OF returns the pre-merge state even after later
+        merges; gc'd versions raise with the available window."""
+        import pytest as _pytest
+
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        pt.overwrite(spark, spark.createDataFrame(
+            [Row(id=i, school_year=2017 + (i % 2), v="a") for i in range(10)]
+        ))
+        pt.merge_rows(spark, spark.createDataFrame(
+            [Row(id=1, school_year=2018, v="CHANGED")]
+        ))
+        pt.merge_rows(spark, spark.createDataFrame(
+            [Row(id=50, school_year=2018, v="NEW")]
+        ))
+        assert pt.versions() == [1, 2, 3]
+
+        v1 = {r["id"]: r["v"] for r in pt.read(spark, version=1).collect()}
+        assert len(v1) == 10 and v1[1] == "a"
+        v2 = {r["id"]: r["v"] for r in pt.read(spark, version=2).collect()}
+        assert v2[1] == "CHANGED" and 50 not in v2
+        now = {r["id"]: r["v"] for r in pt.read(spark).collect()}
+        assert now[1] == "CHANGED" and now[50] == "NEW"
+
+        # gc bounds the window; a pruned version is an explicit error
+        pt.gc(keep_manifests=2)
+        assert pt.versions() == [2, 3]
+        assert {r["id"] for r in pt.read(spark, version=2).collect()} == set(range(10))
+        with _pytest.raises(ValueError, match="v1 not on disk"):
+            pt.read(spark, version=1)
