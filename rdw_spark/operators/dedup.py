@@ -380,23 +380,40 @@ def embedding_near_duplicates(
 # --------------------------------------------------------------------------
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _ann_min(df: DataFrame, skew_safe: bool) -> DataFrame:
+    """Annotate each (u, v) row with m = min(v) over u.
+
+    Default: a window — one shuffle, no join. ``skew_safe``: partial-agg
+    groupBy + join back. The window sorts a node's whole neighborhood in
+    ONE task, which a super-node (a boilerplate near-dup shared by 10^7
+    docs) turns into a straggler AQE cannot split; the groupBy variant
+    combines map-side (each mapper ships one partial min per hot key) and
+    leaves the join's skew to AQE's skew-join splitting — one extra
+    shuffle per round, bought back as worst-case robustness."""
+    if not skew_safe:
+        return df.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    mins = df.groupBy("u").agg(F.min("v").alias("m"))
+    return df.join(mins, "u")
+
+
+def _large_star(edges: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Attach every neighbor LARGER than u to u's minimum neighborhood
     label: emit (v, m) for v in N(u), v > u, m = min(N(u) + {u}).
-    Window-annotated, not collect_set — a hot node's neighborhood stays
-    row-distributed instead of materializing as one giant array."""
+    Min via window/groupBy, never collect_set — a hot node's neighborhood
+    stays row-distributed instead of materializing as one giant array."""
     und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    w = Window.partitionBy("u")
     # no distinct here: duplicate edges don't change any min, and the
     # round's closing small-star dedups — saves one shuffle per round
     return (
-        und.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+        _ann_min(und, skew_safe)
+        .withColumn("m", F.least(F.col("u"), F.col("m")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
-def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+def _small_star(edges: DataFrame, dedup: bool = True,
+                skew_safe: bool = False) -> DataFrame:
     """Attach every neighbor <= u (and u itself) to the minimum label.
     On edges oriented large->small: emit (v, m) for v in N(u), v != m,
     plus the center's own (u, m), m = min(N(u)). ``dedup=False`` skips the
@@ -404,8 +421,7 @@ def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    w = Window.partitionBy("u")
-    ann = oriented.withColumn("m", F.min("v").over(w))
+    ann = _ann_min(oriented, skew_safe)
     leaves = ann.filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
@@ -419,6 +435,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 25,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Resolve similarity PAIRS into clusters: (node, cluster_id) for every
     node that appears in ``pairs``, where cluster_id is the minimum node id
@@ -429,13 +446,16 @@ def connected_components(
     requires the transitive closure (A~B, B~C => drop two of {A,B,C}).
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014) — converges
-    in O(log^2 n) rounds independent of component diameter, each round two
-    hash shuffles on the node id, so a 10^9-node graph with a long chain
-    still resolves in ~25 rounds where naive label propagation would need
-    one round per hop. Lineage is cut each round (localCheckpoint) so the
-    plan doesn't grow with iterations. Convergence = edge multiset stable
-    (count + order-insensitive hash-sum, one cheap agg per round).
+    "Connected Components in MapReduce and Beyond", SoCC 2014) plus a
+    pointer-jump (path-halving) step per round — converges in O(log^2 n)
+    rounds independent of component diameter, so a 10^9-node graph with a
+    long chain still resolves in ~25 rounds where naive label propagation
+    would need one round per hop. Lineage is cut each round
+    (localCheckpoint) so the plan doesn't grow with iterations;
+    convergence is detected structurally (the round's output IS a star
+    forest), not by re-deriving and comparing. ``skew_safe`` swaps the
+    per-node window-min for a map-combined groupBy+join (see ``_ann_min``)
+    when a super-node would straggle a window task.
     """
     edges = (
         pairs.select(F.col(a_col).cast("long").alias("u"),
@@ -469,7 +489,8 @@ def connected_components(
 
     for _ in range(max_iterations):
         # the jump's distinct dedups the round's output — skip small-star's
-        edges = _small_star(_large_star(edges), dedup=False)
+        edges = _small_star(_large_star(edges, skew_safe), dedup=False,
+                            skew_safe=skew_safe)
         # pointer jump: remap each parent to ITS parent before the next
         # round — path-halving on top of the star alternation, which cuts
         # the productive round count on chainy components

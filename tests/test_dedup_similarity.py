@@ -226,3 +226,16 @@ def test_winnowing_guarantee_and_sparsity(spark):
     assert not (by_doc[1] & by_doc[3])    # unrelated docs don't collide
     # sparsity: fewer fingerprints than grams (doc 1 has 10 tokens -> 8 grams)
     assert len(by_doc[1]) < 8
+
+
+def test_connected_components_skew_safe_equivalent(spark):
+    """The skew_safe (groupBy+join) variant produces identical clusters,
+    including on a star around a hot node."""
+    edges = [(0, i) for i in range(1, 30)] + [(40, 41), (41, 42), (5, 50)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    a = {(r["node"], r["cluster_id"])
+         for r in D.connected_components(pairs).collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in D.connected_components(pairs, skew_safe=True).collect()}
+    assert a == b
+    assert (50, 0) in a  # chained through the hot node's member
