@@ -69,3 +69,78 @@ def list_tenants(base: str) -> list[str]:
         d for d in os.listdir(base)
         if _TENANT_RE.fullmatch(d) and os.path.isdir(os.path.join(base, d))
     )
+
+
+# --------------------------------------------------------------------------
+# Sandbox datasets (docs/Runbook.MultiTenancy.md:127-162, 320-356)
+# --------------------------------------------------------------------------
+
+
+def publish_dataset(
+    spark: SparkSession, wh, datasets_root: str, dataset_id: str,
+    label: str | None = None,
+) -> dict[str, int]:
+    """Dump a prepared warehouse's resolved state as a named sandbox
+    dataset: plain-parquet table dumps plus a manifest annotating the id,
+    label, and table list — the engine analog of the runbook's mysqldump →
+    ``sandbox-datasets/<id>/warehouse`` upload with ``manifest.txt`` and
+    the admin-service ``sandboxDatasets`` label annotation."""
+    import json
+
+    from rdw_spark.sources.admin_flows import snapshot_warehouse
+
+    root = os.path.join(datasets_root, dataset_id)
+    counts = snapshot_warehouse(
+        spark, wh, os.path.join(root, "warehouse"), include_audit=False
+    )
+    manifest = {
+        "id": dataset_id,
+        "label": label or dataset_id,
+        "tables": sorted(counts),
+        "rows": counts,
+    }
+    with open(os.path.join(root, "manifest.json"), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1)
+    return counts
+
+
+def list_datasets(datasets_root: str) -> list[dict]:
+    """Available datasets, newest manifest schema — what the sandbox
+    creation UI offers the administrator to select from."""
+    import json
+
+    out = []
+    if not os.path.isdir(datasets_root):
+        return out
+    for entry in sorted(os.listdir(datasets_root)):
+        mpath = os.path.join(datasets_root, entry, "manifest.json")
+        if os.path.isfile(mpath):
+            with open(mpath, encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def create_sandbox(
+    spark: SparkSession, base: str, tenant_id: str, datasets_root: str,
+    dataset_id: str, migrate: bool = True,
+) -> Tenant:
+    """Create a sandbox tenant seeded from a published dataset: restore
+    the dataset's tables into the new tenant's warehouse, then migrate to
+    its reporting and OLAP marts (the runbook loads the warehouse *without*
+    migrating when building the dataset; migration happens per-sandbox on
+    creation). A sandbox IS a tenant — identical code paths, isolated
+    storage roots."""
+    from rdw_spark.sources.admin_flows import restore_warehouse
+
+    t = Tenant(base, tenant_id)
+    src = os.path.join(datasets_root, dataset_id, "warehouse")
+    if not os.path.isdir(src):
+        raise ValueError(
+            f"dataset {dataset_id!r} not found under {datasets_root} "
+            f"(available: {[d['id'] for d in list_datasets(datasets_root)]})"
+        )
+    restore_warehouse(spark, src, t.warehouse)
+    if migrate:
+        t.migrate.run_until_caught_up(spark, "reporting")
+        t.migrate.run_until_caught_up(spark, "olap")
+    return t

@@ -189,3 +189,57 @@ class TestSchoolYearRegistration:
             [(1, 2017), (2, 2018), (3, 2019)], "id long, school_year int")
         kept = restrict_to_known_years(facts, wh.read(spark, "school_year"))
         assert {r["school_year"] for r in kept.collect()} == {2018, 2019}
+
+
+def test_sandbox_dataset_publish_and_create(spark, tmp_path):
+    """Runbook.MultiTenancy.md sandbox flow: prepare a warehouse, publish
+    it as a named dataset (manifest + label), create a sandbox tenant from
+    it — warehouse seeded, marts migrated on creation, fully isolated."""
+    from rdw_spark.sources.exam_ingest import ingest_exams
+    from rdw_spark.sources.org import parse_org_json, resolve_school_district_ids
+    from rdw_spark.sources.package import parse_package, read_package_csv
+    from rdw_spark.warehouse.tenancy import create_sandbox, list_datasets, publish_dataset
+
+    from tests.test_sources import ORG_JSON, PACKAGE_CSV, make_trt
+
+    base = str(tmp_path / "tenants")
+    template = Tenant(base, "ts")
+    wh, log = template.warehouse, template.import_log
+    rec = log.accept(spark, ImportContent.PACKAGE, PACKAGE_CSV.encode())
+    wh.merge_upsert(spark, "asmt",
+                    parse_package(read_package_csv(spark, PACKAGE_CSV))["asmt"], rec.id)
+    org_rec = log.accept(spark, ImportContent.ORGANIZATION, ORG_JSON.encode())
+    org = parse_org_json(spark, ORG_JSON)
+    wh.merge_upsert(spark, "district", org["district"], org_rec.id)
+    wh.merge_upsert(
+        spark, "school",
+        resolve_school_district_ids(org["school"], wh.read(spark, "district")),
+        org_rec.id)
+    ingest_exams(spark, wh, log, [
+        make_trt(opp_id="SB-1", ssid="STU001"),
+        make_trt(opp_id="SB-2", ssid="STU002"),
+    ])
+    # dataset is built from an UNMIGRATED warehouse (the runbook's rule)
+
+    datasets = str(tmp_path / "sandbox-datasets")
+    counts = publish_dataset(spark, wh, datasets, "sb-dataset",
+                             label="SB Dataset (Math)")
+    assert counts["exam"] == 2 and counts["import"] >= 3
+    listed = list_datasets(datasets)
+    assert [d["label"] for d in listed] == ["SB Dataset (Math)"]
+
+    sb = create_sandbox(spark, base, "ts_s001", datasets, "sb-dataset")
+    assert sb.warehouse.read(spark, "exam").count() == 2
+    # migration ran on creation: reporting + OLAP marts are populated
+    assert sb.migrate.read_mart(spark, "reporting_exam").count() == 2
+    assert sb.migrate.read_mart(spark, "olap_exam").count() == 2
+
+    # isolation: sandbox writes don't touch the template warehouse
+    sb.warehouse.soft_delete(
+        spark, "exam",
+        sb.warehouse.read(spark, "exam").select("opp_id", "asmt_id"), 999)
+    assert template.warehouse.read(spark, "exam").filter("deleted").count() == 0
+
+    # unknown dataset id is an explicit error listing what exists
+    with pytest.raises(ValueError, match="sb-dataset"):
+        create_sandbox(spark, base, "ts_s002", datasets, "nope")
