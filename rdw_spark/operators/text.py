@@ -111,19 +111,36 @@ def winnowing_fingerprints(
     is the first 8 hex chars of md5 so the DuckDB oracle computes the
     identical value. Returns (id, fingerprint) exploded pairs; docs
     shorter than n + window - 1 tokens yield none."""
+    # Let-binding via single-element-array + transform: a NESTED expression
+    # (window mins referencing the hash array referencing the token array)
+    # is re-evaluated for every element of the outer transform — O(grams²)
+    # md5 calls per document, measured ~100× slower at sf0.1. (Separate
+    # projections don't help: ProjectCollapsing inlines them right back.)
+    # Wrapping each intermediate in F.array(..) and referencing it through
+    # the lambda VARIABLE makes Spark evaluate it once per row.
+    def let(value, body):
+        return F.element_at(F.transform(F.array(value), body), 1)
+
     tok = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-    )
-    hs = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(hs) - window + 1),
-            lambda i: F.array_min(F.slice(hs, i, window)),
+
+    def hashes(t):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(t, i + 1, n))), 1, 8
+            ),
         )
-    )
+
+    def window_mins(h):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - window + 1),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        )
+
+    fps = let(tok, lambda t: let(hashes(t), window_mins))
     return (
-        df.filter(F.size(tok) >= n + window - 1)
+        df.filter(F.size(tokens(F.col(text_col))) >= n + window - 1)
         .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
     )
