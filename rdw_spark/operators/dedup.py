@@ -105,9 +105,18 @@ def shingles(
         return d2.select(
             F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
         )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    # let-bind the token array through a single-element-array transform so
+    # the split() evaluates once per row, not once per gram element (the
+    # nested-HOF re-evaluation trap — see text.winnowing_fingerprints)
+    grams = F.element_at(
+        F.transform(
+            F.array(tok),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ),
+        1,
     )
     return (
         df.select(F.col(id_col),
