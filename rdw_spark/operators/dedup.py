@@ -540,3 +540,126 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batches against a maintained index
+# --------------------------------------------------------------------------
+
+
+def build_fingerprint_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, canonical_id): one row per distinct normalized text —
+    the state a streaming/batched corpus pipeline carries between batches.
+    At scale this lives as a partition-store table keyed by fingerprint
+    prefix, so the per-batch join below prunes to touched buckets."""
+    return (
+        exact_duplicates(df, text_col, id_col)
+        .filter("is_canonical")
+        .select("digest", F.col(id_col).alias("canonical_id"))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Dedup a NEW batch against an existing corpus WITHOUT rescanning the
+    corpus: O(batch) hashing + one equality join against the index.
+
+    Returns:
+      - ``unique``: batch rows that survive (not a dup of the corpus, and
+        one canonical per in-batch duplicate group)
+      - ``index_delta``: rows to append to the index (the state update —
+        an append, never a rewrite)
+      - ``dup_map``: (doc_id, canonical_id) for every dropped batch row,
+        whether its twin was in the corpus or in the same batch
+
+    Incremental-equals-batch: applying this per batch and unioning
+    ``unique`` yields exactly the canonicals a one-shot dedup of the
+    concatenated corpus would keep (given ids assigned in batch order) —
+    property-tested in tests/test_dedup_similarity.py."""
+    fp = exact_duplicates(new_docs, text_col, id_col, with_counts=False)
+    # in-batch canonical per fingerprint, then resolve against the corpus
+    batch_canon = fp.filter("is_canonical").select(F.col(id_col), "digest")
+    hit = batch_canon.join(
+        index.withColumnRenamed("canonical_id", "_corpus_canon"),
+        "digest", "left",
+    ).select(id_col, "digest", "_corpus_canon")
+    fresh = hit.filter(F.col("_corpus_canon").isNull())
+    unique = new_docs.join(fresh.select(id_col), id_col, "left_semi")
+    index_delta = fresh.select("digest", F.col(id_col).alias("canonical_id"))
+    # dropped rows: in-batch dups point at the batch canonical, which may
+    # itself forward to a corpus canonical
+    canon_resolution = hit.select(
+        F.col(id_col).alias("_batch_canon"), "digest",
+        F.coalesce("_corpus_canon", F.col(id_col)).alias("_final_canon"),
+    )
+    dup_map = (
+        fp.join(canon_resolution, "digest")
+        .filter(F.col(id_col) != F.col("_final_canon"))
+        .select(id_col, F.col("_final_canon").alias("canonical_id"))
+    )
+    return {"unique": unique, "index_delta": index_delta, "dup_map": dup_map}
+
+
+def build_band_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(band, sig, doc_id): the LSH bucket membership of the corpus — the
+    near-dup analog of the fingerprint index. New batches probe it by
+    equality join; appends maintain it."""
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    band_exprs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(mh_cols[bi * rows_per_band + r])
+                         for r in range(rows_per_band)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"), id_col)
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Near-dup candidates of a NEW batch against the indexed corpus plus
+    within the batch itself — O(batch bands) probe work, no corpus scan.
+
+    Returns ``candidates`` (a, b), a < b, every bucket-collision pair with
+    at least one NEW member (new-vs-corpus in either id order, and
+    new-vs-new), and ``index_delta`` band rows to append. Verification
+    (exact Jaccard on candidates) stays the caller's step, as in
+    ``minhash_dedup_pairs`` — at this stage only bucket-mates have been
+    touched."""
+    new_bands = build_band_index(new_docs, num_hashes, bands, n, text_col, id_col)
+    probe = band_index.select(
+        "band", "sig", F.col(id_col).alias("x")
+    ).union(new_bands.select("band", "sig", F.col(id_col).alias("x")))
+    cands = (
+        probe.join(new_bands.select("band", "sig", F.col(id_col).alias("y")),
+                   ["band", "sig"])
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return {"candidates": cands, "index_delta": new_bands}

@@ -239,3 +239,62 @@ def test_connected_components_skew_safe_equivalent(spark):
          for r in D.connected_components(pairs, skew_safe=True).collect()}
     assert a == b
     assert (50, 0) in a  # chained through the hot node's member
+
+
+def test_incremental_exact_dedup_equals_batch(spark):
+    """Index-maintained dedup applied batch-by-batch keeps exactly the
+    canonicals a one-shot dedup of the whole corpus would keep, and the
+    dup_map resolves in-batch dups through to corpus canonicals."""
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "delta", "alpha"]
+    docs = [(i, t) for i, t in enumerate(texts)]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    batch1 = full.filter("doc_id < 3")    # alpha(0) beta(1) alpha(2)
+    batch2 = full.filter("doc_id >= 3")   # gamma(3) beta(4) delta(5) alpha(6)
+
+    idx = D.build_fingerprint_index(batch1.limit(0))
+    out1 = D.incremental_exact_dedup(batch1, idx)
+    assert sorted(r["doc_id"] for r in out1["unique"].collect()) == [0, 1]
+    assert {(r["doc_id"], r["canonical_id"]) for r in out1["dup_map"].collect()} == {(2, 0)}
+    idx = idx.unionByName(out1["index_delta"])
+
+    out2 = D.incremental_exact_dedup(batch2, idx)
+    assert sorted(r["doc_id"] for r in out2["unique"].collect()) == [3, 5]
+    assert {(r["doc_id"], r["canonical_id"]) for r in out2["dup_map"].collect()} == {
+        (4, 1), (6, 0),
+    }
+
+    incremental_kept = sorted(
+        r["doc_id"]
+        for r in out1["unique"].unionByName(out2["unique"]).collect()
+    )
+    batch_kept = sorted(r["doc_id"] for r in D.dedup_exact(full).collect())
+    assert incremental_kept == batch_kept == [0, 1, 3, 5]
+
+
+def test_incremental_minhash_probe_finds_corpus_neighbors(spark, sf_dir):
+    """Probing the band index with a new batch surfaces the same cross
+    pairs the full-corpus LSH would, without re-banding the corpus."""
+    from rdw_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+
+    idx = D.build_band_index(corpus)
+    inc = D.incremental_minhash_candidates(batch, idx)
+    got = {(r["a"], r["b"]) for r in inc["candidates"].collect()}
+
+    full = D.lsh_candidate_pairs(D.minhash_signatures(docs), bands=8)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["a"], r["b"])
+        for r in full.collect()
+        if r["b"] in batch_ids or r["a"] in batch_ids
+    }
+    # every full-LSH pair touching the batch must be found, in either
+    # id order, and nothing else
+    assert got == want
+    # the delta is exactly the batch's band rows
+    assert inc["index_delta"].count() == batch.count() * 8
