@@ -144,3 +144,46 @@ def winnowing_fingerprints(
         df.filter(F.size(tokens(F.col(text_col))) >= n + window - 1)
         .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
     )
+
+
+DEFAULT_QUALITY_THRESHOLDS = {
+    "min_chars": 200,        # too short to be a useful training doc
+    "max_chars": 1_000_000,  # pathological blobs
+    "min_tokens": 20,
+    "min_avg_token_len": 2.0,   # OCR noise / char soup
+    "max_avg_token_len": 12.0,  # no-whitespace runs / minified code
+    "max_punct_ratio": 0.10,
+    "min_alpha_ratio": 0.60,
+}
+
+
+def quality_filter(
+    df: DataFrame, thresholds: dict | None = None, text_col: str = "text"
+) -> DataFrame:
+    """The actionable form of :func:`quality_features`: annotate every
+    document with ``q_keep`` and the array of threshold names it violated
+    (``q_reasons``), so the drop set is auditable — a corpus pipeline
+    reports WHY each document fell out, not just how many.
+
+    Single map-only pass; thresholds are plain literals so the whole
+    predicate stays in codegen. Filter with ``.filter("q_keep")`` for the
+    cleaned corpus or aggregate ``q_reasons`` for the drop report."""
+    t = {**DEFAULT_QUALITY_THRESHOLDS, **(thresholds or {})}
+    feats = quality_features(df, text_col)
+    checks = [
+        ("min_chars", F.col("q_n_chars") < t["min_chars"]),
+        ("max_chars", F.col("q_n_chars") > t["max_chars"]),
+        ("min_tokens", F.col("q_n_tokens") < t["min_tokens"]),
+        ("min_avg_token_len", F.col("q_avg_token_len") < t["min_avg_token_len"]),
+        ("max_avg_token_len", F.col("q_avg_token_len") > t["max_avg_token_len"]),
+        ("max_punct_ratio", F.col("q_punct_ratio") > t["max_punct_ratio"]),
+        ("min_alpha_ratio", F.col("q_alpha_ratio") < t["min_alpha_ratio"]),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for name, cond in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return feats.withColumn("q_reasons", reasons).withColumn(
+        "q_keep", F.size("q_reasons") == 0
+    )

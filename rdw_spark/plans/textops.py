@@ -248,6 +248,41 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnowing_fingerprints(_docs(spark, sf_dir), n=3, window=4)
 
 
+@register(
+    "zz_text_quality_filter",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               list_filter([
+                   CASE WHEN n_chars < 200 THEN 'min_chars' END,
+                   CASE WHEN n_chars > 1000000 THEN 'max_chars' END,
+                   CASE WHEN n_tokens < 20 THEN 'min_tokens' END,
+                   CASE WHEN CAST(n_chars AS DOUBLE) / n_tokens < 2.0 THEN 'min_avg_token_len' END,
+                   CASE WHEN CAST(n_chars AS DOUBLE) / n_tokens > 12.0 THEN 'max_avg_token_len' END,
+                   CASE WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.10 THEN 'max_punct_ratio' END,
+                   CASE WHEN CAST(n_alpha AS DOUBLE) / n_chars < 0.60 THEN 'min_alpha_ratio' END
+               ], x -> x IS NOT NULL) AS q_reasons
+        FROM f
+    )
+    SELECT doc_id, q_reasons, len(q_reasons) = 0 AS q_keep FROM r
+    """,
+    survey="ext: composite quality filter — per-doc keep/drop with the "
+           "violated-threshold reasons array (auditable drop set); one "
+           "map-only codegen'd pass",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_filter(_docs(spark, sf_dir)).select(
+        "doc_id", "q_reasons", "q_keep"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling
 # --------------------------------------------------------------------------
