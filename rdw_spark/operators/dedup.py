@@ -196,23 +196,33 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, id_col: str = "doc_id"
-) -> DataFrame:
-    """Band the signature: docs agreeing on ALL rows of any band become a
-    candidate pair. Equality buckets instead of pairwise comparison."""
+def _band_rows(signatures: DataFrame, bands: int, id_col: str) -> DataFrame:
+    """(id, band, sig) bucket membership from a minhash signature frame.
+    The ONE place the banding layout (band count, per-band hash of the
+    mh columns) is defined — both the one-shot LSH and the incremental
+    index probe must produce bit-identical bucket keys or near-dups are
+    silently missed."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
     rows_per_band = len(mh_cols) // bands
     band_exprs = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(mh_cols[bi * rows_per_band + r]) for r in range(rows_per_band)]).alias("sig"),
+            F.xxhash64(*[F.col(mh_cols[bi * rows_per_band + r])
+                         for r in range(rows_per_band)]).alias("sig"),
         )
         for bi in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature: docs agreeing on ALL rows of any band become a
+    candidate pair. Equality buckets instead of pairwise comparison."""
+    banded = _band_rows(signatures, bands, id_col)
     a = banded.select(F.col(id_col).alias("a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("b"), "band", "sig")
     return (
@@ -616,21 +626,11 @@ def build_band_index(
 ) -> DataFrame:
     """(band, sig, doc_id): the LSH bucket membership of the corpus — the
     near-dup analog of the fingerprint index. New batches probe it by
-    equality join; appends maintain it."""
+    equality join; appends maintain it. Bucket keys come from the same
+    ``_band_rows`` the one-shot LSH uses, so probe buckets are
+    bit-identical to corpus buckets by construction."""
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
-    rows_per_band = len(mh_cols) // bands
-    band_exprs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(mh_cols[bi * rows_per_band + r])
-                         for r in range(rows_per_band)]).alias("sig"),
-        )
-        for bi in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
-    ).select(F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"), id_col)
+    return _band_rows(sigs, bands, id_col).select("band", "sig", id_col)
 
 
 def incremental_minhash_candidates(
@@ -651,7 +651,12 @@ def incremental_minhash_candidates(
     (exact Jaccard on candidates) stays the caller's step, as in
     ``minhash_dedup_pairs`` — at this stage only bucket-mates have been
     touched."""
-    new_bands = build_band_index(new_docs, num_hashes, bands, n, text_col, id_col)
+    # cache: the batch's band rows feed the probe union, the join's right
+    # side, AND the returned index_delta — without it the shingle explode
+    # + signature groupBy shuffle would run three times
+    new_bands = build_band_index(
+        new_docs, num_hashes, bands, n, text_col, id_col
+    ).cache()
     probe = band_index.select(
         "band", "sig", F.col(id_col).alias("x")
     ).union(new_bands.select("band", "sig", F.col(id_col).alias("x")))

@@ -19,12 +19,19 @@ import csv
 import io
 import xml.etree.ElementTree as ET
 
-# columns parse_package reads (reference tabulator header,
-# tools/TestPackage.csv) — missing any of these breaks the load
+# every column parse_package references UNCONDITIONALLY (reference
+# tabulator header, tools/TestPackage.csv) — missing any of these breaks
+# the load. Standards/PT columns (SecondaryCommonCore,
+# SecondaryClaimContentTarget, PtWritingType) are optional in the loader
+# and therefore not required here.
 PACKAGE_REQUIRED_COLUMNS = [
     "AssessmentId", "AssessmentName", "AssessmentSubject", "AssessmentGrade",
-    "AssessmentType", "AssessmentVersion", "AcademicYear",
-    "FullItemKey", "BankKey", "ItemId", "ItemType", "MaxPoints",
+    "AssessmentType", "AssessmentLabel", "AssessmentVersion", "AcademicYear",
+    "FullItemKey", "BankKey", "ItemId", "ItemType", "Claim", "Target", "DOK",
+    "MaxPoints", "MathematicalPractice", "CommonCore", "ItemPosition",
+    "a", "b0_b", "b1_c",
+    "ScaledLow1", "ScaledHigh1", "ScaledLow2", "ScaledHigh2",
+    "ScaledLow3", "ScaledHigh3", "ScaledLow4", "ScaledHigh4",
 ]
 PACKAGE_ASMT_TYPES = {"interim", "iab", "ica", "summative", "sum"}
 
@@ -70,11 +77,19 @@ def validate_subject_xml(payload: str | bytes) -> list[str]:
                     errors.append(f"{lw}: level={level!r} is not an integer")
                 if not lvl.get("name"):
                     errors.append(f"{lw}: missing 'name'")
-    for j, cut in enumerate(root.findall(".//ItemDifficultyCuts")):
+    for j, cut in enumerate(root.findall("./ItemDifficulties/ItemDifficulty")):
+        # the loader float()s both attributes unconditionally
+        # (subject_xml.py parse of ItemDifficulties/ItemDifficulty)
         for attr in ("moderateLowEnd", "difficultLowEnd"):
             v = cut.get(attr)
-            if v is not None and not _is_float(v):
-                errors.append(f"ItemDifficultyCuts[{j}]: {attr}={v!r} is not numeric")
+            if v is None:
+                errors.append(f"ItemDifficulty[{j}]: missing {attr!r}")
+            elif not _is_float(v):
+                errors.append(f"ItemDifficulty[{j}]: {attr}={v!r} is not numeric")
+    for j, dok in enumerate(root.findall("./DepthsOfKnowledge/DepthOfKnowledge")):
+        level = dok.get("level")
+        if level is None or not level.lstrip("-").isdigit():
+            errors.append(f"DepthOfKnowledge[{j}]: level={level!r} is not an integer")
     return errors
 
 

@@ -93,6 +93,14 @@ def publish_dataset(
     counts = snapshot_warehouse(
         spark, wh, os.path.join(root, "warehouse"), include_audit=False
     )
+    if not counts:
+        raise ValueError(
+            f"dataset {dataset_id!r}: the warehouse has no published tables "
+            "— nothing to publish"
+        )
+    # the snapshot only creates dirs for non-empty tables; the manifest
+    # needs the dataset root regardless
+    os.makedirs(root, exist_ok=True)
     manifest = {
         "id": dataset_id,
         "label": label or dataset_id,

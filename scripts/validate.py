@@ -10,9 +10,10 @@ Pure Python — no Spark session, starts instantly."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rdw_spark.sources.validator import validate_package_csv, validate_subject_xml
 

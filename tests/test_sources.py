@@ -528,15 +528,21 @@ class TestValidatorCli:
         from rdw_spark.sources.validator import validate_subject_xml
 
         assert validate_subject_xml(SUBJECT_XML) == []
-        assert validate_subject_xml(b"<oops") == [
-            e for e in validate_subject_xml(b"<oops")
-        ]  # parse error reported, not raised
+        # parse error reported as a finding, not raised
+        parse_errs = validate_subject_xml(b"<oops")
+        assert len(parse_errs) == 1 and parse_errs[0].startswith("not well-formed")
         bad = SUBJECT_XML.replace(
             'minScore="2000"', 'minScore="abc"'
         ).replace('level="1"', 'level="x"', 1)
         errs = validate_subject_xml(bad)
         assert any("minScore" in e for e in errs)
         assert any("level" in e for e in errs)
+        # the loader float()s ItemDifficulty attrs unconditionally — the
+        # validator must catch both bad values and missing attributes
+        bad2 = SUBJECT_XML.replace('moderateLowEnd="', 'moderateLowEnd="x', 1)
+        assert any("moderateLowEnd" in e for e in validate_subject_xml(bad2))
+        bad3 = SUBJECT_XML.replace(' difficultLowEnd="0.9"', "", 1)
+        assert any("difficultLowEnd" in e for e in validate_subject_xml(bad3))
 
     def test_package_csv_valid_and_invalid(self):
         from rdw_spark.sources.validator import validate_package_csv
