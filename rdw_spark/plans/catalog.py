@@ -6,7 +6,7 @@ from . import extended, relational  # noqa: F401
 from .registry import REGISTRY, CatalogQuery
 
 try:  # text/dedup/similarity ops (added incrementally)
-    from . import textops  # noqa: F401
+    from . import corpus, textops  # noqa: F401
 except ImportError:
     pass
 

@@ -298,3 +298,31 @@ def test_incremental_minhash_probe_finds_corpus_neighbors(spark, sf_dir):
     assert got == want
     # the delta is exactly the batch's band rows
     assert inc["index_delta"].count() == batch.count() * 8
+
+
+def test_build_corpus_end_to_end(spark, sf_dir):
+    """The composed pipeline: every stage drops what it should, counts are
+    consistent, the split is disjoint+exhaustive over the survivors, and
+    the drop report explains every missing document."""
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import build_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1)
+    c = out["counts"]
+    assert c["input"] >= c["after_quality"] >= c["after_exact_dedup"] >= c["after_near_dedup"]
+    assert c["after_quality"] < c["input"]  # the filter actually dropped docs
+    assert c["train"] + c["eval"] == c["after_near_dedup"]
+
+    train_ids = {r["doc_id"] for r in out["train"].select("doc_id").collect()}
+    eval_ids = {r["doc_id"] for r in out["eval"].select("doc_id").collect()}
+    assert train_ids.isdisjoint(eval_ids)
+
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in out["drop_report"].collect()}
+    # accounting closes: survivors + dropped = input (no silent loss)
+    assert (train_ids | eval_ids) | dropped == all_ids
+    assert (train_ids | eval_ids).isdisjoint(dropped)
+    stages = {r["stage"] for r in out["drop_report"].select("stage").distinct().collect()}
+    assert "quality" in stages  # dedup-stage mechanics are covered by the
+    # dedicated exact/minhash tests; sf0.001 has no exact dups to drop here
