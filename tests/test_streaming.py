@@ -183,3 +183,50 @@ def test_stream_exam_ingest_end_to_end(spark, tmp_path):
     # 3 distinct digests; the re-dropped payload reused its import row
     assert imports.count() == 3
     assert imports.filter(F.col("status") == ImportStatus.PROCESSED).count() == 3
+
+
+def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
+    """Continuous corpus build: batches of documents land as parquet, each
+    micro-batch dedups against the maintained fingerprint index (never
+    rescanning the corpus), survivors append, duplicates across batches
+    and across restarts are dropped exactly once."""
+    from rdw_spark.streaming.corpus import DOC_SCHEMA, corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import glob as g
+        import shutil
+
+        src = g.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(src, str(landing / f"{name}.parquet"))
+
+    drop("b1", [
+        (1, "the quick brown fox", "en", "src0", 19),
+        (2, "completely different text", "en", "src0", 25),
+        (3, "the quick brown fox", "en", "src1", 19),  # in-batch dup of 1
+    ])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    corpus, index = corpus_tables(out_root)
+    assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2]
+    assert index.read(spark).count() == 2
+
+    # batch 2 lands after a restart: one cross-batch dup, one new doc
+    drop("b2", [
+        (4, "the quick brown fox", "en", "src2", 19),   # dup of corpus doc 1
+        (5, "a genuinely new document", "en", "src2", 24),
+    ])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2, 5]
+    idx = {r["canonical_id"] for r in index.read(spark).collect()}
+    assert idx == {1, 2, 5}
