@@ -194,6 +194,21 @@ class MigrateEngine:
         self._update_control(spark, job, int(last["id"]),
                              MigrateStatus.ABANDONED, last["message"])
 
+    def status(self, spark: SparkSession) -> dict[str, dict]:
+        """The GET /migrate response shape (docs/API.md:988-1002): per job,
+        enabled flag + the checkpoint the last COMPLETED run reached (the
+        timestamp-of-last-record semantics — our ordering key is the
+        import id, so that is what 'COMPLETED to' means here)."""
+        out: dict[str, dict] = {}
+        for job in ("reporting", "olap"):
+            last = self._last_row(spark, job)
+            out[job] = {
+                "enabled": self.enabled(spark, job),
+                "last_status": None if last is None else int(last["status"]),
+                "completed_to": self.checkpoint(spark, job),
+            }
+        return out
+
     def checkpoint(self, spark: SparkSession, job: str) -> int:
         row = (
             self.control(spark)

@@ -152,3 +152,35 @@ def create_sandbox(
         t.migrate.run_until_caught_up(spark, "reporting")
         t.migrate.run_until_caught_up(spark, "olap")
     return t
+
+
+def diagnostic_status(spark: SparkSession, tenant: Tenant, level: int = 0) -> dict:
+    """The /status endpoint shape (docs/API.md:1006-1028): a leveled
+    health summary for one tenant. Level 0 is the cheap rating (driven by
+    migrate health — a self-disabled migrate is the reference's
+    'degraded' condition); higher levels add the import backlog and
+    per-table row counts (increasingly expensive, like the reference's
+    level param)."""
+    from pyspark.sql import functions as F
+
+    mig = tenant.migrate.status(spark)
+    healthy = all(j["enabled"] for j in mig.values())
+    out: dict = {
+        "statusText": "Ideal" if healthy else "Degraded",
+        "statusRating": 4 if healthy else 1,
+        "level": level,
+        "tenant": tenant.tenant_id,
+    }
+    if level >= 1:
+        out["migrate"] = mig
+        out["imports_by_status"] = {
+            int(r["status"]): int(r["n"])
+            for r in tenant.import_log.read(spark)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+    if level >= 2:
+        out["warehouse_rows"] = {
+            name: tenant.warehouse.read(spark, name).count()
+            for name in sorted(tenant.warehouse.schemas)
+        }
+    return out

@@ -243,3 +243,22 @@ def test_sandbox_dataset_publish_and_create(spark, tmp_path):
     # unknown dataset id is an explicit error listing what exists
     with pytest.raises(ValueError, match="sb-dataset"):
         create_sandbox(spark, base, "ts_s002", datasets, "nope")
+
+
+def test_diagnostic_status_levels(spark, tmp_path):
+    """docs/API.md:1006-1028 — leveled health summary; migrate failure
+    degrades the rating, levels add backlog and table counts."""
+    from rdw_spark.warehouse.tenancy import diagnostic_status
+
+    t = Tenant(str(tmp_path / "tenants"), "blue")
+    s0 = diagnostic_status(spark, t)
+    assert s0["statusText"] == "Ideal" and s0["statusRating"] == 4
+    assert "imports_by_status" not in s0
+
+    t.import_log.accept(spark, ImportContent.EXAM, b"<x/>")
+    s1 = diagnostic_status(spark, t, level=1)
+    assert sum(s1["imports_by_status"].values()) == 1
+    assert set(s1["migrate"]) == {"reporting", "olap"}
+
+    s2 = diagnostic_status(spark, t, level=2)
+    assert s2["warehouse_rows"]["import"] == 1
