@@ -95,12 +95,27 @@ def pipeline_bench(spark, n_exams: int = 2000) -> dict:
         t0 = time.perf_counter()
         eng.run_until_caught_up(spark, "olap")
         olap_s = time.perf_counter() - t0
+        # training tier: the composed corpus build (quality -> exact dedup
+        # -> MinHash-LSH + CC near-dup resolve -> split) over the sf docs
+        from rdw_spark.io import load_table
+        from rdw_spark.plans.corpus import build_corpus
+
+        docs = load_table(
+            spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "documents",
+        )
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        build_corpus(docs, minhash_threshold=0.5)
+        corpus_s = time.perf_counter() - t0
+
         return {
             "n_exams": n_exams,
             "ingest_sec": round(ingest_s, 2),
             "ingest_exams_per_sec": round(n_exams / ingest_s, 1),
             "migrate_reporting_per_sec": round(n_exams / rep_s, 1),
             "migrate_olap_per_sec": round(n_exams / olap_s, 1),
+            "corpus_build_docs_per_sec": round(n_docs / corpus_s, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

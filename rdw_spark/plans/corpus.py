@@ -71,6 +71,12 @@ def build_corpus(
 
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
+    counts_train, counts_eval = train.count(), ev.count()
+    # the caches only serve the multi-consumer stage fan-out above; every
+    # count is materialized by now, so don't pin executor memory for the
+    # caller (returned frames recompute from source if re-consumed)
+    q.unpersist()
+    exact.unpersist()
     return {
         "train": train,
         "eval": ev,
@@ -80,8 +86,8 @@ def build_corpus(
             "after_quality": n1,
             "after_exact_dedup": n2,
             "after_near_dedup": n3,
-            "train": train.count(),
-            "eval": ev.count(),
+            "train": counts_train,
+            "eval": counts_eval,
         },
     }
 
