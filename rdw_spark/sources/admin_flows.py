@@ -257,6 +257,119 @@ def add_target_exclusions(
     return {"exclusions_added": n, "import_id": rec.id}
 
 
+def update_item_standards(
+    spark: SparkSession, wh: TableStore, log: ImportLog,
+    asmt_natural_id: str,
+    add: list[tuple[str, str]] = (),
+    remove: list[tuple[str, str]] = (),
+    subject_code: str | None = None,
+) -> dict[str, int]:
+    """The runbook's "update assessment item common core standards" IT flow
+    (docs/Runbook.ManualDataModifications.md:57-113): create a manual
+    PACKAGE import row, add/delete ``item_common_core_standard``
+    associations, bump the assessment's ``update_import_id``, and finalize
+    the import so the next migrate batch picks the assessment up.
+
+    ``add``/``remove`` are ``(item natural id, standard natural id)`` pairs
+    where the item natural id is ``bankKey-key`` (e.g. ``200-62023``,
+    docs/Runbook.ManualDataModifications.md:61; Tabulator's FullItemKey is
+    the same composite) and the standard natural id must exist in
+    ``common_core_standard`` — the documented prerequisite ("Common core
+    standards are loaded into warehouse and do not require modifications").
+    ``subject_code`` scopes the standard lookup like the doc's "replace X
+    with the subject id"; None resolves across all subjects."""
+    asmt = wh.read(spark, "asmt").filter(F.col("natural_id") == asmt_natural_id)
+    arow = asmt.collect()
+    if not arow:
+        raise ValueError(f"unknown assessment: {asmt_natural_id}")
+    asmt_id = int(arow[0]["id"])
+
+    # resolve item natural ids (bankKey-key) against the asmt's items —
+    # the doc resolves @itemId per assessment, unknown ids are operator
+    # error. FullItemKey already carries the composite, so match the key
+    # itself first and bank_key-key for packages keyed by bare item id.
+    items = (
+        wh.read(spark, "item")
+        .filter(F.col("asmt_id") == asmt_id)
+        .select(F.col("key").alias("item_key"), "bank_key")
+        .withColumn(
+            "item_natural_id",
+            F.when(F.col("item_key").contains("-"), F.col("item_key"))
+            .otherwise(F.concat_ws("-", "bank_key", "item_key")),
+        )
+        .select("item_natural_id", "item_key")
+    )
+    changes = spark.createDataFrame(
+        [(i, s, True) for i, s in add] + [(i, s, False) for i, s in remove],
+        "item_natural_id string, natural_id string, _add boolean",
+    )
+    resolved = changes.join(F.broadcast(items), "item_natural_id", "left").cache()
+    missing_items = [
+        r["item_natural_id"]
+        for r in resolved.filter(F.col("item_key").isNull())
+        .select("item_natural_id").distinct().collect()
+    ]
+    if missing_items:
+        resolved.unpersist()
+        raise ValueError(
+            f"unknown items for {asmt_natural_id}: {sorted(missing_items)}")
+
+    # documented prerequisite: the standard must already exist in the dim
+    ccs = wh.read(spark, "common_core_standard")
+    if subject_code is not None:
+        ccs = ccs.filter(F.col("subject_code") == subject_code)
+    missing_std = [
+        r["natural_id"]
+        for r in resolved.select("natural_id").distinct()
+        .join(F.broadcast(ccs.select("natural_id").distinct()),
+              "natural_id", "left_anti").collect()
+    ]
+    if missing_std:
+        resolved.unpersist()
+        raise ValueError(
+            f"standards not loaded in common_core_standard: {sorted(missing_std)}")
+
+    cur = wh.read(spark, "item_common_core_standard")
+    adds = (
+        resolved.filter(F.col("_add"))
+        .select(F.lit(asmt_id).cast("long").alias("asmt_id"),
+                "item_key", "natural_id",
+                # manual associations never displace the package's primary
+                # standard (item.common_core_standard stays authoritative)
+                F.lit(True).alias("secondary"))
+    )
+    drops = (
+        resolved.filter(~F.col("_add"))
+        .select(F.lit(asmt_id).cast("long").alias("asmt_id"),
+                "item_key", "natural_id")
+    )
+    out = (
+        cur.join(F.broadcast(drops), ["asmt_id", "item_key", "natural_id"], "left_anti")
+        .unionByName(adds)
+        .dropDuplicates(["asmt_id", "item_key", "natural_id"])
+    )
+    n_add, n_drop = adds.count(), drops.count()
+    wh.write_snapshot(out.select(*cur.columns), "item_common_core_standard")
+    resolved.unpersist()
+
+    # finalize exactly as the documented SQL: a manual PACKAGE import row
+    # the asmt's update_import_id points at, set PROCESSED to trigger migrate
+    rec = log.accept(
+        spark, ImportContent.PACKAGE,
+        f"item cc upd {asmt_natural_id}:{sorted(add)}:{sorted(remove)}".encode(),
+        content_type="manual item cc update",
+    )
+    if not rec.existing:
+        touched = asmt.withColumns({
+            "update_import_id": F.lit(rec.id).cast("long"),
+            "updated": F.current_timestamp(),
+        })
+        wh.merge_rows(spark, "asmt", touched.select(*asmt.columns), ["natural_id"])
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    return {"standards_added": n_add, "standards_removed": n_drop,
+            "import_id": rec.id}
+
+
 def purge_deleted_exams(
     spark: SparkSession, wh: TableStore, school_year: int | None = None,
 ) -> dict[str, int]:

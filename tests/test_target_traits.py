@@ -15,7 +15,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdw_spark.plans import rdw_reports as R
-from rdw_spark.sources.admin_flows import add_target_exclusions
+from rdw_spark.sources.admin_flows import (
+    add_target_exclusions, update_item_standards,
+)
 from rdw_spark.sources.dim_ingest import (
     ingest_organizations, ingest_package, ingest_subject,
 )
@@ -123,6 +125,50 @@ class TestTraitScores:
         names = {r["claim_code"]: r["claim_name"] for r in rep}
         assert names["C1"] == "Concepts"
         assert names["C2"] == "Problem Solving"
+
+
+class TestItemStandardsFlow:
+    """The runbook's manual "update assessment item common core standards"
+    flow (docs/Runbook.ManualDataModifications.md:57-113)."""
+
+    def test_add_remove_and_trigger(self, spark, env, tmp_path):
+        wh, log = env
+        before = {(r["item_key"], r["natural_id"], r["secondary"])
+                  for r in wh.read(spark, "item_common_core_standard").collect()}
+        assert ("100-1001", "6.NS.1", False) in before
+
+        res = update_item_standards(
+            spark, wh, log, "TESTASMT-G6-2018",
+            add=[("100-1002", "6.NS.1")], remove=[("100-1001", "6.NS.1")],
+            subject_code="tsub",
+        )
+        assert res["standards_added"] == 1
+        assert res["standards_removed"] == 1
+
+        after = {(r["item_key"], r["natural_id"], r["secondary"])
+                 for r in wh.read(spark, "item_common_core_standard").collect()}
+        # manual adds are secondary associations; the package's primary
+        # standard column on item stays authoritative
+        assert ("100-1002", "6.NS.1", True) in after
+        assert not any(k == "100-1001" and s == "6.NS.1" for k, s, _ in after)
+        # untouched associations survive
+        assert ("100-1001", "6.NS.2", False) in after
+
+        # the documented finalize: a PROCESSED manual PACKAGE import the
+        # asmt's update_import_id points at, so the next migrate runs
+        asmt = wh.read(spark, "asmt").collect()[0]
+        assert asmt["update_import_id"] == res["import_id"]
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        assert eng.run_until_caught_up(spark, "olap") > 0
+
+    def test_unknown_item_or_standard_raises(self, spark, env):
+        wh, log = env
+        with pytest.raises(ValueError, match="unknown items"):
+            update_item_standards(spark, wh, log, "TESTASMT-G6-2018",
+                                  add=[("999-9", "6.NS.1")])
+        with pytest.raises(ValueError, match="not loaded"):
+            update_item_standards(spark, wh, log, "TESTASMT-G6-2018",
+                                  add=[("100-1001", "9.XX.9")])
 
 
 class TestMartDeletes:
