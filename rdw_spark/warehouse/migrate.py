@@ -449,6 +449,117 @@ class MigrateEngine:
         parts = [str(y) for y in school_years] if school_years is not None else None
         return self._mart_tables[name].read(spark, parts=parts)
 
+    # ---------- migrate data-integrity validation ----------
+
+    def validate_integrity(self, spark: SparkSession) -> DataFrame:
+        """Reconcile warehouse content against every mart fact — the
+        RDW_Schema ``validation`` folder analog ("a script that reports on
+        data discrepancies between the data warehouse and the reporting
+        data mart(s)", docs/Monitoring.md:161-162; the runbook requires a
+        run before bulk operations, docs/Runbook.BulkDeleteExams.md:41-42).
+
+        Key-level, not just counts: each fact's expected key set is derived
+        from the warehouse (live rows whose ``update_import_id`` is inside
+        the job's checkpoint — rows still pending migration are excused on
+        both sides) and full-outer-joined against the mart. Returns one row
+        per (table, school_year):
+        ``expected_rows, mart_rows, missing_in_mart, orphaned_in_mart``.
+        Every comparison is an equi-join on the fact key grouped by the
+        year partition — shuffle-partitionable at any scale."""
+        exam = self.wh.read(spark, "exam").select(
+            "id", "asmt_id", "school_year", "type_code", "deleted",
+            "update_import_id",
+        )
+
+        def compare(table: str, wh_side: DataFrame, keys: list[str],
+                    ckpt: int) -> DataFrame:
+            w = wh_side.select(
+                *keys, "school_year", "deleted", "update_import_id"
+            ).withColumn("_in_wh", F.lit(True))
+            try:
+                mart = self.read_mart(spark, table)
+            except FileNotFoundError:
+                # fact never published (e.g. no IAB exams yet): an empty
+                # mart is a legitimate state to reconcile against
+                mart = w.select(*keys, "school_year").limit(0)
+            m = mart.select(
+                *keys, F.col("school_year").alias("_m_year"),
+            ).withColumn("_in_mart", F.lit(True))
+            j = w.join(m, keys, "full_outer")
+            inside_ckpt = F.coalesce(
+                F.col("update_import_id") <= F.lit(ckpt), F.lit(False))
+            pending = F.coalesce(
+                F.col("update_import_id") > F.lit(ckpt), F.lit(False))
+            expected = F.coalesce(
+                F.col("_in_wh") & ~F.col("deleted"), F.lit(False)) & inside_ckpt
+            missing = expected & F.col("_in_mart").isNull()
+            orphan = F.col("_in_mart").isNotNull() & ~pending & (
+                F.col("_in_wh").isNull() | F.col("deleted")
+            )
+            return (
+                j.groupBy(
+                    F.lit(table).alias("table"),
+                    F.coalesce("school_year", "_m_year").alias("school_year"),
+                )
+                .agg(
+                    F.sum(expected.cast("long")).alias("expected_rows"),
+                    F.sum(F.col("_in_mart").isNotNull().cast("long")).alias("mart_rows"),
+                    F.sum(missing.cast("long")).alias("missing_in_mart"),
+                    F.sum(F.coalesce(orphan, F.lit(False)).cast("long"))
+                    .alias("orphaned_in_mart"),
+                )
+            )
+
+        rep_ckpt = self.checkpoint(spark, "reporting")
+        olap_ckpt = self.checkpoint(spark, "olap")
+        frames = [
+            compare("reporting_exam", exam, ["id"], rep_ckpt),
+            compare("olap_exam",
+                    exam.filter(F.col("type_code").isin("ica", "sum")),
+                    ["id"], olap_ckpt),
+            compare("olap_iab_exam",
+                    exam.filter(F.col("type_code") == "iab"), ["id"], olap_ckpt),
+            compare("olap_exam_longitudinal",
+                    exam.filter(F.col("type_code") == "sum"), ["id"], olap_ckpt),
+        ]
+        # child facts: the expected grain derives from the warehouse
+        # children of in-checkpoint live exams (same derivation migrate
+        # fans out, so a divergence is a real discrepancy, not model drift)
+        exam_keyed = exam.select(
+            F.col("id").alias("exam_id"), "asmt_id", "school_year",
+            "deleted", "update_import_id",
+        )
+        scores = self.wh.read(spark, "exam_score").select(
+            "exam_id", "claim_code").join(exam_keyed, "exam_id")
+        frames.append(compare("olap_exam_score", scores,
+                              ["exam_id", "claim_code"], olap_ckpt))
+        sum_exams = exam.filter(F.col("type_code") == "sum").select(
+            F.col("id").alias("exam_id"), "asmt_id", "school_year",
+            "deleted", "update_import_id",
+        )
+        item_dim = self.wh.read(spark, "item").select(
+            "asmt_id", F.col("key").alias("item_key"),
+            "claim_code", "target_code",
+        )
+        targets = (
+            self.wh.read(spark, "exam_item")
+            .filter(F.col("score").isNotNull())
+            .select("exam_id", "item_key")
+            .join(sum_exams, "exam_id")
+            .join(F.broadcast(item_dim), ["asmt_id", "item_key"])
+            .filter(F.col("target_code").isNotNull())
+            .select("exam_id", "claim_code", "target_code", "school_year",
+                    "deleted", "update_import_id")
+            .distinct()
+        )
+        frames.append(compare("olap_exam_target_score", targets,
+                              ["exam_id", "claim_code", "target_code"], olap_ckpt))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        result = out.orderBy("table", "school_year")
+        return result
+
     # ---------- post-migrate maintenance (reference X3, docs/Performance.md:9-28) ----------
 
     def maintain(self, spark: SparkSession, max_files: int = 4,

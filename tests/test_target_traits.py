@@ -171,6 +171,65 @@ class TestItemStandardsFlow:
                                   add=[("100-1001", "9.XX.9")])
 
 
+class TestValidateIntegrity:
+    """The RDW_Schema validation-folder analog: key-level reconciliation of
+    warehouse vs marts (docs/Monitoring.md:161-162)."""
+
+    def test_caught_up_shows_zero_discrepancies(self, spark, env, tmp_path):
+        wh, log = env
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        eng.run_until_caught_up(spark, "reporting")
+        eng.run_until_caught_up(spark, "olap")
+        rows = eng.validate_integrity(spark).collect()
+        by_table = {r["table"]: r for r in rows}
+        assert by_table["reporting_exam"]["expected_rows"] == 3
+        assert by_table["olap_exam"]["expected_rows"] == 3
+        assert by_table["olap_exam_score"]["expected_rows"] == 6
+        assert by_table["olap_exam_target_score"]["expected_rows"] == 6
+        for r in rows:
+            assert r["missing_in_mart"] == 0, r
+            assert r["orphaned_in_mart"] == 0, r
+            assert r["mart_rows"] == r["expected_rows"], r
+
+    def test_detects_missing_and_orphaned_rows(self, spark, env, tmp_path):
+        wh, log = env
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        eng.run_until_caught_up(spark, "reporting")
+        eng.run_until_caught_up(spark, "olap")
+
+        # tamper: drop one mart row (simulated partial migrate loss) and
+        # inject one row whose id the warehouse never issued
+        mart = eng.read_mart(spark, "reporting_exam")
+        victim = mart.limit(1)
+        eng._mart_tables["reporting_exam"].delete_rows(
+            spark, victim.select("id", "school_year"), ["id"])
+        bogus = mart.limit(1).withColumn("id", F.lit(-987654321).cast("long"))
+        eng._mart_tables["reporting_exam"].merge_rows(spark, bogus, ["id"])
+
+        rows = {r["table"]: r for r in eng.validate_integrity(spark).collect()}
+        rep = rows["reporting_exam"]
+        assert rep["missing_in_mart"] == 1
+        assert rep["orphaned_in_mart"] == 1
+        # the olap side is untouched and stays clean
+        assert rows["olap_exam"]["missing_in_mart"] == 0
+        assert rows["olap_exam"]["orphaned_in_mart"] == 0
+
+    def test_pending_batches_are_excused(self, spark, env, tmp_path):
+        wh, log = env
+        eng = MigrateEngine(wh, str(tmp_path / "mart"))
+        eng.run_until_caught_up(spark, "reporting")
+        eng.run_until_caught_up(spark, "olap")
+        # new exam accepted but not yet migrated: inside the warehouse,
+        # beyond both checkpoints — not a discrepancy
+        res = ingest_exams(spark, wh, log, [
+            make_trt(opp_id="OPP-PEND", ssid="STU777", score=2500.0)])
+        assert res["processed"] == 1
+        rows = eng.validate_integrity(spark).collect()
+        for r in rows:
+            assert r["missing_in_mart"] == 0, r
+            assert r["orphaned_in_mart"] == 0, r
+
+
 class TestMartDeletes:
     def test_soft_delete_migrate_removes_all_fact_rows(self, spark, env, tmp_path):
         """The reference deletes migrated soft-deletes from every OLAP fact
