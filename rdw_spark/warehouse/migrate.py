@@ -71,6 +71,18 @@ class MigrateStatus:
     FAILED = -20
 
 
+def migrate_status_dim(spark: SparkSession) -> DataFrame:
+    """The ``migrate_status`` lookup table, exactly the documented rows
+    (``select * from migrate_status``, docs/Monitoring.md:170-180)."""
+    return spark.createDataFrame(
+        [(MigrateStatus.ABANDONED, "ABANDONED"),
+         (MigrateStatus.COMPLETED, "COMPLETED"),
+         (MigrateStatus.FAILED, "FAILED"),
+         (MigrateStatus.STARTED, "STARTED")],
+        "id int, name string",
+    )
+
+
 def _reporting_exam(wh: TableStore, spark: SparkSession) -> DataFrame:
     """Full denormalized reporting rows (caller filters to the batch)."""
     exam = wh.read(spark, "exam")
@@ -448,6 +460,19 @@ class MigrateEngine:
         common year-scoped report never touches history)."""
         parts = [str(y) for y in school_years] if school_years is not None else None
         return self._mart_tables[name].read(spark, parts=parts)
+
+    def failed_runs(self, spark: SparkSession) -> DataFrame:
+        """The documented failure check (``SELECT * FROM migrate WHERE
+        status = -20``, docs/Monitoring.md:182-189) with the status name
+        resolved from the ``migrate_status`` lookup — "requires immediate
+        attention": the job self-suspends until :meth:`enable`."""
+        dim = migrate_status_dim(spark).select(
+            F.col("id").alias("status"), F.col("name").alias("status_name"))
+        return (
+            self.control(spark)
+            .filter(F.col("status") == MigrateStatus.FAILED)
+            .join(F.broadcast(dim), "status")
+        )
 
     # ---------- migrate data-integrity validation ----------
 

@@ -374,6 +374,14 @@ USER_REPORT = T.StructType([
     T.StructField("updated", T.TimestampType(), False),
 ])
 
+# --- setting: name/value control table (docs/Runbook.Audit.md:83-101 —
+# the AUDIT_TRIGGER_ENABLE row gates exam/student audit capture at
+# runtime; embargo auditing may not be disabled) ---
+SETTING = T.StructType([
+    T.StructField("name", T.StringType(), False),
+    T.StructField("value", T.StringType(), False),
+])
+
 # CODES lookup dims (docs/Runbook.ImportMigrate.md:12-13) — landed as real
 # warehouse tables so the documented manual-update flow (edit table +
 # trigger CODES migration, docs/Runbook.SystemConfiguration.md:200-263)
@@ -499,6 +507,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "state_embargo": STATE_EMBARGO,
     "district_embargo": DISTRICT_EMBARGO,
     "user_report": USER_REPORT,
+    "setting": SETTING,
     **{name: CODE_SCHEMA for name in CODE_TABLES},
     "school_year": SCHOOL_YEAR,
     "instructional_resource": INSTRUCTIONAL_RESOURCE,
@@ -512,3 +521,4 @@ NATURAL_KEYS["pipeline_script"] = ["pipeline_id"]   # one WIP script per pipelin
 NATURAL_KEYS["pipeline_test"] = ["pipeline_id", "name"]
 NATURAL_KEYS.update({name: ["code"] for name in CODE_TABLES})
 NATURAL_KEYS["school_year"] = ["year"]
+NATURAL_KEYS["setting"] = ["name"]

@@ -115,6 +115,7 @@ class TableStore:
                  merge_on_read_groups: dict[str, str] | None = None):
         self.root = root
         self.audit_enabled = audit_enabled
+        self._settings: dict[str, str] | None = None
         self.user = user
         self.schemas = schemas if schemas is not None else S.SCHEMAS
         self.natural_keys = natural_keys if natural_keys is not None else S.NATURAL_KEYS
@@ -275,6 +276,42 @@ class TableStore:
             report[name] = {"folded_deltas": mor.compact(spark)}
         return report
 
+    # ---------- settings (docs/Runbook.Audit.md:83-101) ----------
+
+    AUDIT_SETTING = "AUDIT_TRIGGER_ENABLE"
+    # embargo auditing may not be disabled (docs/Runbook.Audit.md:82)
+    ALWAYS_AUDITED = {"state_embargo", "district_embargo"}
+
+    def setting(self, spark: SparkSession, name: str) -> str | None:
+        """Current value of a ``setting`` row, None when unset. Values are
+        cached per store instance (settings change via :meth:`set_setting`,
+        an admin action, not per-batch) — call with ``self._settings = None``
+        cleared to force a re-read after an out-of-band change."""
+        if self._settings is None:
+            self._settings = {
+                r["name"]: r["value"]
+                for r in self.read(spark, "setting").collect()
+            }
+        return self._settings.get(name)
+
+    def set_setting(self, spark: SparkSession, name: str, value: str) -> None:
+        """UPDATE setting SET value=… WHERE name=… (docs/Runbook.Audit.md:91-101)."""
+        row = spark.createDataFrame([(name, value)], S.SETTING)
+        self.merge_rows(spark, "setting", row, ["name"])
+        self._settings = None
+
+    def _audit_on(self, spark: SparkSession, table: str) -> bool:
+        """The reference's trigger gate: audit rows are written only when
+        the AUDIT_TRIGGER_ENABLE setting is TRUE (falling back to the
+        constructor flag when no setting row exists) — except embargo
+        tables, whose auditing is always on."""
+        if table in self.ALWAYS_AUDITED:
+            return True
+        val = self.setting(spark, self.AUDIT_SETTING)
+        if val is None:
+            return self.audit_enabled
+        return val.upper() == "TRUE"
+
     # ---------- audit ----------
 
     def _audit_schema(self, name: str) -> T.StructType:
@@ -287,7 +324,7 @@ class TableStore:
         return spark.read.schema(self._audit_schema(name)).parquet(os.path.join(d, "v=*"))
 
     def _append_audit(self, before_image: DataFrame, name: str, action: str) -> None:
-        if not self.audit_enabled:
+        if not self._audit_on(before_image.sparkSession, name):
             return
         rows = before_image.withColumns({
             "action": F.lit(action),
@@ -532,7 +569,7 @@ class TableStore:
             # O(batch): the delta IS the complete new content of its
             # parents; read resolves newest-sequence-per-parent
             self._ensure_mor_layout(spark, name)
-            if self.audit_enabled and name in AUDITED_CHILDREN:
+            if name in AUDITED_CHILDREN and self._audit_on(spark, name):
                 replaced = mor.read(spark, keys_of=parents)
                 if not replaced.isEmpty():
                     self._append_audit(replaced, name, "delete")
@@ -540,7 +577,7 @@ class TableStore:
             return
         current = self.read(spark, name)
         kept = current.join(F.broadcast(parents), parent_col, "left_anti")
-        if self.audit_enabled and name in AUDITED_CHILDREN:
+        if name in AUDITED_CHILDREN and self._audit_on(spark, name):
             replaced = current.join(F.broadcast(parents), parent_col, "left_semi")
             if not replaced.isEmpty():
                 self._append_audit(replaced, name, "delete")

@@ -235,12 +235,53 @@ class TestMigrate:
         assert res["state"] == "failed"
         # job now disabled until manual enable (Troubleshooting.md:241-253)
         assert eng.run_once(spark, "reporting")["state"] == "disabled"
+        # the documented failure check resolves the migrate_status name
+        failed = eng.failed_runs(spark).collect()
+        assert len(failed) == 1 and failed[0]["status_name"] == "FAILED"
         monkeypatch.undo()
         eng.enable(spark, "reporting")
         res = eng.run_once(spark, "reporting")
         assert res["state"] == "completed" and res["migrated"] == 2
         statuses = [r["status"] for r in eng.control(spark).orderBy("id", "updated").collect()]
         assert MigrateStatus.FAILED in statuses or MigrateStatus.ABANDONED in statuses
+
+
+class TestAuditSetting:
+    """Runtime audit toggle via the ``setting`` table
+    (docs/Runbook.Audit.md:83-101): only value TRUE writes audit rows;
+    embargo auditing may not be disabled."""
+
+    def _upsert_twice(self, spark, wh, table, rows_v1, rows_v2, keys=None):
+        wh.merge_upsert(spark, table, spark.createDataFrame(rows_v1), 1, keys)
+        wh.merge_upsert(spark, table, spark.createDataFrame(rows_v2), 2, keys)
+
+    def test_setting_gates_student_audit(self, spark, wh):
+        wh.set_setting(spark, "AUDIT_TRIGGER_ENABLE", "FALSE")
+        assert wh.setting(spark, "AUDIT_TRIGGER_ENABLE") == "FALSE"
+        self._upsert_twice(
+            spark, wh, "student",
+            [Row(ssid="S1", first_name="Ann", last_or_surname="Lee")],
+            [Row(ssid="S1", first_name="Anne", last_or_surname="Lee")],
+        )
+        assert wh.read_audit(spark, "student").count() == 0
+
+        # flip back on: the next change is audited again
+        wh.set_setting(spark, "AUDIT_TRIGGER_ENABLE", "TRUE")
+        wh.merge_upsert(spark, "student", spark.createDataFrame(
+            [Row(ssid="S1", first_name="Annette", last_or_surname="Lee")]), 3)
+        audit = wh.read_audit(spark, "student").collect()
+        assert len(audit) == 1 and audit[0]["first_name"] == "Anne"
+
+    def test_embargo_audit_cannot_be_disabled(self, spark, wh):
+        wh.set_setting(spark, "AUDIT_TRIGGER_ENABLE", "FALSE")
+        self._upsert_twice(
+            spark, wh, "state_embargo",
+            [Row(school_year=2018, individual=0, aggregate=0)],
+            [Row(school_year=2018, individual=1, aggregate=2)],
+            keys=["school_year"],
+        )
+        audit = wh.read_audit(spark, "state_embargo").collect()
+        assert len(audit) == 1 and audit[0]["action"] == "update"
 
 
 class TestNoOpSkipSemantics:
