@@ -166,11 +166,18 @@ def target_report(
     exam_item: DataFrame, item: DataFrame, exam: DataFrame,
     min_students: int = 10, std_err_max: float = 0.2,
     target_exclusions: DataFrame | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """A8: per-target aggregate with standard error; 'Insufficient Data' when
     the std-err exceeds the cutoff or too few students; summative only;
     excluded targets dropped (config/application.yml:44-53,
-    docs/Runbook.SystemConfiguration.md:148-167)."""
+    docs/Runbook.SystemConfiguration.md:148-167).
+
+    ``approx=True`` swaps the exact student COUNT(DISTINCT) for
+    ``approx_count_distinct`` (HLL++, ~2% rsd) — the SURVEY §7 scale-tier
+    option: the distinct count only gates the min-student threshold and the
+    std-err denominator, where 2% error is immaterial, and the exact
+    distinct forces a per-group dedup shuffle the sketch avoids."""
     sum_exams = exam.filter((F.col("type_code") == "sum") & (~F.col("deleted"))).select(
         F.col("id").alias("exam_id"), "student_id", "asmt_id",
     )
@@ -191,10 +198,12 @@ def target_report(
         joined = joined.join(
             F.broadcast(target_exclusions.select(*ex_keys)), ex_keys, "left_anti",
         )
+    ndistinct = (F.approx_count_distinct("student_id") if approx
+                 else F.countDistinct("student_id"))
     agg = joined.groupBy("asmt_id", "target_code").agg(
-        F.countDistinct("student_id").alias("n_students"),
+        ndistinct.alias("n_students"),
         F.round(F.avg("pct_score"), 4).alias("avg_pct_score"),
-        F.round(F.stddev_samp("pct_score") / F.sqrt(F.countDistinct("student_id")), 4)
+        F.round(F.stddev_samp("pct_score") / F.sqrt(ndistinct), 4)
         .alias("std_err"),
     )
     return agg.withColumn(

@@ -128,6 +128,15 @@ def test_target_and_claim_and_longitudinal(spark, mart_env):
     # tiny cohort → std-err above cutoff or computed; flag must be boolean
     assert all(r["insufficient_data"] is not None for r in tgt)
 
+    # scale-tier option: HLL++ distinct (SURVEY §7 step 7) — exact at this
+    # cardinality, so the whole report is identical
+    tgt_approx = R.target_report(
+        wh.read(spark, "exam_item"), wh.read(spark, "item"),
+        wh.read(spark, "exam"), min_students=2, approx=True,
+    ).collect()
+    assert {r["target_code"]: r["n_students"] for r in tgt_approx} == {
+        r["target_code"]: r["n_students"] for r in tgt}
+
     claims = R.claim_score_report(
         wh.read(spark, "exam_score"), wh.read(spark, "exam")).collect()
     assert {r["claim_code"] for r in claims} == {"C1", "C2"}
