@@ -114,7 +114,13 @@ class QueryService:
                 error.append(exc)
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
-                sc.clearJobGroup()
+                if hasattr(sc, "clearJobGroup"):
+                    sc.clearJobGroup()
+                else:
+                    # PySpark 4 dropped clearJobGroup; resetting the
+                    # thread-local properties is exactly what it did
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
