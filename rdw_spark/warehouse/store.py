@@ -287,6 +287,8 @@ class TableStore:
         cached per store instance (settings change via :meth:`set_setting`,
         an admin action, not per-batch) — call with ``self._settings = None``
         cleared to force a re-read after an out-of-band change."""
+        if "setting" not in self.schemas:
+            return None  # store built without control tables (e.g. marts)
         if self._settings is None:
             self._settings = {
                 r["name"]: r["value"]
@@ -302,15 +304,17 @@ class TableStore:
 
     def _audit_on(self, spark: SparkSession, table: str) -> bool:
         """The reference's trigger gate: audit rows are written only when
-        the AUDIT_TRIGGER_ENABLE setting is TRUE (falling back to the
-        constructor flag when no setting row exists) — except embargo
-        tables, whose auditing is always on."""
+        the AUDIT_TRIGGER_ENABLE setting is TRUE (defaulting to on when no
+        setting row exists) — except embargo tables, whose auditing the
+        setting may not disable. ``audit_enabled=False`` at construction
+        means the store has no audit capture at all (the runtime toggle
+        refines an audit-capable store, it cannot conjure one)."""
+        if not self.audit_enabled:
+            return False
         if table in self.ALWAYS_AUDITED:
             return True
         val = self.setting(spark, self.AUDIT_SETTING)
-        if val is None:
-            return self.audit_enabled
-        return val.upper() == "TRUE"
+        return True if val is None else val.upper() == "TRUE"
 
     # ---------- audit ----------
 
