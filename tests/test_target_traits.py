@@ -190,6 +190,15 @@ class TestValidateIntegrity:
             assert r["missing_in_mart"] == 0, r
             assert r["orphaned_in_mart"] == 0, r
             assert r["mart_rows"] == r["expected_rows"], r
+        # plan gate: the key-level reconciliation must stay equi-joined
+        # (no cartesian) with the item-dim grain join broadcast
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eng.validate_integrity(spark).explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
 
     def test_detects_missing_and_orphaned_rows(self, spark, env, tmp_path):
         wh, log = env
