@@ -174,7 +174,8 @@ def target_report(
     docs/Runbook.SystemConfiguration.md:148-167).
 
     ``approx=True`` swaps the exact student COUNT(DISTINCT) for
-    ``approx_count_distinct`` (HLL++, ~2% rsd) — the SURVEY §7 scale-tier
+    ``approx_count_distinct`` (HLL++, rsd=0.02 passed explicitly — Spark's
+    default would be 0.05) — the SURVEY §7 scale-tier
     option: the distinct count only gates the min-student threshold and the
     std-err denominator, where 2% error is immaterial, and the exact
     distinct forces a per-group dedup shuffle the sketch avoids."""
@@ -198,7 +199,7 @@ def target_report(
         joined = joined.join(
             F.broadcast(target_exclusions.select(*ex_keys)), ex_keys, "left_anti",
         )
-    ndistinct = (F.approx_count_distinct("student_id") if approx
+    ndistinct = (F.approx_count_distinct("student_id", rsd=0.02) if approx
                  else F.countDistinct("student_id"))
     agg = joined.groupBy("asmt_id", "target_code").agg(
         ndistinct.alias("n_students"),

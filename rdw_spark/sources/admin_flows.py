@@ -17,6 +17,8 @@ ingest (SURVEY.md §7 step 6 — completes the write surface).
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rdw_spark.sources.groups import parse_groups, read_groups_csv
@@ -329,6 +331,7 @@ def update_item_standards(
         raise ValueError(
             f"standards not loaded in common_core_standard: {sorted(missing_std)}")
 
+    key3 = ["asmt_id", "item_key", "natural_id"]
     cur = wh.read(spark, "item_common_core_standard")
     adds = (
         resolved.filter(F.col("_add"))
@@ -337,35 +340,45 @@ def update_item_standards(
                 # manual associations never displace the package's primary
                 # standard (item.common_core_standard stays authoritative)
                 F.lit(True).alias("secondary"))
+        .dropDuplicates(key3)
     )
     drops = (
         resolved.filter(~F.col("_add"))
         .select(F.lit(asmt_id).cast("long").alias("asmt_id"),
                 "item_key", "natural_id")
     )
-    out = (
-        cur.join(F.broadcast(drops), ["asmt_id", "item_key", "natural_id"], "left_anti")
-        .unionByName(adds)
-        .dropDuplicates(["asmt_id", "item_key", "natural_id"])
-    )
-    n_add, n_drop = adds.count(), drops.count()
-    wh.write_snapshot(out.select(*cur.columns), "item_common_core_standard")
-    resolved.unpersist()
+    survivors = cur.join(F.broadcast(drops), key3, "left_anti")
+    # adds that already exist keep their current row (an existing primary
+    # association's secondary=False flag must never flip to True)
+    new_adds = adds.join(survivors.select(*key3), key3, "left_anti")
+    out = survivors.unionByName(new_adds)
+    # report NET rows changed, not requested pairs: re-adding an existing
+    # association or removing an absent one is a no-op and counts as 0
+    n_add = new_adds.count()
+    n_drop = cur.join(F.broadcast(drops), key3, "left_semi").count()
 
     # finalize exactly as the documented SQL: a manual PACKAGE import row
-    # the asmt's update_import_id points at, set PROCESSED to trigger migrate
+    # the asmt's update_import_id points at, set PROCESSED to trigger
+    # migrate. The documented digest deliberately appends NOW() "to make it
+    # unique by adding time" (docs/Runbook.ManualDataModifications.md:99):
+    # a content-only digest would make an apply->revert->re-apply sequence
+    # dedup the third call, leaving the table change unmigrated.
+    stamp = datetime.now(timezone.utc).isoformat()
     rec = log.accept(
         spark, ImportContent.PACKAGE,
-        f"item cc upd {asmt_natural_id}:{sorted(add)}:{sorted(remove)}".encode(),
+        f"item cc upd {asmt_natural_id}:{sorted(add)}:{sorted(remove)}:{stamp}".encode(),
         content_type="manual item cc update",
     )
-    if not rec.existing:
-        touched = asmt.withColumns({
-            "update_import_id": F.lit(rec.id).cast("long"),
-            "updated": F.current_timestamp(),
-        })
-        wh.merge_rows(spark, "asmt", touched.select(*asmt.columns), ["natural_id"])
-        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+    # snapshot AFTER the accept: a failed accept leaves no untracked data
+    # change (the import row is what migrate keys off)
+    wh.write_snapshot(out.select(*cur.columns), "item_common_core_standard")
+    resolved.unpersist()
+    touched = asmt.withColumns({
+        "update_import_id": F.lit(rec.id).cast("long"),
+        "updated": F.current_timestamp(),
+    })
+    wh.merge_rows(spark, "asmt", touched.select(*asmt.columns), ["natural_id"])
+    log.set_status(spark, rec.id, ImportStatus.PROCESSED)
     return {"standards_added": n_add, "standards_removed": n_drop,
             "import_id": rec.id}
 

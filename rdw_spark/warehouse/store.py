@@ -284,17 +284,20 @@ class TableStore:
 
     def setting(self, spark: SparkSession, name: str) -> str | None:
         """Current value of a ``setting`` row, None when unset. Values are
-        cached per store instance (settings change via :meth:`set_setting`,
-        an admin action, not per-batch) — call with ``self._settings = None``
-        cleared to force a re-read after an out-of-band change."""
+        cached per store instance, keyed by the setting table's snapshot
+        version: a change made through ANY store instance (or out-of-band)
+        bumps the version, so a long-lived store picks it up on its next
+        read instead of honoring a stale value until restart. The version
+        probe is a directory listing — no Spark job."""
         if "setting" not in self.schemas:
             return None  # store built without control tables (e.g. marts)
-        if self._settings is None:
-            self._settings = {
+        ver = self.latest_version("setting")
+        if self._settings is None or self._settings[0] != ver:
+            self._settings = (ver, {
                 r["name"]: r["value"]
                 for r in self.read(spark, "setting").collect()
-            }
-        return self._settings.get(name)
+            })
+        return self._settings[1].get(name)
 
     def set_setting(self, spark: SparkSession, name: str, value: str) -> None:
         """UPDATE setting SET value=… WHERE name=… (docs/Runbook.Audit.md:91-101)."""

@@ -161,6 +161,49 @@ class TestItemStandardsFlow:
         eng = MigrateEngine(wh, str(tmp_path / "mart"))
         assert eng.run_until_caught_up(spark, "olap") > 0
 
+    def test_reapply_after_revert_gets_fresh_import(self, spark, env):
+        """The documented digest appends NOW() 'to make it unique by adding
+        time': apply -> revert -> re-apply must produce THREE imports, so
+        the third call's table change migrates instead of being
+        digest-deduped into the first call's already-migrated import."""
+        wh, log = env
+        ids = []
+        for add, remove in [
+            ([("100-1001", "6.RP.2")], []),
+            ([], [("100-1001", "6.RP.2")]),
+            ([("100-1001", "6.RP.2")], []),
+        ]:
+            res = update_item_standards(
+                spark, wh, log, "TESTASMT-G6-2018", add=add, remove=remove,
+                subject_code="tsub",
+            )
+            ids.append(res["import_id"])
+        assert len(set(ids)) == 3
+        # the re-applied association is present and the asmt points at the
+        # LAST import, so the next migrate picks the change up
+        after = {(r["item_key"], r["natural_id"])
+                 for r in wh.read(spark, "item_common_core_standard").collect()}
+        assert ("100-1001", "6.RP.2") in after
+        asmt = wh.read(spark, "asmt").collect()[0]
+        assert asmt["update_import_id"] == ids[-1]
+
+    def test_readd_existing_primary_keeps_flag_and_counts_zero(self, spark, env):
+        """Re-adding the package's primary association is a no-op: the
+        existing secondary=False row survives untouched (never flips to
+        True) and the net counts report 0 / 0."""
+        wh, log = env
+        res = update_item_standards(
+            spark, wh, log, "TESTASMT-G6-2018",
+            add=[("100-1001", "6.NS.1")], remove=[("100-1002", "6.NS.1")],
+            subject_code="tsub",
+        )
+        assert res["standards_added"] == 0
+        assert res["standards_removed"] == 0
+        after = {(r["item_key"], r["natural_id"], r["secondary"])
+                 for r in wh.read(spark, "item_common_core_standard").collect()}
+        assert ("100-1001", "6.NS.1", False) in after
+        assert ("100-1001", "6.NS.1", True) not in after
+
     def test_unknown_item_or_standard_raises(self, spark, env):
         wh, log = env
         with pytest.raises(ValueError, match="unknown items"):
