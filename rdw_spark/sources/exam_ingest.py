@@ -52,12 +52,17 @@ def process_accepted(
     spark: SparkSession,
     wh: TableStore,
     log: ImportLog,
-    accepted: list[tuple[int, str]],
+    accepted: list[tuple[int, str]] | DataFrame,
 ) -> dict[str, int]:
     """Parse→validate→upsert for already-accepted (import_id, payload) pairs.
-    Shared by first-pass ingest and resubmit replay (which re-reads payloads
-    from the archive and keeps the original import ids)."""
-    payload_df = spark.createDataFrame(accepted, "import_id long, payload string")
+    Shared by first-pass ingest, resubmit replay (which re-reads payloads
+    from the archive and keeps the original import ids), and the streaming
+    sink — which passes a DataFrame with (import_id, payload) columns so
+    payload bytes never round-trip through the driver."""
+    if isinstance(accepted, DataFrame):
+        payload_df = accepted.select("import_id", "payload")
+    else:
+        payload_df = spark.createDataFrame(accepted, "import_id long, payload string")
     parsed = parse_trt(payload_df).cache()
 
     # 2. validation fan-out (set-based, one pass per dim)

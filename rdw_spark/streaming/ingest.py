@@ -16,19 +16,50 @@ Exactly-once by composition, each layer idempotent under replay:
 - the warehouse MERGE is replace-by-natural-key.
 
 Pacing is ``maxFilesPerTrigger`` — the stream analog of the reference's
-queue prefetch/batch sizing (X6). Payload *texts* ride through the
-micro-batch DataFrame and are handed to the batch endpoint, whose XML
-parse runs distributed (mapInPandas); archiving writes stay the
-import-log's concern.
+queue prefetch/batch sizing (X6). Payload bytes NEVER visit the driver:
+digests are computed executor-side (one md5 column), only the O(rows)
+digest strings are collected for the metadata accept
+(``ImportLog.accept_digests``), archive writes run per-partition on the
+executors, and the payload DataFrame is handed to ``process_accepted``
+directly so the XML parse (mapInPandas) reads from executor memory. The
+old shape (collect every payload, re-parallelize via createDataFrame)
+made throughput driver-bound — pure executor→driver→executor overhead
+and a driver-memory ceiling on fat payloads.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
 
-from rdw_spark.sources.exam_ingest import ingest_exams
-from rdw_spark.warehouse.import_log import ImportLog
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdw_spark.sources.exam_ingest import process_accepted
+from rdw_spark.warehouse.import_log import ImportContent, ImportLog
 from rdw_spark.warehouse.store import TableStore
+
+
+def _archive_distributed(accepted: DataFrame, archive_root: str, content: int) -> None:
+    """Executor-side archive writes, same layout as ``ImportLog._archive``
+    (content/digest-prefix pairs). Idempotent under micro-batch replay: an
+    already-archived digest is skipped, and writes go through a tmp file +
+    atomic rename so a killed executor never leaves a torn payload."""
+    name = ImportContent.NAMES[content]
+
+    def write_partition(rows):
+        for r in rows:
+            digest = r["digest"]
+            d = os.path.join(archive_root, name, digest[0:2], digest[2:4])
+            path = os.path.join(d, digest)
+            if os.path.exists(path):
+                continue
+            os.makedirs(d, exist_ok=True)
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(r["payload"].encode("utf-8"))
+            os.replace(tmp, path)
+
+    accepted.select("digest", "payload").foreachPartition(write_partition)
 
 
 def stream_exam_ingest(
@@ -52,9 +83,28 @@ def stream_exam_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = [r["value"].encode("utf-8") for r in batch_df.collect()]
-        if payloads:
-            ingest_exams(spark, wh, log, payloads, batch=f"stream-{batch_id}")
+        s = batch_df.sparkSession
+        # digest executor-side; in-batch byte-identical payloads collapse to
+        # one row here (same dedup accept_batch's seen_new map performs)
+        with_digest = batch_df.select(
+            F.col("value").alias("payload"),
+            F.upper(F.md5(F.col("value").cast("binary"))).alias("digest"),
+        ).dropDuplicates(["digest"])
+        digests = [r["digest"] for r in with_digest.select("digest").collect()]
+        if not digests:
+            return
+        # metadata accept: O(rows) digest strings driver-side, nothing else
+        recs = log.accept_digests(
+            s, ImportContent.EXAM, digests, batch=f"stream-{batch_id}"
+        )
+        fresh = [(rec.id, d) for rec, d in zip(recs, digests) if not rec.existing]
+        if not fresh:
+            return  # every payload was a digest-dedup no-op (API.md:263)
+        id_map = s.createDataFrame(fresh, "import_id long, digest string")
+        accepted = with_digest.join(F.broadcast(id_map), "digest")
+        if log.archive_root is not None:
+            _archive_distributed(accepted, log.archive_root, ImportContent.EXAM)
+        process_accepted(s, wh, log, accepted.select("import_id", "payload"))
 
     writer = (
         raw.writeStream.foreachBatch(sink)

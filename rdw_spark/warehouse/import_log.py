@@ -144,10 +144,37 @@ class ImportLog:
         must not pay per-document jobs). Ids are assigned in input order so
         serial-ordering semantics (T6) hold within the batch."""
         digests = [hashlib.md5(p).hexdigest().upper() for p in payloads]
+        recs = self.accept_digests(
+            spark, content, digests, content_type=content_type,
+            batch=batch, creator=creator,
+        )
+        archived: set[str] = set()
+        for rec, payload in zip(recs, payloads):
+            if not rec.existing and rec.digest not in archived:
+                self._archive(content, rec.digest, payload)
+                archived.add(rec.digest)
+        return recs
+
+    def accept_digests(
+        self,
+        spark: SparkSession,
+        content: int,
+        digests: list[str],
+        content_type: str = "application/xml",
+        batch: str | None = None,
+        creator: str | None = None,
+    ) -> list[ImportRecord]:
+        """Metadata-only accept: dedup + id assignment + import rows for
+        already-computed payload digests, WITHOUT the payload bytes. This is
+        the streaming-scale entry point — digests are computed executor-side
+        (``md5`` over the payload column) and only the O(rows) digest
+        strings reach the driver; archiving the bytes stays the caller's
+        (distributed) concern. ``accept_batch`` is this plus driver-side
+        hashing + archiving for the bounded REST-style path."""
         log = self.read(spark)
         prior: dict[str, Row] = {}
         # GROUPS always reprocess (docs/API.md:263); everything else no-ops
-        if content != ImportContent.GROUPS and payloads:
+        if content != ImportContent.GROUPS and digests:
             rows = (
                 log.filter(
                     (F.col("content") == content) & F.col("digest").isin(*set(digests))
@@ -161,7 +188,7 @@ class ImportLog:
         out: list[ImportRecord] = []
         new_rows: list[Row] = []
         seen_new: dict[str, int] = {}
-        for payload, digest in zip(payloads, digests):
+        for digest in digests:
             if digest in prior:
                 p = prior[digest]
                 out.append(ImportRecord(p["id"], p["status"], content, digest,
@@ -171,7 +198,6 @@ class ImportLog:
                 out.append(ImportRecord(seen_new[digest], ImportStatus.ACCEPTED,
                                         content, digest, existing=True))
                 continue
-            self._archive(content, digest, payload)
             new_rows.append(Row(
                 id=next_id, status=ImportStatus.ACCEPTED, content=content,
                 contentType=content_type, digest=digest, batch=batch,

@@ -185,6 +185,61 @@ def test_stream_exam_ingest_end_to_end(spark, tmp_path):
     assert imports.filter(F.col("status") == ImportStatus.PROCESSED).count() == 3
 
 
+def test_stream_exam_ingest_payloads_stay_distributed(spark, tmp_path, monkeypatch):
+    """Scale gate for the streaming sink: payload bytes must never funnel
+    through the driver — process_accepted receives the micro-batch as a
+    DataFrame (parse runs where the data is), and the archive bytes are
+    written by executor-side tasks with the same content/digest-prefix
+    layout the driver-side accept uses."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    import rdw_spark.streaming.ingest as SI
+    from rdw_spark.sources.package import parse_package, read_package_csv
+    from rdw_spark.sources.org import parse_org_json, resolve_school_district_ids
+    from rdw_spark.warehouse import ImportLog, TableStore
+    from rdw_spark.warehouse.import_log import ImportContent
+
+    from tests.test_sources import ORG_JSON, PACKAGE_CSV, make_trt
+
+    wh = TableStore(str(tmp_path / "warehouse"))
+    log = ImportLog(wh, archive_root=str(tmp_path / "archive"))
+    rec = log.accept(spark, ImportContent.PACKAGE, PACKAGE_CSV.encode())
+    wh.merge_upsert(spark, "asmt",
+                    parse_package(read_package_csv(spark, PACKAGE_CSV))["asmt"],
+                    rec.id)
+    rec2 = log.accept(spark, ImportContent.ORGANIZATION, ORG_JSON.encode())
+    org = parse_org_json(spark, ORG_JSON)
+    wh.merge_upsert(spark, "district", org["district"], rec2.id)
+    wh.merge_upsert(
+        spark, "school",
+        resolve_school_district_ids(org["school"], wh.read(spark, "district")),
+        rec2.id)
+
+    seen_types = []
+    orig = SI.process_accepted
+
+    def spy(s, w, lg, accepted):
+        seen_types.append(type(accepted))
+        return orig(s, w, lg, accepted)
+
+    monkeypatch.setattr(SI, "process_accepted", spy)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    payload = make_trt(opp_id="S-9", ssid="STU001")
+    (landing / "a.xml").write_bytes(payload)
+    q = SI.stream_exam_ingest(spark, wh, log, str(landing), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert seen_types and all(issubclass(t, SparkDataFrame) for t in seen_types)
+    assert [r["opp_id"] for r in wh.read(spark, "exam").collect()] == ["S-9"]
+    # archive parity with the driver-side path: bytes land at the digest
+    # address and read back identical through the ImportLog API
+    import hashlib
+    digest = hashlib.md5(payload).hexdigest().upper()
+    assert log.read_archived_payload(ImportContent.EXAM, digest) == payload
+
+
 def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     """Continuous corpus build: batches of documents land as parquet, each
     micro-batch dedups against the maintained fingerprint index (never
