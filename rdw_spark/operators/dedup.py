@@ -30,6 +30,14 @@ from .text import normalize_text, tokens
 # --------------------------------------------------------------------------
 
 
+def text_digest(text, normalized: bool = True):
+    """The canonical text fingerprint column every exact-dedup path keys on.
+    ONE definition on purpose: the streaming index's digest-prefix
+    partition pruning only works if the probe side computes bit-identical
+    digests to the indexed side."""
+    return F.md5(normalize_text(text)) if normalized else F.md5(text)
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     normalized: bool = True, with_counts: bool = False,
@@ -38,7 +46,7 @@ def exact_duplicates(
     Returns (id, digest, canonical_id, is_canonical[, n_copies]) — one
     partial-aggregated shuffle on the digest, then a join back (both sides
     hash-partitioned on digest, so the join reuses the exchange)."""
-    digest = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
+    digest = text_digest(F.col(text_col), normalized)
     d = df.select(F.col(id_col), digest.alias("digest"))
     # window over the digest, not groupBy+join-back: one scan of the input
     # and one shuffle instead of two scans, a shuffle, and a join

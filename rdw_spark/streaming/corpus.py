@@ -1,23 +1,68 @@
-"""Streaming corpus build: continuous ingestion + incremental dedup.
+"""Streaming corpus build: continuous ingestion + incremental dedup —
+exact AND near-duplicate — without ever rescanning the corpus.
 
 The 100 TB-tier shape: document batches land continuously; each
-micro-batch is deduped against the corpus-so-far WITHOUT rescanning the
-corpus (the maintained fingerprint index from
-``operators.dedup.incremental_exact_dedup``), survivors append to a
-partition-store corpus table, and the index grows by an append.
+micro-batch is deduped against the corpus-so-far using maintained,
+partition-pruned indexes (never a corpus scan), survivors append to a
+partition-store corpus table, and every index grows by an O(batch) merge.
+
+Per-batch work, all O(batch):
+  1. optional quality filter (map-only, same stage batch ``build_corpus``
+     runs first);
+  2. exact dedup against the fingerprint index — the probe reads ONLY the
+     digest-prefix buckets the batch's digests land in
+     (``PartitionedTable.read(parts=...)`` prunes via the manifest; the
+     4096-bucket prefix means a B-doc batch opens <= B of 4096 dirs);
+  3. near-dup dedup against the LSH band index — the batch's band rows
+     are probed against only the touched band-hash buckets; candidates
+     are verified by MinHash-signature agreement (the signatures live in
+     a doc-keyed sig index, also bucket-pruned) and resolved through
+     connected components plus the running cluster map, so transitive
+     chains ACROSS batches collapse exactly like the batch pipeline's CC
+     stage (A~B in batch 1, B~C in batch 3 still drops two of {A,B,C});
+  4. survivors merge into the corpus; all four state tables take their
+     O(batch) deltas.
+
+Verification fidelity note: the batch pipeline verifies candidates with
+EXACT shingle-set Jaccard (it holds every text in hand); the stream
+verifies with the MinHash signature estimate (fraction of agreeing
+hashes), because carrying shingle sets as state would be O(corpus text)
+while signatures are ``num_hashes`` longs per doc. With 32 hashes the
+estimate's rsd is ~0.09 — pairs far from the threshold (the common case
+for true dups) agree with the batch decision; borderline pairs can
+differ. That is the honest price of O(batch) streaming state.
+
+Cross-batch cluster semantics: when a new doc bridges two existing
+corpus canonicals, the components MERGE — the losing canonical is
+physically deleted from the corpus and recorded in the cluster map, so
+the stream converges to the same min-id-per-component survivors the
+batch build produces (given ids assigned in arrival order). The cluster
+map may hold short chains after a merge (D->L written before L->W);
+probes resolve them with a bounded pointer-chase of pruned lookups.
 
 Exactly-once by composition, every layer idempotent under replay:
 - the file-source checkpoint assigns each landed file to exactly one
   micro-batch;
-- the corpus MERGE is replace-by-doc_id and the index MERGE is
-  replace-by-fingerprint, so a replayed batch lands idempotently;
+- every state merge is replace-by-key and the corpus delete is
+  idempotent, so a replayed batch lands idempotently;
 - manifest renames publish each table atomically (a crash mid-batch
-  leaves the previous snapshot visible, and the replay redoes the batch).
+  leaves the previous snapshot visible, and the replay redoes the batch);
+- the FINGERPRINT index is written LAST: it is the gate that makes a
+  replayed batch resolve to "already seen", so it must only claim a doc
+  after the corpus row and every other index entry are durably published
+  (claim-first would drop the doc forever on a crash between the two).
 
-State is two partition-store tables under ``out_root``:
-  corpus/  — the deduped documents, partitioned by source
-  fpindex/ — (digest, canonical_id), partitioned by digest prefix so the
-             per-batch probe join reads only the touched buckets at scale
+State is five partition-store tables under ``out_root``:
+  corpus/    — the deduped documents, partitioned by source
+  fpindex/   — (digest, canonical_id), partitioned by 3-hex-char digest
+               prefix (4096 buckets) so the per-batch probe join reads
+               only the touched buckets at scale
+  bandindex/ — (band, sig, doc_id) LSH bucket membership, partitioned by
+               a hash of the bucket key
+  sigindex/  — (doc_id, source, sigs) MinHash signatures + the partition
+               column the corpus delete path needs, bucketed by doc_id
+  clusters/  — (doc_id, canonical_id) for every near-dup-dropped doc and
+               merged-away canonical, bucketed by doc_id
 """
 
 from __future__ import annotations
@@ -26,7 +71,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rdw_spark.operators.dedup import incremental_exact_dedup
+from rdw_spark.operators.dedup import (
+    _band_rows, connected_components, incremental_exact_dedup,
+    minhash_signatures, text_digest,
+)
+from rdw_spark.operators.text import quality_filter
 from rdw_spark.warehouse.partstore import PartitionedTable
 
 DOC_SCHEMA = T.StructType([
@@ -42,17 +91,78 @@ INDEX_SCHEMA = T.StructType([
     T.StructField("canonical_id", T.LongType(), False),
 ])
 
+BAND_SCHEMA = T.StructType([
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("sig", T.LongType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+])
 
-def corpus_tables(out_root: str) -> tuple[PartitionedTable, PartitionedTable]:
-    corpus = PartitionedTable(
-        out_root, "corpus", "source", keys=["doc_id"],
-        schema=DOC_SCHEMA, sort_cols=("doc_id",),
-    )
-    index = PartitionedTable(
-        out_root, "fpindex", "substring(digest, 1, 1)", keys=["digest"],
-        schema=INDEX_SCHEMA, sort_cols=("digest",),
-    )
-    return corpus, index
+SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("sigs", T.ArrayType(T.LongType(), False), False),
+])
+
+CLUSTER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("canonical_id", T.LongType(), False),
+])
+
+_DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
+
+
+def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
+    """The corpus table plus its four maintained dedup-state tables."""
+    return {
+        "corpus": PartitionedTable(
+            out_root, "corpus", "source", keys=["doc_id"],
+            schema=DOC_SCHEMA, sort_cols=("doc_id",),
+        ),
+        "fpindex": PartitionedTable(
+            out_root, "fpindex", "substring(digest, 1, 3)", keys=["digest"],
+            schema=INDEX_SCHEMA, sort_cols=("digest",),
+        ),
+        "bandindex": PartitionedTable(
+            out_root, "bandindex", "pmod(xxhash64(band, sig), 512)",
+            keys=["band", "doc_id"], schema=BAND_SCHEMA, sort_cols=("sig",),
+        ),
+        "sigindex": PartitionedTable(
+            out_root, "sigindex", "pmod(doc_id, 256)", keys=["doc_id"],
+            schema=SIG_SCHEMA, sort_cols=("doc_id",),
+        ),
+        "clusters": PartitionedTable(
+            out_root, "clusters", "pmod(doc_id, 256)", keys=["doc_id"],
+            schema=CLUSTER_SCHEMA, sort_cols=("doc_id",),
+        ),
+    }
+
+
+def _resolve_partners(
+    spark: SparkSession, clusters: PartitionedTable, partner_ids: DataFrame,
+    max_chain: int = 8,
+) -> DataFrame:
+    """(doc_id, canonical) for corpus-side candidate partners: chase the
+    cluster map until fixpoint. Each hop reads only the doc_id buckets the
+    current frontier lands in — O(candidates) per hop, and chains are
+    short (one level per historical merge on the doc's component)."""
+    resolved = partner_ids.select("doc_id", F.col("doc_id").alias("canonical"))
+    for _ in range(max_chain):
+        frontier = resolved.select(F.col("canonical").alias("doc_id")).distinct()
+        parts = clusters.parts_of(frontier)
+        hop = (
+            clusters.read(spark, parts=parts)
+            .join(frontier, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("canonical"),
+                    F.col("canonical_id").alias("_next"))
+        )
+        if hop.isEmpty():
+            break
+        resolved = (
+            resolved.join(hop, "canonical", "left")
+            .select("doc_id",
+                    F.coalesce("_next", F.col("canonical")).alias("canonical"))
+        )
+    return resolved
 
 
 def stream_corpus_build(
@@ -62,11 +172,24 @@ def stream_corpus_build(
     checkpoint: str,
     max_files_per_trigger: int = 100,
     available_now: bool = True,
+    near_dup: bool = True,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    quality_thresholds: dict | None = None,
 ):
     """Watch ``landing_dir`` for parquet drops in the documents schema,
-    dedup each micro-batch against the maintained index, and append the
-    survivors. Returns the StreamingQuery."""
-    corpus, index = corpus_tables(out_root)
+    dedup each micro-batch against the maintained indexes (exact always;
+    near-dup unless ``near_dup=False``), and append the survivors.
+    ``quality_thresholds`` switches on the quality stage (pass ``{}`` for
+    the defaults batch ``build_corpus`` uses); None skips it. Returns the
+    StreamingQuery."""
+    tables = corpus_tables(out_root)
+    corpus, fpindex = tables["corpus"], tables["fpindex"]
+    bandindex, sigindex, clusters = (
+        tables["bandindex"], tables["sigindex"], tables["clusters"],
+    )
 
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -78,17 +201,155 @@ def stream_corpus_build(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        docs = batch_df
+        if quality_thresholds is not None:
+            docs = (
+                quality_filter(docs, quality_thresholds)
+                .filter("q_keep").select(*_DOC_COLS)
+            )
+        cached = [docs.cache()]
         try:
-            idx = index.read(s)
-        except FileNotFoundError:  # first batch: empty typed index
-            idx = s.createDataFrame([], INDEX_SCHEMA)
-        out = incremental_exact_dedup(batch_df, idx)
-        survivors = out["unique"].select(*[f.name for f in DOC_SCHEMA.fields])
-        if survivors.isEmpty():
-            return
-        # replace-by-key merges keep a replayed micro-batch idempotent
-        corpus.merge_rows(s, survivors)
-        index.merge_rows(s, out["index_delta"])
+            # ---- exact stage: digest-prefix-pruned index probe ----
+            pfx = [
+                r[0] for r in docs.select(
+                    F.substring(text_digest(F.col("text")), 1, 3).alias("p")
+                ).distinct().collect()
+            ]
+            idx = fpindex.read(s, parts=pfx)
+            out = incremental_exact_dedup(docs, idx)
+            survivors = out["unique"].select(*_DOC_COLS).cache()
+            cached.append(survivors)
+            if survivors.isEmpty():
+                return  # whole batch was exact-known; indexes already claim it
+
+            if not near_dup:
+                corpus.merge_rows(s, survivors.select(*_DOC_COLS))
+                fpindex.merge_rows(s, out["index_delta"])
+                return
+
+            # ---- near-dup stage: band-bucket-pruned LSH probe ----
+            sigs = minhash_signatures(
+                survivors, num_hashes, ngram
+            ).cache()
+            cached.append(sigs)
+            mh_cols = [c for c in sigs.columns if c.startswith("mh_")]
+            new_bands = _band_rows(sigs, bands, "doc_id").select(
+                F.col("band").cast("int").alias("band"), "sig", "doc_id"
+            ).cache()
+            cached.append(new_bands)
+            idx_bands = bandindex.read(s, parts=bandindex.parts_of(new_bands))
+            probe = idx_bands.select("band", "sig", F.col("doc_id").alias("x")).union(
+                new_bands.select("band", "sig", F.col("doc_id").alias("x"))
+            )
+            cands = (
+                probe.join(
+                    new_bands.select("band", "sig", F.col("doc_id").alias("y")),
+                    ["band", "sig"],
+                )
+                .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+                .filter(F.col("a") < F.col("b"))
+                .distinct()
+                .cache()
+            )
+            cached.append(cands)
+
+            new_ids = survivors.select("doc_id")
+            new_sigs = sigs.select(
+                "doc_id", F.array(*mh_cols).alias("sigs")
+            )
+            partner_ids = (
+                cands.select(F.col("a").alias("doc_id"))
+                .union(cands.select(F.col("b").alias("doc_id")))
+                .distinct()
+                .join(new_ids, "doc_id", "left_anti")
+                .cache()
+            )
+            cached.append(partner_ids)
+            corpus_sigs = (
+                sigindex.read(s, parts=sigindex.parts_of(partner_ids))
+                .join(partner_ids, "doc_id", "left_semi")
+                .select("doc_id", "sigs")
+            )
+            all_sigs = new_sigs.union(corpus_sigs)
+
+            # verify: fraction of agreeing minhashes >= threshold
+            agree = F.aggregate(
+                F.zip_with("_sa", "_sb",
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, v: acc + v,
+            )
+            verified = (
+                cands
+                .join(all_sigs.select(F.col("doc_id").alias("a"),
+                                      F.col("sigs").alias("_sa")), "a")
+                .join(all_sigs.select(F.col("doc_id").alias("b"),
+                                      F.col("sigs").alias("_sb")), "b")
+                .withColumn("_est", agree / F.lit(num_hashes))
+                .filter(F.col("_est") >= threshold)
+                .select("a", "b")
+            )
+
+            # resolve corpus partners through the cluster map (new ids stay
+            # raw — on replay their old map entries must not self-cancel
+            # the edge that re-derives them)
+            pmap = _resolve_partners(s, clusters, partner_ids)
+            edges = (
+                verified
+                .join(pmap.select(F.col("doc_id").alias("a"),
+                                  F.col("canonical").alias("_ca")), "a", "left")
+                .join(pmap.select(F.col("doc_id").alias("b"),
+                                  F.col("canonical").alias("_cb")), "b", "left")
+                .select(F.coalesce("_ca", F.col("a")).alias("u"),
+                        F.coalesce("_cb", F.col("b")).alias("v"))
+                .filter(F.col("u") != F.col("v"))
+            )
+
+            if edges.isEmpty():
+                final_new = survivors
+                new_losers = corpus_losers = None
+            else:
+                losers = connected_components(edges, "u", "v").filter(
+                    F.col("node") != F.col("cluster_id")
+                ).select(
+                    F.col("node").alias("doc_id"),
+                    F.col("cluster_id").alias("canonical_id"),
+                ).cache()
+                cached.append(losers)
+                new_losers = losers.join(new_ids, "doc_id", "left_semi")
+                corpus_losers = losers.join(new_ids, "doc_id", "left_anti")
+                final_new = survivors.join(
+                    new_losers.select("doc_id"), "doc_id", "left_anti"
+                )
+
+            # ---- writes; fpindex (the replay gate) strictly last ----
+            corpus.merge_rows(s, final_new.select(*_DOC_COLS))
+            if corpus_losers is not None and not corpus_losers.isEmpty():
+                # a new doc bridged two existing canonicals: the losing
+                # canonical leaves the corpus; its source (the partition
+                # key) comes from the sig index, not a corpus scan
+                loser_meta = (
+                    sigindex.read(s, parts=sigindex.parts_of(corpus_losers))
+                    .join(corpus_losers.select("doc_id"), "doc_id", "left_semi")
+                    .select("doc_id", "source")
+                )
+                corpus.delete_rows(s, loser_meta)
+            if new_losers is not None:
+                clusters.merge_rows(
+                    s, new_losers.unionByName(corpus_losers)
+                )
+            # ALL exact-survivors (even near-dup losers) are indexed: future
+            # docs similar to a dropped doc must still find its buckets and
+            # resolve to the canonical through the cluster map
+            sigindex.merge_rows(
+                s, new_sigs.join(
+                    survivors.select("doc_id", "source"), "doc_id"
+                ).select("doc_id", "source", "sigs")
+            )
+            bandindex.merge_rows(s, new_bands)
+            fpindex.merge_rows(s, out["index_delta"])
+        finally:
+            for c in cached:
+                c.unpersist()
 
     writer = (
         raw.writeStream.foreachBatch(sink)

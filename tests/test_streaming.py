@@ -240,12 +240,25 @@ def test_stream_exam_ingest_payloads_stay_distributed(spark, tmp_path, monkeypat
     assert log.read_archived_payload(ImportContent.EXAM, digest) == payload
 
 
+def _drop_docs(spark, tmp_path, landing, name, rows):
+    from rdw_spark.streaming.corpus import DOC_SCHEMA
+
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage" / name))
+    import glob as g
+    import shutil
+
+    src = g.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+    shutil.copy(src, str(landing / f"{name}.parquet"))
+
+
 def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     """Continuous corpus build: batches of documents land as parquet, each
     micro-batch dedups against the maintained fingerprint index (never
     rescanning the corpus), survivors append, duplicates across batches
     and across restarts are dropped exactly once."""
-    from rdw_spark.streaming.corpus import DOC_SCHEMA, corpus_tables, stream_corpus_build
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -253,14 +266,7 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def drop(name, rows):
-        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(tmp_path / "stage" / name))
-        import glob as g
-        import shutil
-
-        src = g.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
-        shutil.copy(src, str(landing / f"{name}.parquet"))
+        _drop_docs(spark, tmp_path, landing, name, rows)
 
     drop("b1", [
         (1, "the quick brown fox", "en", "src0", 19),
@@ -270,7 +276,8 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
     q.awaitTermination(120)
 
-    corpus, index = corpus_tables(out_root)
+    t = corpus_tables(out_root)
+    corpus, index = t["corpus"], t["fpindex"]
     assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2]
     assert index.read(spark).count() == 2
 
@@ -285,3 +292,167 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2, 5]
     idx = {r["canonical_id"] for r in index.read(spark).collect()}
     assert idx == {1, 2, 5}
+
+
+def _wordy(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_stream_corpus_near_dup_across_batches_matches_batch_build(spark, tmp_path):
+    """The near-dup tier of the streaming build: near-identical (NOT
+    byte-identical) documents arriving in different micro-batches across
+    restarts keep exactly one survivor, transitive chains collapse via the
+    cluster map, and the final corpus equals the batch ``build_corpus``
+    survivors on the same data."""
+    from rdw_spark.plans.corpus import build_corpus
+    from rdw_spark.streaming.corpus import (
+        DOC_SCHEMA, corpus_tables, stream_corpus_build,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = _wordy("tok", 60)
+    near1 = base.replace("tok3 ", "zzz3 ")           # ~0.93 jaccard vs base
+    near2 = base.replace("tok7 ", "qqq7 ")           # near-dup of base AND near1
+    other = _wordy("unrelated", 40)
+    fresh = _wordy("fresh", 40)
+    rows = {
+        1: (1, base, "en", "src0", len(base)),
+        2: (2, other, "en", "src0", len(other)),
+        3: (3, near1, "en", "src1", len(near1)),
+        4: (4, fresh, "en", "src1", len(fresh)),
+        5: (5, near2, "en", "src2", len(near2)),
+    }
+
+    _drop_docs(spark, tmp_path, landing, "b1", [rows[1], rows[2]])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    # restart; a near-dup of corpus doc 1 plus a genuinely new doc land
+    _drop_docs(spark, tmp_path, landing, "b2", [rows[3], rows[4]])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2, 4]
+    cmap = {r["doc_id"]: r["canonical_id"]
+            for r in t["clusters"].read(spark).collect()}
+    assert cmap == {3: 1}
+
+    # restart again; a THIRD near-variant arrives — the transitive chain
+    # (5 ~ dropped 3 ~ kept 1) must still resolve to canonical 1
+    _drop_docs(spark, tmp_path, landing, "b3", [rows[5]])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2, 4]
+    cmap = {r["doc_id"]: r["canonical_id"]
+            for r in t["clusters"].read(spark).collect()}
+    assert cmap == {3: 1, 5: 1}
+
+    # parity: the batch pipeline over the SAME five docs keeps the same set
+    all_docs = spark.createDataFrame(list(rows.values()), DOC_SCHEMA)
+    batch = build_corpus(
+        all_docs,
+        quality_thresholds={"min_chars": 1, "min_tokens": 1,
+                            "min_avg_token_len": 0.0, "max_avg_token_len": 99.0,
+                            "max_punct_ratio": 1.0, "min_alpha_ratio": 0.0},
+        eval_fraction=0.0,
+    )
+    kept_batch = sorted(
+        r["doc_id"]
+        for r in batch["train"].unionByName(batch["eval"]).collect()
+    )
+    assert kept_batch == [1, 2, 4]
+
+
+def test_stream_corpus_bridge_doc_merges_canonicals(spark, tmp_path):
+    """A new doc similar to TWO existing corpus canonicals merges their
+    components: the min-id canonical survives, the other is physically
+    deleted from the corpus and recorded in the cluster map — the stream
+    converges to batch-CC semantics instead of keeping both."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    shared = [f"core{i}" for i in range(40)]
+    only_a = [f"alpha{i}" for i in range(30)]
+    only_b = [f"beta{i}" for i in range(30)]
+    doc_a = " ".join(shared + only_a)            # J(a,b) = 40/100 = 0.4
+    doc_b = " ".join(shared + only_b)
+    bridge = " ".join(shared + only_a + only_b)  # J(bridge,a)=J(bridge,b)=0.7
+
+    kw = dict(near_dup=True, num_hashes=32, bands=16, threshold=0.5)
+    _drop_docs(spark, tmp_path, landing, "b1",
+               [(10, doc_a, "en", "srcA", len(doc_a))])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
+    q.awaitTermination(120)
+    _drop_docs(spark, tmp_path, landing, "b2",
+               [(20, doc_b, "en", "srcB", len(doc_b))])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
+    q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [10, 20]
+
+    _drop_docs(spark, tmp_path, landing, "b3",
+               [(30, bridge, "en", "srcC", len(bridge))])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
+    q.awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [10]
+    cmap = {r["doc_id"]: r["canonical_id"]
+            for r in t["clusters"].read(spark).collect()}
+    assert cmap == {20: 10, 30: 10}
+
+
+def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeypatch):
+    """The O(batch) probe gate: with a populated corpus, a small batch's
+    index probes must pass explicit partition lists (manifest pruning) —
+    never a full-index read — and the lists must be batch-sized, not
+    index-sized."""
+    from rdw_spark.streaming.corpus import stream_corpus_build
+    from rdw_spark.warehouse.partstore import PartitionedTable
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    _drop_docs(spark, tmp_path, landing, "big", [
+        (i, _wordy(f"doc{i}word", 30), "en", "src0", 100) for i in range(1, 41)
+    ])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(180)
+
+    calls = []
+    orig_read = PartitionedTable.read
+
+    def spy(self, s, parts=None, version=None):
+        calls.append((self.name, None if parts is None else len(parts)))
+        return orig_read(self, s, parts=parts, version=version)
+
+    monkeypatch.setattr(PartitionedTable, "read", spy)
+    _drop_docs(spark, tmp_path, landing, "small", [
+        (100, _wordy("small100word", 30), "en", "src0", 100),
+        (101, _wordy("small101word", 30), "en", "src0", 100),
+    ])
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt)
+    q.awaitTermination(120)
+
+    probes = [(n, p) for n, p in calls
+              if n in ("fpindex", "bandindex", "sigindex", "clusters")]
+    assert probes, "expected pruned index probes during the micro-batch"
+    assert all(p is not None for _, p in probes), f"unpruned full read: {probes}"
+    by_name = {}
+    for n, p in probes:
+        by_name.setdefault(n, []).append(p)
+    # 2 docs -> <=2 digest prefixes of 4096; <=16 band buckets of 512
+    assert max(by_name["fpindex"]) <= 2
+    assert max(by_name.get("bandindex", [0])) <= 16
