@@ -94,8 +94,8 @@ def ingest_package(spark: SparkSession, wh: TableStore, log: ImportLog,
         F.col("natural_id").alias("asmt_natural_id"), F.col("id").alias("asmt_id"))
     items = out["item"].join(F.broadcast(ids), "asmt_natural_id").drop("asmt_natural_id")
     wh.replace_children(spark, "item", "asmt_id", items)
-    # item children (docs/Runbook.ImportMigrate.md:16)
-    for child in ("item_common_core_standard", "item_other_target"):
+    # asmt/item children (docs/Runbook.ImportMigrate.md:16)
+    for child in ("item_common_core_standard", "item_other_target", "asmt_score"):
         rows = out[child].join(F.broadcast(ids), "asmt_natural_id").drop("asmt_natural_id")
         if not rows.isEmpty():
             wh.replace_children(spark, child, "asmt_id", rows)

@@ -115,6 +115,26 @@ def parse_package(csv_df: DataFrame) -> dict[str, DataFrame]:
             .otherwise(F.col("cct")).alias("target_code"),
         ).distinct()
     )
+    # asmt_score child (docs/Runbook.ImportMigrate.md:16): the cut points
+    # normalized one row per performance-level boundary — the same values
+    # the flattened asmt.cut_point_1..4 carry for the scoring hot path
+    cut_structs = [
+        F.struct(F.lit(i + 1).alias("cut_point"),
+                 F.col(f"cut_point_{i + 1}").alias("score"))
+        for i in range(4)
+    ]
+    asmt_score = (
+        asmt.select(
+            F.col("natural_id").alias("asmt_natural_id"),
+            F.explode(F.filter(
+                F.array(*cut_structs), lambda s: s["score"].isNotNull()
+            )).alias("cp"),
+        )
+        .select("asmt_natural_id",
+                F.col("cp.cut_point").cast("int").alias("cut_point"),
+                F.col("cp.score").alias("score"))
+    )
     return {"asmt": asmt, "item": item,
             "item_common_core_standard": item_ccs,
-            "item_other_target": item_other_target}
+            "item_other_target": item_other_target,
+            "asmt_score": asmt_score}

@@ -142,6 +142,16 @@ ITEM_COMMON_CORE_STANDARD = T.StructType([
     T.StructField("natural_id", T.StringType(), False),     # e.g. 11-12.L.1
     T.StructField("secondary", T.BooleanType(), False),
 ])
+# PACKAGE child listed alongside item in docs/Runbook.ImportMigrate.md:16
+# and purged per-year in docs/Runbook.BulkDeleteExams.md:205: one row per
+# performance-level cut point. The same values ride flattened on
+# asmt.cut_point_1..4 for the scoring hot path; this child is the
+# queryable normalized shape a reference user expects.
+ASMT_SCORE = T.StructType([
+    T.StructField("asmt_id", T.LongType(), False),
+    T.StructField("cut_point", T.IntegerType(), False),  # rank 1..4
+    T.StructField("score", T.DoubleType(), False),       # scaled-score cut
+])
 ITEM_OTHER_TARGET = T.StructType([
     T.StructField("asmt_id", T.LongType(), False),
     T.StructField("item_key", T.StringType(), False),
@@ -502,6 +512,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "subject_translation": SUBJECT_TRANSLATION,
     "item_common_core_standard": ITEM_COMMON_CORE_STANDARD,
     "item_other_target": ITEM_OTHER_TARGET,
+    "asmt_score": ASMT_SCORE,
     "asmt_target_exclusion": ASMT_TARGET_EXCLUSION,
     "exam_item_trait_score": EXAM_ITEM_TRAIT_SCORE,
     "state_embargo": STATE_EMBARGO,

@@ -37,6 +37,12 @@ def test_all_dim_endpoints(spark, env):
     assert r["status"] == "PROCESSED"
     assert wh.read(spark, "asmt").count() == 1
     assert wh.read(spark, "item").count() == 2
+    # asmt_score child landed with the resolved surrogate asmt id
+    asmt_id = wh.read(spark, "asmt").collect()[0]["id"]
+    scores = wh.read(spark, "asmt_score").collect()
+    assert {(r["asmt_id"], r["cut_point"], r["score"]) for r in scores} == {
+        (asmt_id, 1, 2380.0), (asmt_id, 2, 2490.0), (asmt_id, 3, 2600.0),
+    }
 
     r = DI.ingest_subject(spark, wh, log, SUBJECT_XML.encode())
     assert r["status"] == "PROCESSED"

@@ -319,6 +319,16 @@ class TestPackage:
         assert (ot[0]["item_key"], ot[0]["claim_code"], ot[0]["target_code"]) == (
             "100-1001", "C2", "T9")
 
+    def test_asmt_score_child(self, spark):
+        """asmt_score (docs/Runbook.ImportMigrate.md:16): the cut points as
+        a normalized child — one row per performance-level boundary with
+        (cut_point rank, score), matching the flattened cut_point_1..3
+        (cut 4 is absent in TestPackage-shaped exports)."""
+        out = parse_package(read_package_csv(spark, PACKAGE_CSV))
+        rows = {r["cut_point"]: r["score"]
+                for r in out["asmt_score"].collect()}
+        assert rows == {1: 2380.0, 2: 2490.0, 3: 2600.0}
+
     def test_simple_variant_without_standards_columns(self, spark):
         """Simple tabulator exports omit the standards columns entirely
         (tools/TestPackage.Simple.csv) — children parse as empty, not error."""
