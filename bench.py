@@ -197,6 +197,26 @@ def main() -> None:
             }
         )
     )
+    # compact second summary line: the driver tail-captures output, and the
+    # full per-query line can exceed its window (BENCH_r05 recorded
+    # parsed:null because the line's head was cut). A short self-contained
+    # line LAST always fits, so the driver-visible artifact stays parseable;
+    # per-query detail remains on the previous line.
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "iterations": iters,
+                "n_queries": len(catalog),
+                "query_errors": errors,
+                "pipeline": pipeline,
+                "sf": sf,
+                "load_avg_1m": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
     spark.stop()
 
 

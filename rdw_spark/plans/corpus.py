@@ -93,7 +93,7 @@ def build_corpus(
 
 
 @register(
-    "zz_corpus_stats",
+    "corpus_stats",
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -142,7 +142,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_dedup_cluster_resolution",
+    "dedup_cluster_resolution",
     oracle="""
     WITH RECURSIVE pairs AS (
         SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
@@ -172,7 +172,7 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_dedup_corpus_resolve",
+    "dedup_corpus_resolve",
     oracle="""
     WITH RECURSIVE toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
@@ -221,7 +221,7 @@ def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_winnowing",
+    "text_winnowing",
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
@@ -249,7 +249,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_quality_filter",
+    "text_quality_filter",
     oracle="""
     WITH f AS (
         SELECT doc_id,
@@ -288,7 +288,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "zz_sample_stratified",
+    "sample_stratified",
     oracle="""
     SELECT doc_id, lang, source
     FROM documents
@@ -314,7 +314,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_sample_k_per_stratum",
+    "sample_k_per_stratum",
     oracle="""
     SELECT doc_id, source
     FROM (
@@ -338,7 +338,7 @@ def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_sample_train_eval_split",
+    "sample_train_eval_split",
     oracle="""
     SELECT doc_id,
            CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)

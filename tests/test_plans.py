@@ -105,12 +105,12 @@ class TestTrainingOpPlans:
     def test_sampling_is_map_only(self, spark, catalog):
         # Bernoulli/stratified sampling must be a pure scan+filter: no
         # Exchange anywhere in the plan at any scale
-        for name in ("zz_sample_stratified", "zz_sample_train_eval_split"):
+        for name in ("sample_stratified", "sample_train_eval_split"):
             plan = _plan(spark, catalog, name)
             assert "Exchange" not in plan, f"{name} shuffles"
 
     def test_winnowing_is_map_only(self, spark, catalog):
-        plan = _plan(spark, catalog, "zz_text_winnowing")
+        plan = _plan(spark, catalog, "text_winnowing")
         assert "Exchange" not in plan  # fingerprints = scan + generate only
 
     def test_k_per_stratum_single_shuffle_with_map_side_topk(self, spark, catalog):
@@ -120,7 +120,7 @@ class TestTrainingOpPlans:
         # per mapper ever shuffle, the true reservoir-sampling behavior
         import re
 
-        plan = _plan(spark, catalog, "zz_sample_k_per_stratum")
+        plan = _plan(spark, catalog, "sample_k_per_stratum")
         # formatted explain numbers nodes bottom-up: "(N) <Node>" headers
         # with the node's Arguments below — smaller id = earlier in
         # execution. Split into per-node detail blocks and classify.
@@ -141,5 +141,5 @@ class TestTrainingOpPlans:
         # the md5-threshold predicate is not parquet-pushable (expression
         # over a column), but it must evaluate inside the scan's codegen
         # stage: WholeStageCodegen(1) contains both Scan and Filter
-        plan = _plan(spark, catalog, "zz_sample_train_eval_split")
+        plan = _plan(spark, catalog, "sample_train_eval_split")
         assert "Filter" in plan and "Scan parquet" in plan
