@@ -187,3 +187,78 @@ def quality_filter(
     return feats.withColumn("q_reasons", reasons).withColumn(
         "q_keep", F.size("q_reasons") == 0
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style filters that
+    catch boilerplate/spam the length-and-ratio thresholds miss):
+    ``rep_n_lines``, ``rep_dup_line_frac`` (share of non-empty lines that
+    repeat an earlier line), ``rep_dup_line_char_frac`` (character-weighted
+    version). Map-only array expressions — zero shuffle at any scale. The
+    line array is let-bound through a single-element-array transform so it
+    evaluates once per row (the winnowing_fingerprints lesson)."""
+    def let(value, body):
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    lines_expr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    def feats(L):
+        n = F.size(L)
+        n_uniq = F.size(F.array_distinct(L))
+        tot = chars(L)
+        uniq = chars(F.array_distinct(L))
+        return F.struct(
+            n.cast("long").alias("rep_n_lines"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise((n - n_uniq).cast("double") / n)
+            .alias("rep_dup_line_frac"),
+            F.when(tot == 0, F.lit(0.0))
+            .otherwise((tot - uniq).cast("double") / tot)
+            .alias("rep_dup_line_char_frac"),
+        )
+
+    return (
+        df.withColumn("_r", let(lines_expr, feats))
+        .select("*", "_r.*").drop("_r")
+    )
+
+
+def top_ngram_repetition(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Most-frequent word n-gram share per document — a doc dominated by
+    one repeated phrase scores near 1 (the other half of the Gopher
+    repetition family). Gram occurrences are counted NON-distinct, as
+    8-byte token-hash folds (same zip_with construction as the dedup
+    shingles, minus the dedup), so the two shuffles (per-gram count,
+    per-doc max/sum) move longs, never gram strings. Docs with fewer than
+    ``n`` tokens yield no row."""
+    tok = tokens(F.col(text_col))
+    d2 = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(F.size(tok) >= n)
+        .withColumn("_th", F.transform(tok, lambda t: F.xxhash64(t)))
+    )
+    thc, size = F.col("_th"), F.size(F.col("_th"))
+    cur = thc
+    for j in range(1, n):
+        cur = F.zip_with(cur, F.slice(thc, j + 1, size),
+                         lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(cur, 1, size - n + 1)
+    per_gram = (
+        d2.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(F.sum("_c").alias("n_grams"), F.max("_c").alias("top_gram_count"))
+        .withColumn("top_gram_frac",
+                    F.col("top_gram_count").cast("double") / F.col("n_grams"))
+    )

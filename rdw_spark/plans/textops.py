@@ -586,3 +586,91 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media, n_frames=4).select(
         "doc_id", "frame_index", "frame_offset", "frame_n_bytes"
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition + eval-set decontamination (Gopher/GPT-3-style hygiene)
+# --------------------------------------------------------------------------
+
+@register(
+    "zz_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gm
+        FROM toks WHERE len(l) >= 2
+    ), per AS (
+        SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY doc_id, gm
+    ), tg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS BIGINT) AS top_gram_count,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+        FROM per GROUP BY doc_id
+    ), lx AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+        FROM documents
+    ), ln AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS rep_n_lines,
+               CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               END AS rep_dup_line_frac
+        FROM lx
+    )
+    SELECT tg.doc_id, tg.n_grams, tg.top_gram_count, tg.top_gram_frac,
+           ln.rep_n_lines, ln.rep_dup_line_frac
+    FROM tg JOIN ln ON tg.doc_id = ln.doc_id
+    """,
+    survey="ext: within-document repetition signals (Gopher family) — "
+           "top-bigram occupancy share (hashed-gram counts, two partial-agg "
+           "shuffles of longs) + duplicate-line fractions (map-only "
+           "let-bound array exprs)",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    top = X.top_ngram_repetition(d, n=2)
+    lines = X.repetition_features(d).select(
+        "doc_id", "rep_n_lines", "rep_dup_line_frac"
+    )
+    return top.join(lines, "doc_id")
+
+
+@register(
+    "zz_text_decontaminate",
+    oracle="""
+    WITH sides AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '0ccccccc' THEN 'eval' ELSE 'train' END AS side
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, side, string_split_regex(trim(text), '\\s+') AS l
+        FROM sides
+    ), sh AS (
+        SELECT DISTINCT doc_id, side,
+               unnest(list_transform(range(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+        FROM toks WHERE len(l) >= 3
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh t JOIN sh e ON t.g = e.g AND t.side = 'train' AND e.side = 'eval'
+    GROUP BY t.doc_id, e.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    survey="ext: eval-set decontamination — train docs sharing >= k distinct "
+           "word n-grams with any eval doc, via the hashed inverted gram "
+           "index (broadcastable eval side); the external-benchmark leak "
+           "guard on top of the keyed split",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam as DC
+
+    d = _docs(spark, sf_dir)
+    train, ev = SA.split_train_eval(d, "doc_id", eval_fraction=0.05)
+    return DC.contamination_pairs(train, ev, n=3, min_common=3)

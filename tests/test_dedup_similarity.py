@@ -326,3 +326,69 @@ def test_build_corpus_end_to_end(spark, sf_dir):
     stages = {r["stage"] for r in out["drop_report"].select("stage").distinct().collect()}
     assert "quality" in stages  # dedup-stage mechanics are covered by the
     # dedicated exact/minhash tests; sf0.001 has no exact dups to drop here
+
+
+def test_repetition_features_planted(spark):
+    """Gopher line-repetition signals on crafted docs: duplicate and empty
+    lines counted exactly; docs with no lines score 0, not null/NaN."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\n\nccc"),      # 4 non-empty lines, one dup
+            (2, "unique one\nunique two"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.repetition_features(docs).collect()}
+    assert out[1]["rep_n_lines"] == 4
+    assert out[1]["rep_dup_line_frac"] == 0.25
+    assert out[1]["rep_dup_line_char_frac"] == 0.25   # 12 chars, 3 repeated
+    assert out[2]["rep_dup_line_frac"] == 0.0
+    assert out[3]["rep_n_lines"] == 0
+    assert out[3]["rep_dup_line_frac"] == 0.0
+    assert out[3]["rep_dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_repetition_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams ab,ba,ab,ba,ab -> top 3 of 5
+            (2, "x y z"),        # xy,yz -> top 1 of 2
+            (3, "solo"),         # < 2 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.top_ngram_repetition(docs, n=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_grams"], out[1]["top_gram_count"]) == (5, 3)
+    assert out[1]["top_gram_frac"] == 0.6
+    assert out[2]["top_gram_frac"] == 0.5
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    """Eval-set decontamination: a train doc sharing the benchmark's gram
+    run is dropped (and reported); unrelated docs survive. The broadcast
+    path returns identical results."""
+    from rdw_spark.operators import decontam as DC
+
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer sequence is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "leaked copy: benchmark answer sequence is forty two verbatim"),
+            (2, "completely unrelated training document about weather patterns"),
+        ],
+        "doc_id long, text string",
+    )
+    for bc in (False, True):
+        res = DC.decontaminate(train, ev, n=3, min_common=2, broadcast_eval=bc)
+        assert [r["doc_id"] for r in res["clean"].collect()] == [2]
+        dropped = res["dropped"].collect()
+        assert len(dropped) == 1 and dropped[0]["doc_id"] == 1
+        assert dropped[0]["n_eval_docs"] == 1
+        assert dropped[0]["n_common_total"] >= 2
+    # the pair report names the eval doc responsible
+    pairs = DC.contamination_pairs(train, ev, n=3, min_common=2).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
