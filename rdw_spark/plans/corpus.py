@@ -32,10 +32,20 @@ def build_corpus(
     minhash_threshold: float = 0.7,
     eval_fraction: float = 0.01,
     id_col: str = "doc_id",
+    eval_benchmarks: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    decontam_min_common: int = 1,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
-    ``counts`` per stage."""
+    ``counts`` per stage.
+
+    ``eval_benchmarks`` (doc_id, text) adds the external-benchmark
+    decontamination stage after near-dup resolution: documents sharing
+    >= ``decontam_min_common`` distinct ``decontam_ngram``-grams with any
+    benchmark item are dropped (stage ``contaminated``) before the
+    train/eval split — the keyed split guards internal leakage, this
+    guards published benchmarks."""
     n0 = docs.count()
 
     q = X.quality_filter(docs, quality_thresholds).cache()
@@ -69,8 +79,30 @@ def build_corpus(
     )
     n3 = kept_n.count()
 
+    if eval_benchmarks is not None:
+        from ..operators.decontam import decontaminate
+
+        res = decontaminate(
+            kept_n, eval_benchmarks, n=decontam_ngram,
+            min_common=decontam_min_common, id_col=id_col,
+            broadcast_eval=True,  # benchmark sets are tiny next to the corpus
+        )
+        kept_n = res["clean"]
+        drop_contam = res["dropped"].select(
+            F.col(id_col), F.lit("contaminated").alias("stage"),
+            F.concat_ws(
+                ",", F.col("n_eval_docs").cast("string"),
+                F.col("n_common_total").cast("string"),
+            ).alias("detail"),
+        )
+    else:
+        drop_contam = None
+    n3d = kept_n.count() if eval_benchmarks is not None else n3
+
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
+    if drop_contam is not None:
+        drop_report = drop_report.unionByName(drop_contam)
     counts_train, counts_eval = train.count(), ev.count()
     # the caches only serve the multi-consumer stage fan-out above; every
     # count is materialized by now, so don't pin executor memory for the
@@ -86,6 +118,7 @@ def build_corpus(
             "after_quality": n1,
             "after_exact_dedup": n2,
             "after_near_dedup": n3,
+            "after_decontam": n3d,
             "train": counts_train,
             "eval": counts_eval,
         },

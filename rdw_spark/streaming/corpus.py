@@ -52,7 +52,10 @@ Exactly-once by composition, every layer idempotent under replay:
   after the corpus row and every other index entry are durably published
   (claim-first would drop the doc forever on a crash between the two).
 
-State is five partition-store tables under ``out_root``:
+State is six partition-store tables under ``out_root``:
+  drops/     — (doc_id, stage, detail): the batch drop_report's streaming
+               twin — why each non-surviving doc fell out (quality,
+               exact_dup, near_dup, or merged-away canonical)
   corpus/    — the deduped documents, partitioned by source
   fpindex/   — (digest, canonical_id), partitioned by 3-hex-char digest
                prefix (4096 buckets) so the per-batch probe join reads
@@ -108,6 +111,12 @@ CLUSTER_SCHEMA = T.StructType([
     T.StructField("canonical_id", T.LongType(), False),
 ])
 
+DROPS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("detail", T.StringType(), True),
+])
+
 _DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
 
 
@@ -133,6 +142,13 @@ def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
         "clusters": PartitionedTable(
             out_root, "clusters", "pmod(doc_id, 256)", keys=["doc_id"],
             schema=CLUSTER_SCHEMA, sort_cols=("doc_id",),
+        ),
+        # the batch build_corpus drop_report's streaming twin: why each
+        # non-surviving doc fell out (quality / exact_dup / near_dup /
+        # merged), replace-by-doc_id so replays stay idempotent
+        "drops": PartitionedTable(
+            out_root, "drops", "pmod(doc_id, 256)", keys=["doc_id"],
+            schema=DROPS_SCHEMA, sort_cols=("doc_id",),
         ),
     }
 
@@ -187,8 +203,9 @@ def stream_corpus_build(
     StreamingQuery."""
     tables = corpus_tables(out_root)
     corpus, fpindex = tables["corpus"], tables["fpindex"]
-    bandindex, sigindex, clusters = (
+    bandindex, sigindex, clusters, drops = (
         tables["bandindex"], tables["sigindex"], tables["clusters"],
+        tables["drops"],
     )
 
     raw = (
@@ -202,11 +219,14 @@ def stream_corpus_build(
             return
         s = batch_df.sparkSession
         docs = batch_df
+        drop_frames: list[DataFrame] = []
         if quality_thresholds is not None:
-            docs = (
-                quality_filter(docs, quality_thresholds)
-                .filter("q_keep").select(*_DOC_COLS)
-            )
+            q = quality_filter(docs, quality_thresholds)
+            drop_frames.append(q.filter("NOT q_keep").select(
+                F.col("doc_id"), F.lit("quality").alias("stage"),
+                F.concat_ws(",", "q_reasons").alias("detail"),
+            ))
+            docs = q.filter("q_keep").select(*_DOC_COLS)
         cached = [docs.cache()]
         try:
             # ---- exact stage: digest-prefix-pruned index probe ----
@@ -217,13 +237,28 @@ def stream_corpus_build(
             ]
             idx = fpindex.read(s, parts=pfx)
             out = incremental_exact_dedup(docs, idx)
+            drop_frames.append(out["dup_map"].select(
+                F.col("doc_id"), F.lit("exact_dup").alias("stage"),
+                F.col("canonical_id").cast("string").alias("detail"),
+            ))
+
+            def merge_drops() -> None:
+                rep = drop_frames[0]
+                for f in drop_frames[1:]:
+                    rep = rep.unionByName(f)
+                drops.merge_rows(s, rep)
+
             survivors = out["unique"].select(*_DOC_COLS).cache()
             cached.append(survivors)
             if survivors.isEmpty():
-                return  # whole batch was exact-known; indexes already claim it
+                # whole batch was exact-known; indexes already claim it —
+                # but the drop accounting still records the duplicates
+                merge_drops()
+                return
 
             if not near_dup:
                 corpus.merge_rows(s, survivors.select(*_DOC_COLS))
+                merge_drops()
                 fpindex.merge_rows(s, out["index_delta"])
                 return
 
@@ -337,6 +372,14 @@ def stream_corpus_build(
                 clusters.merge_rows(
                     s, new_losers.unionByName(corpus_losers)
                 )
+                drop_frames.append(new_losers.select(
+                    F.col("doc_id"), F.lit("near_dup").alias("stage"),
+                    F.col("canonical_id").cast("string").alias("detail"),
+                ))
+                drop_frames.append(corpus_losers.select(
+                    F.col("doc_id"), F.lit("merged").alias("stage"),
+                    F.col("canonical_id").cast("string").alias("detail"),
+                ))
             # ALL exact-survivors (even near-dup losers) are indexed: future
             # docs similar to a dropped doc must still find its buckets and
             # resolve to the canonical through the cluster map
@@ -346,6 +389,7 @@ def stream_corpus_build(
                 ).select("doc_id", "source", "sigs")
             )
             bandindex.merge_rows(s, new_bands)
+            merge_drops()
             fpindex.merge_rows(s, out["index_delta"])
         finally:
             for c in cached:

@@ -392,3 +392,34 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
     # the pair report names the eval doc responsible
     pairs = DC.contamination_pairs(train, ev, n=3, min_common=2).collect()
     assert [(r["train_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
+
+
+def test_build_corpus_decontamination_stage(spark):
+    """build_corpus with eval_benchmarks drops benchmark-overlapping docs
+    before the split, reports them as 'contaminated', and the accounting
+    still closes."""
+    from rdw_spark.plans.corpus import build_corpus
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret benchmark answer sequence is forty two today " + base),
+            (2, "clean document about other things entirely " + " ".join(f"x{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "the secret benchmark answer sequence is forty two")],
+        "doc_id long, text string",
+    )
+    permissive = {"min_chars": 1, "min_tokens": 1, "min_avg_token_len": 0.0,
+                  "max_avg_token_len": 99.0, "max_punct_ratio": 1.0,
+                  "min_alpha_ratio": 0.0}
+    out = build_corpus(docs, quality_thresholds=permissive, eval_fraction=0.0,
+                       eval_benchmarks=bench, decontam_ngram=8)
+    kept = {r["doc_id"] for r in out["train"].unionByName(out["eval"]).collect()}
+    assert kept == {2}
+    assert out["counts"]["after_near_dedup"] == 2
+    assert out["counts"]["after_decontam"] == 1
+    rep = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
+    assert rep == {1: "contaminated"}

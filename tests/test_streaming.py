@@ -292,6 +292,11 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2, 5]
     idx = {r["canonical_id"] for r in index.read(spark).collect()}
     assert idx == {1, 2, 5}
+    # exact drops recorded with their canonical: in-batch dup 3 and
+    # cross-batch dup 4 both point at doc 1
+    drops = {r["doc_id"]: (r["stage"], r["detail"])
+             for r in t["drops"].read(spark).collect()}
+    assert drops == {3: ("exact_dup", "1"), 4: ("exact_dup", "1")}
 
 
 def _wordy(prefix: str, n: int) -> str:
@@ -352,6 +357,10 @@ def test_stream_corpus_near_dup_across_batches_matches_batch_build(spark, tmp_pa
     cmap = {r["doc_id"]: r["canonical_id"]
             for r in t["clusters"].read(spark).collect()}
     assert cmap == {3: 1, 5: 1}
+    # the drop report explains every non-survivor
+    drops = {r["doc_id"]: (r["stage"], r["detail"])
+             for r in t["drops"].read(spark).collect()}
+    assert drops == {3: ("near_dup", "1"), 5: ("near_dup", "1")}
 
     # parity: the batch pipeline over the SAME five docs keeps the same set
     all_docs = spark.createDataFrame(list(rows.values()), DOC_SCHEMA)
@@ -410,6 +419,8 @@ def test_stream_corpus_bridge_doc_merges_canonicals(spark, tmp_path):
     cmap = {r["doc_id"]: r["canonical_id"]
             for r in t["clusters"].read(spark).collect()}
     assert cmap == {20: 10, 30: 10}
+    drops = {r["doc_id"]: r["stage"] for r in t["drops"].read(spark).collect()}
+    assert drops == {20: "merged", 30: "near_dup"}
 
 
 def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeypatch):
