@@ -1,0 +1,125 @@
+"""Sequence packing + token-budget rebalancing: the last-mile operators
+between a cleaned corpus and a training run.
+
+``pack_sequences`` is concat-and-chunk packing: documents are laid out on
+one global token stream (in a deterministic key order) and cut into
+fixed-length training sequences; each doc learns its stream offset and
+which sequences it spans. The core primitive is a DISTRIBUTED exclusive
+prefix sum — the naive ``Window.orderBy(key)`` with no partitionBy drags
+the whole table through ONE task, the classic local-mode trap that dies
+at scale. Here: range-repartition on the key, per-partition running sums,
+then a partition-offset map from one tiny collect (#partitions rows) —
+two passes, every stage parallel, the textbook two-phase scan.
+
+``token_budget_sample`` rebalances the domain mix: each stratum is
+downsampled to a target token budget with the deterministic map-only
+Bernoulli from ``operators.sampling`` — rates derive from one partial-agg
+aggregate, decisions never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import stratified_sample
+
+
+def with_global_offset(
+    df: DataFrame, weight_col: str, order_col: str = "doc_id",
+    out_col: str = "offset", num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order (which
+    must be unique), computed distributed:
+
+    1. range-repartition on the key (equal keys co-located, partitions
+       ordered);
+    2. running sum per partition (window partitioned by the physical
+       partition id — parallel, no global sort task);
+    3. per-partition totals → exclusive partition offsets via one
+       #partitions-row collect, joined back as a broadcast map.
+
+    The result is independent of the partition boundaries the range
+    sampler picked, so it is deterministic across runs; a localCheckpoint
+    pins the partitioning between the totals job and the final plan (on a
+    cluster, a reliable checkpoint does the same)."""
+    rp = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions is not None
+        # default: AQE sizes the exchange (coalesces when tiny, splits when
+        # not) — the per-partition phase below is correct either way
+        else df.repartitionByRange(F.col(order_col))
+    )
+    d = rp.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_cum", F.sum(weight_col).over(w))
+    totals = (
+        d.groupBy("_pid").agg(F.max("_cum").alias("_tot"))
+        .orderBy("_pid").collect()
+    )
+    if not totals:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in totals:
+        offsets[r["_pid"]] = run
+        run += int(r["_tot"])
+    omap = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    return (
+        d.withColumn(
+            out_col,
+            (F.col("_cum") - F.col(weight_col) + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid", "_cum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    weight_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: with documents concatenated in
+    ``order_col`` order, annotate each doc with its global token
+    ``offset`` and the training sequences it lands in (``first_seq``,
+    ``last_seq``, ``n_seqs`` for docs spanning a boundary). Rows with
+    non-positive weight are dropped (they occupy no stream positions).
+    This is the *plan* the actual tensor writer executes per sequence —
+    producing it is one distributed prefix sum, no text moves."""
+    d = with_global_offset(
+        df.filter(F.col(weight_col) > 0), weight_col, order_col
+    )
+    end_incl = F.col("offset") + F.col(weight_col) - 1
+    return (
+        d.withColumn("first_seq", F.floor(F.col("offset") / seq_len))
+        .withColumn("last_seq", F.floor(end_incl / seq_len))
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + F.lit(1))
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    budget: float,
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> dict:
+    """Downsample every stratum to ~``budget`` total weight: per-stratum
+    rate = min(1, budget / stratum total), then the deterministic
+    stratified Bernoulli (map-only decisions; a stratum under budget keeps
+    everything). Returns ``sample`` plus the ``rates`` actually applied —
+    the auditable mix report."""
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(stratum_col).agg(F.sum(weight_col)).collect()
+    }
+    rates = {k: min(1.0, float(budget) / v) for k, v in totals.items() if v > 0}
+    sample = stratified_sample(df, stratum_col, rates, key_col, seed)
+    return {"sample": sample, "rates": rates, "totals": totals}

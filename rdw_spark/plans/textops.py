@@ -674,3 +674,78 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     train, ev = SA.split_train_eval(d, "doc_id", eval_fraction=0.05)
     return DC.contamination_pairs(train, ev, n=3, min_common=3)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + token-budget mix (training last-mile)
+# --------------------------------------------------------------------------
+
+@register(
+    "zz_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS off
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS offset,
+           CAST(off // 2048 AS BIGINT) AS first_seq,
+           CAST((off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+           CAST((off + n_tokens - 1) // 2048 - off // 2048 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+    survey="ext: concat-and-chunk sequence packing — per-doc global stream "
+           "offset + spanned training sequences via a DISTRIBUTED exclusive "
+           "prefix sum (range repartition, per-partition running sums, "
+           "partition-offset map from a #partitions-row collect); never a "
+           "single-task global window",
+)
+def pack_sequences_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.pack_sequences(d, seq_len=2048)
+
+
+@register(
+    "zz_sample_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT lang, SUM(n_tokens) AS tw FROM t GROUP BY lang
+    ), r AS (
+        SELECT lang,
+               printf('%08x', LEAST(CAST(floor(LEAST(1.0, 5000.0 / tw)
+                                          * 4294967296.0) AS BIGINT),
+                                    4294967295)) AS thr
+        FROM tot
+    )
+    SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM t JOIN r USING (lang)
+    WHERE substr(md5('s0' || t.lang || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+          < r.thr
+    """,
+    survey="ext: token-budget domain rebalance — per-stratum rate = "
+           "min(1, budget/total tokens) from one partial-agg collect, then "
+           "the map-only deterministic Bernoulli; the corpus-mix shaping "
+           "step with an auditable rates report",
+)
+def sample_token_budget_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return PK.token_budget_sample(d, "lang", 5000.0)["sample"]

@@ -71,3 +71,74 @@ def test_threshold_validation():
 
     with pytest.raises(ValueError):
         SA.threshold_hex(1.5)
+
+
+def test_global_offset_matches_serial_cumsum(spark):
+    """The distributed two-phase prefix sum must equal the serial exclusive
+    cumsum for ANY partitioning, and must not funnel the table through a
+    single global-sort task (multiple range partitions carry rows)."""
+    import random
+
+    from rdw_spark.operators import packing as PK
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(13)
+
+    run, want = 0, {}
+    for i, w in sorted(rows):
+        want[i] = run
+        run += w
+    # default path (AQE sizes the exchange) and a FORCED multi-partition
+    # layout must both match the serial cumsum — the forced case proves the
+    # partition-offset stitching, not just a degenerate one-partition run
+    got = {r["doc_id"]: r["offset"]
+           for r in PK.with_global_offset(df, "w").collect()}
+    assert got == want
+    got7 = {r["doc_id"]: r["offset"]
+            for r in PK.with_global_offset(df, "w", num_partitions=7).collect()}
+    assert got7 == want
+    npart = (
+        df.repartitionByRange(7, F.col("doc_id"))
+        .withColumn("_p", F.spark_partition_id())
+        .select("_p").distinct().count()
+    )
+    assert npart > 1
+
+
+def test_pack_sequences_spanning_and_chunks(spark):
+    from rdw_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 30), (3, 0), (4, 90)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in PK.pack_sequences(df, seq_len=64).collect()}
+    assert 3 not in out                       # zero-weight docs occupy nothing
+    assert (out[1]["offset"], out[1]["first_seq"], out[1]["last_seq"]) == (0, 0, 1)
+    assert out[1]["n_seqs"] == 2              # 100 tokens span seqs 0-1
+    assert (out[2]["offset"], out[2]["first_seq"], out[2]["last_seq"]) == (100, 1, 2)
+    assert (out[4]["offset"], out[4]["first_seq"], out[4]["last_seq"]) == (130, 2, 3)
+
+
+def test_token_budget_sample_rates_and_determinism(spark):
+    from rdw_spark.operators import packing as PK
+
+    d = _docs(spark).select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = PK.token_budget_sample(d, "lang", 5000.0)
+    # over-budget strata get a fractional rate; under-budget keep 1.0
+    assert 0.0 < out["rates"]["en"] < 1.0
+    assert all(0.0 < r <= 1.0 for r in out["rates"].values())
+    kept = out["sample"].groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    for r in kept:
+        # sampled strata land near the budget (Bernoulli variance bound);
+        # full-rate strata keep their (already under-budget-ish) total
+        if out["rates"][r["lang"]] < 1.0:
+            assert r["t"] < out["totals"][r["lang"]]
+    # deterministic: identical row set on re-run
+    a = {r["doc_id"] for r in out["sample"].collect()}
+    b = {r["doc_id"] for r in PK.token_budget_sample(d, "lang", 5000.0)["sample"].collect()}
+    assert a == b and a
