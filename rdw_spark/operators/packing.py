@@ -103,6 +103,29 @@ def pack_sequences(
     )
 
 
+def shuffle_order(
+    df: DataFrame, key_col: str = "doc_id", seed: str = "sh0",
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a dense 0-based
+    ``position`` in md5(seed || key) order — a reproducible corpus shuffle
+    (same rows, same order, every run and every partitioning; change the
+    seed for an independent permutation). The rank is the same distributed
+    two-phase scan as :func:`with_global_offset` with unit weights — never
+    a single-task ``row_number() OVER (ORDER BY …)``. Ties on the 8-hex
+    prefix break by key, so the order is total for unique keys."""
+    h = F.concat(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        F.lit("|"),
+        F.lpad(F.col(key_col).cast("string"), 20, "0"),
+    )
+    d = df.withColumn("_ord", h).withColumn("_one", F.lit(1).cast("long"))
+    return (
+        with_global_offset(d, "_one", order_col="_ord", out_col=out_col)
+        .drop("_ord", "_one")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     stratum_col: str,

@@ -230,6 +230,137 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency token rarity — the unigram-LM proxy for perplexity
+    filtering: score each document by how common its tokens are in the
+    WHOLE corpus. Output per doc: ``n_tokens`` (tf-weighted), ``n_types``
+    (distinct tokens), ``rarest_token_freq`` (corpus frequency of its
+    rarest token — 1 means a corpus-unique token, a strong OCR-noise /
+    gibberish signal), ``mean_token_freq`` (tf-weighted mean corpus
+    frequency — low means the doc lives in the distribution's tail).
+
+    All aggregates stay in exact integer arithmetic; the single final
+    division is the only float op, so the score is bit-identical across
+    engines and run orders (a sum of per-token log-probs would not be —
+    float addition order varies with partitioning).
+
+    Plan shape at 100 TB: one explode, two partial-agg shuffles (wordcount
+    on the token, then per-doc), one join on the token (AQE broadcasts the
+    vocab side when it fits). Tokenization normalizes first (lowercase,
+    alnum runs) so 'The'/'the.' count as one type."""
+    tok = F.explode(
+        F.split(normalize_text(F.col(text_col)), r"\s+")
+    ).alias("_tok")
+    pairs = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tok)
+        # all-punctuation text normalizes to '' and splits to [''] — drop it
+        .filter(F.col("_tok") != "")
+        .groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    )
+    vocab = pairs.groupBy("_tok").agg(F.sum("_c").alias("_cf"))
+    return (
+        pairs.join(vocab, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.min("_cf").cast("long").alias("rarest_token_freq"),
+            F.sum(F.col("_c") * F.col("_cf")).alias("_wf"),
+        )
+        .withColumn(
+            "mean_token_freq",
+            F.col("_wf").cast("double") / F.col("n_tokens"),
+        )
+        .drop("_wf")
+    )
+
+
+# PII surface patterns. Deliberately simple, deterministic regexes that
+# parse identically under Java regex (Spark) and RE2 (DuckDB oracle): no
+# lookaround, no backreferences, ASCII word boundaries. Real PII scrubbing
+# layers NER models on top; these are the always-on cheap pass.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# redaction order matters (an SSN redacted first can't be half-eaten by
+# the phone pattern); fixed here so every engine applies the same sequence
+PII_REDACT_ORDER = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII surface scan + redaction: counts per pattern class
+    (on the ORIGINAL text, so overlapping classes each report), total, and
+    the redacted text with each match replaced by its ``<CLASS>`` token.
+    One map-only pass of regexp_count/regexp_replace — zero shuffle, full
+    codegen; filter ``pii_total > 0`` for the audit queue or train on
+    ``pii_redacted`` directly."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = t
+    for name in PII_REDACT_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        sum(counts.values()).alias("pii_total"),
+        red.alias("pii_redacted"),
+    )
+
+
+def line_stats(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document boilerplate line signal: a line occurring in
+    >= ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, license footers). Output per doc: ``n_lines`` (distinct
+    non-empty trimmed lines), ``n_boiler_lines``, ``boiler_frac``.
+
+    Lines are keyed by md5 so the two shuffles move 32-char digests, never
+    line text; per-doc de-dup happens map-side (array_distinct before the
+    explode) so a 10k-repeat spam line costs one pair. Plan: map pass →
+    pair groupBy (partial-agg) → line-frequency groupBy → join back →
+    per-doc agg. The frequency side is usually tiny after the >= min_docs
+    filter, but the join keeps both paths shuffle-safe when it isn't."""
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    pairs = (
+        df.select(F.col(id_col), F.explode(lines).alias("_line"))
+        .select(id_col, F.md5(F.col("_line")).alias("_h"))
+    )
+    freq = pairs.groupBy("_h").agg(F.count("*").alias("_n_docs"))
+    boiler = F.when(F.col("_n_docs") >= min_docs, 1).otherwise(0)
+    return (
+        pairs.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(boiler).cast("long").alias("n_boiler_lines"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler_lines").cast("double") / F.col("n_lines"),
+        )
+    )
+
+
 def top_ngram_repetition(
     df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

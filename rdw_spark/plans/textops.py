@@ -716,6 +716,141 @@ def pack_sequences_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_text_token_rarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), dt AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), vocab AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM dt GROUP BY tok
+    )
+    SELECT dt.doc_id,
+           CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MIN(v.cf) AS BIGINT) AS rarest_token_freq,
+           CAST(SUM(dt.c * v.cf) AS DOUBLE) / SUM(dt.c) AS mean_token_freq
+    FROM dt JOIN vocab v ON dt.tok = v.tok
+    GROUP BY dt.doc_id
+    """,
+    survey="ext: corpus-frequency token rarity (unigram-LM perplexity "
+           "proxy) — per-doc rarest-token frequency + tf-weighted mean "
+           "corpus frequency; exact integer aggregates with one final "
+           "division so the score is engine- and order-independent "
+           "(a log-prob sum would not hash-compare)",
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_rarity(_docs(spark, sf_dir))
+
+
+# the synthetic documents are PII-free word soup, so the catalog entry
+# PLANTS deterministic PII derived from doc_id (identically in the oracle)
+# to give the extraction non-trivial coverage; realistic inputs are covered
+# in tests/test_textops_extra.py
+_PII_PLANT = (
+    "text || repeat(' u' || CAST(doc_id AS STRING) || '@example.com',"
+    " CAST(doc_id % 3 AS INT))"
+    " || repeat(' 10.0.0.' || CAST(doc_id % 256 AS STRING),"
+    " CAST(doc_id % 2 AS INT))"
+    " || CASE WHEN doc_id % 5 = 0"
+    " THEN ' ssn 123-45-6789 tel 555.123.4567' ELSE '' END"
+)
+
+
+@register(
+    "zz_text_pii",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               {_PII_PLANT.replace("AS STRING", "AS VARCHAR")} AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+              + len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+              + len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))
+              + len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS pii_total,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+               '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g')) AS redacted_digest
+    FROM planted
+    """,
+    survey="ext: PII surface scan + redaction (email/SSN/phone/IPv4) — "
+           "map-only regexp_count/regexp_replace pass, fixed redaction "
+           "order; patterns restricted to the Java-regex ∩ RE2 dialect so "
+           "the oracle runs them verbatim",
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_PII_PLANT).alias("text"))
+    return X.pii_scan(d).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_total",
+        F.md5(F.col("pii_redacted")).alias("redacted_digest"),
+    )
+
+
+@register(
+    "zz_text_boilerplate",
+    oracle="""
+    WITH lx AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> x <> '')) AS lines
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, unnest(lines) AS line FROM lx
+    ), hp AS (
+        SELECT doc_id, md5(line) AS h FROM pairs
+    ), freq AS (
+        SELECT h, COUNT(*) AS n_docs FROM hp GROUP BY h
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac
+    FROM hp p JOIN freq f USING (h)
+    GROUP BY p.doc_id
+    """,
+    survey="ext: C4-style cross-document boilerplate line stats — lines in "
+           ">= k distinct docs are boilerplate; md5 line keys so shuffles "
+           "move digests not text, per-doc de-dup map-side (the synthetic "
+           "docs are single-line, so boilerplate here = exact-dup texts; "
+           "multi-line behavior covered in tests/test_textops_extra.py)",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.line_stats(_docs(spark, sf_dir), min_docs=2)
+
+
+@register(
+    "zz_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY substr(md5('sh0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+    survey="ext: deterministic corpus shuffle order — dense global rank in "
+           "md5(seed||key) order via the distributed two-phase prefix scan "
+           "(range repartition + per-partition ranks + #partitions-row "
+           "offset map), never a single-task global window",
+)
+def shuffle_order_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    return PK.shuffle_order(_docs(spark, sf_dir).select("doc_id"))
+
+
+@register(
     "zz_sample_token_budget",
     oracle="""
     WITH t AS (

@@ -137,6 +137,37 @@ class TestTrainingOpPlans:
         assert partials and finals
         assert partials[0] < exchanges[0] < finals[0]
 
+    def test_pii_scan_is_map_only(self, spark, catalog):
+        # regexp_count/regexp_replace over planted text: scan + project,
+        # zero Exchange — a 100 TB PII pass is embarrassingly parallel
+        plan = _plan(spark, catalog, "zz_text_pii")
+        assert "Exchange" not in plan
+
+    def test_shuffle_order_has_no_single_task_window(self, spark, catalog):
+        # the global rank must come from the two-phase scan: every Window
+        # in the plan must be PARTITIONED (by the physical partition id) —
+        # a windowspecdefinition whose first argument is the sort spec
+        # (no partition columns) would drag the table through one task.
+        # The range repartition itself is invisible here: it materialized
+        # into the localCheckpoint the scan reads.
+        import re
+
+        plan = _plan(spark, catalog, "zz_shuffle_order")
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs, "expected a Window node"
+        for s in specs:
+            first = s.split(",")[0].strip()
+            assert "#" in first and " ASC" not in first and " DESC" not in first, (
+                f"unpartitioned Window in shuffle_order plan: {s!r}"
+            )
+
+    def test_token_rarity_partial_aggregates(self, spark, catalog):
+        # both groupBys must partial-aggregate map-side (wordcount shape):
+        # HashAggregate appears with partial_ forms below each exchange
+        plan = _plan(spark, catalog, "zz_text_token_rarity")
+        assert plan.count("Exchange") >= 2
+        assert "partial_count" in plan or "partial_sum" in plan
+
     def test_sample_filter_stays_in_scan_stage(self, spark, catalog):
         # the md5-threshold predicate is not parquet-pushable (expression
         # over a column), but it must evaluate inside the scan's codegen

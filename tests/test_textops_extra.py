@@ -1,0 +1,101 @@
+"""Round-6 text-pipeline additions: PII scan/redaction on realistic
+inputs, cross-document boilerplate line stats on multi-line docs,
+token-rarity scoring hand-checks, deterministic shuffle order.
+
+The catalog entries run these over the synthetic documents table (which is
+PII-free, single-line word soup); these tests cover the input shapes the
+synthetic data can't."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rdw_spark.operators import packing as PK
+from rdw_spark.operators import text as X
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob.smith+x@corp.example.org now"),
+            Row(doc_id=2, text="ssn 987-65-4320 phone 415-555-0199 done"),
+            Row(doc_id=3, text="host 192.168.001.1 and 10.0.0.7 up"),
+            Row(doc_id=4, text="clean document, nothing to see"),
+            Row(doc_id=5, text="a@b.io c@d.ai call 212.555.0100"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.pii_scan(docs).collect()}
+    assert (out[1]["n_email"], out[1]["pii_total"]) == (1, 1)
+    assert "<EMAIL>" in out[1]["pii_redacted"]
+    assert "bob.smith" not in out[1]["pii_redacted"]
+    assert (out[2]["n_ssn"], out[2]["n_phone"]) == (1, 1)
+    assert out[2]["pii_redacted"] == "ssn <SSN> phone <PHONE> done"
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["pii_redacted"] == "host <IPV4> and <IPV4> up"
+    assert out[4]["pii_total"] == 0
+    assert out[4]["pii_redacted"] == "clean document, nothing to see"
+    assert (out[5]["n_email"], out[5]["n_phone"]) == (2, 1)
+
+
+def test_pii_phone_is_not_counted_as_ipv4(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="call 555.123.4567")])
+    r = X.pii_scan(docs).collect()[0]
+    assert (r["n_phone"], r["n_ipv4"]) == (1, 0)
+    assert r["pii_redacted"] == "call <PHONE>"
+
+
+def test_line_stats_multiline_boilerplate(spark):
+    footer = "(c) 2026 example corp - all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha body one\nmore alpha\n{footer}"),
+            Row(doc_id=2, text=f"beta body two\n{footer}\n"),
+            Row(doc_id=3, text="gamma only, unique\nsecond unique line"),
+            # repeated line within ONE doc counts once (per-doc distinct)
+            Row(doc_id=4, text=f"{footer}\n{footer}\ndelta"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.line_stats(docs, min_docs=2).collect()}
+    assert (out[1]["n_lines"], out[1]["n_boiler_lines"]) == (3, 1)
+    assert (out[2]["n_lines"], out[2]["n_boiler_lines"]) == (2, 1)
+    assert out[2]["boiler_frac"] == 0.5
+    assert (out[3]["n_lines"], out[3]["n_boiler_lines"]) == (2, 0)
+    # doc 4: footer counted once despite appearing twice in the doc
+    assert (out[4]["n_lines"], out[4]["n_boiler_lines"]) == (2, 1)
+
+
+def test_token_rarity_hand_check(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat the dog"),
+            Row(doc_id=2, text="the cat"),
+            Row(doc_id=3, text="Zyzzyva!"),  # corpus-unique after normalize
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.token_rarity(docs).collect()}
+    # corpus freqs: the=3, cat=2, dog=1, zyzzyva=1
+    assert (out[1]["n_tokens"], out[1]["n_types"]) == (4, 3)
+    assert out[1]["rarest_token_freq"] == 1  # dog
+    assert out[1]["mean_token_freq"] == (2 * 3 + 1 * 2 + 1 * 1) / 4
+    assert (out[2]["n_tokens"], out[2]["rarest_token_freq"]) == (2, 2)
+    assert out[3]["rarest_token_freq"] == 1
+    assert out[3]["mean_token_freq"] == 1.0
+
+
+def test_shuffle_order_is_a_deterministic_permutation(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = PK.shuffle_order(df)
+    pos = [r["position"] for r in a.orderBy("doc_id").collect()]
+    # dense permutation of 0..n-1
+    assert sorted(pos) == list(range(1000))
+    # stable under repartitioning (the two-phase scan is partition-agnostic)
+    b = PK.shuffle_order(df.repartition(13))
+    assert {(r["doc_id"], r["position"]) for r in b.collect()} == {
+        (r["doc_id"], r["position"]) for r in a.collect()
+    }
+    # a different seed draws a different permutation
+    c = PK.shuffle_order(df, seed="sh1")
+    assert [r["position"] for r in c.orderBy("doc_id").collect()] != pos
+    # and it is NOT the identity / doc_id order (it's a shuffle)
+    assert pos != list(range(1000))
