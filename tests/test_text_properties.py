@@ -1,0 +1,121 @@
+"""Property-based cross-checks for the round-6 text operators: random
+adversarial text (newlines, punctuation runs, repeated lines, unicode-free
+but boundary-heavy) against brute-force Python references. The SQL oracles
+verify engine parity on the synthetic corpus; these verify the SEMANTICS
+on shapes that corpus never produces."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from rdw_spark.operators import packing as PK
+from rdw_spark.operators import text as X
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# fragments that stress tokenization/line splitting: blank lines, repeated
+# lines, punctuation soup, PII-shaped-but-not-quite strings
+_frag = st.sampled_from([
+    "the cat", "the  cat", "dog!", "...", "", " ", "a@b", "a@b.io",
+    "1.2.3.4", "12.34", "555.123.4567", "x" * 30, "the the the",
+])
+_doc = st.lists(_frag, min_size=0, max_size=6).map(lambda f: "\n".join(f))
+_docs = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    return [w for w in t.split() if w] if t else []
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_token_rarity_matches_counter_model(spark, texts):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: r
+        for r in X.token_rarity(spark.createDataFrame(rows, "doc_id long, text string")).collect()
+    }
+    vocab: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for i, t in enumerate(texts):
+        toks = _norm_tokens(t)
+        if toks:
+            per_doc[i] = Counter(toks)
+            vocab.update(toks)
+    assert set(out) == set(per_doc)
+    for i, c in per_doc.items():
+        n = sum(c.values())
+        assert out[i]["n_tokens"] == n
+        assert out[i]["n_types"] == len(c)
+        assert out[i]["rarest_token_freq"] == min(vocab[w] for w in c)
+        expected = sum(tf * vocab[w] for w, tf in c.items()) / n
+        assert out[i]["mean_token_freq"] == expected
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_line_stats_matches_counter_model(spark, texts):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: r
+        for r in X.line_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), min_docs=2
+        ).collect()
+    }
+    per_doc = {
+        i: {ln.strip() for ln in t.split("\n") if ln.strip()}
+        for i, t in enumerate(texts)
+    }
+    freq: Counter = Counter()
+    for lines in per_doc.values():
+        freq.update(lines)
+    expected_ids = {i for i, lines in per_doc.items() if lines}
+    assert set(out) == expected_ids
+    for i in expected_ids:
+        lines = per_doc[i]
+        boiler = sum(1 for ln in lines if freq[ln] >= 2)
+        assert out[i]["n_lines"] == len(lines)
+        assert out[i]["n_boiler_lines"] == boiler
+        assert out[i]["boiler_frac"] == boiler / len(lines)
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_pii_scan_matches_re_model(spark, texts):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: r
+        for r in X.pii_scan(spark.createDataFrame(rows, "doc_id long, text string")).collect()
+    }
+    for i, t in enumerate(texts):
+        red = t
+        for name in X.PII_REDACT_ORDER:
+            pat = X.PII_PATTERNS[name]
+            assert out[i][f"n_{name}"] == len(re.findall(pat, t))
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        assert out[i]["pii_redacted"] == red
+
+
+@given(keys=st.sets(st.integers(0, 10**12), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_shuffle_order_matches_sorted_hash_model(spark, keys):
+    df = spark.createDataFrame([Row(doc_id=k) for k in sorted(keys)],
+                               "doc_id long")
+    out = {r["doc_id"]: r["position"] for r in PK.shuffle_order(df).collect()}
+
+    def h(k: int) -> tuple[str, int]:
+        return (hashlib.md5(f"sh0{k}".encode()).hexdigest()[:8], k)
+
+    expected = {k: p for p, k in enumerate(sorted(keys, key=h))}
+    assert out == expected
