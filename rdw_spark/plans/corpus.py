@@ -125,6 +125,98 @@ def build_corpus(
     }
 
 
+def build_training_mix(
+    docs: DataFrame,
+    token_budget: float,
+    stratum_col: str = "lang",
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_seed: str = "s0",
+    shuffle_seed: str = "sh0",
+) -> dict:
+    """The last mile from a cleaned corpus to a training-ready manifest:
+
+      1. token-budget rebalance — every ``stratum_col`` domain downsampled
+         to ~``token_budget`` tokens (map-only decisions, auditable rates)
+      2. deterministic shuffle  — dense global ``position`` in
+         md5(seed||key) order (distributed two-phase rank)
+      3. sequence packing       — global token stream ``offset`` and the
+         ``seq_len`` training sequences each doc spans
+
+    Feed it ``build_corpus(...)['train']`` for the full quality→dedup→
+    decontam→mix chain. Returns ``manifest`` (one row per surviving doc:
+    position, offset, first_seq/last_seq/n_seqs) plus the applied
+    ``rates``/``totals`` mix report. Every stage is deterministic, so the
+    same inputs produce byte-identical manifests on any cluster layout —
+    a training run can be resumed or audited from the manifest alone."""
+    from ..operators import packing as PK
+
+    d = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.col(stratum_col),
+        X.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    tb = PK.token_budget_sample(
+        d, stratum_col, token_budget, key_col=id_col, seed=sample_seed
+    )
+    ordered = PK.shuffle_order(tb["sample"], key_col=id_col, seed=shuffle_seed)
+    manifest = PK.pack_sequences(ordered, seq_len=seq_len, order_col="position")
+    return {"manifest": manifest, "rates": tb["rates"], "totals": tb["totals"]}
+
+
+@register(
+    "zz_training_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), tot AS (
+        SELECT lang, SUM(n_tokens) AS tw FROM t GROUP BY lang
+    ), r AS (
+        SELECT lang,
+               printf('%08x', LEAST(CAST(floor(LEAST(1.0, 8000.0 / tw)
+                                          * 4294967296.0) AS BIGINT),
+                                    4294967295)) AS thr
+        FROM tot
+    ), s AS (
+        SELECT t.* FROM t JOIN r USING (lang)
+        WHERE substr(md5('s0' || t.lang || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+              < r.thr
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY substr(md5('sh0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                     doc_id) - 1 AS position
+        FROM s
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY position
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        FROM o
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(position AS BIGINT) AS position,
+           CAST(off AS BIGINT) AS offset,
+           CAST(off // 2048 AS BIGINT) AS first_seq,
+           CAST((off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+           CAST((off + n_tokens - 1) // 2048 - off // 2048 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+    survey="ext: end-to-end training manifest — token-budget rebalance → "
+           "deterministic shuffle order → sequence packing as ONE verified "
+           "chain (the dedup stages compose in build_training_mix via "
+           "build_corpus; this entry oracle-checks the SQL-expressible "
+           "last mile)",
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = build_training_mix(docs, token_budget=8000.0)
+    return out["manifest"].select(
+        "doc_id", "lang", "n_tokens", "position", "offset",
+        "first_seq", "last_seq", "n_seqs",
+    )
+
+
 @register(
     "corpus_stats",
     oracle="""

@@ -394,6 +394,47 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
     assert [(r["train_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
 
 
+def test_build_training_mix_end_to_end(spark, sf_dir):
+    """Corpus → training manifest: budget respected per stratum, positions
+    a dense permutation, the packed token stream contiguous (each doc's
+    offset = previous offset + previous n_tokens), deterministic across
+    input partitionings."""
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import build_training_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = build_training_mix(docs, token_budget=3000.0, seq_len=256)
+    rows = sorted(out["manifest"].collect(), key=lambda r: r["position"])
+    assert rows, "budget sampled everything away"
+    # dense 0..n-1 permutation
+    assert [r["position"] for r in rows] == list(range(len(rows)))
+    # contiguous global token stream, sequence spans consistent
+    off = 0
+    for r in rows:
+        assert r["offset"] == off
+        assert r["first_seq"] == r["offset"] // 256
+        assert r["last_seq"] == (r["offset"] + r["n_tokens"] - 1) // 256
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1 >= 1
+        off += r["n_tokens"]
+    # every stratum's sampled tokens land under ~budget (Bernoulli slack:
+    # the expected overshoot is one doc; allow a loose 2x for tiny strata)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+    for lang, tot in by_lang.items():
+        if out["rates"][lang] < 1.0:
+            assert tot < 2 * 3000.0, f"{lang} blew the budget: {tot}"
+    # rates are an auditable report: applied rate <= 1, totals cover input
+    assert all(0 < v <= 1 for v in out["rates"].values())
+    # deterministic under repartitioning
+    out2 = build_training_mix(docs.repartition(17), token_budget=3000.0,
+                              seq_len=256)
+    assert {(r["doc_id"], r["position"], r["offset"]) for r in rows} == {
+        (r["doc_id"], r["position"], r["offset"])
+        for r in out2["manifest"].collect()
+    }
+
+
 def test_build_corpus_decontamination_stage(spark):
     """build_corpus with eval_benchmarks drops benchmark-overlapping docs
     before the split, reports them as 'contaminated', and the accounting
