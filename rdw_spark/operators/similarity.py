@@ -284,3 +284,45 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "cosine", F.col("rn").alias("rank"))
     )
+
+
+def cluster_stats(
+    assigned: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster corpus topology from an IVF/KMeans assignment: size,
+    occupancy share, and dispersion (mean/max L2 distance to the cell
+    centroid). The embedding-space analog of ``corpus_stats`` — which
+    topics exist, how big, how tight — and the health check for the IVF
+    index itself (one mega-cell means the quantizer needs re-fitting or
+    more centroids).
+
+    Scale shape: one broadcast join on ``cell`` (centroid list is tiny by
+    construction), distances as JVM array expressions, one partial-agg
+    shuffle on ``cell`` — no driver pass, no UDF."""
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in centroids], "cell int, centroid array<double>"
+    )
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("centroid"),
+                   lambda x, y: (_d(x) - y) * (_d(x) - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    per = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select("cell", l2.alias("_dist"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.avg("_dist").alias("mean_dist"),
+            F.max("_dist").alias("max_dist"),
+        )
+    )
+    total = per.select(F.sum("n_vectors").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_vectors").cast("double") / F.col("_t"))
+        .drop("_t")
+    )

@@ -278,6 +278,57 @@ def token_rarity(
     )
 
 
+def top_tfidf_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the corpus
+    keyword extractor (topic labeling, cluster naming, search facets).
+
+    The score is the exact-ratio form ``tf * N / doc_freq`` (tf = in-doc
+    occurrences, N = docs with any token, doc_freq = docs containing the
+    term): rank-equivalent to the classic log-idf within a document, but
+    computed as one division of exact integers — bit-identical across
+    engines, where ``log`` would inherit libm rounding differences.
+
+    Plan: the wordcount pairs (partial-agg shuffle), doc-frequency rollup,
+    a join on the token, the 1-row N as a broadcast cross join, then the
+    per-doc top-k window — WindowGroupLimit prunes to k rows per doc
+    map-side before that final shuffle. Ties break by token for full
+    determinism."""
+    from pyspark.sql import Window
+
+    tok = F.explode(
+        F.split(normalize_text(F.col(text_col)), r"\s+")
+    ).alias("_tok")
+    pairs = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tok)
+        .filter(F.col("_tok") != "")
+        .groupBy(id_col, "_tok").agg(F.count("*").alias("tf"))
+    )
+    docfreq = pairs.groupBy("_tok").agg(F.count("*").alias("doc_freq"))
+    n = pairs.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("_tok").asc()
+    )
+    return (
+        pairs.join(docfreq, "_tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("_n")).cast("double") / F.col("doc_freq"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, F.col("_tok").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "score", "rank",
+        )
+    )
+
+
 # PII surface patterns. Deliberately simple, deterministic regexes that
 # parse identically under Java regex (Spark) and RE2 (DuckDB oracle): no
 # lookaround, no backreferences, ASCII word boundaries. Real PII scrubbing

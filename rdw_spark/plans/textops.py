@@ -550,6 +550,20 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(assigned, centroids, q, k=10, nprobe=8)
 
 
+@register(
+    "zz_sim_kmeans_stats",
+    oracle=None,  # KMeans quantizer is iterative (non-SQL); invariants (sizes sum to N, nearest-centroid assignment, determinism) in tests/test_textops_extra.py
+    survey="ext: embedding-cluster topology report (KMeans cells: size, "
+           "share, mean/max dispersion) — the embedding-space corpus_stats "
+           "and the IVF index health check; broadcast centroid join + one "
+           "partial-agg shuffle",
+)
+def sim_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    assigned, centroids = S.ivf_build(e, n_centroids=8)
+    return S.cluster_stats(assigned, centroids)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -828,6 +842,43 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.line_stats(_docs(spark, sf_dir), min_docs=2)
+
+
+@register(
+    "zz_text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), dt AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), idf AS (
+        SELECT tok, COUNT(*) AS doc_freq FROM dt GROUP BY tok
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS nd FROM dt
+    ), scored AS (
+        SELECT dt.doc_id, dt.tok, dt.tf, idf.doc_freq,
+               CAST(dt.tf * n.nd AS DOUBLE) / idf.doc_freq AS score
+        FROM dt JOIN idf USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok AS token, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    survey="ext: tf-idf keyword extraction (top-k characteristic terms per "
+           "doc) — exact-ratio score tf*N/doc_freq (one integer division, "
+           "engine-bit-identical where log-idf would not be), per-doc "
+           "top-k via WindowGroupLimit-pruned window",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.top_tfidf_terms(_docs(spark, sf_dir), k=3)
 
 
 @register(

@@ -99,3 +99,55 @@ def test_shuffle_order_is_a_deterministic_permutation(spark):
     assert [r["position"] for r in c.orderBy("doc_id").collect()] != pos
     # and it is NOT the identity / doc_id order (it's a shuffle)
     assert pos != list(range(1000))
+
+
+def test_tfidf_hand_check(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana common common"),
+            Row(doc_id=2, text="banana cherry common"),
+            Row(doc_id=3, text="common only here"),
+        ]
+    )
+    out = X.top_tfidf_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    # doc 1: apple tf=2 df=1 -> score 2*3/1=6 beats banana (1*3/2) and common (2*3/3)
+    top1 = next(r for r in by_doc[1] if r["rank"] == 1)
+    assert (top1["token"], top1["tf"], top1["doc_freq"], top1["score"]) == (
+        "apple", 2, 1, 6.0)
+    # doc 3: 'common' (df=3) must lose to the doc-unique terms
+    toks3 = {r["token"] for r in by_doc[3]}
+    assert toks3 == {"here", "only"}
+
+
+def test_kmeans_cluster_stats_invariants(spark):
+    from rdw_spark.io import load_table
+    from rdw_spark.operators import similarity as S
+
+    from .conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    assigned, centroids = S.ivf_build(e, n_centroids=4)
+    stats = S.cluster_stats(assigned, centroids).collect()
+    n = e.count()
+    assert sum(r["n_vectors"] for r in stats) == n
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-9
+    assert all(r["mean_dist"] <= r["max_dist"] for r in stats)
+    # every vector is assigned to its NEAREST centroid (exact argmin)
+    cents = {c: v for c, v in centroids}
+    for row in assigned.limit(50).collect():
+        d = {
+            c: sum((a - b) ** 2 for a, b in zip(row["embedding"], v))
+            for c, v in cents.items()
+        }
+        best = min(d.values())
+        assert d[row["cell"]] <= best + 1e-9
+    # same layout + same seed -> identical quantizer. (Across DIFFERENT
+    # partitionings Spark ML's k-means|| init is not stable — which is
+    # exactly why ivf_index persists the build and probes re-read it.)
+    assigned2, centroids2 = S.ivf_build(e, n_centroids=4)
+    assert centroids2 == centroids
