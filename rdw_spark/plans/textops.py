@@ -551,6 +551,36 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_zorder_key",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               LEAST(GREATEST(CAST(doc_id AS BIGINT), 0), 65535) AS a,
+               LEAST(GREATEST(CAST(n_chars AS BIGINT), 0), 65535) AS b
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))
+           )) AS BIGINT) AS zkey
+    FROM c
+    """,
+    survey="ext: Z-order (Morton) layout key — bit-interleaved multi-column "
+           "clustering for min/max file pruning (the OPTIMIZE..ZORDER BY "
+           "layout tool as plain codegen'd integer arithmetic); "
+           "cluster_by_zorder range-partitions + sorts on it",
+)
+def zorder_key_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as L
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        L.morton_key([F.col("doc_id"), F.col("n_chars")], bits=16).alias("zkey"),
+    )
+
+
+@register(
     "zz_sim_kmeans_stats",
     oracle=None,  # KMeans quantizer is iterative (non-SQL); invariants (sizes sum to N, nearest-centroid assignment, determinism) in tests/test_textops_extra.py
     survey="ext: embedding-cluster topology report (KMeans cells: size, "
