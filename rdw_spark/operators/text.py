@@ -230,6 +230,22 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _token_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, normalized token, in-doc count) — the wordcount core shared by
+    token_rarity and top_tfidf_terms. One explode + one partial-agg
+    shuffle; empty tokens (all-punctuation text normalizes to '' and
+    splits to ['']) are dropped."""
+    tok = F.explode(
+        F.split(normalize_text(F.col(text_col)), r"\s+")
+    ).alias("_tok")
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tok)
+        .filter(F.col("_tok") != "")
+        .groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    )
+
+
 def token_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -250,16 +266,10 @@ def token_rarity(
     on the token, then per-doc), one join on the token (AQE broadcasts the
     vocab side when it fits). Tokenization normalizes first (lowercase,
     alnum runs) so 'The'/'the.' count as one type."""
-    tok = F.explode(
-        F.split(normalize_text(F.col(text_col)), r"\s+")
-    ).alias("_tok")
-    pairs = (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col), tok)
-        # all-punctuation text normalizes to '' and splits to [''] — drop it
-        .filter(F.col("_tok") != "")
-        .groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
-    )
+    # the pairs fan out to two consumers (vocab rollup + per-doc agg);
+    # cache so the scan+explode+wordcount runs once, not per consumer
+    # (the shared-cached-explode pattern from the MinHash operator)
+    pairs = _token_pairs(df, text_col, id_col).cache()
     vocab = pairs.groupBy("_tok").agg(F.sum("_c").alias("_cf"))
     return (
         pairs.join(vocab, "_tok")
@@ -297,14 +307,12 @@ def top_tfidf_terms(
     determinism."""
     from pyspark.sql import Window
 
-    tok = F.explode(
-        F.split(normalize_text(F.col(text_col)), r"\s+")
-    ).alias("_tok")
+    # three consumers of the wordcount pairs (doc-freq rollup, the N
+    # scalar, the scored join) — cache so the scan+explode runs once
     pairs = (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col), tok)
-        .filter(F.col("_tok") != "")
-        .groupBy(id_col, "_tok").agg(F.count("*").alias("tf"))
+        _token_pairs(df, text_col, id_col)
+        .withColumnRenamed("_c", "tf")
+        .cache()
     )
     docfreq = pairs.groupBy("_tok").agg(F.count("*").alias("doc_freq"))
     n = pairs.select(F.count_distinct(F.col(id_col)).alias("_n"))
