@@ -209,3 +209,27 @@ def test_zorder_layout_tightens_bounding_boxes(spark):
     # prune. Require >=2x tighter on b while staying bounded on a.
     assert z_db * 2 <= s_db, (z_db, s_db)
     assert z_da <= 63 and s_db >= 60  # sanity: slab really spans b
+
+
+def test_zorder_written_layout_file_stats(spark, tmp_path):
+    """End to end through parquet: write the clustered grid, read it back,
+    and assert the per-FILE stats (what min/max pruning actually sees) are
+    tight in BOTH dimensions — e.g. a predicate b = 7 can skip most files."""
+    from rdw_spark.operators import layout as L
+
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    out = str(tmp_path / "z")
+    L.cluster_by_zorder(grid, ["a", "b"], bits=6, num_partitions=16).write.parquet(out)
+    stats = L.file_stats(spark.read.parquet(out), ["a", "b"]).collect()
+    assert len(stats) == 16
+    assert sum(r["n_rows"] for r in stats) == 64 * 64
+    # every file's box spans at most a quarter of each dimension
+    for r in stats:
+        assert r["max_a"] - r["min_a"] <= 16
+        assert r["max_b"] - r["min_b"] <= 16
+    # a point predicate on b hits few files: count files whose range
+    # contains b=7 — slab layout would be ALL 16, the curve needs <= 4
+    hits = sum(1 for r in stats if r["min_b"] <= 7 <= r["max_b"])
+    assert hits <= 4, hits
