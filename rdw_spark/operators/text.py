@@ -146,6 +146,49 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_match_pairs(
+    df: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    min_common: int = 2,
+    max_fp_freq: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The matcher half of the MOSS scheme: document pairs sharing
+    >= ``min_common`` winnowing fingerprints — the shared-long-span /
+    local-plagiarism detector (any common run of ``window + n - 1`` tokens
+    is guaranteed to produce a shared fingerprint, so overlapping spans
+    are found from the ~1/window sparse sample instead of a full n-gram
+    index).
+
+    Same inverted-index shape as the shingle Jaccard path: fingerprints
+    occurring in more than ``max_fp_freq`` docs leave the index (stop
+    fingerprints — boilerplate spans that would create quadratic
+    reducers), then a self-join on the fingerprint bucket with id-ordered
+    pairs. Returns (id_a, id_b, n_common)."""
+    fps = winnowing_fingerprints(df, n, window, text_col, id_col)
+    live = (
+        fps.groupBy("fingerprint").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_fp_freq)
+        .select("fingerprint")
+    )
+    keep = fps.join(live, "fingerprint")
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(b, on=[
+            F.col("a.fingerprint") == F.col("b.fingerprint"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 DEFAULT_QUALITY_THRESHOLDS = {
     "min_chars": 200,        # too short to be a useful training doc
     "max_chars": 1_000_000,  # pathological blobs

@@ -551,6 +551,46 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_text_match_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), g AS (
+        SELECT doc_id, list_transform(range(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+        FROM toks WHERE len(l) >= 3
+    ), h AS (
+        SELECT doc_id, list_transform(grams, x -> substr(md5(x), 1, 8)) AS hs FROM g
+    ), f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+        FROM h WHERE len(hs) >= 4
+    ), fp AS (
+        SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    ), live AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint HAVING COUNT(*) <= 1000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM fp a
+    JOIN live l ON a.fingerprint = l.fingerprint
+    JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    survey="ext: MOSS matcher — document pairs sharing >= k winnowing "
+           "fingerprints (guaranteed shared-span detection from the "
+           "~1/window sparse sample); stop-fingerprint cap + inverted "
+           "index self-join, the shingle-Jaccard shuffle shape at 1/window "
+           "the index size",
+)
+def text_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnowing_match_pairs(_docs(spark, sf_dir), n=3, window=4,
+                                   min_common=2, max_fp_freq=1000)
+
+
+@register(
     "zz_zorder_key",
     oracle="""
     WITH c AS (

@@ -233,3 +233,24 @@ def test_zorder_written_layout_file_stats(spark, tmp_path):
     # contains b=7 — slab layout would be ALL 16, the curve needs <= 4
     hits = sum(1 for r in stats if r["min_b"] <= 7 <= r["max_b"])
     assert hits <= 4, hits
+
+
+def test_winnowing_match_pairs_finds_shared_spans(spark):
+    span = "one two three four five six seven eight"  # 8-token shared run
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {span} tail alpha beta"),
+            Row(doc_id=2, text=f"completely different head {span} other end"),
+            Row(doc_id=3, text="nothing in common with anyone here at all"),
+            Row(doc_id=4, text="another fully unrelated document body text"),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in X.winnowing_match_pairs(docs, n=3, window=4, min_common=1).collect()
+    }
+    # the guarantee: a shared run of >= window+n-1 = 6 tokens MUST yield
+    # at least one common fingerprint — (1,2) is found
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    # unrelated docs share nothing
+    assert all(p == (1, 2) for p in pairs), pairs
