@@ -167,7 +167,9 @@ def winnowing_match_pairs(
     fingerprints — boilerplate spans that would create quadratic
     reducers), then a self-join on the fingerprint bucket with id-ordered
     pairs. Returns (id_a, id_b, n_common)."""
-    fps = winnowing_fingerprints(df, n, window, text_col, id_col)
+    # three consumers (the frequency rollup + both sides of the self-join)
+    # — cache the exploded fingerprints so the winnowing pass runs once
+    fps = winnowing_fingerprints(df, n, window, text_col, id_col).cache()
     live = (
         fps.groupBy("fingerprint").agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_fp_freq)
