@@ -113,11 +113,19 @@ def shuffle_order(
     seed for an independent permutation). The rank is the same distributed
     two-phase scan as :func:`with_global_offset` with unit weights — never
     a single-task ``row_number() OVER (ORDER BY …)``. Ties on the 8-hex
-    prefix break by key, so the order is total for unique keys."""
+    prefix break by key, so the order is total for unique keys. The
+    tiebreak right-aligns the key into a 20-char field (lexicographic ==
+    numeric for non-negative integers); keys rendering wider than 20
+    chars raise rather than silently truncate into tie ambiguity."""
+    ks = F.col(key_col).cast("string")
+    padded = F.when(
+        F.length(ks) > 20,
+        F.raise_error(F.concat(F.lit("shuffle_order key wider than 20 chars: "), ks)),
+    ).otherwise(F.lpad(ks, 20, "0"))
     h = F.concat(
-        F.substring(F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit(seed), ks)), 1, 8),
         F.lit("|"),
-        F.lpad(F.col(key_col).cast("string"), 20, "0"),
+        padded,
     )
     d = df.withColumn("_ord", h).withColumn("_one", F.lit(1).cast("long"))
     return (
