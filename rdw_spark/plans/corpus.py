@@ -35,6 +35,8 @@ def build_corpus(
     eval_benchmarks: DataFrame | None = None,
     decontam_ngram: int = 8,
     decontam_min_common: int = 1,
+    repetition_thresholds: dict | None = None,
+    pii_mode: str | None = None,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -45,7 +47,17 @@ def build_corpus(
     >= ``decontam_min_common`` distinct ``decontam_ngram``-grams with any
     benchmark item are dropped (stage ``contaminated``) before the
     train/eval split — the keyed split guards internal leakage, this
-    guards published benchmarks."""
+    guards published benchmarks.
+
+    ``repetition_thresholds`` (keys ``max_dup_line_frac`` /
+    ``max_top_gram_frac``, defaults 0.3 / 0.2) switches on the Gopher-style
+    repetition stage after the quality filter (stage ``repetition``).
+    ``pii_mode`` handles PII before any dedup (so dedup sees the text that
+    will actually ship): ``"redact"`` rewrites ``text`` with the pattern
+    tokens and drops nothing; ``"drop"`` removes any document with a PII
+    hit (stage ``pii``)."""
+    if pii_mode not in (None, "redact", "drop"):
+        raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
     n0 = docs.count()
 
     q = X.quality_filter(docs, quality_thresholds).cache()
@@ -55,6 +67,54 @@ def build_corpus(
         F.concat_ws(",", "q_reasons").alias("detail"),
     )
     n1 = kept_q.count()
+
+    extra_drops: list[DataFrame] = []
+    if repetition_thresholds is not None:
+        t = {"max_dup_line_frac": 0.3, "max_top_gram_frac": 0.2,
+             **repetition_thresholds}
+        rep = X.repetition_features(kept_q).select(id_col, "rep_dup_line_frac")
+        top = X.top_ngram_repetition(kept_q).select(id_col, "top_gram_frac")
+        bad = (
+            rep.join(top, id_col, "left")
+            .filter(
+                (F.col("rep_dup_line_frac") > t["max_dup_line_frac"])
+                | (F.col("top_gram_frac") > t["max_top_gram_frac"])
+            )
+        )
+        extra_drops.append(bad.select(
+            F.col(id_col), F.lit("repetition").alias("stage"),
+            F.concat_ws(
+                ",", F.round("rep_dup_line_frac", 4).cast("string"),
+                F.round("top_gram_frac", 4).cast("string"),
+            ).alias("detail"),
+        ))
+        kept_q = kept_q.join(bad.select(id_col), id_col, "left_anti")
+    n1r = kept_q.count() if repetition_thresholds is not None else n1
+
+    n_pii = 0
+    if pii_mode is not None:
+        scan = X.pii_scan(kept_q, id_col=id_col)
+        if pii_mode == "drop":
+            hits = scan.filter("pii_total > 0")
+            extra_drops.append(hits.select(
+                F.col(id_col), F.lit("pii").alias("stage"),
+                F.concat_ws(
+                    ",", F.col("n_email").cast("string"),
+                    F.col("n_ssn").cast("string"),
+                    F.col("n_phone").cast("string"),
+                    F.col("n_ipv4").cast("string"),
+                ).alias("detail"),
+            ))
+            n_pii = hits.count()
+            kept_q = kept_q.join(hits.select(id_col), id_col, "left_anti")
+        else:  # redact: rewrite text in place, nothing drops
+            n_pii = scan.filter("pii_total > 0").count()
+            kept_q = (
+                kept_q.drop("text")
+                .join(scan.select(id_col, F.col("pii_redacted").alias("text")),
+                      id_col)
+                .select(docs.columns)
+            )
 
     exact = D.exact_duplicates(kept_q, id_col=id_col).cache()
     kept_e = kept_q.join(
@@ -101,6 +161,8 @@ def build_corpus(
 
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
+    for extra in extra_drops:
+        drop_report = drop_report.unionByName(extra)
     if drop_contam is not None:
         drop_report = drop_report.unionByName(drop_contam)
     counts_train, counts_eval = train.count(), ev.count()
@@ -116,6 +178,8 @@ def build_corpus(
         "counts": {
             "input": n0,
             "after_quality": n1,
+            "after_repetition": n1r,
+            "pii_affected": n_pii,
             "after_exact_dedup": n2,
             "after_near_dedup": n3,
             "after_decontam": n3d,

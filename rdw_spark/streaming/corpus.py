@@ -78,7 +78,7 @@ from rdw_spark.operators.dedup import (
     _band_rows, connected_components, incremental_exact_dedup,
     minhash_signatures, text_digest,
 )
-from rdw_spark.operators.text import quality_filter
+from rdw_spark.operators.text import (quality_filter, repetition_features, top_ngram_repetition)
 from rdw_spark.warehouse.partstore import PartitionedTable
 
 DOC_SCHEMA = T.StructType([
@@ -194,12 +194,16 @@ def stream_corpus_build(
     ngram: int = 3,
     threshold: float = 0.7,
     quality_thresholds: dict | None = None,
+    repetition_thresholds: dict | None = None,
 ):
     """Watch ``landing_dir`` for parquet drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
     near-dup unless ``near_dup=False``), and append the survivors.
     ``quality_thresholds`` switches on the quality stage (pass ``{}`` for
-    the defaults batch ``build_corpus`` uses); None skips it. Returns the
+    the defaults batch ``build_corpus`` uses); ``repetition_thresholds``
+    (keys ``max_dup_line_frac``/``max_top_gram_frac``) switches on the
+    Gopher-style repetition stage, both matching the batch
+    ``build_corpus`` semantics; None skips either. Returns the
     StreamingQuery."""
     tables = corpus_tables(out_root)
     corpus, fpindex = tables["corpus"], tables["fpindex"]
@@ -227,6 +231,24 @@ def stream_corpus_build(
                 F.concat_ws(",", "q_reasons").alias("detail"),
             ))
             docs = q.filter("q_keep").select(*_DOC_COLS)
+        if repetition_thresholds is not None:
+            t = {"max_dup_line_frac": 0.3, "max_top_gram_frac": 0.2,
+                 **repetition_thresholds}
+            rep = repetition_features(docs).select("doc_id", "rep_dup_line_frac")
+            top = top_ngram_repetition(docs).select("doc_id", "top_gram_frac")
+            bad = (
+                rep.join(top, "doc_id", "left")
+                .filter((F.col("rep_dup_line_frac") > t["max_dup_line_frac"])
+                        | (F.col("top_gram_frac") > t["max_top_gram_frac"]))
+            )
+            drop_frames.append(bad.select(
+                F.col("doc_id"), F.lit("repetition").alias("stage"),
+                F.concat_ws(
+                    ",", F.round("rep_dup_line_frac", 4).cast("string"),
+                    F.round("top_gram_frac", 4).cast("string"),
+                ).alias("detail"),
+            ))
+            docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti")
         cached = [docs.cache()]
         try:
             # ---- exact stage: digest-prefix-pruned index probe ----

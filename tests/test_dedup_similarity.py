@@ -435,6 +435,54 @@ def test_build_training_mix_end_to_end(spark, sf_dir):
     }
 
 
+def test_build_corpus_repetition_and_pii_stages(spark):
+    """The optional hygiene stages: a phrase-looping doc falls at
+    'repetition', a PII doc is dropped in drop-mode or rewritten in
+    redact-mode, and the drop-report accounting still closes."""
+    from pyspark.sql import Row
+
+    from rdw_spark.plans.corpus import build_corpus
+
+    base = " ".join(f"word{i} thing{i}" for i in range(20)) + " "
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + "alpha beta gamma delta epsilon zeta"),
+            # one bigram dominating the doc -> top_gram_frac ~ 1
+            Row(doc_id=2, text="buy now " * 120),
+            Row(doc_id=3, text=base + "contact me at someone@example.com ok"),
+            Row(doc_id=4, text=base + "different healthy document body here"),
+        ]
+    )
+    thresholds = {"min_chars": 10, "min_tokens": 3, "max_punct_ratio": 1.0,
+                  "min_alpha_ratio": 0.0}
+
+    out = build_corpus(
+        docs, quality_thresholds=thresholds, minhash_threshold=0.9,
+        eval_fraction=0.25, repetition_thresholds={}, pii_mode="drop",
+    )
+    stages = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
+    assert stages.get(2) == "repetition"
+    assert stages.get(3) == "pii"
+    survivors = {r["doc_id"] for r in out["train"].collect()} | {
+        r["doc_id"] for r in out["eval"].collect()
+    }
+    assert survivors | set(stages) == {1, 2, 3, 4}
+    assert survivors.isdisjoint(stages)
+    c = out["counts"]
+    assert c["after_repetition"] == c["after_quality"] - 1
+    assert c["pii_affected"] == 1
+
+    # redact mode: doc 3 survives with the email rewritten
+    out2 = build_corpus(
+        docs, quality_thresholds=thresholds, minhash_threshold=0.9,
+        eval_fraction=0.25, repetition_thresholds={}, pii_mode="redact",
+    )
+    all_rows = out2["train"].unionByName(out2["eval"]).collect()
+    d3 = next(r for r in all_rows if r["doc_id"] == 3)
+    assert "<EMAIL>" in d3["text"] and "someone@example.com" not in d3["text"]
+    assert out2["counts"]["pii_affected"] == 1
+
+
 def test_build_corpus_decontamination_stage(spark):
     """build_corpus with eval_benchmarks drops benchmark-overlapping docs
     before the split, reports them as 'contaminated', and the accounting

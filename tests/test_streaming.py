@@ -299,6 +299,34 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
     assert drops == {3: ("exact_dup", "1"), 4: ("exact_dup", "1")}
 
 
+def test_stream_corpus_repetition_stage(spark, tmp_path):
+    """The streaming twin of build_corpus's repetition stage: a
+    phrase-looping doc in a micro-batch is dropped with stage
+    'repetition' before it touches the dedup indexes."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    _drop_docs(spark, tmp_path, landing, "b1", [
+        (1, _wordy("clean", 40), "en", "src0", 200),
+        (2, "buy now " * 100, "en", "src0", 800),
+    ])
+    q = stream_corpus_build(
+        spark, str(landing), str(tmp_path / "corpus_store"),
+        str(tmp_path / "ckpt"), near_dup=False,
+        repetition_thresholds={},
+    )
+    q.awaitTermination(120)
+
+    t = corpus_tables(str(tmp_path / "corpus_store"))
+    assert [r["doc_id"] for r in t["corpus"].read(spark).collect()] == [1]
+    drops = {r["doc_id"]: r["stage"] for r in t["drops"].read(spark).collect()}
+    assert drops == {2: "repetition"}
+    # the dropped doc never entered the fingerprint index
+    assert {r["canonical_id"] for r in t["fpindex"].read(spark).collect()} == {1}
+
+
 def _wordy(prefix: str, n: int) -> str:
     return " ".join(f"{prefix}{i}" for i in range(n))
 
