@@ -435,6 +435,23 @@ def test_build_training_mix_end_to_end(spark, sf_dir):
     }
 
 
+def test_corpus_to_training_mix_chain(spark, sf_dir):
+    """The advertised composition: build_corpus(...)['train'] feeds
+    build_training_mix directly — cleaned corpus in, packed manifest out,
+    and only surviving train docs appear in it."""
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import build_corpus, build_training_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1)
+    out = build_training_mix(corpus["train"], token_budget=2000.0, seq_len=256)
+    manifest_ids = {r["doc_id"] for r in out["manifest"].collect()}
+    train_ids = {r["doc_id"] for r in corpus["train"].collect()}
+    assert manifest_ids and manifest_ids <= train_ids
+    eval_ids = {r["doc_id"] for r in corpus["eval"].collect()}
+    assert manifest_ids.isdisjoint(eval_ids)  # the contamination guard holds
+
+
 def test_build_corpus_repetition_and_pii_stages(spark):
     """The optional hygiene stages: a phrase-looping doc falls at
     'repetition', a PII doc is dropped in drop-mode or rewritten in
