@@ -153,6 +153,27 @@ def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
     }
 
 
+def maintain_corpus(
+    spark: SparkSession, out_root: str, max_files: int = 4,
+    keep_manifests: int = 2,
+) -> dict[str, dict[str, int]]:
+    """Periodic maintenance for the streaming corpus store — every
+    micro-batch appends a version to each touched bucket, so file count
+    and superseded versions grow with batch count until compacted. Run on
+    the reference's maintenance cadence (off-peak, like mart OPTIMIZE):
+    compacts fragmented partitions and GCs old manifests/versions for the
+    corpus and all five dedup-state tables. Safe between triggers: each
+    compaction publishes through the same atomic manifest rename the
+    writers use."""
+    return {
+        name: {
+            "compacted_partitions": pt.compact(spark, max_files=max_files),
+            "removed_dirs": pt.gc(keep_manifests=keep_manifests),
+        }
+        for name, pt in corpus_tables(out_root).items()
+    }
+
+
 def _resolve_partners(
     spark: SparkSession, clusters: PartitionedTable, partner_ids: DataFrame,
     max_chain: int = 8,

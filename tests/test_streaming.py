@@ -495,3 +495,36 @@ def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeyp
     # 2 docs -> <=2 digest prefixes of 4096; <=16 band buckets of 512
     assert max(by_name["fpindex"]) <= 2
     assert max(by_name.get("bandindex", [0])) <= 16
+
+
+def test_maintain_corpus_compacts_and_preserves_state(spark, tmp_path):
+    """Maintenance over the streaming corpus store: after several
+    micro-batches fragment the buckets, maintain_corpus folds files and
+    GCs superseded versions while every table reads back identically."""
+    from rdw_spark.streaming.corpus import (
+        corpus_tables, maintain_corpus, stream_corpus_build,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    for b in range(3):
+        _drop_docs(spark, tmp_path, landing, f"b{b}", [
+            (b * 10 + i, _wordy(f"doc{b}x{i}", 12), "en", "src0", 60)
+            for i in range(3)
+        ])
+        q = stream_corpus_build(spark, str(landing), out_root,
+                                str(tmp_path / "ckpt"), near_dup=False)
+        q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    before = {n: sorted(map(tuple, pt.read(spark).collect()))
+              for n, pt in t.items()}
+    report = maintain_corpus(spark, out_root, max_files=1)
+    assert set(report) == set(t)
+    after = {n: sorted(map(tuple, pt.read(spark).collect()))
+             for n, pt in t.items()}
+    assert after == before  # maintenance never changes content
+    # something actually got folded or GC'd across the 3-batch history
+    assert sum(r["compacted_partitions"] + r["removed_dirs"]
+               for r in report.values()) > 0
