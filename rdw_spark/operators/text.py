@@ -234,6 +234,42 @@ def quality_filter(
     )
 
 
+def adaptive_quality_thresholds(
+    df: DataFrame,
+    text_col: str = "text",
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+    accuracy: int = 10_000,
+) -> dict:
+    """Derive :func:`quality_filter` thresholds from the corpus itself:
+    tail percentiles of each quality feature instead of fixed constants —
+    fixed thresholds tuned on web text misfire on code, OCR, or non-Latin
+    corpora, while "drop the extreme tails of THIS corpus" transfers.
+
+    One pass of ``percentile_approx`` (Greenwald-Khanna sketch, partial-agg
+    — a single reduce to one row regardless of scale). Returns a dict in
+    the exact shape ``quality_filter(thresholds=...)`` accepts; inspect or
+    clamp it before use, it is a starting point, not policy."""
+    feats = quality_features(df, text_col)
+    p = [lower_pct, upper_pct]
+    row = feats.agg(
+        F.percentile_approx("q_n_chars", p, accuracy).alias("chars"),
+        F.percentile_approx("q_n_tokens", [lower_pct], accuracy).alias("tokens"),
+        F.percentile_approx("q_avg_token_len", p, accuracy).alias("atl"),
+        F.percentile_approx("q_punct_ratio", [upper_pct], accuracy).alias("punct"),
+        F.percentile_approx("q_alpha_ratio", [lower_pct], accuracy).alias("alpha"),
+    ).collect()[0]
+    return {
+        "min_chars": int(row["chars"][0]),
+        "max_chars": int(row["chars"][1]),
+        "min_tokens": int(row["tokens"][0]),
+        "min_avg_token_len": float(row["atl"][0]),
+        "max_avg_token_len": float(row["atl"][1]),
+        "max_punct_ratio": float(row["punct"][0]),
+        "min_alpha_ratio": float(row["alpha"][0]),
+    }
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (the Gopher-style filters that
     catch boilerplate/spam the length-and-ratio thresholds miss):

@@ -254,3 +254,27 @@ def test_winnowing_match_pairs_finds_shared_spans(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     # unrelated docs share nothing
     assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_adaptive_quality_thresholds(spark):
+    from rdw_spark.io import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t = X.adaptive_quality_thresholds(docs)
+    # shape-compatible with quality_filter and ordered sanely
+    assert set(t) <= set(X.DEFAULT_QUALITY_THRESHOLDS)
+    assert t["min_chars"] <= t["max_chars"]
+    assert t["min_avg_token_len"] <= t["max_avg_token_len"]
+    # the 1%/99% tails drop SOME docs but keep the overwhelming majority
+    q = X.quality_filter(docs, t)
+    kept = q.filter("q_keep").count()
+    n = docs.count()
+    assert 0.90 * n <= kept < n or kept == n
+    # and it plugs straight into build_corpus
+    from rdw_spark.plans.corpus import build_corpus
+
+    out = build_corpus(docs.limit(100), quality_thresholds=t,
+                       minhash_threshold=0.9)
+    assert out["counts"]["input"] == 100
