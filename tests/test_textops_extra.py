@@ -278,3 +278,23 @@ def test_adaptive_quality_thresholds(spark):
     out = build_corpus(docs.limit(100), quality_thresholds=t,
                        minhash_threshold=0.9)
     assert out["counts"]["input"] == 100
+
+
+def test_new_op_edge_cases(spark):
+    import pytest
+
+    from rdw_spark.operators import layout as L
+
+    # morton_key refuses keys that overflow a signed long
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        L.morton_key([F.col("a"), F.col("b")], bits=32)
+    # empty inputs flow through (no rows, right schemas)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert X.pii_scan(empty).count() == 0
+    assert X.token_rarity(empty).count() == 0
+    assert X.line_stats(empty).count() == 0
+    assert X.top_tfidf_terms(empty).count() == 0
+    assert X.winnowing_match_pairs(empty).count() == 0
+    from rdw_spark.operators import packing as PK
+
+    assert PK.shuffle_order(empty.select("doc_id")).count() == 0
