@@ -281,6 +281,90 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_drift(
+    before: DataFrame,
+    after: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum mix drift between two corpus snapshots — the
+    observability check after any pipeline change: which domains/languages
+    gained or lost share. For each stratum: doc and token counts on both
+    sides (missing strata read as 0) and the share-of-corpus delta.
+
+    All counts are exact integers; each share is one division and the
+    delta one subtraction, so the report is engine-deterministic. Plan:
+    two partial-agg shuffles on the stratum, a full-outer join on it, and
+    the 1-row totals as broadcast cross joins — no global window."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(stratum_col).agg(
+            F.count("*").alias(f"n_docs_{tag}"),
+            F.sum(X.token_count(F.col(text_col))).alias(f"n_tokens_{tag}"),
+        )
+
+    b, a = side(before, "before"), side(after, "after")
+    joined = b.join(a, stratum_col, "full_outer").na.fill(0)
+    tot_b = joined.select(F.sum("n_docs_before").alias("_tb"))
+    tot_a = joined.select(F.sum("n_docs_after").alias("_ta"))
+    share_b = F.col("n_docs_before").cast("double") / F.col("_tb")
+    share_a = F.col("n_docs_after").cast("double") / F.col("_ta")
+    return (
+        joined.crossJoin(F.broadcast(tot_b)).crossJoin(F.broadcast(tot_a))
+        .select(
+            stratum_col, "n_docs_before", "n_docs_after",
+            "n_tokens_before", "n_tokens_after",
+            share_b.alias("doc_share_before"),
+            share_a.alias("doc_share_after"),
+            (share_a - share_b).alias("share_delta"),
+        )
+    )
+
+
+@register(
+    "zz_corpus_drift",
+    oracle="""
+    WITH aft AS (
+        SELECT * FROM documents
+        WHERE substr(md5('d0' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+    ), b AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens_before
+        FROM documents GROUP BY lang
+    ), a AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_after,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens_after
+        FROM aft GROUP BY lang
+    ), j AS (
+        SELECT COALESCE(b.lang, a.lang) AS lang,
+               COALESCE(n_docs_before, 0) AS n_docs_before,
+               COALESCE(n_docs_after, 0) AS n_docs_after,
+               COALESCE(n_tokens_before, 0) AS n_tokens_before,
+               COALESCE(n_tokens_after, 0) AS n_tokens_after
+        FROM b FULL OUTER JOIN a ON b.lang = a.lang
+    ), t AS (
+        SELECT SUM(n_docs_before) AS tb, SUM(n_docs_after) AS ta FROM j
+    )
+    SELECT j.lang, j.n_docs_before, j.n_docs_after,
+           j.n_tokens_before, j.n_tokens_after,
+           CAST(j.n_docs_before AS DOUBLE) / t.tb AS doc_share_before,
+           CAST(j.n_docs_after AS DOUBLE) / t.ta AS doc_share_after,
+           CAST(j.n_docs_after AS DOUBLE) / t.ta
+               - CAST(j.n_docs_before AS DOUBLE) / t.tb AS share_delta
+    FROM j CROSS JOIN t
+    """,
+    survey="ext: corpus mix-drift report — per-stratum doc/token counts "
+           "and share deltas between two snapshots (exact integers, one "
+           "division per share); the after side here is a deterministic "
+           "25% hash sample standing in for a second snapshot",
+)
+def corpus_drift_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    after = SA.hash_sample(d, 0.25, "doc_id", seed="d0")
+    return corpus_drift(d, after)
+
+
 @register(
     "corpus_stats",
     oracle="""

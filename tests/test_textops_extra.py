@@ -298,3 +298,19 @@ def test_new_op_edge_cases(spark):
     from rdw_spark.operators import packing as PK
 
     assert PK.shuffle_order(empty.select("doc_id")).count() == 0
+
+
+def test_corpus_drift_hand_check(spark):
+    from rdw_spark.plans.corpus import corpus_drift
+
+    before = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i < 6 else "es"), text="w1 w2 w3")
+         for i in range(10)]
+    )
+    after = before.filter("lang = 'en'")  # the pipeline dropped all es docs
+    out = {r["lang"]: r for r in corpus_drift(before, after).collect()}
+    assert out["en"]["n_docs_before"] == 6 and out["en"]["n_docs_after"] == 6
+    assert out["es"]["n_docs_after"] == 0 and out["es"]["n_tokens_after"] == 0
+    assert out["en"]["doc_share_before"] == 0.6
+    assert out["en"]["doc_share_after"] == 1.0
+    assert abs(out["es"]["share_delta"] + 0.4) < 1e-12
