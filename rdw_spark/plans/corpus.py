@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import time as _time
+
 from ..io import load_table
 from ..operators import dedup as D
 from ..operators import sampling as SA
@@ -58,7 +60,9 @@ def build_corpus(
     hit (stage ``pii``)."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
+    _tl = [("start", _time.perf_counter())]
     n0 = docs.count()
+    _tl.append(("input_count", _time.perf_counter()))
 
     q = X.quality_filter(docs, quality_thresholds).cache()
     kept_q = q.filter("q_keep").select(docs.columns)
@@ -67,6 +71,7 @@ def build_corpus(
         F.concat_ws(",", "q_reasons").alias("detail"),
     )
     n1 = kept_q.count()
+    _tl.append(("quality", _time.perf_counter()))
 
     extra_drops: list[DataFrame] = []
     if repetition_thresholds is not None:
@@ -90,6 +95,7 @@ def build_corpus(
         ))
         kept_q = kept_q.join(bad.select(id_col), id_col, "left_anti")
     n1r = kept_q.count() if repetition_thresholds is not None else n1
+    _tl.append(("repetition", _time.perf_counter()))
 
     n_pii = 0
     if pii_mode is not None:
@@ -124,7 +130,9 @@ def build_corpus(
         F.col(id_col), F.lit("exact_dup").alias("stage"),
         F.col("canonical_id").cast("string").alias("detail"),
     )
+    _tl.append(("pii", _time.perf_counter()))
     n2 = kept_e.count()
+    _tl.append(("exact_dedup", _time.perf_counter()))
 
     pairs = D.minhash_dedup_pairs(kept_e, threshold=minhash_threshold,
                                   id_col=id_col)
@@ -138,6 +146,7 @@ def build_corpus(
         )
     )
     n3 = kept_n.count()
+    _tl.append(("near_dedup", _time.perf_counter()))
 
     if eval_benchmarks is not None:
         from ..operators.decontam import decontaminate
@@ -158,6 +167,7 @@ def build_corpus(
     else:
         drop_contam = None
     n3d = kept_n.count() if eval_benchmarks is not None else n3
+    _tl.append(("decontam", _time.perf_counter()))
 
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
@@ -166,6 +176,7 @@ def build_corpus(
     if drop_contam is not None:
         drop_report = drop_report.unionByName(drop_contam)
     counts_train, counts_eval = train.count(), ev.count()
+    _tl.append(("split", _time.perf_counter()))
     # the caches only serve the multi-consumer stage fan-out above; every
     # count is materialized by now, so don't pin executor memory for the
     # caller (returned frames recompute from source if re-consumed)
@@ -185,6 +196,12 @@ def build_corpus(
             "after_decontam": n3d,
             "train": counts_train,
             "eval": counts_eval,
+        },
+        # wall seconds per stage (stage boundary = its materializing count)
+        # — the first question after "what dropped" is "what was slow"
+        "timings": {
+            name: round(t - _tl[i][1], 3)
+            for i, (name, t) in enumerate(_tl[1:])
         },
     }
 

@@ -529,3 +529,17 @@ def test_build_corpus_decontamination_stage(spark):
     assert out["counts"]["after_decontam"] == 1
     rep = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
     assert rep == {1: "contaminated"}
+
+
+def test_build_corpus_reports_stage_timings(spark, sf_dir):
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import build_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = build_corpus(docs, minhash_threshold=0.5)
+    t = out["timings"]
+    assert set(t) == {"input_count", "quality", "repetition", "pii",
+                      "exact_dedup", "near_dedup", "decontam", "split"}
+    assert all(v >= 0 for v in t.values())
+    # disabled stages cost (almost) nothing; real stages took some time
+    assert t["near_dedup"] > 0
