@@ -39,6 +39,9 @@ def build_corpus(
     decontam_min_common: int = 1,
     repetition_thresholds: dict | None = None,
     pii_mode: str | None = None,
+    embeddings: DataFrame | None = None,
+    cosine_threshold: float = 0.95,
+    embedding_block_bits: int = 8,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -57,7 +60,14 @@ def build_corpus(
     ``pii_mode`` handles PII before any dedup (so dedup sees the text that
     will actually ship): ``"redact"`` rewrites ``text`` with the pattern
     tokens and drops nothing; ``"drop"`` removes any document with a PII
-    hit (stage ``pii``)."""
+    hit (stage ``pii``).
+
+    ``embeddings`` (``id_col``, ``embedding array<float>``) adds SEMANTIC
+    near-dup pairs: cosine >= ``cosine_threshold`` within SRP buckets
+    (``embedding_block_bits`` sign-projections — the documented blocking
+    path, never an unblocked cross join), unioned with the MinHash pairs
+    before the one cluster resolution, so paraphrases the lexical path
+    can't see collapse into the same clusters."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
     _tl = [("start", _time.perf_counter())]
@@ -135,7 +145,25 @@ def build_corpus(
     _tl.append(("exact_dedup", _time.perf_counter()))
 
     pairs = D.minhash_dedup_pairs(kept_e, threshold=minhash_threshold,
-                                  id_col=id_col)
+                                  id_col=id_col).select("a", "b")
+    n_sem_pairs = 0
+    if embeddings is not None:
+        from ..operators.similarity import srp_bucket
+
+        emb = embeddings.join(kept_e.select(id_col), id_col, "left_semi")
+        first = emb.select("embedding").first()
+        if first is not None:
+            emb = emb.withColumn(
+                "_blk", srp_bucket(F.col("embedding"),
+                                   bits=embedding_block_bits,
+                                   dim=len(first[0])),
+            )
+            sem = D.embedding_near_duplicates(
+                emb, cosine_threshold, id_col=id_col, vec_col="embedding",
+                block_col="_blk",
+            ).select("a", "b")
+            n_sem_pairs = sem.count()
+            pairs = pairs.unionByName(sem).distinct()
     kept_n = D.dedup_corpus(kept_e, pairs, id_col=id_col)
     cc = D.connected_components(pairs)
     drop_near = (
@@ -193,6 +221,7 @@ def build_corpus(
             "pii_affected": n_pii,
             "after_exact_dedup": n2,
             "after_near_dedup": n3,
+            "semantic_pairs": n_sem_pairs,
             "after_decontam": n3d,
             "train": counts_train,
             "eval": counts_eval,

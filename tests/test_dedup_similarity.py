@@ -543,3 +543,49 @@ def test_build_corpus_reports_stage_timings(spark, sf_dir):
     assert all(v >= 0 for v in t.values())
     # disabled stages cost (almost) nothing; real stages took some time
     assert t["near_dedup"] > 0
+
+
+def test_build_corpus_semantic_dedup_stage(spark):
+    """Paraphrase pair: different wording (MinHash can't see it),
+    near-identical embeddings — the semantic stage collapses them into
+    one cluster and one survivor; unrelated docs survive."""
+    from pyspark.sql import Row
+
+    from rdw_spark.plans.corpus import build_corpus
+
+    filler = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=filler + " the meeting moved to tuesday morning"),
+        Row(doc_id=2, text=" ".join(f"alt{i}" for i in range(40))
+            + " they rescheduled the gathering for early next week"),
+        Row(doc_id=3, text=" ".join(f"other{i}" for i in range(40))
+            + " a completely unrelated subject entirely"),
+    ])
+    v1 = [1.0] + [0.01 * i for i in range(63)]
+    v2 = [1.0] + [0.01 * i + 0.0005 for i in range(63)]   # cosine ~ 1 vs v1
+    v3 = [-1.0] + [0.5 - 0.01 * i for i in range(63)]      # far away
+    emb = spark.createDataFrame(
+        [Row(doc_id=1, embedding=v1), Row(doc_id=2, embedding=v2),
+         Row(doc_id=3, embedding=v3)],
+        "doc_id long, embedding array<double>",
+    )
+    thresholds = {"min_chars": 10, "min_tokens": 3, "max_punct_ratio": 1.0,
+                  "min_alpha_ratio": 0.0}
+    out = build_corpus(
+        docs, quality_thresholds=thresholds, minhash_threshold=0.9,
+        eval_fraction=0.2, embeddings=emb, cosine_threshold=0.99,
+    )
+    assert out["counts"]["semantic_pairs"] == 1
+    survivors = {r["doc_id"] for r in out["train"].collect()} | {
+        r["doc_id"] for r in out["eval"].collect()
+    }
+    assert survivors == {1, 3}  # canonical min-id of {1,2} plus doc 3
+    drops = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
+    assert drops == {2: "near_dup"}
+    # without embeddings the lexical path alone keeps all three
+    out2 = build_corpus(docs, quality_thresholds=thresholds,
+                        minhash_threshold=0.9, eval_fraction=0.2)
+    s2 = {r["doc_id"] for r in out2["train"].collect()} | {
+        r["doc_id"] for r in out2["eval"].collect()
+    }
+    assert s2 == {1, 2, 3}
