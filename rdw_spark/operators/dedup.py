@@ -676,3 +676,111 @@ def incremental_minhash_candidates(
         .distinct()
     )
     return {"candidates": cands, "index_delta": new_bands}
+
+
+# --------------------------------------------------------------------------
+# Span-level exact substring dedup (duplicated token windows)
+# --------------------------------------------------------------------------
+
+def window_occurrences(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Every token n-gram window occurrence WITH its 0-based start
+    position: (id, pos, window-hash). Unlike ``shingles`` this is
+    positional and NON-distinct — the unit the span-dedup tier needs.
+
+    Windows are 8-byte xxhash64 folds of the raw (whitespace-split)
+    tokens, built with the same shifted-slice ``zip_with`` construction as
+    the hashed shingles (no gram strings are ever materialized — the
+    explode and the shuffles downstream move longs). Docs with fewer than
+    ``n`` tokens yield no window rows."""
+    tok = tokens(F.col(text_col))
+    d2 = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .withColumn("_th", F.transform(tok, lambda t: F.xxhash64(t)))
+        .filter(F.size("_th") >= n)
+    )
+    thc, size = F.col("_th"), F.size(F.col("_th"))
+    cur = thc
+    for j in range(1, n):
+        cur = F.zip_with(cur, F.slice(thc, j + 1, size),
+                         lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(cur, 1, size - n + 1)
+    return d2.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "w")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id",
+    keep_first: bool = True, broadcast_stats: bool = True,
+) -> DataFrame:
+    """Start positions of duplicated n-token windows: (id, pos).
+
+    The Spark-friendly form of exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" removes
+    duplicated >=50-token spans via suffix arrays; fixed-width token
+    windows approximate the same semantics with one partial-agg shuffle
+    instead of a global suffix sort). A window counts as duplicated when
+    the SAME n tokens appear anywhere else in the corpus — another
+    document or the same one. With ``keep_first`` the globally-first
+    occurrence (min (id, pos)) is exempt, so one copy of every duplicated
+    span survives; the rest are flagged for removal.
+
+    Scale shape: window occurrences group by hash with map-side partial
+    aggregation; the duplicated-window stats (count >= 2 plus the one kept
+    occurrence) are a small fraction of the corpus and broadcast back
+    against the occurrence stream (``broadcast_stats=False`` falls back to
+    a shuffle join when the duplicated set itself is huge)."""
+    occ = window_occurrences(df, n, text_col, id_col)
+    stats = (
+        occ.groupBy("w")
+        .agg(F.count("*").alias("_cnt"),
+             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"))
+        .filter(F.col("_cnt") >= 2)
+        .select("w", "_keep")
+    )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    flagged = occ.join(stats, "w")
+    if keep_first:
+        flagged = flagged.filter(
+            ~((F.col(id_col) == F.col(f"_keep.{id_col}"))
+              & (F.col("pos") == F.col("_keep.pos")))
+        )
+    return flagged.select(id_col, "pos")
+
+
+def remove_duplicated_spans(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id",
+    keep_first: bool = True, broadcast_stats: bool = True,
+) -> DataFrame:
+    """Cut duplicated n-token spans OUT of the documents (keeping one
+    global copy of each) instead of dropping whole documents — the
+    substring-level companion to ``dedup_exact`` / MinHash doc-level
+    dedup. Output = input columns plus ``n_tokens`` (pre-cut),
+    ``n_tokens_dropped``, and ``clean_text`` (kept tokens re-joined with
+    single spaces — reconstruction is whitespace-normalizing by design).
+
+    A token is dropped when any flagged window covers it. The rebuild is
+    one map-only pass: flagged starts collect per doc (tiny — only docs
+    with duplicated spans have rows), then an indexed ``filter`` over the
+    token array tests coverage with ``exists`` — no second explode, no
+    per-token join."""
+    spans = duplicated_spans(df, n, text_col, id_col, keep_first,
+                             broadcast_stats)
+    starts = spans.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_starts"))
+    tok = tokens(F.col(text_col))
+    sarr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        tok,
+        lambda t, i: ~F.exists(sarr, lambda s: (i >= s) & (i < s + n)),
+    )
+    return (
+        df.join(starts, id_col, "left")
+        .withColumn("n_tokens", F.size(tok))
+        .withColumn("clean_text", F.array_join(kept, " "))
+        .withColumn("n_tokens_dropped", F.col("n_tokens") - F.size(kept))
+        .drop("_starts")
+    )

@@ -533,3 +533,70 @@ def top_ngram_repetition(
         .withColumn("top_gram_frac",
                     F.col("top_gram_count").cast("double") / F.col("n_grams"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score — the context-conditional
+    step up from ``token_rarity``'s unigram proxy (CCNet-style pipelines
+    score documents with a KenLM model; with no external model available
+    the corpus itself is the training set, which is exactly how you
+    bootstrap a quality signal on a fresh crawl). A scrambled-word-order
+    document keeps its unigram stats but craters here.
+
+    Per document: ``n_bigrams`` (tf-weighted adjacent-token pairs),
+    ``n_unique_bigrams`` (pairs whose corpus frequency is 1 — text nothing
+    else in the corpus continues this way), ``avg_bigram_prob``
+    (tf-weighted mean of the MLE conditional p(v|u) = c(u,v)/c(u·)), and
+    ``min_bigram_prob`` (the least-expected transition).
+
+    Determinism: every count is exact integer; each p(v|u) is ONE double
+    division of two longs (correctly rounded, engine-independent); the
+    tf-weighted sum accumulates in DECIMAL (the ``_dsum`` pattern — double
+    addition order varies with partitioning, decimal addition does not);
+    the final mean is a single raw double division. No ROUND(double)
+    anywhere (the 1-ulp cross-engine trap).
+
+    Plan shape at 100 TB: one explode into adjacent pairs, a per-doc
+    partial-agg wordcount (cached — it feeds the model fit AND the
+    scoring join), two partial-agg rollups for the model (bigram and
+    context counts), then two joins back; the model side is vocab-sized,
+    so AQE broadcasts it when it fits and a shuffle join handles the
+    heavy-tailed case."""
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    d2 = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("_l"))
+        .filter(F.size("_l") >= 2)
+    )
+    pairs = d2.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_l", 1, F.size("_l") - 1),
+                F.slice("_l", 2, F.size("_l") - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.u", "_p.v")
+    # per-doc bigram counts fan out to three consumers (bigram rollup,
+    # context rollup, scoring) — cache so the explode runs once
+    big = pairs.groupBy(id_col, "u", "v").agg(F.count("*").alias("c")).cache()
+    bg = big.groupBy("u", "v").agg(F.sum("c").alias("cuv"))
+    ctx = big.groupBy("u").agg(F.sum("c").alias("cu"))
+    scored = (
+        big.join(bg, ["u", "v"]).join(ctx, "u")
+        .withColumn("r", F.col("cuv").cast("double") / F.col("cu"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("cuv") == 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("n_unique_bigrams"),
+        (
+            F.sum((F.col("c").cast("double") * F.col("r"))
+                  .cast("decimal(27,10)")).cast("double")
+            / F.sum("c")
+        ).alias("avg_bigram_prob"),
+        F.min("r").alias("min_bigram_prob"),
+    )

@@ -1016,3 +1016,88 @@ def sample_token_budget_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     return PK.token_budget_sample(d, "lang", 5000.0)["sample"]
+
+
+@register(
+    "zz_text_dedup_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        FROM documents
+    ), win AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l) - 6), i ->
+              struct_pack(pos := i - 1, w := array_to_string(l[i:i+7], ' ')))) AS s
+        FROM toks WHERE len(l) >= 8
+    ), flagged AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, s.pos AS pos,
+                   COUNT(*) OVER (PARTITION BY s.w) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY doc_id, s.pos) AS rn
+            FROM win)
+        WHERE cnt >= 2 AND rn >= 2
+    ), tokpos AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l) + 1), i ->
+              struct_pack(p := i - 1, tok := l[i]))) AS s
+        FROM toks
+    ), kept AS (
+        SELECT tp.doc_id, tp.s.p AS p, tp.s.tok AS tok
+        FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM flagged f
+                          WHERE f.doc_id = tp.doc_id
+                            AND tp.s.p BETWEEN f.pos AND f.pos + 7)
+    ), clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               COUNT(*) AS nk
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS INT) AS n_tokens,
+           CAST(len(t.l) - COALESCE(c.nk, 0) AS INT) AS n_tokens_dropped,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN clean c USING (doc_id)
+    """,
+    survey="ext: span-level exact substring dedup — duplicated 8-token "
+           "windows are cut out of the text (one global copy survives, "
+           "keep-first by (doc_id, pos)), the token-window approximation "
+           "of the Lee-et-al. suffix-array substring dedup; document-level "
+           "dedup keeps/drops whole docs, this repairs them",
+)
+def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.remove_duplicated_spans(_docs(spark, sf_dir), n=8)
+    return out.select("doc_id", "n_tokens", "n_tokens_dropped", "clean_text")
+
+
+@register(
+    "zz_text_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), pr AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)), i ->
+              struct_pack(u := l[i], v := l[i+1]))) AS s
+        FROM toks WHERE len(l) >= 2
+    ), big AS (
+        SELECT doc_id, s.u AS u, s.v AS v, COUNT(*) AS c FROM pr GROUP BY 1, 2, 3
+    ), bg AS (SELECT u, v, SUM(c) AS cuv FROM big GROUP BY u, v),
+    ctx AS (SELECT u, SUM(c) AS cu FROM big GROUP BY u),
+    scored AS (
+        SELECT big.doc_id, big.c, bg.cuv, CAST(bg.cuv AS DOUBLE) / ctx.cu AS r
+        FROM big JOIN bg USING (u, v) JOIN ctx USING (u)
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cuv = 1 THEN c ELSE 0 END) AS BIGINT) AS n_unique_bigrams,
+           CAST(SUM(CAST(c * r AS DECIMAL(27,10))) AS DOUBLE) / SUM(c) AS avg_bigram_prob,
+           MIN(r) AS min_bigram_prob
+    FROM scored GROUP BY doc_id
+    """,
+    survey="ext: corpus-trained bigram-LM fluency score (CCNet-style "
+           "perplexity filtering with the corpus as its own model) — "
+           "tf-weighted mean/min conditional p(v|u), corpus-unique bigram "
+           "count; exact-integer counts, one exact double division per "
+           "bigram, decimal-accumulated mean (no ROUND(double) anywhere)",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_scores(_docs(spark, sf_dir))

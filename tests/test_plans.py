@@ -174,3 +174,20 @@ class TestTrainingOpPlans:
         # stage: WholeStageCodegen(1) contains both Scan and Filter
         plan = _plan(spark, catalog, "sample_train_eval_split")
         assert "Filter" in plan and "Scan parquet" in plan
+
+
+class TestSpanDedupAndLmPlans:
+    def test_span_dedup_broadcasts_duplicated_window_stats(self, spark, catalog):
+        # the duplicated-window stats (a small fraction of the corpus)
+        # must come back to the occurrence stream as a broadcast, and the
+        # flagged-starts rebuild join against the docs must broadcast too
+        # — the full window set is never shuffle-joined
+        plan = _plan(spark, catalog, "zz_text_dedup_spans")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bigram_lm_partial_aggregates(self, spark, catalog):
+        # model fit + scoring: every groupBy must show map-side partial
+        # aggregation (HashAggregate pairs), never a raw full shuffle
+        plan = _plan(spark, catalog, "zz_text_lm_score")
+        assert plan.count("HashAggregate") >= 4

@@ -314,3 +314,94 @@ def test_corpus_drift_hand_check(spark):
     assert out["en"]["doc_share_before"] == 0.6
     assert out["en"]["doc_share_after"] == 1.0
     assert abs(out["es"]["share_delta"] + 0.4) < 1e-12
+
+
+def test_span_dedup_cuts_duplicated_windows(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h tail one"),
+            Row(doc_id=2, text="prefix two a b c d e f g h"),
+            Row(doc_id=3, text="x y z a b c d e f g h x y z a b c d e f g h"),
+            Row(doc_id=4, text="short doc only"),
+        ]
+    )
+    from rdw_spark.operators import dedup as D
+
+    out = {r["doc_id"]: r for r in D.remove_duplicated_spans(docs, n=8).collect()}
+    # doc 1 holds the globally-first occurrence -> untouched
+    assert out[1]["clean_text"] == "a b c d e f g h tail one"
+    assert out[1]["n_tokens_dropped"] == 0
+    # doc 2's copy of the span is cut, its unique prefix survives
+    assert out[2]["clean_text"] == "prefix two"
+    assert out[2]["n_tokens_dropped"] == 8
+    # doc 3: cross-doc dup AND an internal repeat both cut; the first
+    # occurrence of its own 'x y z ...' windows is the kept copy
+    assert out[3]["clean_text"] == "x y z"
+    assert (out[3]["n_tokens"], out[3]["n_tokens_dropped"]) == (22, 19)
+    # shorter than the window -> no windows, untouched
+    assert out[4]["n_tokens_dropped"] == 0
+
+
+def test_span_dedup_keep_first_false_cuts_all_copies(spark):
+    from rdw_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g h"),
+        ]
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in D.remove_duplicated_spans(docs, n=8, keep_first=False).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_duplicated_spans_flags_positions_not_first(spark):
+    from rdw_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=7, text="q w e r t y u i"),
+            Row(doc_id=9, text="pad q w e r t y u i"),
+        ]
+    )
+    got = [(r["doc_id"], r["pos"]) for r in D.duplicated_spans(docs, n=8).collect()]
+    assert got == [(9, 1)]
+
+
+def test_bigram_lm_scores_hand_check(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat"),
+            Row(doc_id=2, text="the cat ran"),
+            Row(doc_id=3, text="the dog sat the cat"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.bigram_lm_scores(docs).collect()}
+    # corpus model: c(the,cat)=3 c(the,dog)=1 -> c(the,.)=4;
+    # c(cat,sat)=1 c(cat,ran)=1 -> c(cat,.)=2
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_bigram_prob"] == (3 / 4 + 1 / 2) / 2
+    assert out[1]["min_bigram_prob"] == 0.5
+    assert out[1]["n_unique_bigrams"] == 1  # (cat,sat) occurs once
+    # scrambled word order craters the conditional score even though the
+    # unigram stats are unchanged
+    assert out[3]["min_bigram_prob"] == 0.25
+
+
+def test_bigram_lm_normalizes_and_skips_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The CAT, sat!"),
+            Row(doc_id=2, text="the cat sat"),
+            Row(doc_id=3, text="word"),
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.bigram_lm_scores(docs).collect()}
+    # normalization makes docs 1 and 2 identical -> identical scores, and
+    # every bigram has corpus frequency 2 (prob 1.0 transitions)
+    assert out[1]["avg_bigram_prob"] == out[2]["avg_bigram_prob"] == 1.0
+    assert out[1]["n_unique_bigrams"] == 0
+    # single-token and whitespace docs yield no row
+    assert set(out) == {1, 2}
