@@ -592,3 +592,73 @@ class TestValidatorCli:
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 1 and "INVALID" in r.stdout
+
+
+class TestDocSource:
+    def _write(self, tmp_path, name, lines):
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_jsonl_accept_reject_split(self, spark, tmp_path):
+        from rdw_spark.sources import docsource as DS
+
+        path = self._write(tmp_path, "docs.jsonl", [
+            '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+            '{"doc_id": 2, "text": "", "lang": "en", "source": "web"}',
+            '{"doc_id": null, "text": "orphan text"}',
+            'this is not json at all {',
+            '{"doc_id": 5, "text": "second good row"}',
+        ])
+        out = DS.read_documents_jsonl(spark, path)
+        docs = {r["doc_id"]: r for r in out["docs"].collect()}
+        assert set(docs) == {1, 5}
+        assert docs[1]["lang"] == "en"
+        rejects = {r["reject_reason"] for r in out["rejects"].collect()}
+        assert rejects == {"malformed", "empty_text", "null_id"}
+        # the raw malformed line is preserved for replay
+        raw = [r["_corrupt_record"] for r in out["rejects"].collect()
+               if r["reject_reason"] == "malformed"]
+        assert raw == ["this is not json at all {"]
+
+    def test_jsonl_gz_and_derived_ids(self, spark, tmp_path):
+        import gzip
+
+        from rdw_spark.sources import docsource as DS
+
+        p = tmp_path / "shard-00000.jsonl.gz"
+        with gzip.open(p, "wt") as f:
+            f.write('{"text": "alpha beta"}\n{"text": "gamma delta"}\n'
+                    '{"text": "alpha beta"}\n')
+        out = DS.read_documents_jsonl(spark, str(p), derive_ids=True)
+        rows = out["docs"].select("doc_id", "text").collect()
+        # fully-identical rows collapse to one document at read time
+        assert sorted(r["text"] for r in rows) == ["alpha beta", "gamma delta"]
+        assert len({r["doc_id"] for r in rows}) == 2
+        assert out["rejects"].count() == 0
+
+    def test_csv_accept_reject_split(self, spark, tmp_path):
+        from rdw_spark.sources import docsource as DS
+
+        path = self._write(tmp_path, "docs.csv", [
+            "doc_id,text,lang,source",
+            "1,first doc,en,web",
+            "2,,en,web",
+            "not_a_number,bad id row,en,web",
+        ])
+        out = DS.read_documents_csv(spark, path)
+        assert [r["doc_id"] for r in out["docs"].collect()] == [1]
+        reasons = sorted(r["reject_reason"] for r in out["rejects"].collect())
+        assert reasons == ["empty_text", "malformed"]
+
+    def test_jsonl_feeds_the_corpus_pipeline(self, spark, tmp_path):
+        from rdw_spark.operators import dedup as D
+        from rdw_spark.sources import docsource as DS
+
+        path = self._write(tmp_path, "pipe.jsonl", [
+            '{"text": "one two three four"}',
+            '{"text": "one two three four"}',
+            '{"text": "five six seven eight"}',
+        ])
+        docs = DS.read_documents_jsonl(spark, path, derive_ids=True)["docs"]
+        assert D.dedup_exact(docs).count() == 2
