@@ -7,7 +7,9 @@ Stages (each the scale-path variant):
   2. exact dedup      — one digest shuffle, min-id canonical
   3. near-dup resolve — MinHash-LSH pairs -> connected components ->
                         keep the min-id canonical per cluster
-  4. train/eval split — deterministic keyed split (contamination guard)
+  4. span surgery     — (opt-in) duplicated token windows cut from the
+                        survivors, one global copy kept
+  5. train/eval split — deterministic keyed split (contamination guard)
 
 Returns the per-stage survivor counts alongside the final frames so a
 run is auditable end to end (how many docs each stage dropped and why is
@@ -42,6 +44,7 @@ def build_corpus(
     embeddings: DataFrame | None = None,
     cosine_threshold: float = 0.95,
     embedding_block_bits: int = 8,
+    span_dedup_n: int | None = None,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -67,7 +70,14 @@ def build_corpus(
     (``embedding_block_bits`` sign-projections — the documented blocking
     path, never an unblocked cross join), unioned with the MinHash pairs
     before the one cluster resolution, so paraphrases the lexical path
-    can't see collapse into the same clusters."""
+    can't see collapse into the same clusters.
+
+    ``span_dedup_n`` switches on span-level substring surgery AFTER the
+    document-level stages (doc-level dedup first — a whole-doc duplicate
+    should drop as one unit, not be shredded window by window): duplicated
+    ``span_dedup_n``-token windows are cut out of the surviving documents
+    (one global copy kept), and documents left empty by the cut drop with
+    stage ``span_dedup``."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
     _tl = [("start", _time.perf_counter())]
@@ -197,6 +207,25 @@ def build_corpus(
     n3d = kept_n.count() if eval_benchmarks is not None else n3
     _tl.append(("decontam", _time.perf_counter()))
 
+    n_span_docs, sp = 0, None
+    if span_dedup_n is not None:
+        sp = D.remove_duplicated_spans(kept_n, n=span_dedup_n, id_col=id_col)
+        sp = sp.cache()  # feeds the affected count, the drop rows, AND kept
+        n_span_docs = sp.filter("n_tokens_dropped > 0").count()
+        emptied = sp.filter(F.trim(F.col("clean_text")) == "")
+        extra_drops.append(emptied.select(
+            F.col(id_col), F.lit("span_dedup").alias("stage"),
+            F.col("n_tokens_dropped").cast("string").alias("detail"),
+        ))
+        kept_n = (
+            sp.filter(F.trim(F.col("clean_text")) != "")
+            .drop("text")
+            .withColumnRenamed("clean_text", "text")
+            .select(docs.columns)
+        )
+    n3s = kept_n.count() if span_dedup_n is not None else n3d
+    _tl.append(("span_dedup", _time.perf_counter()))
+
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
     for extra in extra_drops:
@@ -210,6 +239,8 @@ def build_corpus(
     # caller (returned frames recompute from source if re-consumed)
     q.unpersist()
     exact.unpersist()
+    if sp is not None:
+        sp.unpersist()
     return {
         "train": train,
         "eval": ev,
@@ -223,6 +254,8 @@ def build_corpus(
             "after_near_dedup": n3,
             "semantic_pairs": n_sem_pairs,
             "after_decontam": n3d,
+            "span_affected": n_span_docs,
+            "after_span_dedup": n3s,
             "train": counts_train,
             "eval": counts_eval,
         },

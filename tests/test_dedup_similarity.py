@@ -539,7 +539,8 @@ def test_build_corpus_reports_stage_timings(spark, sf_dir):
     out = build_corpus(docs, minhash_threshold=0.5)
     t = out["timings"]
     assert set(t) == {"input_count", "quality", "repetition", "pii",
-                      "exact_dedup", "near_dedup", "decontam", "split"}
+                      "exact_dedup", "near_dedup", "decontam", "span_dedup",
+                      "split"}
     assert all(v >= 0 for v in t.values())
     # disabled stages cost (almost) nothing; real stages took some time
     assert t["near_dedup"] > 0
@@ -589,3 +590,41 @@ def test_build_corpus_semantic_dedup_stage(spark):
         r["doc_id"] for r in out2["eval"].collect()
     }
     assert s2 == {1, 2, 3}
+
+
+def test_build_corpus_span_dedup_stage(spark):
+    """Span surgery after doc-level dedup: a shared 8-token run is cut
+    from the later doc (its unique remainder survives), a doc that IS
+    nothing but the duplicated span drops, and doc-level duplicates still
+    resolve as whole docs first."""
+    from pyspark.sql import Row
+
+    from rdw_spark.plans.corpus import build_corpus
+
+    span = "p q r s t u v w"
+    uniq1 = " ".join(f"one{i}" for i in range(20))
+    uniq2 = " ".join(f"two{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=uniq1 + " " + span),   # first span copy: kept
+        Row(doc_id=2, text=uniq2 + " " + span),   # later copy: span cut
+        Row(doc_id=3, text=span),                 # nothing but the span: drops
+    ])
+    thresholds = {"min_chars": 5, "min_tokens": 3, "max_punct_ratio": 1.0,
+                  "min_alpha_ratio": 0.0, "min_avg_token_len": 0.0}
+    out = build_corpus(
+        docs, quality_thresholds=thresholds, minhash_threshold=0.95,
+        eval_fraction=0.0, span_dedup_n=8,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out["train"].collect()}
+    assert texts[1] == uniq1 + " " + span
+    assert texts[2] == uniq2
+    assert 3 not in texts
+    drops = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
+    assert drops[3] == "span_dedup"
+    assert out["counts"]["span_affected"] == 2
+    assert out["counts"]["after_span_dedup"] == 2
+    # default path is unchanged: no span stage, all three survive
+    out2 = build_corpus(docs, quality_thresholds=thresholds,
+                        minhash_threshold=0.95, eval_fraction=0.0)
+    assert out2["counts"]["after_span_dedup"] == out2["counts"]["after_decontam"]
+    assert out2["train"].count() == 3
