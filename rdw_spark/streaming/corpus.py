@@ -55,7 +55,8 @@ Exactly-once by composition, every layer idempotent under replay:
 State is six partition-store tables under ``out_root``:
   drops/     — (doc_id, stage, detail): the batch drop_report's streaming
                twin — why each non-surviving doc fell out (quality,
-               exact_dup, near_dup, or merged-away canonical)
+               exact_dup, near_dup, merged-away canonical, or — for JSONL
+               input — rejected lines under negative synthetic ids)
   corpus/    — the deduped documents, partitioned by source
   fpindex/   — (digest, canonical_id), partitioned by 3-hex-char digest
                prefix (4096 buckets) so the per-batch probe join reads
@@ -216,8 +217,9 @@ def stream_corpus_build(
     threshold: float = 0.7,
     quality_thresholds: dict | None = None,
     repetition_thresholds: dict | None = None,
+    input_format: str = "parquet",
 ):
-    """Watch ``landing_dir`` for parquet drops in the documents schema,
+    """Watch ``landing_dir`` for document drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
     near-dup unless ``near_dup=False``), and append the survivors.
     ``quality_thresholds`` switches on the quality stage (pass ``{}`` for
@@ -225,7 +227,15 @@ def stream_corpus_build(
     (keys ``max_dup_line_frac``/``max_top_gram_frac``) switches on the
     Gopher-style repetition stage, both matching the batch
     ``build_corpus`` semantics; None skips either. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``input_format="jsonl"`` watches for JSONL shards instead (the
+    training-data interchange format — ``sources/docsource.py`` is the
+    batch twin): explicit schema (no inference), PERMISSIVE parse, and
+    the same accept/reject contract — malformed lines and rows with
+    null/blank text or null id land in the ``drops`` table with stage
+    ``rejected`` instead of killing the stream or vanishing; a missing
+    ``n_chars`` is derived from the text."""
     tables = corpus_tables(out_root)
     corpus, fpindex = tables["corpus"], tables["fpindex"]
     bandindex, sigindex, clusters, drops = (
@@ -233,11 +243,28 @@ def stream_corpus_build(
         tables["drops"],
     )
 
-    raw = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(landing_dir)
-    )
+    if input_format == "parquet":
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(landing_dir)
+        )
+    elif input_format == "jsonl":
+        in_schema = T.StructType(
+            list(DOC_SCHEMA.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        raw = (
+            spark.readStream.schema(in_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .json(landing_dir)
+        )
+    else:
+        raise ValueError(
+            f"input_format must be 'parquet' or 'jsonl', got {input_format!r}"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -245,6 +272,46 @@ def stream_corpus_build(
         s = batch_df.sparkSession
         docs = batch_df
         drop_frames: list[DataFrame] = []
+        if "_corrupt_record" in docs.columns:
+            # JSONL accept/reject split (the docsource contract): rejects
+            # are accounted, never silently dropped, never stream-fatal
+            reason = (
+                F.when(F.col("_corrupt_record").isNotNull(), F.lit("malformed"))
+                .when(F.col("text").isNull() | (F.trim("text") == ""),
+                      F.lit("empty_text"))
+                .when(F.col("doc_id").isNull(), F.lit("null_id"))
+            )
+            tagged = docs.withColumn("_reject", reason)
+            rej = tagged.filter(F.col("_reject").isNotNull())
+            # id-less rejects (malformed / null_id) get a deterministic
+            # NEGATIVE synthetic key — content-hashed so a replayed batch
+            # upserts the same rows (idempotent), negative so it can never
+            # collide with a real doc_id; byte-identical reject lines are
+            # one fact and collapse to one record
+            rid = -F.pmod(
+                F.xxhash64(
+                    F.coalesce(F.col("_corrupt_record"), F.lit("")),
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.coalesce(F.col("lang"), F.lit("")),
+                    F.coalesce(F.col("source"), F.lit("")),
+                ),
+                F.lit(2 ** 62),
+            ) - 2
+            drop_frames.append(rej.select(
+                F.coalesce(F.col("doc_id"), rid).alias("doc_id"),
+                F.lit("rejected").alias("stage"),
+                F.col("_reject").alias("detail"),
+            ).dropDuplicates(["doc_id"]))
+            docs = (
+                tagged.filter(F.col("_reject").isNull())
+                .drop("_reject", "_corrupt_record")
+                .withColumn("n_chars", F.coalesce(
+                    F.col("n_chars"), F.length("text").cast("long")))
+            )
+            if docs.isEmpty():
+                if not rej.isEmpty():
+                    drops.merge_rows(s, drop_frames[0])
+                return
         if quality_thresholds is not None:
             q = quality_filter(docs, quality_thresholds)
             drop_frames.append(q.filter("NOT q_keep").select(

@@ -528,3 +528,53 @@ def test_maintain_corpus_compacts_and_preserves_state(spark, tmp_path):
     # something actually got folded or GC'd across the 3-batch history
     assert sum(r["compacted_partitions"] + r["removed_dirs"]
                for r in report.values()) > 0
+
+
+def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
+    """JSONL landing shards: good rows flow through the full dedup path,
+    malformed / empty-text / id-less lines land in the drops table with
+    stage 'rejected' (negative synthetic ids for the id-less ones), and
+    a replayed landing file stays idempotent via the same checkpoint."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "shard1.jsonl").write_text(
+        '{"doc_id": 1, "text": "the quick brown fox", "lang": "en", "source": "s0", "n_chars": 19}\n'
+        '{"doc_id": 2, "text": "another document entirely", "lang": "en", "source": "s0"}\n'
+        'not json at all {\n'
+        '{"doc_id": 3, "text": "", "lang": "en", "source": "s0"}\n'
+        '{"doc_id": null, "text": "orphan text"}\n'
+    )
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt,
+                            input_format="jsonl", near_dup=False)
+    q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    rows = {r["doc_id"]: r for r in t["corpus"].read(spark).collect()}
+    assert sorted(rows) == [1, 2]
+    # missing n_chars derived from the text
+    assert rows[2]["n_chars"] == len("another document entirely")
+    drops = t["drops"].read(spark).collect()
+    by_stage = {}
+    for r in drops:
+        by_stage.setdefault(r["detail"], []).append(r["doc_id"])
+    assert set(by_stage) == {"malformed", "empty_text", "null_id"}
+    assert by_stage["empty_text"] == [3]          # real id kept
+    assert all(i < 0 for i in by_stage["malformed"] + by_stage["null_id"])
+    assert all(r["stage"] == "rejected" for r in drops)
+
+    # second shard: a cross-batch exact dup dedups against the index
+    (landing / "shard2.jsonl").write_text(
+        '{"doc_id": 9, "text": "the quick brown fox", "lang": "en", "source": "s1"}\n'
+    )
+    q = stream_corpus_build(spark, str(landing), out_root, ckpt,
+                            input_format="jsonl", near_dup=False)
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2]
+    dmap = {r["doc_id"]: (r["stage"], r["detail"])
+            for r in t["drops"].read(spark).collect() if r["doc_id"] == 9}
+    assert dmap == {9: ("exact_dup", "1")}
