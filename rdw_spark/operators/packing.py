@@ -134,6 +134,96 @@ def shuffle_order(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    tokens_per_shard: int | None = None,
+    n_shards: int | None = None,
+    weight_col: str = "n_tokens",
+    order_col: str = "position",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: rows are laid out on the
+    global token stream in ``order_col`` order (the shuffle position) and
+    cut into shards of ~``tokens_per_shard`` tokens. A document belongs to
+    the shard its FIRST token lands in (start-of-doc rule), so shards are
+    contiguous ranges of the training order, documents never split across
+    shard files, and the assignment is a pure function of (order, weights)
+    — the same on any cluster layout, which is what makes a training run
+    resumable from the shard index alone.
+
+    Pass ``n_shards`` instead to derive ``tokens_per_shard`` as
+    ceil(total/n_shards) from one aggregate. Adds ``offset`` (global
+    stream offset) and ``out_col``; rows with non-positive weight drop
+    (they occupy no stream positions). One distributed prefix sum
+    (:func:`with_global_offset`) + map-only math — no text moves."""
+    if (tokens_per_shard is None) == (n_shards is None):
+        raise ValueError("pass exactly one of tokens_per_shard / n_shards")
+    d = df.filter(F.col(weight_col) > 0)
+    if tokens_per_shard is None:
+        total = d.agg(F.sum(weight_col)).first()[0]
+        if total is None:
+            return (
+                d.withColumn("offset", F.lit(0).cast("long"))
+                .withColumn(out_col, F.lit(0).cast("long"))
+            )
+        tokens_per_shard = -(-int(total) // int(n_shards))  # ceil div
+    if tokens_per_shard <= 0:
+        raise ValueError(f"tokens_per_shard must be positive, got {tokens_per_shard}")
+    d = with_global_offset(d, weight_col, order_col=order_col, out_col="offset")
+    return d.withColumn(
+        out_col, F.floor(F.col("offset") / tokens_per_shard).cast("long")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int | None = None,
+    n_shards: int | None = None,
+    weight_col: str = "n_tokens",
+    order_col: str = "position",
+) -> DataFrame:
+    """Materialize a shuffled corpus as training shards: assign shards
+    (:func:`assign_shards`), write ``shard=K/`` parquet directories under
+    ``out_dir``, and write + return the shard index (per shard: doc/token
+    counts and the position range) — the manifest a loader needs to plan
+    epochs without listing data files.
+
+    Write plan: one hash repartition on the shard id so each shard is
+    written by one task as one file — at the target scale size
+    ``tokens_per_shard`` to the file size you want (e.g. ~100M tokens
+    ≈ several hundred MB); for shards larger than one task should write,
+    set ``spark.sql.files.maxRecordsPerFile`` instead of shrinking shards.
+    Readers get per-shard partition pruning for free via the ``shard=``
+    directory key."""
+    d = assign_shards(
+        df, tokens_per_shard=tokens_per_shard, n_shards=n_shards,
+        weight_col=weight_col, order_col=order_col,
+    )
+    (
+        d.repartition(F.col("shard"))
+        .sortWithinPartitions(order_col)
+        .write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+    )
+    spark = df.sparkSession
+    index = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(weight_col).alias("n_tokens"),
+            F.min(order_col).alias("first_position"),
+            F.max(order_col).alias("last_position"),
+            F.min("offset").alias("first_offset"),
+        )
+        .orderBy("shard")
+    )
+    index.coalesce(1).write.mode("overwrite").parquet(
+        out_dir.rstrip("/") + "_index"
+    )
+    return index
+
+
 def token_budget_sample(
     df: DataFrame,
     stratum_col: str,

@@ -811,6 +811,48 @@ def pack_sequences_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_export_shards",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY substr(md5('sh0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                     doc_id) - 1 AS position
+        FROM t
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY position
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        FROM o
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(position AS BIGINT) AS position,
+           CAST(off AS BIGINT) AS offset,
+           CAST(off // 4000 AS BIGINT) AS shard
+    FROM c
+    """,
+    survey="ext: deterministic training-shard assignment — contiguous "
+           "ranges of the shuffled token stream cut at ~tokens_per_shard, "
+           "start-of-doc rule so documents never split across shard files; "
+           "one distributed prefix sum + map-only math (the physical "
+           "writer + shard index are pytest-verified in write_shards)",
+)
+def export_shards_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ordered = PK.shuffle_order(d, key_col="doc_id", seed="sh0")
+    return PK.assign_shards(ordered, tokens_per_shard=4000).select(
+        "doc_id", "n_tokens", "position", "offset", "shard"
+    )
+
+
+@register(
     "zz_text_token_rarity",
     oracle="""
     WITH toks AS (

@@ -121,6 +121,114 @@ def test_pack_sequences_spanning_and_chunks(spark):
     assert (out[4]["offset"], out[4]["first_seq"], out[4]["last_seq"]) == (130, 2, 3)
 
 
+def test_assign_shards_contiguous_and_balanced(spark):
+    """Shards are contiguous position ranges, token-balanced up to the
+    start-of-doc rule (a shard overflows by at most one document), and
+    the assignment is a pure function of (order, weights) — identical
+    under any input partitioning."""
+    import random
+
+    from rdw_spark.operators import packing as PK
+
+    rng = random.Random(11)
+    rows = [(i, i, rng.randint(1, 40)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, position long, n_tokens long"
+    )
+    tps = 250
+    out = sorted(
+        PK.assign_shards(df, tokens_per_shard=tps).collect(),
+        key=lambda r: r["position"],
+    )
+    # start-of-doc rule, checked against the serial model
+    run = 0
+    for r in out:
+        assert r["offset"] == run
+        assert r["shard"] == run // tps
+        run += r["n_tokens"]
+    # contiguity: shard ids are non-decreasing in position order
+    shards = [r["shard"] for r in out]
+    assert shards == sorted(shards)
+    # balance: each shard holds < tps tokens before its last doc starts
+    per = {}
+    for r in out:
+        per.setdefault(r["shard"], []).append(r["n_tokens"])
+    for toks in per.values():
+        assert sum(toks[:-1]) < tps
+    # repartition-independent
+    again = {
+        (r["doc_id"], r["shard"])
+        for r in PK.assign_shards(
+            df.repartition(13), tokens_per_shard=tps
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"]) for r in out}
+    # n_shards mode: ceil-divided target covers the stream with <= n shards
+    by_n = PK.assign_shards(df, n_shards=7)
+    assert by_n.select("shard").distinct().count() <= 7
+
+
+def test_assign_shards_arg_validation(spark):
+    import pytest
+
+    from rdw_spark.operators import packing as PK
+
+    df = spark.createDataFrame([(1, 1, 5)], "doc_id long, position long, n_tokens long")
+    with pytest.raises(ValueError):
+        PK.assign_shards(df)
+    with pytest.raises(ValueError):
+        PK.assign_shards(df, tokens_per_shard=100, n_shards=4)
+    with pytest.raises(ValueError):
+        PK.assign_shards(df, tokens_per_shard=0)
+
+
+def test_write_shards_layout_and_index(spark, tmp_path):
+    """The physical writer: shard=K/ directories each written as ONE file,
+    readable back losslessly with per-shard pruning, and the returned +
+    persisted index matches the written data."""
+    from rdw_spark.operators import packing as PK
+
+    rows = [(i, i, 10 + (i % 7)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, position long, n_tokens long"
+    )
+    out_dir = str(tmp_path / "shards")
+    index = PK.write_shards(df, out_dir, tokens_per_shard=300)
+
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 120
+    assert {r["doc_id"] for r in back.collect()} == {i for i in range(120)}
+
+    idx = {r["shard"]: r for r in index.collect()}
+    got = {
+        r["shard"]: r
+        for r in back.groupBy("shard").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"),
+            F.min("position").alias("first_position"),
+        ).collect()
+    }
+    assert set(idx) == set(got)
+    for k, r in got.items():
+        assert idx[k]["n_docs"] == r["n_docs"]
+        assert idx[k]["n_tokens"] == r["n_tokens"]
+        assert idx[k]["first_position"] == r["first_position"]
+    # index ranges tile the training order without overlap
+    ordered = sorted(idx.values(), key=lambda r: r["shard"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["first_position"] == a["last_position"] + 1
+
+    # one data file per shard directory (task-per-shard write plan)
+    import glob
+    import os
+
+    for d in glob.glob(os.path.join(out_dir, "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    # persisted index sidecar matches the returned one
+    side = spark.read.parquet(out_dir + "_index")
+    assert side.count() == index.count()
+
+
 def test_token_budget_sample_rates_and_determinism(spark):
     from rdw_spark.operators import packing as PK
 
