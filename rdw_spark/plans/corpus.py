@@ -45,6 +45,7 @@ def build_corpus(
     cosine_threshold: float = 0.95,
     embedding_block_bits: int = 8,
     span_dedup_n: int | None = None,
+    checkpoint_root: str | None = None,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -77,153 +78,269 @@ def build_corpus(
     should drop as one unit, not be shredded window by window): duplicated
     ``span_dedup_n``-token windows are cut out of the surviving documents
     (one global copy kept), and documents left empty by the cut drop with
-    stage ``span_dedup``."""
+    stage ``span_dedup``.
+
+    ``checkpoint_root`` makes the build RESUMABLE (``plans/stagestore``):
+    each completed stage's kept/drop frames persist under
+    ``root/<config-fingerprint>/<stage>/`` with a marker written last, a
+    re-run with the same root + config loads every completed stage and
+    computes only from the first missing one, and downstream stages read
+    the persisted parquet instead of the live lineage (a lineage cut — at
+    scale the 9-stage DAG never re-executes stage 1 per downstream
+    action). ``eval_fraction`` is deliberately OUTSIDE the fingerprint:
+    the split is map-only, so re-splitting reuses every dedup stage."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
+    ck = None
+    if checkpoint_root is not None:
+        from .stagestore import StageStore
+
+        ck = StageStore(docs.sparkSession, checkpoint_root, {
+            "pipeline": "build_corpus",
+            "quality_thresholds": quality_thresholds,
+            "minhash_threshold": minhash_threshold,
+            "id_col": id_col,
+            "has_benchmarks": eval_benchmarks is not None,
+            "decontam_ngram": decontam_ngram,
+            "decontam_min_common": decontam_min_common,
+            "repetition_thresholds": repetition_thresholds,
+            "pii_mode": pii_mode,
+            "has_embeddings": embeddings is not None,
+            "cosine_threshold": cosine_threshold,
+            "embedding_block_bits": embedding_block_bits,
+            "span_dedup_n": span_dedup_n,
+        })
+    _caches: list[DataFrame] = []
+
+    def _empty_drops() -> DataFrame:
+        return docs.select(F.col(id_col)).limit(0).select(
+            F.col(id_col), F.lit("").alias("stage"), F.lit("").alias("detail")
+        )
+
     _tl = [("start", _time.perf_counter())]
     n0 = docs.count()
     _tl.append(("input_count", _time.perf_counter()))
 
-    q = X.quality_filter(docs, quality_thresholds).cache()
-    kept_q = q.filter("q_keep").select(docs.columns)
-    drop_quality = q.filter("NOT q_keep").select(
-        F.col(id_col), F.lit("quality").alias("stage"),
-        F.concat_ws(",", "q_reasons").alias("detail"),
-    )
-    n1 = kept_q.count()
+    if ck is not None and ck.has("quality"):
+        fr = ck.load("quality", ["kept", "drops"])
+        kept_q, drop_quality = fr["kept"], fr["drops"]
+        n1 = ck.stats("quality")["n_kept"]
+    else:
+        q = X.quality_filter(docs, quality_thresholds).cache()
+        _caches.append(q)
+        kept_q = q.filter("q_keep").select(docs.columns)
+        drop_quality = q.filter("NOT q_keep").select(
+            F.col(id_col), F.lit("quality").alias("stage"),
+            F.concat_ws(",", "q_reasons").alias("detail"),
+        )
+        n1 = kept_q.count()
+        if ck is not None:
+            fr = ck.save("quality", {"kept": kept_q, "drops": drop_quality},
+                         {"n_kept": n1})
+            kept_q, drop_quality = fr["kept"], fr["drops"]
     _tl.append(("quality", _time.perf_counter()))
 
     extra_drops: list[DataFrame] = []
+    n1r = n1
     if repetition_thresholds is not None:
-        t = {"max_dup_line_frac": 0.3, "max_top_gram_frac": 0.2,
-             **repetition_thresholds}
-        rep = X.repetition_features(kept_q).select(id_col, "rep_dup_line_frac")
-        top = X.top_ngram_repetition(kept_q).select(id_col, "top_gram_frac")
-        bad = (
-            rep.join(top, id_col, "left")
-            .filter(
-                (F.col("rep_dup_line_frac") > t["max_dup_line_frac"])
-                | (F.col("top_gram_frac") > t["max_top_gram_frac"])
+        if ck is not None and ck.has("repetition"):
+            fr = ck.load("repetition", ["kept", "drops"])
+            kept_q = fr["kept"]
+            extra_drops.append(fr["drops"])
+            n1r = ck.stats("repetition")["n_kept"]
+        else:
+            t = {"max_dup_line_frac": 0.3, "max_top_gram_frac": 0.2,
+                 **repetition_thresholds}
+            rep = X.repetition_features(kept_q).select(id_col, "rep_dup_line_frac")
+            top = X.top_ngram_repetition(kept_q).select(id_col, "top_gram_frac")
+            bad = (
+                rep.join(top, id_col, "left")
+                .filter(
+                    (F.col("rep_dup_line_frac") > t["max_dup_line_frac"])
+                    | (F.col("top_gram_frac") > t["max_top_gram_frac"])
+                )
             )
-        )
-        extra_drops.append(bad.select(
-            F.col(id_col), F.lit("repetition").alias("stage"),
-            F.concat_ws(
-                ",", F.round("rep_dup_line_frac", 4).cast("string"),
-                F.round("top_gram_frac", 4).cast("string"),
-            ).alias("detail"),
-        ))
-        kept_q = kept_q.join(bad.select(id_col), id_col, "left_anti")
-    n1r = kept_q.count() if repetition_thresholds is not None else n1
+            drop_rep = bad.select(
+                F.col(id_col), F.lit("repetition").alias("stage"),
+                F.concat_ws(
+                    ",", F.round("rep_dup_line_frac", 4).cast("string"),
+                    F.round("top_gram_frac", 4).cast("string"),
+                ).alias("detail"),
+            )
+            kept_q = kept_q.join(bad.select(id_col), id_col, "left_anti")
+            n1r = kept_q.count()
+            if ck is not None:
+                fr = ck.save("repetition", {"kept": kept_q, "drops": drop_rep},
+                             {"n_kept": n1r})
+                kept_q, drop_rep = fr["kept"], fr["drops"]
+            extra_drops.append(drop_rep)
     _tl.append(("repetition", _time.perf_counter()))
 
     n_pii = 0
     if pii_mode is not None:
-        scan = X.pii_scan(kept_q, id_col=id_col)
-        if pii_mode == "drop":
-            hits = scan.filter("pii_total > 0")
-            extra_drops.append(hits.select(
-                F.col(id_col), F.lit("pii").alias("stage"),
-                F.concat_ws(
-                    ",", F.col("n_email").cast("string"),
-                    F.col("n_ssn").cast("string"),
-                    F.col("n_phone").cast("string"),
-                    F.col("n_ipv4").cast("string"),
-                ).alias("detail"),
-            ))
-            n_pii = hits.count()
-            kept_q = kept_q.join(hits.select(id_col), id_col, "left_anti")
-        else:  # redact: rewrite text in place, nothing drops
-            n_pii = scan.filter("pii_total > 0").count()
-            kept_q = (
-                kept_q.drop("text")
-                .join(scan.select(id_col, F.col("pii_redacted").alias("text")),
-                      id_col)
-                .select(docs.columns)
-            )
+        if ck is not None and ck.has("pii"):
+            fr = ck.load("pii", ["kept", "drops"])
+            kept_q = fr["kept"]
+            if pii_mode == "drop":
+                extra_drops.append(fr["drops"])
+            n_pii = ck.stats("pii")["n_pii"]
+        else:
+            scan = X.pii_scan(kept_q, id_col=id_col)
+            drop_pii = _empty_drops()
+            if pii_mode == "drop":
+                hits = scan.filter("pii_total > 0")
+                drop_pii = hits.select(
+                    F.col(id_col), F.lit("pii").alias("stage"),
+                    F.concat_ws(
+                        ",", F.col("n_email").cast("string"),
+                        F.col("n_ssn").cast("string"),
+                        F.col("n_phone").cast("string"),
+                        F.col("n_ipv4").cast("string"),
+                    ).alias("detail"),
+                )
+                n_pii = hits.count()
+                kept_q = kept_q.join(hits.select(id_col), id_col, "left_anti")
+            else:  # redact: rewrite text in place, nothing drops
+                n_pii = scan.filter("pii_total > 0").count()
+                kept_q = (
+                    kept_q.drop("text")
+                    .join(scan.select(id_col, F.col("pii_redacted").alias("text")),
+                          id_col)
+                    .select(docs.columns)
+                )
+            if ck is not None:
+                fr = ck.save("pii", {"kept": kept_q, "drops": drop_pii},
+                             {"n_pii": n_pii})
+                kept_q, drop_pii = fr["kept"], fr["drops"]
+            if pii_mode == "drop":
+                extra_drops.append(drop_pii)
 
-    exact = D.exact_duplicates(kept_q, id_col=id_col).cache()
-    kept_e = kept_q.join(
-        exact.filter("is_canonical").select(id_col), id_col, "left_semi"
-    )
-    drop_exact = exact.filter("NOT is_canonical").select(
-        F.col(id_col), F.lit("exact_dup").alias("stage"),
-        F.col("canonical_id").cast("string").alias("detail"),
-    )
-    _tl.append(("pii", _time.perf_counter()))
-    n2 = kept_e.count()
+    if ck is not None and ck.has("exact"):
+        fr = ck.load("exact", ["kept", "drops"])
+        kept_e, drop_exact = fr["kept"], fr["drops"]
+        n2 = ck.stats("exact")["n_kept"]
+        _tl.append(("pii", _time.perf_counter()))
+    else:
+        exact = D.exact_duplicates(kept_q, id_col=id_col).cache()
+        _caches.append(exact)
+        kept_e = kept_q.join(
+            exact.filter("is_canonical").select(id_col), id_col, "left_semi"
+        )
+        drop_exact = exact.filter("NOT is_canonical").select(
+            F.col(id_col), F.lit("exact_dup").alias("stage"),
+            F.col("canonical_id").cast("string").alias("detail"),
+        )
+        _tl.append(("pii", _time.perf_counter()))
+        n2 = kept_e.count()
+        if ck is not None:
+            fr = ck.save("exact", {"kept": kept_e, "drops": drop_exact},
+                         {"n_kept": n2})
+            kept_e, drop_exact = fr["kept"], fr["drops"]
     _tl.append(("exact_dedup", _time.perf_counter()))
 
-    pairs = D.minhash_dedup_pairs(kept_e, threshold=minhash_threshold,
-                                  id_col=id_col).select("a", "b")
-    n_sem_pairs = 0
-    if embeddings is not None:
-        from ..operators.similarity import srp_bucket
+    if ck is not None and ck.has("near"):
+        fr = ck.load("near", ["kept", "drops"])
+        kept_n, drop_near = fr["kept"], fr["drops"]
+        st = ck.stats("near")
+        n3, n_sem_pairs = st["n_kept"], st["n_sem_pairs"]
+    else:
+        pairs = D.minhash_dedup_pairs(kept_e, threshold=minhash_threshold,
+                                      id_col=id_col).select("a", "b")
+        n_sem_pairs = 0
+        if embeddings is not None:
+            from ..operators.similarity import srp_bucket
 
-        emb = embeddings.join(kept_e.select(id_col), id_col, "left_semi")
-        first = emb.select("embedding").first()
-        if first is not None:
-            emb = emb.withColumn(
-                "_blk", srp_bucket(F.col("embedding"),
-                                   bits=embedding_block_bits,
-                                   dim=len(first[0])),
+            emb = embeddings.join(kept_e.select(id_col), id_col, "left_semi")
+            first = emb.select("embedding").first()
+            if first is not None:
+                emb = emb.withColumn(
+                    "_blk", srp_bucket(F.col("embedding"),
+                                       bits=embedding_block_bits,
+                                       dim=len(first[0])),
+                )
+                sem = D.embedding_near_duplicates(
+                    emb, cosine_threshold, id_col=id_col, vec_col="embedding",
+                    block_col="_blk",
+                ).select("a", "b")
+                n_sem_pairs = sem.count()
+                pairs = pairs.unionByName(sem).distinct()
+        kept_n = D.dedup_corpus(kept_e, pairs, id_col=id_col)
+        cc = D.connected_components(pairs)
+        drop_near = (
+            cc.filter(F.col("node") != F.col("cluster_id"))
+            .select(
+                F.col("node").alias(id_col), F.lit("near_dup").alias("stage"),
+                F.col("cluster_id").cast("string").alias("detail"),
             )
-            sem = D.embedding_near_duplicates(
-                emb, cosine_threshold, id_col=id_col, vec_col="embedding",
-                block_col="_blk",
-            ).select("a", "b")
-            n_sem_pairs = sem.count()
-            pairs = pairs.unionByName(sem).distinct()
-    kept_n = D.dedup_corpus(kept_e, pairs, id_col=id_col)
-    cc = D.connected_components(pairs)
-    drop_near = (
-        cc.filter(F.col("node") != F.col("cluster_id"))
-        .select(
-            F.col("node").alias(id_col), F.lit("near_dup").alias("stage"),
-            F.col("cluster_id").cast("string").alias("detail"),
         )
-    )
-    n3 = kept_n.count()
+        n3 = kept_n.count()
+        if ck is not None:
+            fr = ck.save("near", {"kept": kept_n, "drops": drop_near},
+                         {"n_kept": n3, "n_sem_pairs": n_sem_pairs})
+            kept_n, drop_near = fr["kept"], fr["drops"]
     _tl.append(("near_dedup", _time.perf_counter()))
 
+    drop_contam = None
+    n3d = n3
     if eval_benchmarks is not None:
-        from ..operators.decontam import decontaminate
+        if ck is not None and ck.has("decontam"):
+            fr = ck.load("decontam", ["kept", "drops"])
+            kept_n, drop_contam = fr["kept"], fr["drops"]
+            n3d = ck.stats("decontam")["n_kept"]
+        else:
+            from ..operators.decontam import decontaminate
 
-        res = decontaminate(
-            kept_n, eval_benchmarks, n=decontam_ngram,
-            min_common=decontam_min_common, id_col=id_col,
-            broadcast_eval=True,  # benchmark sets are tiny next to the corpus
-        )
-        kept_n = res["clean"]
-        drop_contam = res["dropped"].select(
-            F.col(id_col), F.lit("contaminated").alias("stage"),
-            F.concat_ws(
-                ",", F.col("n_eval_docs").cast("string"),
-                F.col("n_common_total").cast("string"),
-            ).alias("detail"),
-        )
-    else:
-        drop_contam = None
-    n3d = kept_n.count() if eval_benchmarks is not None else n3
+            res = decontaminate(
+                kept_n, eval_benchmarks, n=decontam_ngram,
+                min_common=decontam_min_common, id_col=id_col,
+                broadcast_eval=True,  # benchmark sets are tiny next to the corpus
+            )
+            kept_n = res["clean"]
+            drop_contam = res["dropped"].select(
+                F.col(id_col), F.lit("contaminated").alias("stage"),
+                F.concat_ws(
+                    ",", F.col("n_eval_docs").cast("string"),
+                    F.col("n_common_total").cast("string"),
+                ).alias("detail"),
+            )
+            n3d = kept_n.count()
+            if ck is not None:
+                fr = ck.save("decontam", {"kept": kept_n, "drops": drop_contam},
+                             {"n_kept": n3d})
+                kept_n, drop_contam = fr["kept"], fr["drops"]
     _tl.append(("decontam", _time.perf_counter()))
 
-    n_span_docs, sp = 0, None
+    n_span_docs = 0
+    n3s = n3d
     if span_dedup_n is not None:
-        sp = D.remove_duplicated_spans(kept_n, n=span_dedup_n, id_col=id_col)
-        sp = sp.cache()  # feeds the affected count, the drop rows, AND kept
-        n_span_docs = sp.filter("n_tokens_dropped > 0").count()
-        emptied = sp.filter(F.trim(F.col("clean_text")) == "")
-        extra_drops.append(emptied.select(
-            F.col(id_col), F.lit("span_dedup").alias("stage"),
-            F.col("n_tokens_dropped").cast("string").alias("detail"),
-        ))
-        kept_n = (
-            sp.filter(F.trim(F.col("clean_text")) != "")
-            .drop("text")
-            .withColumnRenamed("clean_text", "text")
-            .select(docs.columns)
-        )
-    n3s = kept_n.count() if span_dedup_n is not None else n3d
+        if ck is not None and ck.has("span"):
+            fr = ck.load("span", ["kept", "drops"])
+            kept_n = fr["kept"]
+            extra_drops.append(fr["drops"])
+            st = ck.stats("span")
+            n_span_docs, n3s = st["n_span_docs"], st["n_kept"]
+        else:
+            sp = D.remove_duplicated_spans(kept_n, n=span_dedup_n, id_col=id_col)
+            sp = sp.cache()  # feeds the affected count, the drop rows, AND kept
+            _caches.append(sp)
+            n_span_docs = sp.filter("n_tokens_dropped > 0").count()
+            emptied = sp.filter(F.trim(F.col("clean_text")) == "")
+            drop_span = emptied.select(
+                F.col(id_col), F.lit("span_dedup").alias("stage"),
+                F.col("n_tokens_dropped").cast("string").alias("detail"),
+            )
+            kept_n = (
+                sp.filter(F.trim(F.col("clean_text")) != "")
+                .drop("text")
+                .withColumnRenamed("clean_text", "text")
+                .select(docs.columns)
+            )
+            n3s = kept_n.count()
+            if ck is not None:
+                fr = ck.save("span", {"kept": kept_n, "drops": drop_span},
+                             {"n_span_docs": n_span_docs, "n_kept": n3s})
+                kept_n, drop_span = fr["kept"], fr["drops"]
+            extra_drops.append(drop_span)
     _tl.append(("span_dedup", _time.perf_counter()))
 
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
@@ -237,10 +354,8 @@ def build_corpus(
     # the caches only serve the multi-consumer stage fan-out above; every
     # count is materialized by now, so don't pin executor memory for the
     # caller (returned frames recompute from source if re-consumed)
-    q.unpersist()
-    exact.unpersist()
-    if sp is not None:
-        sp.unpersist()
+    for c in _caches:
+        c.unpersist()
     return {
         "train": train,
         "eval": ev,

@@ -328,6 +328,130 @@ def test_build_corpus_end_to_end(spark, sf_dir):
     # dedicated exact/minhash tests; sf0.001 has no exact dups to drop here
 
 
+def test_build_corpus_checkpointed_parity_and_resume(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """checkpoint_root: a checkpointed run equals the plain run; a resumed
+    run loads every completed stage WITHOUT recomputing (the heavy
+    operators are poisoned to prove it); changing only the split fraction
+    reuses all dedup stages; changing a dedup knob lands in a fresh
+    namespace and recomputes."""
+    import pytest
+
+    from rdw_spark.io import load_table
+    from rdw_spark.plans import corpus as CP
+
+    root = str(tmp_path / "ck")
+    docs = load_table(spark, sf_dir, "documents")
+    plain = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1)
+    ckrun = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1,
+                            checkpoint_root=root)
+
+    def ids(o, k):
+        return {r["doc_id"] for r in o[k].select("doc_id").collect()}
+
+    def dropset(o):
+        return {(r["doc_id"], r["stage"]) for r in o["drop_report"].collect()}
+
+    assert ckrun["counts"] == plain["counts"]
+    assert ids(ckrun, "train") == ids(plain, "train")
+    assert ids(ckrun, "eval") == ids(plain, "eval")
+    assert dropset(ckrun) == dropset(plain)
+
+    def boom(*a, **k):
+        raise AssertionError("stage recomputed despite checkpoint")
+
+    monkeypatch.setattr(CP.X, "quality_filter", boom)
+    monkeypatch.setattr(CP.D, "exact_duplicates", boom)
+    monkeypatch.setattr(CP.D, "minhash_dedup_pairs", boom)
+    resumed = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1,
+                              checkpoint_root=root)
+    assert resumed["counts"] == plain["counts"]
+    assert ids(resumed, "train") == ids(plain, "train")
+    assert dropset(resumed) == dropset(plain)
+
+    # eval_fraction is outside the fingerprint: re-splitting reuses dedup
+    refrac = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.3,
+                             checkpoint_root=root)
+    assert (refrac["counts"]["after_near_dedup"]
+            == plain["counts"]["after_near_dedup"])
+    assert (refrac["counts"]["train"] + refrac["counts"]["eval"]
+            == plain["counts"]["after_near_dedup"])
+
+    # a changed dedup knob = different fingerprint = stages recompute
+    with pytest.raises(AssertionError, match="recomputed"):
+        CP.build_corpus(docs, minhash_threshold=0.7, eval_fraction=0.1,
+                        checkpoint_root=root)
+
+
+def test_build_corpus_checkpoint_resumes_after_midstage_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A writer that dies mid-stage leaves no _COMPLETE marker: the retry
+    loads every stage before it and recomputes only from the torn stage
+    on (the partial dir is overwritten, never trusted)."""
+    import glob
+    import os
+
+    from rdw_spark.io import load_table
+    from rdw_spark.plans import corpus as CP
+
+    root = str(tmp_path / "ck")
+    docs = load_table(spark, sf_dir, "documents")
+    full = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1,
+                           checkpoint_root=root)
+    # materialize the baseline NOW: the retry below rewrites the near-stage
+    # parquet, so the first run's captured file listing goes stale
+    full_train = {r["doc_id"] for r in full["train"].collect()}
+    markers = glob.glob(os.path.join(root, "*", "near", "_COMPLETE"))
+    assert len(markers) == 1
+    os.remove(markers[0])  # simulate a crash between write and publish
+
+    def boom(*a, **k):
+        raise AssertionError("pre-crash stage recomputed")
+
+    monkeypatch.setattr(CP.X, "quality_filter", boom)
+    monkeypatch.setattr(CP.D, "exact_duplicates", boom)
+    resumed = CP.build_corpus(docs, minhash_threshold=0.5, eval_fraction=0.1,
+                              checkpoint_root=root)
+    assert resumed["counts"] == full["counts"]
+    assert {r["doc_id"] for r in resumed["train"].collect()} == full_train
+
+
+def test_build_corpus_checkpointed_optional_stages(spark, tmp_path):
+    """The optional stages (repetition / pii / span) checkpoint and resume
+    too — including the empty-drops frame pii-redact writes — and the
+    resumed drop report carries the optional-stage rows."""
+    from rdw_spark.plans import corpus as CP
+
+    rep_text = "dup line\n" * 30
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 8, "en", "s0"),
+            (2, "an entirely different document about ships and sails " * 8, "en", "s0"),
+            (3, rep_text, "en", "s0"),
+            (4, "contact me at someone@example.com for details " * 8, "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    root = str(tmp_path / "ck")
+    kwargs = dict(
+        quality_thresholds={}, repetition_thresholds={}, pii_mode="redact",
+        minhash_threshold=0.5, eval_fraction=0.25, span_dedup_n=8,
+    )
+    first = CP.build_corpus(docs, checkpoint_root=root, **kwargs)
+    assert first["counts"]["pii_affected"] == 1
+    again = CP.build_corpus(docs, checkpoint_root=root, **kwargs)
+    assert again["counts"] == first["counts"]
+    stages = {r["stage"] for r in again["drop_report"].collect()}
+    assert "repetition" in stages
+    # the redacted text survived the checkpoint round-trip
+    surv = again["train"].unionByName(again["eval"])
+    redacted = surv.filter(F.col("doc_id") == 4).select("text").collect()
+    if redacted:  # doc 4 may legitimately fall to a dedup stage
+        assert "someone@example.com" not in redacted[0][0]
+
+
 def test_repetition_features_planted(spark):
     """Gopher line-repetition signals on crafted docs: duplicate and empty
     lines counted exactly; docs with no lines score 0, not null/NaN."""
