@@ -52,7 +52,8 @@ Exactly-once by composition, every layer idempotent under replay:
   after the corpus row and every other index entry are durably published
   (claim-first would drop the doc forever on a crash between the two).
 
-State is six partition-store tables under ``out_root``:
+State is seven partition-store tables under ``out_root`` (``stats/`` —
+per-batch pipeline metrics, opt-in — plus):
   drops/     — (doc_id, stage, detail): the batch drop_report's streaming
                twin — why each non-surviving doc fell out (quality,
                exact_dup, near_dup, merged-away canonical, or — for JSONL
@@ -70,6 +71,8 @@ State is six partition-store tables under ``out_root``:
 """
 
 from __future__ import annotations
+
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,6 +121,12 @@ DROPS_SCHEMA = T.StructType([
     T.StructField("detail", T.StringType(), True),
 ])
 
+STATS_SCHEMA = T.StructType([
+    T.StructField("batch_id", T.LongType(), False),
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("n", T.LongType(), False),
+])
+
 _DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
 
 
@@ -151,6 +160,13 @@ def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
             out_root, "drops", "pmod(doc_id, 256)", keys=["doc_id"],
             schema=DROPS_SCHEMA, sort_cols=("doc_id",),
         ),
+        # per-batch pipeline metrics (long format: one row per batch ×
+        # stage counter), written only when with_stats=True; replace-by-
+        # (batch_id, stage) so replays stay idempotent
+        "stats": PartitionedTable(
+            out_root, "stats", "pmod(batch_id, 64)", keys=["batch_id", "stage"],
+            schema=STATS_SCHEMA, sort_cols=("batch_id", "stage"),
+        ),
     }
 
 
@@ -163,7 +179,8 @@ def maintain_corpus(
     and superseded versions grow with batch count until compacted. Run on
     the reference's maintenance cadence (off-peak, like mart OPTIMIZE):
     compacts fragmented partitions and GCs old manifests/versions for the
-    corpus and all five dedup-state tables. Safe between triggers: each
+    corpus and every state table (dedup indexes, drops, stats). Safe
+    between triggers: each
     compaction publishes through the same atomic manifest rename the
     writers use."""
     return {
@@ -218,6 +235,7 @@ def stream_corpus_build(
     quality_thresholds: dict | None = None,
     repetition_thresholds: dict | None = None,
     input_format: str = "parquet",
+    with_stats: bool = False,
 ):
     """Watch ``landing_dir`` for document drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
@@ -231,17 +249,28 @@ def stream_corpus_build(
 
     ``input_format="jsonl"`` watches for JSONL shards instead (the
     training-data interchange format — ``sources/docsource.py`` is the
-    batch twin): explicit schema (no inference), PERMISSIVE parse, and
-    the same accept/reject contract — malformed lines and rows with
-    null/blank text or null id land in the ``drops`` table with stage
-    ``rejected`` instead of killing the stream or vanishing; a missing
-    ``n_chars`` is derived from the text."""
+    batch twin), and ``"csv"`` for header-rowed CSV shards (multiLine
+    off, per the docsource splittability contract): both use an explicit
+    schema (no inference), PERMISSIVE parse, and the same accept/reject
+    contract — malformed lines and rows with null/blank text or null id
+    land in the ``drops`` table with stage ``rejected`` instead of
+    killing the stream or vanishing; a missing ``n_chars`` is derived
+    from the text.
+
+    ``with_stats=True`` records per-batch pipeline metrics in the
+    ``stats`` table (long format: batch_id × counter — ``input``, one row
+    per drop stage, ``written``, ``wall_ms``) — the observability feed a
+    continuously-running ingest needs for rate/drop-mix dashboards and
+    regression alarms. Opt-in because each batch pays a couple of extra
+    small count jobs; replace-by-(batch_id, stage) keeps replays
+    idempotent. Empty micro-batches record nothing."""
     tables = corpus_tables(out_root)
     corpus, fpindex = tables["corpus"], tables["fpindex"]
     bandindex, sigindex, clusters, drops = (
         tables["bandindex"], tables["sigindex"], tables["clusters"],
         tables["drops"],
     )
+    stats = tables["stats"]
 
     if input_format == "parquet":
         raw = (
@@ -249,21 +278,29 @@ def stream_corpus_build(
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(landing_dir)
         )
-    elif input_format == "jsonl":
+    elif input_format in ("jsonl", "csv"):
         in_schema = T.StructType(
             list(DOC_SCHEMA.fields)
             + [T.StructField("_corrupt_record", T.StringType())]
         )
-        raw = (
+        reader = (
             spark.readStream.schema(in_schema)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .json(landing_dir)
         )
+        if input_format == "jsonl":
+            raw = reader.json(landing_dir)
+        else:
+            # the docsource CSV contract: header row, multiLine OFF (an
+            # embedded newline makes a CSV file unsplittable; multi-line
+            # documents belong in JSONL) — such rows land in the reject
+            # quarantine instead of stalling the stream
+            raw = reader.option("header", "true").csv(landing_dir)
     else:
         raise ValueError(
-            f"input_format must be 'parquet' or 'jsonl', got {input_format!r}"
+            "input_format must be 'parquet', 'jsonl' or 'csv', "
+            f"got {input_format!r}"
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -272,6 +309,26 @@ def stream_corpus_build(
         s = batch_df.sparkSession
         docs = batch_df
         drop_frames: list[DataFrame] = []
+        t0 = _time.perf_counter()
+        n_in = batch_df.count() if with_stats else 0
+
+        def write_stats(n_written: int) -> None:
+            if not with_stats:
+                return
+            rows = [(int(batch_id), "input", int(n_in))]
+            if drop_frames:
+                rep = drop_frames[0]
+                for f in drop_frames[1:]:
+                    rep = rep.unionByName(f)
+                rows += [
+                    (int(batch_id), r["stage"], int(r["n"]))
+                    for r in rep.groupBy("stage").agg(
+                        F.count("*").alias("n")).collect()
+                ]
+            rows.append((int(batch_id), "written", int(n_written)))
+            rows.append((int(batch_id), "wall_ms",
+                         int((_time.perf_counter() - t0) * 1000)))
+            stats.merge_rows(s, s.createDataFrame(rows, STATS_SCHEMA))
         if "_corrupt_record" in docs.columns:
             # JSONL accept/reject split (the docsource contract): rejects
             # are accounted, never silently dropped, never stream-fatal
@@ -311,6 +368,7 @@ def stream_corpus_build(
             if docs.isEmpty():
                 if not rej.isEmpty():
                     drops.merge_rows(s, drop_frames[0])
+                write_stats(0)
                 return
         if quality_thresholds is not None:
             q = quality_filter(docs, quality_thresholds)
@@ -364,12 +422,14 @@ def stream_corpus_build(
                 # whole batch was exact-known; indexes already claim it —
                 # but the drop accounting still records the duplicates
                 merge_drops()
+                write_stats(0)
                 return
 
             if not near_dup:
                 corpus.merge_rows(s, survivors.select(*_DOC_COLS))
                 merge_drops()
                 fpindex.merge_rows(s, out["index_delta"])
+                write_stats(survivors.count() if with_stats else 0)
                 return
 
             # ---- near-dup stage: band-bucket-pruned LSH probe ----
@@ -501,6 +561,7 @@ def stream_corpus_build(
             bandindex.merge_rows(s, new_bands)
             merge_drops()
             fpindex.merge_rows(s, out["index_delta"])
+            write_stats(final_new.count() if with_stats else 0)
         finally:
             for c in cached:
                 c.unpersist()

@@ -530,6 +530,86 @@ def test_maintain_corpus_compacts_and_preserves_state(spark, tmp_path):
                for r in report.values()) > 0
 
 
+def test_stream_corpus_csv_input_with_reject_quarantine(spark, tmp_path):
+    """CSV landing shards (header row, multiLine off per the docsource
+    contract): good rows flow through, type-corrupt lines land in the
+    drops table as 'rejected' with negative synthetic ids."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "shard1.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,the quick brown fox,en,s0,19\n"
+        "2,another document entirely,en,s0,\n"
+        "oops,not a number id,en,s0,5\n"
+    )
+    q = stream_corpus_build(spark, str(landing), str(tmp_path / "store"),
+                            str(tmp_path / "ckpt"), input_format="csv",
+                            near_dup=False)
+    q.awaitTermination(120)
+
+    t = corpus_tables(str(tmp_path / "store"))
+    rows = {r["doc_id"]: r for r in t["corpus"].read(spark).collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[2]["n_chars"] == len("another document entirely")
+    drops = t["drops"].read(spark).collect()
+    assert len(drops) == 1
+    assert drops[0]["stage"] == "rejected"
+    assert drops[0]["doc_id"] < 0
+
+
+def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
+    """with_stats=True: each micro-batch records input/written/wall_ms plus
+    one row per drop stage, and a later batch's exact-dups show up in its
+    own batch's counters."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en", "s0", 25),
+         (2, "the quick brown fox jumps", "en", "s0", 25),  # in-batch dup
+         (3, "a different text entirely here", "en", "s0", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs1.coalesce(1).write.parquet(str(landing / "b1"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False, with_stats=True)
+    q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    stats = {(r["batch_id"], r["stage"]): r["n"]
+             for r in t["stats"].read(spark).collect()}
+    b0 = {k[1]: v for k, v in stats.items() if k[0] == 0}
+    assert b0["input"] == 3
+    assert b0["exact_dup"] == 1
+    assert b0["written"] == 2
+    assert b0["wall_ms"] >= 0
+
+    # batch 2: one cross-batch dup, one fresh doc
+    docs2 = spark.createDataFrame(
+        [(9, "the quick brown fox jumps", "en", "s1", 25),
+         (10, "yet another brand new doc", "en", "s1", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs2.coalesce(1).write.parquet(str(landing / "b2"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False, with_stats=True)
+    q.awaitTermination(120)
+    stats = {(r["batch_id"], r["stage"]): r["n"]
+             for r in t["stats"].read(spark).collect()}
+    batches = {k[0] for k in stats}
+    assert len(batches) == 2
+    b1 = {k[1]: v for k, v in stats.items() if k[0] == max(batches)}
+    assert b1["input"] == 2
+    assert b1["exact_dup"] == 1
+    assert b1["written"] == 1
+
+
 def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     """JSONL landing shards: good rows flow through the full dedup path,
     malformed / empty-text / id-less lines land in the drops table with
