@@ -127,6 +127,13 @@ STATS_SCHEMA = T.StructType([
     T.StructField("n", T.LongType(), False),
 ])
 
+EMB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+])
+
 _DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
 
 
@@ -159,6 +166,13 @@ def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
         "drops": PartitionedTable(
             out_root, "drops", "pmod(doc_id, 256)", keys=["doc_id"],
             schema=DROPS_SCHEMA, sort_cols=("doc_id",),
+        ),
+        # SRP-bucketed embeddings for the semantic near-dup stage (only
+        # populated when semantic=True): bucket-pruned probes, the
+        # embedding twin of sigindex
+        "embindex": PartitionedTable(
+            out_root, "embindex", "pmod(bucket, 256)", keys=["doc_id"],
+            schema=EMB_SCHEMA, sort_cols=("doc_id",),
         ),
         # per-batch pipeline metrics (long format: one row per batch ×
         # stage counter), written only when with_stats=True; replace-by-
@@ -236,6 +250,9 @@ def stream_corpus_build(
     repetition_thresholds: dict | None = None,
     input_format: str = "parquet",
     with_stats: bool = False,
+    semantic: bool = False,
+    semantic_threshold: float = 0.95,
+    semantic_bits: int = 8,
 ):
     """Watch ``landing_dir`` for document drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
@@ -263,24 +280,46 @@ def stream_corpus_build(
     continuously-running ingest needs for rate/drop-mix dashboards and
     regression alarms. Opt-in because each batch pays a couple of extra
     small count jobs; replace-by-(batch_id, stage) keeps replays
-    idempotent. Empty micro-batches record nothing."""
+    idempotent. Empty micro-batches record nothing.
+
+    ``semantic=True`` adds the SEMANTIC near-dup stage — the streaming
+    twin of ``build_corpus(embeddings=...)``: landing rows carry an
+    ``embedding array<float>`` column (parquet or JSONL; CSV can't),
+    each batch's vectors are SRP-bucketed (``semantic_bits`` sign
+    projections, the same deterministic hyperplanes as the batch stage)
+    and probed against ONLY the touched buckets of a maintained embedding
+    index, candidates verified by EXACT cosine >= ``semantic_threshold``
+    (full vectors live in the index, so unlike the MinHash estimate this
+    matches the batch decision bit-for-bit), and the verified pairs join
+    the MinHash pairs in the same cluster resolution — paraphrase pairs
+    split across micro-batches collapse exactly like lexical near-dups.
+    Rows with a null embedding skip the stage (lexical dedup still
+    applies)."""
+    if semantic and input_format == "csv":
+        raise ValueError("semantic=True needs an embedding array column; "
+                         "CSV can't carry one — use parquet or jsonl")
     tables = corpus_tables(out_root)
     corpus, fpindex = tables["corpus"], tables["fpindex"]
     bandindex, sigindex, clusters, drops = (
         tables["bandindex"], tables["sigindex"], tables["clusters"],
         tables["drops"],
     )
-    stats = tables["stats"]
+    stats, embindex = tables["stats"], tables["embindex"]
 
+    emb_field = [T.StructField("embedding", T.ArrayType(T.FloatType()))]
     if input_format == "parquet":
+        read_schema = T.StructType(
+            list(DOC_SCHEMA.fields) + (emb_field if semantic else [])
+        )
         raw = (
-            spark.readStream.schema(DOC_SCHEMA)
+            spark.readStream.schema(read_schema)
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(landing_dir)
         )
     elif input_format in ("jsonl", "csv"):
         in_schema = T.StructType(
             list(DOC_SCHEMA.fields)
+            + (emb_field if semantic else [])
             + [T.StructField("_corrupt_record", T.StringType())]
         )
         reader = (
@@ -302,6 +341,10 @@ def stream_corpus_build(
             "input_format must be 'parquet', 'jsonl' or 'csv', "
             f"got {input_format!r}"
         )
+
+    # intermediate stages carry the embedding column through to the
+    # semantic probe; the corpus table itself stays in the doc schema
+    keep_cols = _DOC_COLS + (["embedding"] if semantic else [])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -376,7 +419,7 @@ def stream_corpus_build(
                 F.col("doc_id"), F.lit("quality").alias("stage"),
                 F.concat_ws(",", "q_reasons").alias("detail"),
             ))
-            docs = q.filter("q_keep").select(*_DOC_COLS)
+            docs = q.filter("q_keep").select(*keep_cols)
         if repetition_thresholds is not None:
             t = {"max_dup_line_frac": 0.3, "max_top_gram_frac": 0.2,
                  **repetition_thresholds}
@@ -416,7 +459,7 @@ def stream_corpus_build(
                     rep = rep.unionByName(f)
                 drops.merge_rows(s, rep)
 
-            survivors = out["unique"].select(*_DOC_COLS).cache()
+            survivors = out["unique"].select(*keep_cols).cache()
             cached.append(survivors)
             if survivors.isEmpty():
                 # whole batch was exact-known; indexes already claim it —
@@ -494,10 +537,66 @@ def stream_corpus_build(
                 .select("a", "b")
             )
 
+            # ---- semantic stage: SRP-bucket-pruned embedding probe ----
+            new_emb = None
+            if semantic and "embedding" in survivors.columns:
+                from rdw_spark.operators.similarity import (
+                    dot_expr, norm_expr, srp_bucket,
+                )
+
+                with_vec = survivors.filter(F.col("embedding").isNotNull())
+                first = with_vec.select("embedding").first()
+                if first is not None:
+                    dim = len(first[0])
+                    new_emb = with_vec.select(
+                        "doc_id", "source", "embedding",
+                        srp_bucket(F.col("embedding"), bits=semantic_bits,
+                                   dim=dim).cast("int").alias("bucket"),
+                    ).cache()
+                    cached.append(new_emb)
+                    idx_emb = embindex.read(
+                        s, parts=embindex.parts_of(new_emb)
+                    ).select("doc_id", "bucket", "embedding")
+                    # asymmetric probe: (index ∪ batch) × batch within a
+                    # bucket — never index × index (those pairs resolved
+                    # when their docs arrived)
+                    probe_e = idx_emb.union(
+                        new_emb.select("doc_id", "bucket", "embedding")
+                    )
+                    ea = probe_e.select(
+                        F.col("doc_id").alias("x"), "bucket",
+                        F.col("embedding").alias("_ex"),
+                        norm_expr(F.col("embedding")).alias("_nx"),
+                    )
+                    eb = new_emb.select(
+                        F.col("doc_id").alias("y"), "bucket",
+                        F.col("embedding").alias("_ey"),
+                        norm_expr(F.col("embedding")).alias("_ny"),
+                    )
+                    cos = dot_expr(F.col("_ex"), F.col("_ey")) / (
+                        F.col("_nx") * F.col("_ny")
+                    )
+                    sem_pairs = (
+                        ea.join(eb, "bucket")
+                        .filter(F.col("x") != F.col("y"))
+                        .filter(cos >= F.lit(semantic_threshold))
+                        .select(F.least("x", "y").alias("a"),
+                                F.greatest("x", "y").alias("b"))
+                        .distinct()
+                    )
+                    verified = verified.union(sem_pairs).distinct()
+
             # resolve corpus partners through the cluster map (new ids stay
             # raw — on replay their old map entries must not self-cancel
-            # the edge that re-derives them)
-            pmap = _resolve_partners(s, clusters, partner_ids)
+            # the edge that re-derives them); semantic partners join the
+            # MinHash ones — any corpus-side pair end must chase the map
+            resolve_ids = (
+                verified.select(F.col("a").alias("doc_id"))
+                .union(verified.select(F.col("b").alias("doc_id")))
+                .distinct()
+                .join(new_ids, "doc_id", "left_anti")
+            )
+            pmap = _resolve_partners(s, clusters, resolve_ids)
             edges = (
                 verified
                 .join(pmap.select(F.col("doc_id").alias("a"),
@@ -559,6 +658,14 @@ def stream_corpus_build(
                 ).select("doc_id", "source", "sigs")
             )
             bandindex.merge_rows(s, new_bands)
+            if new_emb is not None:
+                # like sigindex: EVERY exact-survivor's vector is indexed,
+                # near-dup losers included — a future doc semantically close
+                # to a dropped doc must still find its bucket and resolve
+                # to the canonical through the cluster map
+                embindex.merge_rows(
+                    s, new_emb.select("doc_id", "source", "bucket", "embedding")
+                )
             merge_drops()
             fpindex.merge_rows(s, out["index_delta"])
             write_stats(final_new.count() if with_stats else 0)

@@ -610,6 +610,59 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     assert b1["written"] == 1
 
 
+def test_stream_corpus_semantic_near_dup_across_batches(spark, tmp_path):
+    """semantic=True: paraphrase pairs — lexically DISSIMILAR texts with
+    near-identical embeddings — collapse in-batch and across micro-batches
+    via the SRP-bucket-pruned embedding index; null-embedding rows skip
+    the stage but still dedup lexically."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, embedding array<float>")
+    e1 = [1.0, 0.2, 0.0, 0.1, 0.0, 0.3, 0.0, 0.0]
+    e2 = [0.0, 0.0, 1.0, 0.0, 0.4, 0.0, 0.2, 0.0]  # far from e1
+
+    b1 = spark.createDataFrame(
+        [(1, "the cat sat on the warm mat today", "en", "s0", 33, e1),
+         (2, "a feline rested upon a heated rug", "en", "s0", 33, e1),
+         (3, "completely unrelated topic about ships", "en", "s0", 38, e2)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            semantic=True, semantic_threshold=0.95)
+    q.awaitTermination(180)
+
+    t = corpus_tables(out_root)
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 3]
+    d = {r["doc_id"]: (r["stage"], r["detail"])
+         for r in t["drops"].read(spark).collect()}
+    assert d[2] == ("near_dup", "1")  # in-batch paraphrase collapsed
+
+    # batch 2: a cross-batch paraphrase of doc 1, plus a null-embedding doc
+    b2 = spark.createDataFrame(
+        [(9, "one more paraphrase of that cat sentence", "en", "s1", 40, e1),
+         (10, "fresh doc with no vector at all", "en", "s1", 31, None)],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            semantic=True, semantic_threshold=0.95)
+    q.awaitTermination(180)
+
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 3, 10]
+    d = {r["doc_id"]: (r["stage"], r["detail"])
+         for r in t["drops"].read(spark).collect()}
+    assert d[9] == ("near_dup", "1")  # resolved through the embedding index
+    # the embedding index holds every exact-survivor's vector (9 included)
+    emb_ids = sorted(r["doc_id"] for r in t["embindex"].read(spark).collect())
+    assert emb_ids == [1, 2, 3, 9]
+
+
 def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     """JSONL landing shards: good rows flow through the full dedup path,
     malformed / empty-text / id-less lines land in the drops table with
