@@ -663,6 +663,61 @@ def test_stream_corpus_semantic_near_dup_across_batches(spark, tmp_path):
     assert emb_ids == [1, 2, 3, 9]
 
 
+def test_stream_corpus_semantic_matches_batch_build(spark, tmp_path):
+    """Parity: streaming semantic dedup over micro-batches keeps exactly
+    the survivors batch build_corpus(embeddings=...) keeps on the same
+    docs — same SRP hyperplanes, same exact-cosine verification, same
+    cluster resolution."""
+    from rdw_spark.plans.corpus import build_corpus
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, embedding array<float>")
+    e1 = [0.9, 0.1, 0.0, 0.2, 0.0, 0.0, 0.1, 0.0]
+    e2 = [0.0, 0.1, 0.8, 0.0, 0.5, 0.0, 0.0, 0.2]
+    rows = [
+        (1, "alpha beta gamma delta epsilon words", "en", "s0", 36, e1),
+        (2, "totally different phrasing same meaning", "en", "s0", 39, e1),
+        (3, "independent subject matter entirely here", "en", "s0", 40, e2),
+        (4, "yet another restatement of the first idea", "en", "s1", 41, e1),
+        (5, "second independent subject stays put", "en", "s1", 36, e2),
+    ]
+    for name, batch in (("b1", rows[:3]), ("b2", rows[3:])):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(landing / name))
+        q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                                semantic=True, semantic_threshold=0.95)
+        q.awaitTermination(180)
+
+    stream_kept = sorted(
+        r["doc_id"]
+        for r in corpus_tables(out_root)["corpus"].read(spark).collect()
+    )
+
+    all_docs = spark.createDataFrame(
+        [r[:5] for r in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(r[0], r[5]) for r in rows], "doc_id long, embedding array<float>"
+    )
+    batch_out = build_corpus(
+        all_docs, embeddings=emb, cosine_threshold=0.95, eval_fraction=0.0,
+        quality_thresholds={"min_chars": 1, "min_tokens": 1,
+                            "min_avg_token_len": 0.0, "max_avg_token_len": 99.0,
+                            "max_punct_ratio": 1.0, "min_alpha_ratio": 0.0},
+    )
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in batch_out["train"].unionByName(batch_out["eval"]).collect()
+    )
+    assert stream_kept == batch_kept == [1, 3]
+
+
 def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     """JSONL landing shards: good rows flow through the full dedup path,
     malformed / empty-text / id-less lines land in the drops table with
