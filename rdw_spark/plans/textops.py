@@ -853,6 +853,46 @@ def export_shards_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_corpus_quantiles",
+    oracle="""
+    WITH t AS (
+        SELECT lang, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5)  AS p50_chars,
+           quantile_cont(n_chars, 0.9)  AS p90_chars,
+           quantile_cont(n_chars, 0.99) AS p99_chars,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.9) AS p90_tokens
+    FROM t GROUP BY lang
+    """,
+    survey="ext: per-stratum length-distribution quantiles — the corpus "
+           "observability report behind threshold derivation. EXACT "
+           "percentiles here (linear interpolation — bit-identical between "
+           "Spark percentile() and DuckDB quantile_cont, so the entry is "
+           "hash-verifiable); at the 100 TB tier the same report runs on "
+           "percentile_approx sketches (operators/text.py::"
+           "adaptive_quality_thresholds), whose t-digest output is "
+           "engine-specific and pytest-verified instead",
+)
+def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "lang", "n_chars",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5D)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9D)").alias("p90_chars"),
+        F.expr("percentile(n_chars, 0.99D)").alias("p99_chars"),
+        F.expr("percentile(n_tokens, 0.5D)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.9D)").alias("p90_tokens"),
+    )
+
+
+@register(
     "zz_text_token_rarity",
     oracle="""
     WITH toks AS (
