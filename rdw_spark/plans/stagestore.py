@@ -98,3 +98,27 @@ class StageStore:
         p = os.path.join(self._dir(stage), "_stats.json")
         with open(p) as f:
             return json.load(f)
+
+    def gc(self, keep_latest: int = 1) -> list[str]:
+        """Delete stale config namespaces under the root — every tuning
+        iteration leaves one behind, and at scale each holds a full
+        corpus copy per stage. Keeps this store's own namespace plus the
+        ``keep_latest - 1`` most recently modified others (an A/B pair
+        keeps both with keep_latest=2). Returns removed fingerprints."""
+        import shutil
+
+        root = os.path.dirname(self.base)
+        others = sorted(
+            (
+                e for e in os.listdir(root)
+                if e != self.fingerprint
+                and os.path.isdir(os.path.join(root, e))
+            ),
+            key=lambda e: os.path.getmtime(os.path.join(root, e)),
+            reverse=True,
+        )
+        removed = []
+        for e in others[max(0, keep_latest - 1):]:
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            removed.append(e)
+        return removed

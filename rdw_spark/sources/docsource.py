@@ -138,3 +138,44 @@ def read_documents_csv(
         .csv(path)
     )
     return _split_rejects(raw, id_col, text_col, derive_ids)
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    shard_col: str | None = None,
+    compression: str | None = None,
+    order_col: str = "doc_id",
+) -> None:
+    """The write twin of :func:`read_documents_jsonl` — export a corpus
+    (or a corpus-build output) as JSONL shards, the interchange format
+    downstream tokenizer/training stacks consume.
+
+    Sharding, pick one:
+    - ``n_shards``: round-robin hash split into exactly N files of
+      roughly equal row count (one task writes one shard);
+    - ``shard_col``: write ``<shard_col>=K/`` directories (e.g. the
+      deterministic ``assign_shards`` id, so the JSONL layout matches
+      the training order) — each shard dir gets one file;
+    - neither: keep the frame's current partitioning (one file per
+      partition — the bulk-export path where upstream already sized
+      partitions).
+
+    Rows are sorted by ``order_col`` within each file so exports are
+    byte-stable for identical inputs. ``compression="gzip"`` trades
+    splittability for size — per the module header, gzip shards must
+    stay small because re-reading is one task per file."""
+    if n_shards is not None and shard_col is not None:
+        raise ValueError("pass at most one of n_shards / shard_col")
+    w = df
+    if n_shards is not None:
+        w = w.repartition(n_shards, F.col(order_col))
+    elif shard_col is not None:
+        w = w.repartition(F.col(shard_col))
+    writer = w.sortWithinPartitions(order_col).write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if shard_col is not None:
+        writer = writer.partitionBy(shard_col)
+    writer.json(path)

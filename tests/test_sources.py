@@ -662,3 +662,82 @@ class TestDocSource:
         ])
         docs = DS.read_documents_jsonl(spark, path, derive_ids=True)["docs"]
         assert D.dedup_exact(docs).count() == 2
+
+
+def test_write_documents_jsonl_roundtrip_and_shard_layout(spark, tmp_path):
+    """The JSONL write twin: n_shards mode produces exactly N files that
+    read back losslessly through read_documents_jsonl (zero rejects);
+    shard_col mode writes shard=K/ directories with one file each,
+    matching the deterministic training-shard layout."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdw_spark.sources.docsource import (
+        read_documents_jsonl, write_documents_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text", "en", f"s{i % 2}")
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "export")
+    write_documents_jsonl(docs, out, n_shards=4)
+    files = glob.glob(os.path.join(out, "part-*.json"))
+    assert len(files) == 4
+    back = read_documents_jsonl(spark, out + "/*.json")
+    assert back["rejects"].count() == 0
+    assert back["docs"].count() == 40
+    assert ({r["doc_id"] for r in back["docs"].collect()}
+            == {i for i in range(40)})
+
+    # shard_col mode: the assign_shards layout carries into the export
+    sharded = docs.withColumn("shard", F.col("doc_id") % 3)
+    out2 = str(tmp_path / "export2")
+    write_documents_jsonl(sharded, out2, shard_col="shard")
+    dirs = sorted(os.path.basename(d)
+                  for d in glob.glob(os.path.join(out2, "shard=*")))
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    for d in glob.glob(os.path.join(out2, "shard=*")):
+        assert len(glob.glob(os.path.join(d, "part-*.json"))) == 1
+
+    # gzip export: codec picked up, suffix advertises unsplittability
+    out3 = str(tmp_path / "export3")
+    write_documents_jsonl(docs, out3, n_shards=2, compression="gzip")
+    assert len(glob.glob(os.path.join(out3, "part-*.json.gz"))) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_documents_jsonl(sharded, out2, n_shards=2, shard_col="shard")
+
+
+def test_stagestore_gc_keeps_current_and_latest(spark, tmp_path):
+    """StageStore.gc removes stale config namespaces but never the
+    current one, and keep_latest retains the N-1 freshest others."""
+    import os
+    import time
+
+    from rdw_spark.plans.stagestore import StageStore
+
+    root = str(tmp_path / "ck")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    old1 = StageStore(spark, root, {"v": 1})
+    old1.save("s", {"kept": df})
+    time.sleep(0.05)
+    old2 = StageStore(spark, root, {"v": 2})
+    old2.save("s", {"kept": df})
+    time.sleep(0.05)
+    cur = StageStore(spark, root, {"v": 3})
+    cur.save("s", {"kept": df})
+
+    removed = cur.gc(keep_latest=2)  # keep current + freshest other
+    assert removed == [old1.fingerprint]
+    assert sorted(os.listdir(root)) == sorted(
+        [old2.fingerprint, cur.fingerprint])
+    assert cur.has("s") and cur.load("s", ["kept"])["kept"].count() == 1
+
+    assert cur.gc(keep_latest=1) == [old2.fingerprint]
+    assert os.listdir(root) == [cur.fingerprint]
