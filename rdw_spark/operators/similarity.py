@@ -233,6 +233,77 @@ def ivf_index(
     return spark.read.parquet(vdir), centroids
 
 
+def ivf_append(
+    spark,
+    new_emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental IVF maintenance: assign NEW vectors to their nearest
+    existing centroid and append them to the cell-partitioned index — the
+    continuous-ingest path that keeps probes fresh without refitting the
+    quantizer per batch. O(batch) work: one broadcast crossJoin against
+    the (tiny) centroid list for the argmin, an id anti-join that reads
+    ONLY the touched cell partitions (idempotent under replay — an id
+    already indexed in its cell is skipped), one partitioned append.
+
+    The quantizer itself stays fixed, so a drifting embedding
+    distribution slowly skews cell occupancy (recall stays exact per
+    probe; probe cost grows in hot cells). Watch
+    :func:`cluster_stats`'s size shares and rebuild with
+    :func:`ivf_index` (fresh path or after deleting the sidecar) when the
+    hottest cell's share is a few multiples of 1/n_centroids — the
+    standard reindex cadence, not a per-batch cost.
+
+    Returns ``(assigned_full, centroids)`` like :func:`ivf_index`.
+    ``new_emb`` must carry the index's non-partition columns."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    cfile = os.path.join(index_path, "centroids.json")
+    vdir = os.path.join(index_path, "vectors")
+    if not os.path.exists(cfile):
+        raise ValueError(
+            f"no IVF index at {index_path}; build one with ivf_index first"
+        )
+    with open(cfile) as fh:
+        centroids = [(int(c), [float(x) for x in v]) for c, v in json.load(fh)]
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in centroids], "cell int, centroid array<double>"
+    )
+    # same metric KMeans assigns by: squared L2 to the centroid
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("centroid"),
+                   lambda x, y: (_d(x) - y) * (_d(x) - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2"), F.col("cell"))
+    assigned = (
+        new_emb.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_d2", "_rn", "centroid")
+    )
+    index_cols = spark.read.parquet(vdir).columns
+    assigned = assigned.select(*index_cols).cache()
+    try:
+        touched = [r[0] for r in assigned.select("cell").distinct().collect()]
+        existing = (
+            spark.read.parquet(vdir)
+            .filter(F.col("cell").isin(touched))  # partition-pruned
+            .select(id_col)
+        )
+        fresh = assigned.join(existing, id_col, "left_anti")
+        fresh.write.mode("append").partitionBy("cell").parquet(vdir)
+    finally:
+        assigned.unpersist()
+    return spark.read.parquet(vdir), centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list,

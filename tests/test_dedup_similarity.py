@@ -130,6 +130,48 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5  # half the cells probed → at least half the neighbors
 
 
+def test_ivf_append_incremental_index(spark, sf_dir, tmp_path):
+    """ivf_append: new vectors join their argmin-L2 cell without a refit,
+    replayed ids don't duplicate, and probes immediately see the
+    appended vectors."""
+    import pytest
+
+    from rdw_spark.operators.similarity import ivf_append, ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    assigned, centroids = ivf_index(spark, emb, path, n_centroids=16)
+    n0 = assigned.count()
+
+    # a fresh vector = an existing one nudged — argmin cell must match its
+    # twin's; plus a replay of an already-indexed id
+    twin = emb.filter(F.col("vec_id") == 3).first()
+    new_rows = spark.createDataFrame(
+        [(100001, [float(x) + 0.001 for x in twin["embedding"]], 0),
+         (3, list(twin["embedding"]), int(twin["label"]))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    full, _ = ivf_append(spark, new_rows, path)
+    assert full.count() == n0 + 1  # replayed id 3 skipped, 100001 added
+    cells = {r["vec_id"]: r["cell"] for r in
+             full.filter(F.col("vec_id").isin(3, 100001)).collect()}
+    assert cells[100001] == cells[3]  # nudged twin lands in the same cell
+
+    # a probe finds the appended vector as its twin's nearest neighbor
+    q = spark.createDataFrame(
+        [(3, list(twin["embedding"]))], "query_id long, query_vec array<float>"
+    )
+    top = ivf_topk(full, centroids, q, k=1, nprobe=4).collect()
+    assert top[0]["vec_id"] == 100001
+
+    # replaying the whole batch is a no-op
+    full2, _ = ivf_append(spark, new_rows, path)
+    assert full2.count() == n0 + 1
+
+    with pytest.raises(ValueError):
+        ivf_append(spark, new_rows, str(tmp_path / "nowhere"))
+
+
 def test_frame_sample_and_resize_plumbing(spark, sf_dir):
     from rdw_spark.io import load_table
     from rdw_spark.operators import multimodal as M
