@@ -422,6 +422,39 @@ def build_training_mix(
     return {"manifest": manifest, "rates": tb["rates"], "totals": tb["totals"]}
 
 
+def corpus_to_shards(
+    docs: DataFrame,
+    out_dir: str,
+    token_budget: float,
+    tokens_per_shard: int | None = None,
+    n_shards: int | None = None,
+    build_kwargs: dict | None = None,
+    mix_kwargs: dict | None = None,
+) -> dict:
+    """The whole pipeline as one call: raw documents → cleaned corpus
+    (``build_corpus``) → budgeted/shuffled/packed manifest
+    (``build_training_mix``) → physical training shards + index
+    (``write_shards``). Each layer stays independently callable — this is
+    the composition a new user runs first, and the shape a scheduled
+    production build takes (pass ``checkpoint_root`` in ``build_kwargs``
+    to make the expensive dedup stages resumable).
+
+    Returns the corpus dict (train/eval/drop_report/counts/timings) plus
+    ``manifest``, ``rates``, ``totals``, and the written ``shard_index``."""
+    from ..operators.packing import write_shards
+
+    out = build_corpus(docs, **(build_kwargs or {}))
+    mix = build_training_mix(
+        out["train"], token_budget=token_budget, **(mix_kwargs or {})
+    )
+    index = write_shards(
+        mix["manifest"], out_dir,
+        tokens_per_shard=tokens_per_shard, n_shards=n_shards,
+    )
+    return {**out, "manifest": mix["manifest"], "rates": mix["rates"],
+            "totals": mix["totals"], "shard_index": index}
+
+
 @register(
     "zz_training_manifest",
     oracle="""

@@ -494,6 +494,35 @@ def test_build_corpus_checkpointed_optional_stages(spark, tmp_path):
         assert "someone@example.com" not in redacted[0][0]
 
 
+def test_corpus_to_shards_end_to_end(spark, sf_dir, tmp_path):
+    """The one-call composition: raw docs → cleaned corpus → budgeted
+    manifest → physical shard files + index, with accounting consistent
+    across the layers."""
+    import glob
+    import os
+
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import corpus_to_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = str(tmp_path / "shards")
+    res = corpus_to_shards(
+        docs, out_dir, token_budget=1e9, tokens_per_shard=5000,
+        build_kwargs={"minhash_threshold": 0.5, "eval_fraction": 0.1},
+    )
+    # manifest rows == train survivors (budget high enough to keep all)
+    assert res["manifest"].count() == res["counts"]["train"]
+    idx = res["shard_index"].collect()
+    assert glob.glob(os.path.join(out_dir, "shard=*"))
+    # the shard index accounts for every manifest doc and token
+    assert sum(r["n_docs"] for r in idx) == res["counts"]["train"]
+    back = spark.read.parquet(out_dir)
+    assert back.count() == res["counts"]["train"]
+    assert sum(r["n_tokens"] for r in idx) == sum(
+        r["n_tokens"] for r in back.select("n_tokens").collect()
+    )
+
+
 def test_repetition_features_planted(spark):
     """Gopher line-repetition signals on crafted docs: duplicate and empty
     lines counted exactly; docs with no lines score 0, not null/NaN."""
