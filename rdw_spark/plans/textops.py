@@ -142,6 +142,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_sim_quantized_cosine",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                x -> abs(x))) / 127.0,
+                        1e-30) AS sc
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, label, e,
+               list_transform(e, x -> floor(x / sc + 0.5)) AS q8
+        FROM s
+    ), p AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(a.q8, b.q8)
+               / (sqrt(list_dot_product(a.q8, a.q8))
+                  * sqrt(list_dot_product(b.q8, b.q8))) AS q_cosine,
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, q_cosine, abs(q_cosine - cosine) AS q_err
+    FROM p WHERE cosine >= 0.3
+    """,
+    survey="ext: int8-quantized cosine scoring — symmetric per-vector "
+           "max-abs quantization (map-only, 4x smaller ANN state), "
+           "scored directly on the int arrays (cosine is "
+           "scale-invariant); the entry also reports the per-pair error "
+           "vs full precision, hash-verified against the same math in "
+           "DuckDB",
+)
+def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot_expr, quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    a = q.select(F.col("vec_id").alias("a"), "label",
+                 F.col("q8").alias("_qa"), F.col("embedding").alias("_ea"))
+    b = q.select(F.col("vec_id").alias("b"), "label",
+                 F.col("q8").alias("_qb"), F.col("embedding").alias("_eb"))
+    qcos = dot_expr(F.col("_qa"), F.col("_qb")) / (
+        F.sqrt(dot_expr(F.col("_qa"), F.col("_qa")))
+        * F.sqrt(dot_expr(F.col("_qb"), F.col("_qb")))
+    )
+    cos = dot_expr(F.col("_ea"), F.col("_eb")) / (
+        F.sqrt(dot_expr(F.col("_ea"), F.col("_ea")))
+        * F.sqrt(dot_expr(F.col("_eb"), F.col("_eb")))
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", qcos.alias("q_cosine"),
+                F.abs(qcos - cos).alias("q_err"), cos.alias("_c"))
+        .filter(F.col("_c") >= 0.3)
+        .drop("_c")
+    )
+
+
+@register(
     "dedup_cluster_resolution",
     oracle="""
     WITH RECURSIVE pairs AS (

@@ -130,6 +130,42 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5  # half the cells probed → at least half the neighbors
 
 
+def test_quantize_embeddings_error_bound_and_edges(spark, sf_dir):
+    """int8 quantization: values stay in [-127, 127] as tinyint, cosine on
+    the int arrays tracks full-precision cosine within ~2e-2, and a zero
+    vector quantizes to zeros instead of NaNs."""
+    import math
+
+    from rdw_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = quantize_embeddings(emb)
+    rows = q.collect()
+    assert q.schema["q8"].dataType.elementType.typeName() == "byte"
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["q8"])
+        # round-trip: q * scale recovers each component within scale/2
+        for x, v in zip(r["embedding"], r["q8"]):
+            assert abs(v * r["q_scale"] - x) <= r["q_scale"] / 2 + 1e-9
+
+    def cosine(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(a * a for a in v))
+        return dot / (nu * nv)
+
+    full = [list(r["embedding"]) for r in rows]
+    qs = [list(r["q8"]) for r in rows]
+    for i in range(0, 20, 2):
+        assert abs(cosine(full[i], full[i + 1]) - cosine(qs[i], qs[i + 1])) < 0.02
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_embeddings(zero).collect()[0]
+    assert list(zr["q8"]) == [0] * 8
+
+
 def test_ivf_append_incremental_index(spark, sf_dir, tmp_path):
     """ivf_append: new vectors join their argmin-L2 cell without a refit,
     replayed ids don't duplicate, and probes immediately see the
