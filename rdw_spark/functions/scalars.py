@@ -24,6 +24,36 @@ def html_unescape(s: pd.Series) -> pd.Series:
     return s.map(lambda v: html.unescape(v) if v is not None else None)
 
 
+def unicode_normalize(col: Column, form: str = "NFKC",
+                      strip_control: bool = True) -> Column:
+    """Unicode normalization for corpus hygiene — the pre-dedup pass that
+    stops 'e' + COMBINING ACUTE and the precomposed 'é' (or width/ligature
+    variants under NFKC) from defeating exact and shingle dedup. Catalyst
+    has no normalizer, so this is one of the repo's few Python paths:
+    an Arrow-batched pandas_udf (never row-at-a-time), one map-only pass.
+    ``strip_control`` also removes C0/C1 control chars except tab/newline
+    (the usual crawl junk). NFC output is hash-verified against DuckDB's
+    nfc_normalize in ``zz_text_normalize``; NFKC folding is pytest-covered
+    (DuckDB has no NFKC to oracle against)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"bad normalization form: {form!r}")
+    import unicodedata
+
+    ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]") if strip_control else None
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            v = unicodedata.normalize(form, v)
+            return ctrl.sub("", v) if ctrl is not None else v
+
+        return s.map(one)
+
+    return _norm(col)
+
+
 _ISO_DUR = re.compile(
     r"^(?P<sign>[+-])?P(?:(?P<days>\d+)D)?"
     r"(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?(?:(?P<seconds>\d+)S)?)?$"

@@ -951,6 +951,41 @@ def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the synthetic documents are pure ASCII, so the normalization entry
+# PLANTS a decomposed-unicode suffix (e + combining acute, a fullwidth
+# digit) identically on both sides; NFC composes the accent on both
+# engines (DuckDB has no NFKC, so compatibility folding is pytest-only)
+_NFC_PLANT = " cafe\u0301 \uff11"
+
+
+@register(
+    "zz_text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           nfc_normalize(text || '{_NFC_PLANT}') AS norm_text,
+           CAST(length(nfc_normalize(text || '{_NFC_PLANT}')) AS BIGINT)
+               AS n_chars_norm
+    FROM documents
+    """,
+    survey="ext: unicode normalization — the pre-dedup hygiene pass that "
+           "stops decomposed/precomposed variants defeating exact and "
+           "shingle dedup; Arrow-batched pandas_udf (Catalyst has no "
+           "normalizer), NFC hash-verified against DuckDB's nfc_normalize",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import unicode_normalize
+
+    d = _docs(spark, sf_dir)
+    norm = unicode_normalize(
+        F.concat(F.col("text"), F.lit(_NFC_PLANT)), form="NFC",
+        strip_control=False,
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 @register(
     "zz_text_token_rarity",
     oracle="""

@@ -405,3 +405,38 @@ def test_bigram_lm_normalizes_and_skips_short_docs(spark):
     assert out[1]["n_unique_bigrams"] == 0
     # single-token and whitespace docs yield no row
     assert set(out) == {1, 2}
+
+
+def test_unicode_normalize_nfkc_and_control_strip(spark):
+    """NFKC folds width/ligature/compatibility variants to the canonical
+    forms dedup expects; control chars strip except tab/newline; nulls
+    pass through; bad form rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rdw_spark.functions.scalars import unicode_normalize
+
+    rows = [
+        (1, "café"),          # decomposed accent
+        (2, "café"),           # precomposed — same doc after NFC/NFKC
+        (3, "Ｈｉ ﬁle"),  # fullwidth Hi + fi ligature
+        (4, "a\x00b\x1fc\td\ne"),   # control junk, tab/newline kept
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", unicode_normalize(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"  # variants now byte-identical
+    assert out[3] == "Hi file"
+    assert out[4] == "abc\td\ne"
+    assert out[5] is None
+
+    # NFC keeps compatibility chars (ligature survives), still composes
+    nfc = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id",
+        unicode_normalize(F.col("text"), form="NFC").alias("n")).collect()}
+    assert nfc[1] == "café"
+    assert "ﬁ" in nfc[3]
+
+    with pytest.raises(ValueError):
+        unicode_normalize(F.col("text"), form="NFX")
