@@ -46,6 +46,7 @@ def build_corpus(
     embedding_block_bits: int = 8,
     span_dedup_n: int | None = None,
     checkpoint_root: str | None = None,
+    normalize_unicode: str | None = None,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -88,9 +89,19 @@ def build_corpus(
     the persisted parquet instead of the live lineage (a lineage cut — at
     scale the 9-stage DAG never re-executes stage 1 per downstream
     action). ``eval_fraction`` is deliberately OUTSIDE the fingerprint:
-    the split is map-only, so re-splitting reuses every dedup stage."""
+    the split is map-only, so re-splitting reuses every dedup stage.
+
+    ``normalize_unicode`` ("NFC" or "NFKC") runs unicode normalization +
+    control-char stripping FIRST — before quality and dedup — so
+    decomposed/precomposed/width variants of the same document collapse
+    to one byte form and can't defeat the exact or shingle stages
+    (``functions/scalars.unicode_normalize``; nothing drops here)."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
+    if normalize_unicode not in (None, "NFC", "NFKC"):
+        raise ValueError(
+            f"normalize_unicode must be None/'NFC'/'NFKC', got {normalize_unicode!r}"
+        )
     ck = None
     if checkpoint_root is not None:
         from .stagestore import StageStore
@@ -109,6 +120,7 @@ def build_corpus(
             "cosine_threshold": cosine_threshold,
             "embedding_block_bits": embedding_block_bits,
             "span_dedup_n": span_dedup_n,
+            "normalize_unicode": normalize_unicode,
         })
     _caches: list[DataFrame] = []
 
@@ -120,6 +132,19 @@ def build_corpus(
     _tl = [("start", _time.perf_counter())]
     n0 = docs.count()
     _tl.append(("input_count", _time.perf_counter()))
+
+    if normalize_unicode is not None:
+        if ck is not None and ck.has("normalize"):
+            docs = ck.load("normalize", ["kept"])["kept"]
+        else:
+            from ..functions.scalars import unicode_normalize
+
+            docs = docs.withColumn(
+                "text", unicode_normalize(F.col("text"), form=normalize_unicode)
+            )
+            if ck is not None:
+                docs = ck.save("normalize", {"kept": docs})["kept"]
+        _tl.append(("normalize", _time.perf_counter()))
 
     if ck is not None and ck.has("quality"):
         fr = ck.load("quality", ["kept", "drops"])

@@ -530,6 +530,69 @@ def test_build_corpus_checkpointed_optional_stages(spark, tmp_path):
         assert "someone@example.com" not in redacted[0][0]
 
 
+def test_build_corpus_normalize_stage_collapses_unicode_variants(spark):
+    """normalize_unicode='NFC': decomposed and precomposed renderings of
+    the same document become byte-identical and fall to exact dedup;
+    without the stage both survive (the exact failure the stage exists
+    to prevent)."""
+    from rdw_spark.plans import corpus as CP
+
+    body = "a perfectly ordinary document about cafe\u0301 culture "
+    rows = [
+        (1, (body * 6), "en", "s0"),                       # decomposed
+        (2, (body * 6).replace("e\u0301", "\u00e9"), "en", "s0"),  # precomposed
+        (3, "an unrelated document with its own words " * 6, "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    q = {"min_chars": 1, "min_tokens": 1, "min_avg_token_len": 0.0,
+         "max_avg_token_len": 99.0, "max_punct_ratio": 1.0,
+         "min_alpha_ratio": 0.0}
+
+    plain = CP.build_corpus(docs, quality_thresholds=q, minhash_threshold=0.99,
+                            eval_fraction=0.0)
+    kept_plain = sorted(r["doc_id"] for r in plain["train"].collect())
+    assert kept_plain == [1, 2, 3]  # variants slip past byte-exact dedup
+
+    norm = CP.build_corpus(docs, quality_thresholds=q, minhash_threshold=0.99,
+                           eval_fraction=0.0, normalize_unicode="NFC")
+    kept_norm = sorted(r["doc_id"] for r in norm["train"].collect())
+    assert kept_norm == [1, 3]
+    d = {r["doc_id"]: r["stage"] for r in norm["drop_report"].collect()}
+    assert d[2] == "exact_dup"
+
+
+def test_ivf_topk_on_quantized_vectors(spark, sf_dir, tmp_path):
+    """The quantize→probe composition: an IVF index whose stored vectors
+    are int8-quantized (4x smaller state) still recalls the brute-force
+    neighbors — cosine is scale-invariant, so ivf_topk scores the int
+    arrays directly via vec_col='q8'."""
+    from rdw_spark.operators.similarity import (
+        cosine_topk_brute, ivf_build, ivf_topk, quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = ivf_build(emb, n_centroids=16)
+    qz = quantize_embeddings(assigned).drop("embedding")
+
+    ivf = ivf_topk(qz, centroids, q, k=10, nprobe=8, vec_col="q8").collect()
+    brute = cosine_topk_brute(emb, q, k=10).collect()
+    by_q = lambda rows: {  # noqa: E731
+        qid: {r.vec_id for r in rows if r.query_id == qid}
+        for qid in {r.query_id for r in rows}
+    }
+    ivf_sets, brute_sets = by_q(ivf), by_q(brute)
+    recall = sum(
+        len(ivf_sets.get(qid, set()) & neigh) / len(neigh)
+        for qid, neigh in brute_sets.items()
+    ) / len(brute_sets)
+    assert recall >= 0.5
+
+
 def test_corpus_to_shards_end_to_end(spark, sf_dir, tmp_path):
     """The one-call composition: raw docs → cleaned corpus → budgeted
     manifest → physical shard files + index, with accounting consistent
