@@ -206,6 +206,66 @@ def maintain_corpus(
     }
 
 
+def validate_corpus_store(
+    spark: SparkSession, out_root: str, sample: int = 20,
+) -> dict:
+    """Cross-table integrity validation for the streaming corpus store —
+    the corpus twin of ``migrate.validate_integrity`` (the check the
+    reference requires before bulk operations). Verifies the invariants
+    the exactly-once composition is supposed to maintain, so silent
+    drift (a torn write the manifest contract should have prevented, a
+    bug in a new stage) is caught at maintenance time instead of by a
+    downstream training run:
+
+      - ``cluster_loser_in_corpus``: a doc recorded as merged/near-dup
+        in the cluster map must NOT still be in the corpus;
+      - ``dropped_in_corpus``: a doc with a drops row must not be in the
+        corpus (drops are terminal);
+      - ``fp_canonical_unaccounted``: every fingerprint-index canonical
+        must be in the corpus or the cluster map (else a digest claims a
+        doc that was lost — the claim-before-publish failure);
+      - ``corpus_missing_sig``: with the near-dup tier populated, every
+        corpus doc needs a signature row (future batches can't dedup
+        against it otherwise);
+      - ``band_doc_missing_sig``: band-index members must have sig rows
+        (verification would silently drop their candidate pairs).
+
+    Full-table anti-joins, one partition-parallel pass per invariant —
+    a maintenance-window check, not a per-batch cost. Returns violation
+    counts plus up to ``sample`` offending ids per check."""
+    t = corpus_tables(out_root)
+    corpus_ids = t["corpus"].read(spark).select("doc_id")
+    clusters = t["clusters"].read(spark)
+    drops = t["drops"].read(spark).select("doc_id")
+    fp = t["fpindex"].read(spark).select(
+        F.col("canonical_id").alias("doc_id")).distinct()
+    sig_ids = t["sigindex"].read(spark).select("doc_id")
+    band_ids = t["bandindex"].read(spark).select("doc_id").distinct()
+
+    checks = {
+        "cluster_loser_in_corpus":
+            clusters.select("doc_id").join(corpus_ids, "doc_id", "left_semi"),
+        "dropped_in_corpus":
+            drops.join(corpus_ids, "doc_id", "left_semi"),
+        "fp_canonical_unaccounted":
+            fp.join(corpus_ids, "doc_id", "left_anti")
+              .join(clusters.select("doc_id"), "doc_id", "left_anti"),
+        "corpus_missing_sig":
+            (corpus_ids.join(sig_ids, "doc_id", "left_anti")
+             if not sig_ids.isEmpty() else corpus_ids.limit(0)),
+        "band_doc_missing_sig":
+            band_ids.join(sig_ids, "doc_id", "left_anti"),
+    }
+    report: dict = {"ok": True, "violations": {}}
+    for name, df in checks.items():
+        bad = [r["doc_id"] for r in df.limit(sample).collect()]
+        n = df.count() if bad else 0
+        report["violations"][name] = {"count": n, "sample": bad}
+        if n:
+            report["ok"] = False
+    return report
+
+
 def _resolve_partners(
     spark: SparkSession, clusters: PartitionedTable, partner_ids: DataFrame,
     max_chain: int = 8,

@@ -610,6 +610,49 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     assert b1["written"] == 1
 
 
+def test_validate_corpus_store_clean_and_corrupted(spark, tmp_path):
+    """A store built by the stream validates clean; an injected
+    inconsistency (a cluster loser still present in the corpus) flips the
+    matching check and only that check."""
+    from pyspark.sql import Row
+
+    from rdw_spark.streaming.corpus import (
+        corpus_tables, stream_corpus_build, validate_corpus_store,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [(1, base * 3, "en", "s0", 183),
+         (2, base * 3 + "tail", "en", "s0", 187),   # near-dup of 1
+         (3, "a completely different document about sailing ships", "en", "s0", 51)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(landing / "b1"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root,
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    rep = validate_corpus_store(spark, out_root)
+    assert rep["ok"], rep
+    assert all(v["count"] == 0 for v in rep["violations"].values())
+
+    # corrupt: claim doc 3 merged into 1 while leaving it in the corpus
+    t = corpus_tables(out_root)
+    t["clusters"].merge_rows(
+        spark, spark.createDataFrame([Row(doc_id=3, canonical_id=1)])
+    )
+    rep2 = validate_corpus_store(spark, out_root)
+    assert not rep2["ok"]
+    assert rep2["violations"]["cluster_loser_in_corpus"]["count"] == 1
+    assert rep2["violations"]["cluster_loser_in_corpus"]["sample"] == [3]
+    others = {k: v for k, v in rep2["violations"].items()
+              if k != "cluster_loser_in_corpus"}
+    assert all(v["count"] == 0 for v in others.values())
+
+
 def test_stream_corpus_semantic_near_dup_across_batches(spark, tmp_path):
     """semantic=True: paraphrase pairs — lexically DISSIMILAR texts with
     near-identical embeddings — collapse in-batch and across micro-batches
