@@ -610,6 +610,46 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     assert b1["written"] == 1
 
 
+def test_corpus_drift_between_store_versions(spark, tmp_path):
+    """Composition: time-travel the streaming corpus table and feed two
+    versions to the batch corpus_drift report — 'what did the last N
+    micro-batches do to the language mix' with no extra state."""
+    from rdw_spark.plans.corpus import corpus_drift
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda i, lang: (  # noqa: E731
+        i, f"document {i} body entirely its own {i}", lang, "s0", 30)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    spark.createDataFrame([mk(1, "en"), mk(2, "en")], schema) \
+        .coalesce(1).write.parquet(str(landing / "b1"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False)
+    q.awaitTermination(120)
+    corpus = corpus_tables(out_root)["corpus"]
+    v_before = corpus.latest()[0]
+
+    spark.createDataFrame([mk(3, "de"), mk(4, "de"), mk(5, "de")], schema) \
+        .coalesce(1).write.parquet(str(landing / "b2"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False)
+    q.awaitTermination(120)
+
+    drift = {r["lang"]: r for r in corpus_drift(
+        corpus.read(spark, version=v_before), corpus.read(spark)
+    ).collect()}
+    assert drift["en"]["n_docs_before"] == 2
+    assert drift["en"]["n_docs_after"] == 2
+    assert drift["de"]["n_docs_before"] == 0
+    assert drift["de"]["n_docs_after"] == 3
+    assert drift["de"]["share_delta"] > 0.5
+    assert abs(drift["en"]["share_delta"] - (0.4 - 1.0)) < 1e-9
+
+
 def test_validate_corpus_store_clean_and_corrupted(spark, tmp_path):
     """A store built by the stream validates clean; an injected
     inconsistency (a cluster loser still present in the corpus) flips the
