@@ -501,6 +501,58 @@ def line_stats(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surgery counterpart of :func:`line_stats` (C4's line-level
+    dedup policy): REMOVE every line that occurs in >= ``min_docs``
+    distinct documents (nav bars, cookie banners, license footers),
+    preserving the order — and the empty-line structure — of what
+    remains. Returns ``id_col``, ``clean_text``, ``n_lines_removed``.
+
+    The text itself never shuffles: the digest pairs→frequency path is
+    the same two md5-keyed shuffles as ``line_stats``, the per-doc set
+    of OFFENDING digests (usually tiny) shuffles once more as
+    ``(id, digest)``, and the rebuild is a map-only
+    ``filter(split(text)) → concat_ws`` against that per-doc array.
+    Compare ``remove_duplicated_spans`` (token-window grain) — this is
+    the line-grain tool for markup-shaped boilerplate."""
+    trimmed = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    pairs = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(trimmed)).alias("_l"))
+        .select(id_col, F.md5(F.col("_l")).alias("_h"))
+    )
+    boiler = (
+        pairs.groupBy("_h").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_docs).select("_h")
+    )
+    per_doc_bad = (
+        pairs.join(boiler, "_h", "left_semi")
+        .groupBy(id_col).agg(F.collect_set("_h").alias("_bad"))
+    )
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<string>"))
+    kept_lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda x: (F.trim(x) == "")
+        | ~F.array_contains(bad, F.md5(F.trim(x))),
+    )
+    return (
+        df.join(per_doc_bad, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", kept_lines).alias("clean_text"),
+            (F.size(F.split(F.col(text_col), "\n")) - F.size(kept_lines))
+            .cast("long").alias("n_lines_removed"),
+        )
+    )
+
+
 def top_ngram_repetition(
     df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

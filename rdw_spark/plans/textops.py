@@ -1069,6 +1069,55 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_text_strip_boilerplate",
+    oracle="""
+    WITH docs2 AS (
+        SELECT doc_id,
+               text || chr(10) || 'accept our cookies to continue'
+                    || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents
+    ), hp AS (
+        SELECT DISTINCT doc_id, md5(trim(line)) AS h
+        FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM docs2)
+        WHERE trim(line) <> ''
+    ), freq AS (
+        SELECT h FROM hp GROUP BY h HAVING COUNT(*) >= 2
+    ), b AS (
+        SELECT coalesce(list(h), []) AS bad FROM freq
+    ), kept AS (
+        SELECT d.doc_id,
+               list_filter(string_split(d.t, chr(10)),
+                           x -> trim(x) = ''
+                                OR NOT list_contains(b.bad, md5(trim(x))))
+                   AS kl,
+               len(string_split(d.t, chr(10))) AS n_all
+        FROM docs2 d CROSS JOIN b
+    )
+    SELECT doc_id,
+           array_to_string(kl, chr(10)) AS clean_text,
+           CAST(n_all - len(kl) AS BIGINT) AS n_lines_removed
+    FROM kept
+    """,
+    survey="ext: C4-style boilerplate-line REMOVAL (the surgery twin of "
+           "the line_stats signal): lines in >= min_docs distinct docs "
+           "cut from every document, order preserved, text never "
+           "shuffles (per-doc offending-digest array + map-only "
+           "rebuild); a shared cookie-banner line is planted identically "
+           "on both sides since the synthetic docs are single-line",
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\naccept our cookies to continue\ntail "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return X.strip_boilerplate_lines(d, min_docs=2)
+
+
+@register(
     "zz_text_boilerplate",
     oracle="""
     WITH lx AS (

@@ -440,3 +440,41 @@ def test_unicode_normalize_nfkc_and_control_strip(spark):
 
     with pytest.raises(ValueError):
         unicode_normalize(F.col("text"), form="NFX")
+
+
+def test_strip_boilerplate_lines_surgery(spark):
+    """Crafted corpus: the shared banner is cut from every doc (all
+    occurrences, duplicates included), unique lines and empty-line
+    structure survive in order, and a doc that was pure boilerplate
+    comes back as empty text rather than vanishing."""
+    from pyspark.sql import functions as F
+
+    from rdw_spark.operators.text import strip_boilerplate_lines
+
+    banner = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nreal content one\n\nreal content two\n{banner}"),
+            (2, f"intro line\n{banner}\nbody text here"),
+            (3, f"{banner}"),
+            (4, "totally unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["clean_text"] == "real content one\n\nreal content two"
+    assert out[1]["n_lines_removed"] == 2     # both banner occurrences
+    assert out[2]["clean_text"] == "intro line\nbody text here"
+    assert out[3]["clean_text"] == ""          # pure-boilerplate doc retained
+    assert out[3]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == "totally unique document"
+    assert out[4]["n_lines_removed"] == 0
+    # whitespace-variant lines hash to the same trimmed key
+    v = spark.createDataFrame(
+        [(1, "  spaced banner  \nkeep me"), (2, "spaced banner\nother")],
+        "doc_id long, text string",
+    )
+    vo = {r["doc_id"]: r for r in strip_boilerplate_lines(v, min_docs=2).collect()}
+    assert vo[1]["clean_text"] == "keep me"
+    assert vo[2]["clean_text"] == "other"
