@@ -47,6 +47,7 @@ def build_corpus(
     span_dedup_n: int | None = None,
     checkpoint_root: str | None = None,
     normalize_unicode: str | None = None,
+    boilerplate_min_docs: int | None = None,
 ) -> dict:
     """Run the full pipeline over ``docs``. Returns a dict with ``train``,
     ``eval`` DataFrames, the ``drop_report`` (doc_id, stage, detail), and
@@ -95,7 +96,13 @@ def build_corpus(
     control-char stripping FIRST — before quality and dedup — so
     decomposed/precomposed/width variants of the same document collapse
     to one byte form and can't defeat the exact or shingle stages
-    (``functions/scalars.unicode_normalize``; nothing drops here)."""
+    (``functions/scalars.unicode_normalize``; nothing drops here).
+
+    ``boilerplate_min_docs`` switches on C4-style boilerplate-line
+    removal right after normalization (before quality, so quality scores
+    the text that will actually ship): lines occurring in >= that many
+    distinct documents are cut from every document; documents left empty
+    drop with stage ``boilerplate``."""
     if pii_mode not in (None, "redact", "drop"):
         raise ValueError(f"pii_mode must be None/'redact'/'drop', got {pii_mode!r}")
     if normalize_unicode not in (None, "NFC", "NFKC"):
@@ -121,6 +128,7 @@ def build_corpus(
             "embedding_block_bits": embedding_block_bits,
             "span_dedup_n": span_dedup_n,
             "normalize_unicode": normalize_unicode,
+            "boilerplate_min_docs": boilerplate_min_docs,
         })
     _caches: list[DataFrame] = []
 
@@ -145,6 +153,33 @@ def build_corpus(
             if ck is not None:
                 docs = ck.save("normalize", {"kept": docs})["kept"]
         _tl.append(("normalize", _time.perf_counter()))
+
+    pre_drops: list[DataFrame] = []
+    if boilerplate_min_docs is not None:
+        if ck is not None and ck.has("boilerplate"):
+            fr = ck.load("boilerplate", ["kept", "drops"])
+            docs = fr["kept"]
+            pre_drops.append(fr["drops"])
+        else:
+            bp = X.strip_boilerplate_lines(
+                docs, min_docs=boilerplate_min_docs, id_col=id_col
+            )
+            docs = (
+                docs.drop("text")
+                .join(bp.filter(F.trim("clean_text") != "")
+                      .select(id_col, F.col("clean_text").alias("text")),
+                      id_col)
+                .select(*[c for c in docs.columns])
+            )
+            drop_bp = bp.filter(F.trim("clean_text") == "").select(
+                F.col(id_col), F.lit("boilerplate").alias("stage"),
+                F.col("n_lines_removed").cast("string").alias("detail"),
+            )
+            if ck is not None:
+                fr = ck.save("boilerplate", {"kept": docs, "drops": drop_bp})
+                docs, drop_bp = fr["kept"], fr["drops"]
+            pre_drops.append(drop_bp)
+        _tl.append(("boilerplate", _time.perf_counter()))
 
     if ck is not None and ck.has("quality"):
         fr = ck.load("quality", ["kept", "drops"])
@@ -370,7 +405,7 @@ def build_corpus(
 
     train, ev = SA.split_train_eval(kept_n, id_col, eval_fraction)
     drop_report = drop_quality.unionByName(drop_exact).unionByName(drop_near)
-    for extra in extra_drops:
+    for extra in pre_drops + extra_drops:
         drop_report = drop_report.unionByName(extra)
     if drop_contam is not None:
         drop_report = drop_report.unionByName(drop_contam)

@@ -563,6 +563,42 @@ def test_build_corpus_normalize_stage_collapses_unicode_variants(spark):
     assert d[2] == "exact_dup"
 
 
+def test_build_corpus_boilerplate_stage(spark, tmp_path):
+    """boilerplate_min_docs: the shared banner is cut before quality and
+    dedup, a pure-boilerplate doc drops with stage 'boilerplate', and
+    the stage checkpoints/resumes like the others."""
+    from rdw_spark.plans import corpus as CP
+
+    banner = "accept our cookies to continue browsing this site today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n" + "real body about gardening tools " * 8, "en", "s0"),
+            (2, f"{banner}\n" + "entirely different body about astronomy " * 8, "en", "s0"),
+            (3, banner, "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    q = {"min_chars": 1, "min_tokens": 1, "min_avg_token_len": 0.0,
+         "max_avg_token_len": 99.0, "max_punct_ratio": 1.0,
+         "min_alpha_ratio": 0.0}
+    root = str(tmp_path / "ck")
+    out = CP.build_corpus(docs, quality_thresholds=q, minhash_threshold=0.9,
+                          eval_fraction=0.0, boilerplate_min_docs=2,
+                          checkpoint_root=root)
+    kept = sorted(r["doc_id"] for r in out["train"].collect())
+    assert kept == [1, 2]
+    for r in out["train"].collect():
+        assert banner not in r["text"]
+    d = {r["doc_id"]: r["stage"] for r in out["drop_report"].collect()}
+    assert d[3] == "boilerplate"
+    # resume: same results from the checkpoint
+    again = CP.build_corpus(docs, quality_thresholds=q, minhash_threshold=0.9,
+                            eval_fraction=0.0, boilerplate_min_docs=2,
+                            checkpoint_root=root)
+    assert again["counts"] == out["counts"]
+    assert {r["doc_id"]: r["stage"] for r in again["drop_report"].collect()} == d
+
+
 def test_ivf_topk_on_quantized_vectors(spark, sf_dir, tmp_path):
     """The quantize→probe composition: an IVF index whose stored vectors
     are int8-quantized (4x smaller state) still recalls the brute-force
