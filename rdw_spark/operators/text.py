@@ -513,13 +513,17 @@ def strip_boilerplate_lines(
     preserving the order — and the empty-line structure — of what
     remains. Returns ``id_col``, ``clean_text``, ``n_lines_removed``.
 
-    The text itself never shuffles: the digest pairs→frequency path is
-    the same two md5-keyed shuffles as ``line_stats``, the per-doc set
-    of OFFENDING digests (usually tiny) shuffles once more as
-    ``(id, digest)``, and the rebuild is a map-only
-    ``filter(split(text)) → concat_ws`` against that per-doc array.
-    Compare ``remove_duplicated_spans`` (token-window grain) — this is
-    the line-grain tool for markup-shaped boilerplate."""
+    Shuffle budget: the digest pairs→frequency path is the same two
+    md5-keyed shuffles as ``line_stats`` (32-char hashes, never line
+    text), the per-doc set of OFFENDING digests shuffles as
+    ``(id, digest)``, and the rebuild is a map-only ``filter(split(text))
+    → concat_ws`` against that per-doc array after ONE id-join — which
+    AQE broadcasts when the offender map is small (the common case:
+    most docs have no boilerplate and drop out of the left join's build
+    side), and otherwise costs the text a single hash partition on id;
+    there is no per-LINE text shuffle at any scale. Compare
+    ``remove_duplicated_spans`` (token-window grain) — this is the
+    line-grain tool for markup-shaped boilerplate."""
     trimmed = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
         lambda x: x != "",

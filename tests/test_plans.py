@@ -191,3 +191,40 @@ class TestSpanDedupAndLmPlans:
         # aggregation (HashAggregate pairs), never a raw full shuffle
         plan = _plan(spark, catalog, "zz_text_lm_score")
         assert plan.count("HashAggregate") >= 4
+
+    def test_quantized_cosine_no_python_and_blocked_join(self, spark, catalog):
+        # int8 quantization stays JVM-side (no BatchEvalPython / arrow
+        # eval in the plan) and the pair join is the blocked equi-join,
+        # never a cartesian product
+        plan = _plan(spark, catalog, "zz_sim_quantized_cosine")
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_export_shards_no_single_task_global_sort(self, spark, catalog):
+        # shard assignment rides the distributed two-phase prefix scan:
+        # every Sort/Window in the plan is partition-local (the global
+        # single-partition window would be "Window [...]" with no
+        # partitionBy — locked out the same way as shuffle_order)
+        plan = _plan(spark, catalog, "zz_export_shards")
+        import re
+
+        for m in re.finditer(r"Arguments: \[[^\]]*row_number[^\]]*\]", plan):
+            assert "_pid" in m.group(0) or "partition" in m.group(0).lower()
+
+    def test_strip_boilerplate_text_never_shuffles(self, spark, catalog):
+        # the digest pipeline shuffles 32-char hashes and (id, digest)
+        # pairs; with the offender map broadcastable (the common case,
+        # asserted here) the document text appears only in scan/project
+        # nodes, never in an Exchange's output — and per-LINE text never
+        # shuffles at any scale (worst case is one doc-grain id join)
+        plan = _plan(spark, catalog, "zz_text_strip_boilerplate")
+        import re
+
+        blocks = re.split(r"\n\((\d+)\) ", "\n" + plan.split("== Physical Plan ==")[-1])
+        nodes = {}
+        for i in range(1, len(blocks) - 1, 2):
+            nodes[int(blocks[i])] = blocks[i + 1]
+        exchange_blocks = [b for b in nodes.values() if b.startswith("Exchange")]
+        assert exchange_blocks  # the frequency count does shuffle digests
+        for b in exchange_blocks:
+            assert "text#" not in b, "document text entered a shuffle"
