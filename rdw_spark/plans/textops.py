@@ -987,6 +987,70 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_doc_features",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS q_n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS q_n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|una)\\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b')) AS s_fr,
+               len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))
+                   AS n_subword,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS lines
+        FROM documents
+    ), g AS (
+        SELECT *,
+               coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS tot,
+               coalesce(list_sum(list_transform(list_distinct(lines),
+                                                x -> length(x))), 0) AS uniq
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(q_n_chars AS BIGINT) AS q_n_chars,
+           CAST(q_n_tokens AS BIGINT) AS q_n_tokens,
+           CAST(q_n_chars AS DOUBLE) / q_n_tokens AS q_avg_token_len,
+           CAST(n_punct AS DOUBLE) / q_n_chars AS q_punct_ratio,
+           CAST(n_alpha AS DOUBLE) / q_n_chars AS q_alpha_ratio,
+           CAST(s_en AS DOUBLE) / q_n_tokens AS q_stopword_ratio,
+           CAST(len(lines) AS BIGINT) AS rep_n_lines,
+           CASE WHEN len(lines) = 0 THEN 0.0
+                ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / len(lines) END AS rep_dup_line_frac,
+           CASE WHEN tot = 0 THEN 0.0
+                ELSE CAST(tot - uniq AS DOUBLE) / tot
+                END AS rep_dup_line_char_frac,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS guessed_lang,
+           CAST(n_subword AS BIGINT) AS n_subword
+    FROM g
+    """,
+    survey="ext: fused per-document feature pass — quality ratios, "
+           "dup-line repetition, language guess, subword estimate in ONE "
+           "scan/projection (operator fusion: at 100 TB the cost is the "
+           "read, so every map-only signal shares it; zero Exchange, "
+           "plan-gated)",
+)
+def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = X.repetition_features(X.quality_features(_docs(spark, sf_dir)))
+    return d.select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_avg_token_len",
+        "q_punct_ratio", "q_alpha_ratio", "q_stopword_ratio",
+        "rep_n_lines", "rep_dup_line_frac", "rep_dup_line_char_frac",
+        X.language_guess(F.col("text")).alias("guessed_lang"),
+        X.subword_count(F.col("text")).cast("long").alias("n_subword"),
+    )
+
+
+@register(
     "zz_text_token_rarity",
     oracle="""
     WITH toks AS (

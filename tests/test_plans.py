@@ -228,3 +228,12 @@ class TestSpanDedupAndLmPlans:
         assert exchange_blocks  # the frequency count does shuffle digests
         for b in exchange_blocks:
             assert "text#" not in b, "document text entered a shuffle"
+
+    def test_doc_features_single_scan_no_exchange(self, spark, catalog):
+        # the fused feature pass must be one scan + projection: no
+        # Exchange, no join, no Python eval — the whole point is that
+        # every map-only signal shares the single 100 TB read
+        plan = _plan(spark, catalog, "zz_doc_features")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "EvalPython" not in plan
