@@ -343,6 +343,45 @@ def ivf_append(
     return spark.read.parquet(vdir), centroids
 
 
+def ivf_compact(
+    spark,
+    index_path: str,
+    max_files_per_cell: int = 4,
+) -> int:
+    """Maintenance for an append-maintained IVF index: every
+    :func:`ivf_append` adds a file per touched cell, so probe read cost
+    creeps up with batch count until folded. Rewrites only cells whose
+    file count exceeds ``max_files_per_cell`` (coalesced to one file
+    each, via a staging dir + directory swap so a crash leaves the old
+    cell intact), leaving cold cells untouched. Run on the maintenance
+    cadence alongside ``maintain_corpus``. Returns the number of cells
+    compacted."""
+    import glob
+    import os
+    import shutil
+
+    vdir = os.path.join(index_path, "vectors")
+    compacted = 0
+    for cell_dir in sorted(glob.glob(os.path.join(vdir, "cell=*"))):
+        files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
+        if len(files) <= max_files_per_cell:
+            continue
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+        stage = os.path.join(vdir, f".compact-cell-{cell}")
+        shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+        (
+            spark.read.parquet(cell_dir).coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+        )
+        old = cell_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cell_dir, old)
+        os.rename(stage, cell_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted += 1
+    return compacted
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list,

@@ -208,6 +208,44 @@ def test_ivf_append_incremental_index(spark, sf_dir, tmp_path):
         ivf_append(spark, new_rows, str(tmp_path / "nowhere"))
 
 
+def test_ivf_compact_folds_append_files(spark, sf_dir, tmp_path):
+    """Repeated appends fragment a cell into many files; compacting folds
+    hot cells to one file each with identical content, and leaves cells
+    under the threshold alone."""
+    import glob
+    import os
+
+    from rdw_spark.operators.similarity import ivf_append, ivf_compact, ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index(spark, emb, path, n_centroids=4)
+    twin = emb.filter(F.col("vec_id") == 3).first()
+    for i in range(6):  # six appends → six extra files in the twin's cell
+        batch = spark.createDataFrame(
+            [(200000 + i, [float(x) + 0.0001 * (i + 1)
+                           for x in twin["embedding"]], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        ivf_append(spark, batch, path)
+    before = spark.read.parquet(os.path.join(path, "vectors"))
+    n_before = before.count()
+    ids_before = {r["vec_id"] for r in before.select("vec_id").collect()}
+    hot = [d for d in glob.glob(os.path.join(path, "vectors", "cell=*"))
+           if len([f for f in os.listdir(d) if f.endswith(".parquet")]) > 4]
+    assert hot  # the appends actually fragmented a cell
+
+    n_compacted = ivf_compact(spark, path, max_files_per_cell=4)
+    assert n_compacted == len(hot)
+    for d in hot:
+        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+    after = spark.read.parquet(os.path.join(path, "vectors"))
+    assert after.count() == n_before
+    assert {r["vec_id"] for r in after.select("vec_id").collect()} == ids_before
+    # idempotent: nothing left over the threshold
+    assert ivf_compact(spark, path, max_files_per_cell=4) == 0
+
+
 def test_frame_sample_and_resize_plumbing(spark, sf_dir):
     from rdw_spark.io import load_table
     from rdw_spark.operators import multimodal as M
