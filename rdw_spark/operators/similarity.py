@@ -435,6 +435,47 @@ def ivf_topk(
     )
 
 
+def rescore_topk(
+    candidates: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The last rung of the quantize→score→rescore ladder: take candidate
+    ``(query_id, vec_id)`` pairs from any approximate stage (quantized
+    IVF, SRP buckets) and recompute EXACT full-precision cosine for just
+    those pairs, returning the re-ranked top ``k`` per query. Candidate
+    sets are a few·k per query, so the full-vector join is a semi-join-
+    sized read against the embedding table (partition/cell-pruned when
+    ``emb`` is the IVF layout) and the scoring is O(candidates) — the
+    approximate stage did the heavy pruning, precision costs only the
+    final touch."""
+    from pyspark.sql import Window
+
+    cand = candidates.select(query_id_col, id_col)
+    j = (
+        cand.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)),
+              query_id_col)
+    )
+    cos = dot_expr(F.col(vec_col), F.col(query_vec_col)) / (
+        norm_expr(F.col(vec_col)) * norm_expr(F.col(query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        j.select(query_id_col, id_col, cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rn").alias("rank"))
+    )
+
+
 def cluster_stats(
     assigned: DataFrame,
     centroids: list,

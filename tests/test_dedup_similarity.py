@@ -208,6 +208,39 @@ def test_ivf_append_incremental_index(spark, sf_dir, tmp_path):
         ivf_append(spark, new_rows, str(tmp_path / "nowhere"))
 
 
+def test_rescore_topk_restores_exact_ranking(spark, sf_dir):
+    """Quantized-IVF candidates re-ranked by full-precision cosine must
+    reproduce the exact brute-force scores for every surviving pair —
+    the approximate stage only prunes, precision comes back at the end."""
+    from rdw_spark.operators.similarity import (
+        cosine_topk_brute, ivf_build, ivf_topk, quantize_embeddings,
+        rescore_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, centroids = ivf_build(emb, n_centroids=16)
+    qz = quantize_embeddings(assigned).drop("embedding")
+    # over-fetch approximate candidates, then exact-rescore down to 10
+    cand = ivf_topk(qz, centroids, q, k=30, nprobe=8, vec_col="q8")
+    final = rescore_topk(cand, emb, q, k=10).collect()
+
+    brute = {(r.query_id, r.vec_id): r.cosine
+             for r in cosine_topk_brute(emb, q, k=30).collect()}
+    assert final
+    for r in final:
+        key = (r.query_id, r.vec_id)
+        if key in brute:  # every rescored pair carries the EXACT score
+            assert abs(r.cosine - brute[key]) < 1e-12
+    per_q = {}
+    for r in final:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_ivf_compact_folds_append_files(spark, sf_dir, tmp_path):
     """Repeated appends fragment a cell into many files; compacting folds
     hot cells to one file each with identical content, and leaves cells
