@@ -177,19 +177,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot_expr, quantize_embeddings
 
-    q = quantize_embeddings(_emb(spark, sf_dir))
+    # norms are per-ROW: compute both (quantized + full) once before the
+    # self-join so each pair evaluates two array folds (the dots), not six
+    q = quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id", "label", "q8", "embedding",
+        F.sqrt(dot_expr(F.col("q8"), F.col("q8"))).alias("_qn"),
+        F.sqrt(dot_expr(F.col("embedding"), F.col("embedding"))).alias("_en"),
+    )
     a = q.select(F.col("vec_id").alias("a"), "label",
-                 F.col("q8").alias("_qa"), F.col("embedding").alias("_ea"))
+                 F.col("q8").alias("_qa"), F.col("embedding").alias("_ea"),
+                 F.col("_qn").alias("_qna"), F.col("_en").alias("_ena"))
     b = q.select(F.col("vec_id").alias("b"), "label",
-                 F.col("q8").alias("_qb"), F.col("embedding").alias("_eb"))
-    qcos = dot_expr(F.col("_qa"), F.col("_qb")) / (
-        F.sqrt(dot_expr(F.col("_qa"), F.col("_qa")))
-        * F.sqrt(dot_expr(F.col("_qb"), F.col("_qb")))
-    )
-    cos = dot_expr(F.col("_ea"), F.col("_eb")) / (
-        F.sqrt(dot_expr(F.col("_ea"), F.col("_ea")))
-        * F.sqrt(dot_expr(F.col("_eb"), F.col("_eb")))
-    )
+                 F.col("q8").alias("_qb"), F.col("embedding").alias("_eb"),
+                 F.col("_qn").alias("_qnb"), F.col("_en").alias("_enb"))
+    qcos = dot_expr(F.col("_qa"), F.col("_qb")) / (F.col("_qna") * F.col("_qnb"))
+    cos = dot_expr(F.col("_ea"), F.col("_eb")) / (F.col("_ena") * F.col("_enb"))
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
