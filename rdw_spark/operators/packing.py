@@ -84,6 +84,7 @@ def pack_sequences(
     seq_len: int,
     weight_col: str = "n_tokens",
     order_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: with documents concatenated in
     ``order_col`` order, annotate each doc with its global token
@@ -91,10 +92,23 @@ def pack_sequences(
     ``last_seq``, ``n_seqs`` for docs spanning a boundary). Rows with
     non-positive weight are dropped (they occupy no stream positions).
     This is the *plan* the actual tensor writer executes per sequence —
-    producing it is one distributed prefix sum, no text moves."""
-    d = with_global_offset(
-        df.filter(F.col(weight_col) > 0), weight_col, order_col
-    )
+    producing it is one distributed prefix sum, no text moves.
+
+    ``max_doc_tokens`` applies the standard long-document truncation
+    policy: a doc contributes at most that many tokens to the stream
+    (``weight_col`` is capped; ``truncated`` marks affected docs) — the
+    map-only guard that stops one book-length document from spanning
+    hundreds of sequences and skewing the mix."""
+    d = df.filter(F.col(weight_col) > 0)
+    if max_doc_tokens is not None:
+        if max_doc_tokens <= 0:
+            raise ValueError(f"max_doc_tokens must be positive, got {max_doc_tokens}")
+        d = d.withColumn(
+            "truncated", F.col(weight_col) > max_doc_tokens
+        ).withColumn(
+            weight_col, F.least(F.col(weight_col), F.lit(max_doc_tokens))
+        )
+    d = with_global_offset(d, weight_col, order_col)
     end_incl = F.col("offset") + F.col(weight_col) - 1
     return (
         d.withColumn("first_seq", F.floor(F.col("offset") / seq_len))

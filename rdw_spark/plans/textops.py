@@ -1053,6 +1053,44 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_pack_truncated",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               LEAST(len(string_split_regex(trim(text), '\\s+')), 60)
+                   AS n_tokens,
+               len(string_split_regex(trim(text), '\\s+')) > 60 AS truncated
+        FROM documents WHERE trim(text) <> ''
+    ), c AS (
+        SELECT doc_id, n_tokens, truncated,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS off
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, truncated,
+           CAST(off AS BIGINT) AS offset,
+           CAST(off // 128 AS BIGINT) AS first_seq,
+           CAST((off + n_tokens - 1) // 128 AS BIGINT) AS last_seq
+    FROM c
+    """,
+    survey="ext: sequence packing with long-document truncation — a doc "
+           "contributes at most max_doc_tokens to the stream (map-only "
+           "cap + truncated flag), the standard guard against one "
+           "book-length doc spanning hundreds of sequences",
+)
+def pack_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.pack_sequences(d, seq_len=128, max_doc_tokens=60).select(
+        "doc_id", "n_tokens", "truncated", "offset", "first_seq", "last_seq"
+    )
+
+
+@register(
     "zz_text_token_rarity",
     oracle="""
     WITH toks AS (

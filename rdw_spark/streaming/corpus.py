@@ -228,7 +228,10 @@ def validate_corpus_store(
         corpus doc needs a signature row (future batches can't dedup
         against it otherwise);
       - ``band_doc_missing_sig``: band-index members must have sig rows
-        (verification would silently drop their candidate pairs).
+        (verification would silently drop their candidate pairs);
+      - ``emb_doc_missing_sig``: embedding-index members (semantic mode)
+        must have sig rows — an embindex id the lexical tier never saw
+        means a doc skipped the exact stage.
 
     Full-table anti-joins, one partition-parallel pass per invariant —
     a maintenance-window check, not a per-batch cost. Returns violation
@@ -255,6 +258,9 @@ def validate_corpus_store(
              if not sig_ids.isEmpty() else corpus_ids.limit(0)),
         "band_doc_missing_sig":
             band_ids.join(sig_ids, "doc_id", "left_anti"),
+        "emb_doc_missing_sig":
+            t["embindex"].read(spark).select("doc_id")
+            .join(sig_ids, "doc_id", "left_anti"),
     }
     report: dict = {"ok": True, "violations": {}}
     for name, df in checks.items():

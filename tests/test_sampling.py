@@ -250,3 +250,22 @@ def test_token_budget_sample_rates_and_determinism(spark):
     a = {r["doc_id"] for r in out["sample"].collect()}
     b = {r["doc_id"] for r in PK.token_budget_sample(d, "lang", 5000.0)["sample"].collect()}
     assert a == b and a
+
+
+def test_pack_sequences_truncation_policy(spark):
+    from rdw_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 500), (2, 30), (3, 90)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in
+           PK.pack_sequences(df, seq_len=64, max_doc_tokens=100).collect()}
+    assert out[1]["n_tokens"] == 100 and out[1]["truncated"]
+    assert out[2]["n_tokens"] == 30 and not out[2]["truncated"]
+    # the capped weight drives the stream: doc 2 starts at 100, not 500
+    assert out[2]["offset"] == 100
+    assert out[3]["offset"] == 130
+    import pytest
+
+    with pytest.raises(ValueError):
+        PK.pack_sequences(df, seq_len=64, max_doc_tokens=0)
