@@ -452,6 +452,7 @@ def build_training_mix(
     text_col: str = "text",
     sample_seed: str = "s0",
     shuffle_seed: str = "sh0",
+    max_doc_tokens: int | None = None,
 ) -> dict:
     """The last mile from a cleaned corpus to a training-ready manifest:
 
@@ -467,13 +468,25 @@ def build_training_mix(
     position, offset, first_seq/last_seq/n_seqs) plus the applied
     ``rates``/``totals`` mix report. Every stage is deterministic, so the
     same inputs produce byte-identical manifests on any cluster layout —
-    a training run can be resumed or audited from the manifest alone."""
+    a training run can be resumed or audited from the manifest alone.
+    ``max_doc_tokens`` applies the long-document truncation policy before
+    the budget (so rates reflect the tokens that actually ship) and in
+    the packing plan."""
     from ..operators import packing as PK
 
     d = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), F.col(stratum_col),
         X.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    if max_doc_tokens is not None:
+        # cap BEFORE the budget so per-stratum rates reflect the tokens
+        # that will actually ship; flag here (capping first would erase
+        # the evidence the flag needs)
+        d = d.withColumn(
+            "truncated", F.col("n_tokens") > max_doc_tokens
+        ).withColumn(
+            "n_tokens", F.least(F.col("n_tokens"), F.lit(max_doc_tokens))
+        )
     tb = PK.token_budget_sample(
         d, stratum_col, token_budget, key_col=id_col, seed=sample_seed
     )

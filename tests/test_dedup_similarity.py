@@ -1029,3 +1029,23 @@ def test_build_corpus_span_dedup_stage(spark):
                         minhash_threshold=0.95, eval_fraction=0.0)
     assert out2["counts"]["after_span_dedup"] == out2["counts"]["after_decontam"]
     assert out2["train"].count() == 3
+
+
+def test_training_mix_max_doc_tokens(spark, sf_dir):
+    """The truncation policy threads through the mix: no manifest row
+    exceeds the cap, stream offsets reflect capped weights, and the
+    budget rates are computed over capped totals."""
+    from rdw_spark.io import load_table
+    from rdw_spark.plans.corpus import build_training_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = build_training_mix(docs, token_budget=1e9, max_doc_tokens=20)
+    rows = sorted(out["manifest"].collect(), key=lambda r: r["position"])
+    assert rows
+    assert all(r["n_tokens"] <= 20 for r in rows)
+    assert any(r["truncated"] for r in rows)  # sf docs exceed 20 tokens
+    run = 0
+    for r in rows:
+        assert r["offset"] == run
+        run += r["n_tokens"]
+    assert all(v <= 20 * docs.count() for v in out["totals"].values())
