@@ -227,3 +227,39 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+# documents as small line-lists over a tiny alphabet so cross-doc line
+# collisions actually happen
+_line = st.text(alphabet="xy ", min_size=0, max_size=4)
+_doclines = st.lists(st.lists(_line, min_size=0, max_size=5),
+                     min_size=1, max_size=6)
+
+
+@given(docs=_doclines)
+@settings(**_SETTINGS)
+def test_strip_boilerplate_matches_python_model(spark, docs):
+    """strip_boilerplate_lines against a brute-force reference: a line is
+    removed iff its trimmed non-empty form occurs in >= 2 distinct docs;
+    everything else (order, duplicates-within-doc, empty-line structure)
+    survives byte-for-byte, and every doc comes back."""
+    from rdw_spark.operators.text import strip_boilerplate_lines
+
+    texts = ["\n".join(lines) for lines in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # python model
+    freq: dict[str, set[int]] = {}
+    for i, lines in enumerate(docs):
+        for ln in {l.strip() for l in lines if l.strip()}:
+            freq.setdefault(ln, set()).add(i)
+    boiler = {ln for ln, ids in freq.items() if len(ids) >= 2}
+    want = {
+        i: "\n".join(l for l in lines
+                     if l.strip() == "" or l.strip() not in boiler)
+        for i, lines in enumerate(docs)
+    }
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_boilerplate_lines(df, min_docs=2).collect()}
+    assert got == want
