@@ -319,6 +319,7 @@ def stream_corpus_build(
     semantic: bool = False,
     semantic_threshold: float = 0.95,
     semantic_bits: int = 8,
+    normalize_unicode: str | None = None,
 ):
     """Watch ``landing_dir`` for document drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
@@ -360,7 +361,17 @@ def stream_corpus_build(
     the MinHash pairs in the same cluster resolution — paraphrase pairs
     split across micro-batches collapse exactly like lexical near-dups.
     Rows with a null embedding skip the stage (lexical dedup still
-    applies)."""
+    applies).
+
+    ``normalize_unicode`` ("NFC"/"NFKC") applies unicode normalization +
+    control stripping to each batch BEFORE digesting — the batch
+    pipeline's first stage — so a decomposed rendering arriving in batch
+    7 exact-dedups against its precomposed twin from batch 2 (their
+    digests differ without it)."""
+    if normalize_unicode not in (None, "NFC", "NFKC"):
+        raise ValueError(
+            f"normalize_unicode must be None/'NFC'/'NFKC', got {normalize_unicode!r}"
+        )
     if semantic and input_format == "csv":
         raise ValueError("semantic=True needs an embedding array column; "
                          "CSV can't carry one — use parquet or jsonl")
@@ -479,6 +490,12 @@ def stream_corpus_build(
                     drops.merge_rows(s, drop_frames[0])
                 write_stats(0)
                 return
+        if normalize_unicode is not None:
+            from rdw_spark.functions.scalars import unicode_normalize
+
+            docs = docs.withColumn(
+                "text", unicode_normalize(F.col("text"), form=normalize_unicode)
+            )
         if quality_thresholds is not None:
             q = quality_filter(docs, quality_thresholds)
             drop_frames.append(q.filter("NOT q_keep").select(

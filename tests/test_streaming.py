@@ -610,6 +610,40 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     assert b1["written"] == 1
 
 
+def test_stream_corpus_normalize_unicode_cross_batch_dedup(spark, tmp_path):
+    """normalize_unicode='NFC': a decomposed rendering arriving in a later
+    micro-batch exact-dedups against its precomposed twin from an earlier
+    one (their digests differ without the stage)."""
+    from rdw_spark.streaming.corpus import corpus_tables, stream_corpus_build
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    body = "a repeated piece about caf\u00e9 culture in town " * 4
+
+    spark.createDataFrame([(1, body, "en", "s0", len(body))], schema) \
+        .coalesce(1).write.parquet(str(landing / "b1"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False, normalize_unicode="NFC")
+    q.awaitTermination(120)
+
+    decomposed = body.replace("\u00e9", "e\u0301")
+    assert decomposed != body
+    spark.createDataFrame([(9, decomposed, "en", "s1", len(decomposed))],
+                          schema).coalesce(1).write.parquet(str(landing / "b2"))
+    q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
+                            near_dup=False, normalize_unicode="NFC")
+    q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1]
+    d = {r["doc_id"]: (r["stage"], r["detail"])
+         for r in t["drops"].read(spark).collect()}
+    assert d[9] == ("exact_dup", "1")
+
+
 def test_corpus_drift_between_store_versions(spark, tmp_path):
     """Composition: time-travel the streaming corpus table and feed two
     versions to the batch corpus_drift report — 'what did the last N
