@@ -19,7 +19,7 @@ aggregate, decisions never shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import stratified_sample
@@ -220,8 +220,9 @@ def write_shards(
         .write.partitionBy("shard").mode("overwrite").parquet(out_dir)
     )
     spark = df.sparkSession
+    back = spark.read.parquet(out_dir)
     index = (
-        spark.read.parquet(out_dir)
+        back
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
@@ -229,6 +230,7 @@ def write_shards(
             F.min(order_col).alias("first_position"),
             F.max(order_col).alias("last_position"),
             F.min("offset").alias("first_offset"),
+            _shard_digest(back, partition_col="shard"),
         )
         .orderBy("shard")
     )
@@ -236,6 +238,60 @@ def write_shards(
         out_dir.rstrip("/") + "_index"
     )
     return index
+
+
+def _shard_digest(df: DataFrame, partition_col: str = "shard") -> Column:
+    """Order-insensitive content digest of a shard's rows: XOR of per-row
+    xxhash64 over every data column (name-sorted, partition key excluded —
+    the digest describes the rows, the directory key describes placement).
+    Commutative aggregate → partial map-side combine, no sort, no collect;
+    rows are unique on the stream position so XOR self-cancellation can't
+    silently bless a duplicated+dropped row pair."""
+    cols = sorted(c for c in df.columns if c != partition_col)
+    return F.expr(
+        "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in cols) + "))"
+    ).alias("content_digest")
+
+
+def validate_shards(spark, out_dir: str, weight_col: str = "n_tokens") -> dict:
+    """Pre-flight integrity check for a training run: re-read the shard
+    directories, recompute each shard's (n_docs, n_tokens, content_digest),
+    and compare against the persisted ``<out_dir>_index`` — the loader-side
+    twin of ``migrate.validate_integrity``. Catches a torn/partial shard
+    file, a manually edited row, and index/data drift (a shard present on
+    disk but absent from the index or vice versa) BEFORE a multi-day run
+    consumes it. One partition-parallel aggregation pass over the shards —
+    a maintenance/launch-time cost, not per-epoch.
+
+    Returns ``{"ok": bool, "checked": n, "mismatched": [shard, ...],
+    "missing_in_data": [...], "missing_in_index": [...]}``."""
+    back = spark.read.parquet(out_dir)
+    index = spark.read.parquet(out_dir.rstrip("/") + "_index")
+    actual = back.groupBy("shard").agg(
+        F.count("*").alias("a_docs"),
+        F.sum(weight_col).alias("a_tokens"),
+        _shard_digest(back, partition_col="shard"),
+    ).withColumnRenamed("content_digest", "a_digest")
+    j = index.join(actual, "shard", "full_outer")
+    rows = j.select(
+        "shard", "n_docs", "a_docs", "n_tokens", "a_tokens",
+        "content_digest", "a_digest",
+    ).collect()
+    report: dict = {
+        "ok": True, "checked": len(rows), "mismatched": [],
+        "missing_in_data": [], "missing_in_index": [],
+    }
+    for r in rows:
+        if r["a_docs"] is None:
+            report["missing_in_data"].append(r["shard"])
+        elif r["n_docs"] is None:
+            report["missing_in_index"].append(r["shard"])
+        elif (r["n_docs"], r["n_tokens"], r["content_digest"]) != (
+                r["a_docs"], r["a_tokens"], r["a_digest"]):
+            report["mismatched"].append(r["shard"])
+    report["ok"] = not (report["mismatched"] or report["missing_in_data"]
+                        or report["missing_in_index"])
+    return report
 
 
 def token_budget_sample(

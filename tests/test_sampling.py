@@ -229,6 +229,66 @@ def test_write_shards_layout_and_index(spark, tmp_path):
     assert side.count() == index.count()
 
 
+def test_validate_shards_catches_corruption(spark, tmp_path):
+    """The loader-side integrity gate: a clean write validates; a silently
+    rewritten shard file (same schema, one token count bumped) is flagged
+    by the content digest; a shard deleted from disk and an index row
+    deleted are both reported by name."""
+    import glob
+    import os
+
+    from rdw_spark.operators import packing as PK
+
+    rows = [(i, i, 10 + (i % 7)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, position long, n_tokens long"
+    )
+    out_dir = str(tmp_path / "shards")
+    index = PK.write_shards(df, out_dir, tokens_per_shard=300)
+    assert "content_digest" in index.columns
+    rep = PK.validate_shards(spark, out_dir)
+    assert rep["ok"] and not rep["mismatched"] and rep["checked"] >= 2
+
+    # corrupt shard 1: rewrite its single file with one n_tokens bumped —
+    # n_docs unchanged, token sum off by 1, digest must differ
+    bad_dir = os.path.join(out_dir, "shard=1")
+    cur = spark.read.parquet(bad_dir).collect()
+    mutated = [(r["doc_id"], r["position"],
+                r["n_tokens"] + (1 if i == 0 else 0), r["offset"])
+               for i, r in enumerate(cur)]
+    schema = spark.read.parquet(bad_dir).schema
+    tmp_out = str(tmp_path / "mut")
+    spark.createDataFrame(mutated, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp_out)
+    for f in glob.glob(os.path.join(bad_dir, "*.parquet")):
+        os.remove(f)
+    src = next(iter(glob.glob(os.path.join(tmp_out, "*.parquet"))))
+    os.replace(src, os.path.join(bad_dir, "part-corrupt.parquet"))
+    rep = PK.validate_shards(spark, out_dir)
+    assert not rep["ok"] and rep["mismatched"] == [1]
+
+    # even with counts restored (bump one, drop one elsewhere keeps sums?
+    # no — simpler: digest-only divergence via swapped doc ids, same sums)
+    swapped = [(r["doc_id"] + (1 if i == 0 else -1 if i == 1 else 0),
+                r["position"], r["n_tokens"], r["offset"])
+               for i, r in enumerate(cur)]
+    spark.createDataFrame(swapped, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp_out)
+    for f in glob.glob(os.path.join(bad_dir, "*.parquet")):
+        os.remove(f)
+    src = next(iter(glob.glob(os.path.join(tmp_out, "*.parquet"))))
+    os.replace(src, os.path.join(bad_dir, "part-corrupt2.parquet"))
+    rep = PK.validate_shards(spark, out_dir)
+    assert not rep["ok"] and rep["mismatched"] == [1]
+
+    # a shard directory missing from disk is reported as missing_in_data
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "shard=0"))
+    rep = PK.validate_shards(spark, out_dir)
+    assert 0 in rep["missing_in_data"]
+
+
 def test_token_budget_sample_rates_and_determinism(spark):
     from rdw_spark.operators import packing as PK
 
