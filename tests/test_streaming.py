@@ -883,3 +883,75 @@ def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     dmap = {r["doc_id"]: (r["stage"], r["detail"])
             for r in t["drops"].read(spark).collect() if r["doc_id"] == 9}
     assert dmap == {9: ("exact_dup", "1")}
+
+
+def test_stream_ann_index_maintenance(spark, tmp_path, sf_dir):
+    """Streaming IVF maintenance: embedding shards land, each micro-batch
+    appends to the fixed-quantizer index (argmin cell, cell-pruned
+    anti-join), probes see landed vectors immediately, and a restart
+    replaying the same files is a no-op."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rdw_spark.io import load_table
+    from rdw_spark.operators.similarity import ivf_index, ivf_topk
+    from rdw_spark.streaming.ann import stream_ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    _, centroids = ivf_index(spark, emb, path, n_centroids=8)
+    n0 = spark.read.parquet(path + "/vectors").count()
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    twin = emb.filter(F.col("vec_id") == 3).first()
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name))
+        src = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(src, str(landing / f"{name}.parquet"))
+
+    drop("b1", [
+        (100001, [float(x) + 0.001 for x in twin["embedding"]]),
+        (100002, [float(x) - 0.001 for x in twin["embedding"]]),
+    ])
+    q = stream_ann_index(spark, str(landing), path, ckpt)
+    q.awaitTermination(120)
+    idx = spark.read.parquet(path + "/vectors")
+    assert idx.count() == n0 + 2
+
+    # probe freshness: the landed twin is vec 3's nearest neighbor
+    qdf = spark.createDataFrame(
+        [(3, list(twin["embedding"]))], "query_id long, query_vec array<float>"
+    )
+    top = ivf_topk(idx, centroids, qdf, k=2, nprobe=4).collect()
+    assert {r["vec_id"] for r in top} == {100001, 100002}
+
+    # restart with no new files: checkpoint replays nothing, count holds
+    q = stream_ann_index(spark, str(landing), path, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(path + "/vectors").count() == n0 + 2
+
+    # next shard carries one replayed id + one new: only the new id lands
+    drop("b2", [
+        (100001, [float(x) + 0.001 for x in twin["embedding"]]),
+        (100003, [float(x) + 0.002 for x in twin["embedding"]]),
+    ])
+    q = stream_ann_index(spark, str(landing), path, ckpt)
+    q.awaitTermination(120)
+    final = spark.read.parquet(path + "/vectors")
+    assert final.count() == n0 + 3
+    assert final.filter(F.col("vec_id") == 100001).count() == 1
+
+    # the stream maintains, it does not bootstrap
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_ann_index(spark, str(landing), str(tmp_path / "none"), ckpt)
