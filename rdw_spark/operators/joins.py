@@ -151,3 +151,30 @@ def salted_join(
         ),
     )
     return lt.join(rt, [on, "__salt"], how).drop("__salt")
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
+    """Exact heavy-hitter report over a prospective shuffle key — the skew
+    diagnostic run BEFORE a big join/aggregation to decide whether (and
+    with what key list) to deploy :func:`salted_join`, AQE skew hints, or
+    repartitioning. Returns the top ``k`` key groups with exact counts,
+    corpus share, and a deterministic rank (count desc, then key asc).
+
+    Scale shape: one partial-aggregated count shuffle — map-side combine
+    condenses each partition to its distinct keys, so the reduce side
+    carries O(distinct keys), not O(rows); the top-k is
+    TakeOrderedAndProject (no global sort), and the total for the share
+    column comes from re-aggregating the (small) per-key counts rather
+    than a second scan of the input. No sketch needed: exact heavy
+    hitters at 100 TB cost one combiner shuffle, which the downstream
+    join was about to pay anyway."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.desc("n"), *key_cols).limit(k)
+    w = Window.orderBy(F.desc("n"), *key_cols)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("_total"))
+        .withColumn("rank", F.row_number().over(w))
+        .drop("_total")
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
-from ..operators.joins import salted_join
+from ..operators.joins import hot_keys, salted_join
 from ..streaming.events import sessionize_batch, windowed_event_counts
 from .registry import register
 from .relational import _davg, _dsum
@@ -316,17 +316,17 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "l_orderkey"
     )
     # split-salting, the production config: a cheap pre-count picks the
-    # heaviest keys, ONLY those are salted/replicated — the rest of the
-    # right side is never inflated. (Salting everything, the old config
-    # here, replicated the entire right side x8 and was the single most
-    # expensive catalog entry; result is identical either way.) Top-N by
-    # count rather than an absolute threshold so the replicated path stays
-    # exercised on this data (TPC-H lineitem tops out ~7 rows/key; a real
-    # deployment would use a threshold tied to reducer capacity).
+    # heaviest keys (the hot_keys diagnostic), ONLY those are salted/
+    # replicated — the rest of the right side is never inflated. (Salting
+    # everything, the old config here, replicated the entire right side x8
+    # and was the single most expensive catalog entry; result is identical
+    # either way.) Top-N by count rather than an absolute threshold so the
+    # replicated path stays exercised on this data (TPC-H lineitem tops
+    # out ~7 rows/key; a real deployment would use a threshold tied to
+    # reducer capacity).
     hot = [
         r[0] for r in
-        li.groupBy("l_orderkey").count()
-        .orderBy(F.desc("count"), "l_orderkey").limit(20).collect()
+        hot_keys(li, ["l_orderkey"], k=20).select("l_orderkey").collect()
     ]
     j = salted_join(li, o, on="l_orderkey", how="inner", salt=8,
                     hot_keys=hot or [-1])
@@ -334,3 +334,27 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         _dsum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+@register(
+    "zz_skew_hotkeys",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT l_suppkey, n, CAST(n AS DOUBLE) / total AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS INT) AS rank
+    FROM c, t
+    ORDER BY n DESC, l_suppkey
+    LIMIT 20
+    """,
+    survey="X4/skew diagnostic (exact heavy hitters over a prospective "
+           "shuffle key: one partial-aggregated count shuffle — map-side "
+           "combine condenses to distinct keys — TakeOrderedAndProject "
+           "top-k, share from re-aggregating the per-key counts, never a "
+           "second input scan; feeds salted_join's hot-key list — "
+           "operators/joins.py::hot_keys)",
+)
+def zz_skew_hotkeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    return hot_keys(li, ["l_suppkey"], k=20)

@@ -91,3 +91,23 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(
         salted_join(left, right, "k", how="left", salt=8, hot_keys=[1]).collect()
     ) == plain_left
+
+
+def test_hot_keys_exact_heavy_hitters(spark):
+    """hot_keys: exact counts/share for the top-k keys, deterministic
+    rank with count-then-key ordering, stable under repartitioning."""
+    from rdw_spark.operators.joins import hot_keys
+
+    rows = ([("a",)] * 50 + [("b",)] * 30 + [("c",)] * 30 + [("d",)] * 5
+            + [(k,) for k in "efghij"])
+    df = spark.createDataFrame(rows, "k string")
+    out = hot_keys(df, ["k"], k=3).collect()
+    assert [(r["k"], r["n"], r["rank"]) for r in out] == [
+        ("a", 50, 1), ("b", 30, 2), ("c", 30, 3)]  # tie b/c broken by key
+    total = len(rows)
+    for r in out:
+        assert abs(r["share"] - r["n"] / total) < 1e-15
+
+    again = hot_keys(df.repartition(7), ["k"], k=3).collect()
+    assert [(r["k"], r["n"], r["rank"]) for r in again] == \
+        [(r["k"], r["n"], r["rank"]) for r in out]
