@@ -314,3 +314,31 @@ def token_budget_sample(
     rates = {k: min(1.0, float(budget) / v) for k, v in totals.items() if v > 0}
     sample = stratified_sample(df, stratum_col, rates, key_col, seed)
     return {"sample": sample, "rates": rates, "totals": totals}
+
+
+def plan_epochs(index: DataFrame, n_epochs: int, seed: str = "e0") -> DataFrame:
+    """Loader-side epoch schedule from the shard index: for each epoch a
+    reproducible pseudorandom shard order (md5 of seed:epoch:shard — the
+    same hash-as-order device as :func:`shuffle_order`), so every worker
+    on any machine derives the identical schedule from the index alone and
+    a resumed run re-enters mid-epoch deterministically. Shards stay the
+    shuffle unit (intra-shard order is the training order baked at write
+    time); epoch-level reshuffling of shard order is the standard
+    large-corpus approximation of a full per-epoch permutation — a true
+    re-permutation would rewrite the corpus per epoch.
+
+    Metadata-scale op: the index has one row per shard (~100M tokens
+    each), so even a 25T-token corpus is ~250k rows × epochs — the
+    per-epoch window is nowhere near data scale. Adds ``epoch`` and
+    ``epoch_pos`` (0-based position of the shard within that epoch's
+    order) to every index column."""
+    epochs = index.sparkSession.range(n_epochs).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    w = Window.partitionBy("epoch").orderBy("_ord", "shard")
+    return (
+        index.crossJoin(F.broadcast(epochs))
+        .withColumn("_ord", F.md5(F.concat_ws(":", F.lit(seed), "epoch", "shard")))
+        .withColumn("epoch_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_ord")
+    )

@@ -914,6 +914,63 @@ def export_shards_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_epoch_plan",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), o AS (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY substr(md5('sh0' || CAST(doc_id AS VARCHAR)), 1, 8),
+                     doc_id) - 1 AS position
+        FROM t
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY position
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        FROM o
+    ), sh AS (
+        SELECT CAST(off // 4000 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1
+    )
+    SELECT CAST(e.epoch AS INT) AS epoch,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5(concat_ws(':', 'e0',
+                            CAST(e.epoch AS VARCHAR),
+                            CAST(sh.shard AS VARCHAR))), sh.shard
+           ) - 1 AS BIGINT) AS epoch_pos,
+           sh.shard, sh.n_docs, sh.n_tokens
+    FROM sh CROSS JOIN range(3) e(epoch)
+    """,
+    survey="ext: loader epoch planner — per-epoch reproducible shard order "
+           "from the shard index alone (md5(seed:epoch:shard) hash-as-"
+           "order), so any worker on any machine derives the identical "
+           "schedule and a resumed run re-enters mid-epoch "
+           "deterministically; metadata-scale (one row per shard × epoch)",
+)
+def epoch_plan_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ordered = PK.shuffle_order(d, key_col="doc_id", seed="sh0")
+    sh = (
+        PK.assign_shards(ordered, tokens_per_shard=4000)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+    )
+    return PK.plan_epochs(sh, n_epochs=3, seed="e0").select(
+        "epoch", "epoch_pos", "shard", "n_docs", "n_tokens"
+    )
+
+
+@register(
     "zz_corpus_quantiles",
     oracle="""
     WITH t AS (

@@ -329,3 +329,40 @@ def test_pack_sequences_truncation_policy(spark):
 
     with pytest.raises(ValueError):
         PK.pack_sequences(df, seq_len=64, max_doc_tokens=0)
+
+
+def test_plan_epochs_permutation_and_hash_model(spark):
+    """Each epoch holds every shard exactly once with epoch_pos a dense
+    0..n-1 permutation; the order matches the md5(seed:epoch:shard) model
+    so any worker derives the identical schedule; index columns survive."""
+    import hashlib
+
+    from rdw_spark.operators import packing as PK
+
+    idx = spark.createDataFrame(
+        [(s, 10 + s, 100 * s) for s in range(12)],
+        "shard long, n_docs long, n_tokens long",
+    )
+    out = PK.plan_epochs(idx, n_epochs=4, seed="eS").collect()
+    assert len(out) == 12 * 4
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+        assert r["n_docs"] == 10 + r["shard"]  # carried columns
+    model_orders = set()
+    for ep, rows in by_epoch.items():
+        rows.sort(key=lambda r: r["epoch_pos"])
+        assert [r["epoch_pos"] for r in rows] == list(range(12))
+        model = sorted(
+            range(12),
+            key=lambda s: (
+                hashlib.md5(f"eS:{ep}:{s}".encode()).hexdigest(), s),
+        )
+        assert [r["shard"] for r in rows] == model
+        model_orders.add(tuple(model))
+    # epochs reshuffle: 4 epochs over 12 shards yield distinct orders
+    assert len(model_orders) == 4
+    # deterministic on re-run and under a different input partitioning
+    again = {(r["epoch"], r["epoch_pos"], r["shard"])
+             for r in PK.plan_epochs(idx.repartition(7), 4, "eS").collect()}
+    assert again == {(r["epoch"], r["epoch_pos"], r["shard"]) for r in out}
