@@ -656,3 +656,62 @@ def bigram_lm_scores(
         ).alias("avg_bigram_prob"),
         F.min("r").alias("min_bigram_prob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = True,
+) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the RAG/context-
+    window preparation step: every document becomes a deterministic set of
+    ``chunk_tokens``-token chunks whose starts step by
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens and no retrieval-relevant span is cut without a copy that
+    contains it whole.
+
+    Start generation rule: start 0 always; a further start ``s`` exists
+    iff ``s < n_tokens - overlap`` — equivalently, iff the PREVIOUS chunk
+    was truncated by the document end (a start whose predecessor already
+    reached the last token would emit a chunk fully contained in it).
+    That makes the chunk set minimal and deterministic: ``chunk_index =
+    start / stride`` is dense per document.
+
+    100 TB shape: one map-only pass — tokenize, ``sequence()`` the starts,
+    explode, ``slice()`` the window — zero shuffles, zero UDFs; the output
+    inherits the input partitioning so a downstream embed/index stage
+    starts from co-located chunks of the same document. Empty documents
+    produce no chunks.
+    """
+    if overlap < 0 or chunk_tokens <= 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.col(text_col)
+    d = (
+        df.filter(F.trim(t) != "")
+        .select(id_col, tokens(t).alias("_t"))
+        .select(id_col, "_t", F.size("_t").cast("long").alias("n_tokens"))
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("n_tokens") - F.lit(overlap + 1)),
+        F.lit(stride).cast("long"),
+    )
+    chunk = F.slice("_t", F.col("tok_start").cast("int") + F.lit(1),
+                    F.lit(chunk_tokens))
+    out = (
+        d.select(id_col, "n_tokens", F.explode(starts).alias("tok_start"), "_t")
+        .select(
+            id_col,
+            (F.col("tok_start") / stride).cast("int").alias("chunk_index"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.size(chunk).cast("long").alias("chunk_n_tokens"),
+            "n_tokens",
+            *([F.array_join(chunk, " ").alias("chunk_text")] if with_text else []),
+        )
+    )
+    return out

@@ -1487,3 +1487,37 @@ def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "zz_text_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents WHERE trim(text) <> ''
+    ), b AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+    ), st AS (
+        SELECT doc_id, n_tokens, tk,
+               unnest(generate_series(0, greatest(0, n_tokens - 9), 24))
+                   AS tok_start
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(tok_start // 24 AS INT) AS chunk_index,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(len(list_slice(tk, tok_start + 1, tok_start + 32)) AS BIGINT)
+               AS chunk_n_tokens,
+           n_tokens,
+           array_to_string(list_slice(tk, tok_start + 1, tok_start + 32), ' ')
+               AS chunk_text
+    FROM st
+    """,
+    survey="ext: RAG/context-window chunking — fixed-size overlapping "
+           "token windows (32-token chunks, 8-token overlap), minimal "
+           "deterministic start set (a start exists iff the previous "
+           "chunk was truncated by the doc end); one map-only "
+           "tokenize→sequence→explode→slice pass, zero shuffles/UDFs",
+)
+def text_chunks_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)

@@ -478,3 +478,60 @@ def test_strip_boilerplate_lines_surgery(spark):
     vo = {r["doc_id"]: r for r in strip_boilerplate_lines(v, min_docs=2).collect()}
     assert vo[1]["clean_text"] == "keep me"
     assert vo[2]["clean_text"] == "other"
+
+
+def test_chunk_documents_boundaries(spark):
+    # C=8, O=2, stride=6: n=7 -> the would-be second start (6) is >= n-O=5
+    # away... start 6 exists iff 6 < n-O = 5 -> no: single chunk covers all
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"t{i}" for i in range(7))),
+            Row(doc_id=2, text=" ".join(f"t{i}" for i in range(10))),
+            Row(doc_id=3, text="one"),
+            Row(doc_id=4, text="   "),
+            Row(doc_id=5, text=" ".join(f"t{i}" for i in range(13))),
+        ]
+    )
+    out = X.chunk_documents(docs, chunk_tokens=8, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_index"])
+
+    # n=7 <= C: one full-doc chunk (start 6 would re-emit covered tokens)
+    assert [(r["tok_start"], r["chunk_n_tokens"]) for r in by_doc[1]] == [(0, 7)]
+    # n=10: starts 0 and 6; second chunk truncated to 4 tokens
+    assert [(r["tok_start"], r["chunk_n_tokens"]) for r in by_doc[2]] == [
+        (0, 8), (6, 4)]
+    assert by_doc[2][1]["chunk_text"] == "t6 t7 t8 t9"
+    # single-token and 13-token docs; blank doc emits nothing
+    assert [(r["tok_start"], r["chunk_n_tokens"]) for r in by_doc[3]] == [(0, 1)]
+    assert 4 not in by_doc
+    # n=13: starts 0, 6 (6 < 11), 12 would need 12 < 11 -> no
+    assert [(r["tok_start"], r["chunk_n_tokens"]) for r in by_doc[5]] == [
+        (0, 8), (6, 7)]
+    # overlap contract: consecutive chunks share exactly O tokens when not
+    # truncated: chunk k starts at k*stride
+    assert all(r["chunk_index"] == i for rows in by_doc.values()
+               for i, r in enumerate(rows))
+    # coverage: every token index appears in some chunk
+    for doc_id, rows in by_doc.items():
+        covered = set()
+        for r in rows:
+            covered |= set(range(r["tok_start"], r["tok_start"] + r["chunk_n_tokens"]))
+        n = rows[0]["n_tokens"]
+        assert covered == set(range(n)), doc_id
+
+
+def test_chunk_documents_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f g h i j") for i in range(4)]
+    )
+    plan = ""
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        X.chunk_documents(docs, chunk_tokens=4, overlap=1).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # tokenize/sequence/explode/slice: no shuffle
