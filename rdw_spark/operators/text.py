@@ -715,3 +715,53 @@ def chunk_documents(
         )
     )
     return out
+
+
+# Unicode script ranges used by script_profile. Explicit codepoint ranges
+# (not \p{Script=...}) so the Java-regex implementation and the RE2-based
+# DuckDB oracle count identically; coverage is the major blocks a corpus
+# language router needs, not exhaustive Unicode.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "han": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unicode-script histogram + dominant script — the
+    script-detection stage a multilingual corpus router runs before
+    language ID (stopword voting only works once you know the text is in
+    a script your stopword lists cover).
+
+    One map-only pass: a ``regexp_count`` per script block (JVM regex,
+    whole-stage codegen, zero shuffle). ``main_script`` is the argmax
+    with ties broken by the fixed SCRIPT_RANGES order, ``'none'`` when no
+    letter of any covered script occurs; ``script_ratio`` = dominant
+    count / total covered-letter count (NULL for 'none')."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    cols = [c.alias(f"n_{name}") for name, c in counts.items()]
+    out = df.select("*", *cols)
+    total = sum((F.col(f"n_{n}") for n in SCRIPT_RANGES), F.lit(0).cast("long"))
+    best = F.greatest(*[F.col(f"n_{n}") for n in SCRIPT_RANGES])
+    main = F.lit("none")
+    for name in reversed(list(SCRIPT_RANGES)):  # earlier names win ties
+        main = F.when(F.col(f"n_{name}") == best, F.lit(name)).otherwise(main)
+    main = F.when(best == 0, F.lit("none")).otherwise(main)
+    return out.select(
+        "*",
+        total.alias("n_script_chars"),
+        main.alias("main_script"),
+        F.when(best == 0, F.lit(None).cast("double"))
+        .otherwise(best.cast("double") / total).alias("script_ratio"),
+    )

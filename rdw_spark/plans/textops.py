@@ -1521,3 +1521,55 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_chunks_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+@register(
+    "zz_text_scripts",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS n_greek,
+           CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+           CAST(len(regexp_extract_all(text, '[\\x{0590}-\\x{05FF}]')) AS BIGINT) AS n_hebrew,
+           CAST(len(regexp_extract_all(text, '[\\x{0900}-\\x{097F}]')) AS BIGINT) AS n_devanagari,
+           CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) AS BIGINT) AS n_kana,
+           CAST(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]')) AS BIGINT) AS n_hangul
+        FROM documents
+    ), g AS (
+        SELECT *,
+           n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
+             + n_devanagari + n_han + n_kana + n_hangul AS n_script_chars,
+           greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+                    n_devanagari, n_han, n_kana, n_hangul) AS m
+        FROM c
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+           n_devanagari, n_han, n_kana, n_hangul, n_script_chars,
+           CASE WHEN m = 0 THEN 'none'
+                WHEN n_latin = m THEN 'latin'
+                WHEN n_cyrillic = m THEN 'cyrillic'
+                WHEN n_greek = m THEN 'greek'
+                WHEN n_arabic = m THEN 'arabic'
+                WHEN n_hebrew = m THEN 'hebrew'
+                WHEN n_devanagari = m THEN 'devanagari'
+                WHEN n_han = m THEN 'han'
+                WHEN n_kana = m THEN 'kana'
+                ELSE 'hangul' END AS main_script,
+           CASE WHEN m = 0 THEN NULL
+                ELSE CAST(m AS DOUBLE) / n_script_chars END AS script_ratio
+    FROM g
+    """,
+    survey="ext: unicode script profiling — per-doc script-block char "
+           "histogram + dominant script (argmax, fixed tiebreak order), "
+           "the router stage ahead of stopword language ID; one map-only "
+           "regexp_count pass per block, zero shuffles (Java regex ∩ RE2 "
+           "codepoint-range dialect for engine parity)",
+)
+def text_scripts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.script_profile(_docs(spark, sf_dir)).select(
+        "doc_id", *[f"n_{n}" for n in X.SCRIPT_RANGES],
+        "n_script_chars", "main_script", "script_ratio",
+    )

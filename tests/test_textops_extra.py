@@ -535,3 +535,26 @@ def test_chunk_documents_is_map_only(spark):
         X.chunk_documents(docs, chunk_tokens=4, overlap=1).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan  # tokenize/sequence/explode/slice: no shuffle
+
+
+def test_script_profile_multilingual(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world"),
+            Row(doc_id=2, text="привет мир ok"),  # russian + 2 latin
+            Row(doc_id=3, text="中文文档 あり"),  # 4 han, 2 kana
+            Row(doc_id=4, text="123 !?"),
+            Row(doc_id=5, text="안녕하세요"),  # hangul
+            Row(doc_id=6, text="café à côté"),  # accented latin
+        ]
+    )
+    out = {r["doc_id"]: r for r in X.script_profile(docs).collect()}
+    assert out[1]["main_script"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["main_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 9 and out[2]["n_latin"] == 2
+    assert out[3]["main_script"] == "han"
+    assert (out[3]["n_han"], out[3]["n_kana"]) == (4, 2)
+    assert out[4]["main_script"] == "none" and out[4]["script_ratio"] is None
+    assert out[5]["main_script"] == "hangul" and out[5]["n_hangul"] == 5
+    assert out[6]["n_latin"] == 9  # accents are letters, not 'other'
+    assert abs(out[2]["script_ratio"] - 9 / 11) < 1e-12
