@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
-from ..operators.joins import hot_keys, salted_join
+from ..operators.joins import fuzzy_join, hot_keys, salted_join
 from ..streaming.events import sessionize_batch, windowed_event_counts
 from .registry import register
 from .relational import _davg, _dsum
@@ -358,3 +358,28 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zz_skew_hotkeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
     return hot_keys(li, ["l_suppkey"], k=20)
+
+
+@register(
+    "zz_fuzzy_join",
+    oracle="""
+    SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+           a.c_name AS left_value, b.c_name AS right_value,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey="ext: edit-distance fuzzy join (entity resolution) — all pairs "
+           "within levenshtein<=k, EXACT result via FastSS symmetric-"
+           "delete blocking (two strings within edit distance k share an "
+           "up-to-k-deletion key): map-only key explode with ~L-choose-"
+           "<=k fan-out, one equi-shuffle on deletion keys whose "
+           "frequency tracks true near-dup density (immune to shared-"
+           "prefix/hot-token skew, unlike q-gram blocking), codegen'd "
+           "levenshtein verify on distinct candidates only — never a "
+           "cross join; oracle is the DuckDB brute-force cross join",
+)
+def zz_fuzzy_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_join(cust, None, "c_name", left_id_col="c_custkey",
+                      max_dist=1)
