@@ -383,3 +383,195 @@ def zz_fuzzy_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_join(cust, None, "c_name", left_id_col="c_custkey",
                       max_dist=1)
+
+
+@register(
+    "zz_olap_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT r_name, n_name,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+    )
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM base GROUP BY ROLLUP(r_name, n_name)
+    """,
+    survey="ext: OLAP ROLLUP with grouping_id — region→nation revenue at "
+           "detail + per-region subtotal + grand total in ONE aggregation "
+           "pass (Spark expands grouping sets map-side; a single shuffle "
+           "on the padded keys, not one job per level); gid bitmask "
+           "(first col = MSB) distinguishes subtotal rows from genuine "
+           "NULL dimension values, parity with DuckDB GROUPING()",
+)
+def zz_olap_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name", "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_items"),
+        _dsum(F.col("rev")).alias("revenue"),
+    ).select("r_name", "n_name", "gid", "n_items", "revenue")
+
+
+@register(
+    "zz_event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view'
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS total,
+               (SELECT CAST(COUNT(t1) AS BIGINT) FROM s1) AS c1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS c2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS c3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS stage, 'signup' AS stage_event, c1 AS users,
+               CAST(c1 AS DOUBLE) / NULLIF(total, 0) AS conversion FROM c
+        UNION ALL
+        SELECT 2, 'view', c2, CAST(c2 AS DOUBLE) / NULLIF(c1, 0) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', c3, CAST(c3 AS DOUBLE) / NULLIF(c2, 0) FROM c
+    )
+    """,
+    survey="ext: ordered event funnel (signup → first view within 24h → "
+           "first purchase within 24h of that view) — multi-pass "
+           "conditional-min aggregation, NOT a per-user collect_list fold: "
+           "each stage is one equi-shuffle on user_id (Spark reuses the "
+           "hash partitioning across the join→groupBy pairs), so a user "
+           "with 10^8 events never materializes an array; strict-ts "
+           "ordering and bounded windows match the DuckDB sequential-min "
+           "oracle exactly",
+)
+def zz_event_funnel_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evs = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    day = F.expr("INTERVAL 24 HOURS")
+    t1 = evs.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        evs.filter(F.col("event_type") == "view")
+        .join(t1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        evs.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count("*").alias("total"), F.count("t1").alias("c1"))
+        .crossJoin(s2.agg(F.count("*").alias("c2")))
+        .crossJoin(s3.agg(F.count("*").alias("c3")))
+    )
+    return counts.select(
+        F.expr(
+            "stack(3,"
+            " CAST(1 AS INT), 'signup',   c1, CAST(c1 AS DOUBLE) / nullif(total, 0),"
+            " CAST(2 AS INT), 'view',     c2, CAST(c2 AS DOUBLE) / nullif(c1, 0),"
+            " CAST(3 AS INT), 'purchase', c3, CAST(c3 AS DOUBLE) / nullif(c2, 0)"
+            ") AS (stage, stage_event, users, conversion)"
+        )
+    )
+
+
+@register(
+    "zz_cohort_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+        FROM events WHERE event_type = 'purchase' AND value >= 190
+        GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(DATEDIFF('day', f.cohort,
+                             CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7 AS INT)
+                   AS offset_w
+        FROM events e JOIN f ON e.user_id = f.user_id
+        WHERE CAST(DATE_TRUNC('week', e.ts) AS DATE) >= f.cohort
+    ),
+    sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM f GROUP BY cohort)
+    SELECT a.cohort AS cohort_week, a.offset_w,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(sz.cohort_users) AS retention
+    FROM a JOIN sz ON a.cohort = sz.cohort
+    GROUP BY a.cohort, a.offset_w
+    """,
+    survey="ext: cohort retention — cohort = ISO week of a user's first "
+           "high-value purchase (value>=190, a rare trigger so cohorts "
+           "spread), retention = share of the cohort active in week "
+           "cohort+k: two groupBys and one user_id equi-join, cohort "
+           "sizes joined back as a broadcast (distinct weeks are tiny); "
+           "week-truncation (Monday start) and day/7 offsets are "
+           "bit-identical across Spark and DuckDB",
+)
+def zz_cohort_retention_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evs = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    f = (
+        evs.filter((F.col("event_type") == "purchase") & (F.col("value") >= 190))
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort"))
+    )
+    a = (
+        evs.join(f, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        )
+        .filter(F.col("wk") >= F.col("cohort"))
+        .select(
+            "user_id", "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("offset_w"),
+        )
+        .distinct()
+    )
+    sz = f.groupBy("cohort").agg(F.count("*").alias("cohort_users"))
+    return (
+        a.groupBy("cohort", "offset_w")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sz), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"), "offset_w", "active_users",
+            (F.col("active_users").cast("double") / F.col("cohort_users")).alias("retention"),
+        )
+    )
