@@ -575,3 +575,93 @@ def zz_cohort_retention_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("active_users").cast("double") / F.col("cohort_users")).alias("retention"),
         )
     )
+
+
+@register(
+    "zz_rolling_range_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(n_win AS BIGINT) AS n_win,
+           CAST(sum_d AS DOUBLE) / n_win AS rolling_avg
+    FROM (
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_win,
+               SUM(CAST(value AS DECIMAL(27,6))) OVER w AS sum_d
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+        )
+    )
+    """,
+    survey="ext: time-RANGE window frame — 7-day trailing per-user average "
+           "purchase value: one shuffle on user_id, per-partition sort, "
+           "frame evaluated by Spark's sliding window (no self-join, no "
+           "explode-per-day); ordering key is unix_micros so the frame "
+           "bounds are bit-identical to DuckDB's µs-precision INTERVAL "
+           "arithmetic, and the frame sum uses the decimal-accumulate "
+           "pattern so the double result is order-independent",
+)
+def zz_rolling_range_avg_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    evs = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return evs.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_win"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("rolling_avg"),
+    )
+
+
+@register(
+    "zz_pivot_matrix",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS p1_urgent,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS p2_high,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS p3_medium,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS p4_not_specified,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS p5_low
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    survey="ext: pivot (long→wide crosstab) — nation × order-priority "
+           "revenue matrix: pivot values passed EXPLICITLY so Spark skips "
+           "the extra distinct-values job and the aggregation is a single "
+           "shuffle (pivot-with-values compiles to the same plan as "
+           "SUM(CASE WHEN) conditional aggregation — which is exactly the "
+           "oracle's formulation); decimal-accumulated sums for hash "
+           "parity",
+)
+def zz_pivot_matrix_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double"))
+    )
+    return wide.select(
+        "n_name",
+        *[
+            F.col(f"`{p}`").alias("p" + p.lower().replace("-", "_").replace(" ", "_"))
+            for p in prios
+        ],
+    )
