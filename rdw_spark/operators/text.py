@@ -765,3 +765,86 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best == 0, F.lit(None).cast("double"))
         .otherwise(best.cast("double") / total).alias("script_ratio"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query by BM25 — the lexical
+    retrieval twin of the ANN ladder (brute cosine → SRP/IVF), and the
+    sparse half of a hybrid search stack.
+
+    Scoring uses the RATIONAL idf ``(N - df + 0.5) / (df + 0.5)`` instead
+    of its logarithm: per-term this is a strictly monotone transform of
+    the classic Robertson idf (documented divergence — rankings can
+    differ for multi-term queries when term contributions trade off), and
+    it keeps every arithmetic step a plain IEEE expression with a fixed
+    evaluation order, so scores are bit-identical across engines — libm
+    ``log`` is not. The tf saturation term is standard:
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Per-term contributions land in pinned columns (``score_<term>``) and
+    the total is their fixed-order sum, never a float groupBy-sum (whose
+    partial-agg order varies run to run).
+
+    Plan at 100 TB: one explode + wordcount partial-agg shuffle over the
+    corpus (shared `_token_pairs` core), a per-doc length rollup from the
+    same pairs, a broadcast of the per-term document frequencies (|query|
+    rows), map-side scoring, and a TakeOrderedAndProject top-k — the
+    only full shuffles are the two wordcount/doc-length aggregations.
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    pairs = _token_pairs(df, text_col, id_col).cache()
+    # per-doc length + corpus stats from the SAME pairs (scan runs once)
+    dl = pairs.groupBy(id_col).agg(F.sum("_c").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    qp = pairs.filter(F.col("_tok").isin(terms))
+    df_t = qp.groupBy("_tok").agg(F.count("*").alias("df_t"))
+    scored = (
+        qp.join(F.broadcast(df_t), "_tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    sat = (F.col("_c") * F.lit(k1 + 1.0)) / (
+        F.col("_c")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    per_term = scored.select(
+        id_col, "dl",
+        F.col("_tok").alias("term"),
+        (idf * sat).alias("score_t"),
+    )
+    # pivot to pinned per-term columns; total = fixed-order sum
+    wide = (
+        per_term.groupBy(id_col, "dl")
+        .pivot("term", terms)
+        .agg(F.first("score_t"))
+    )
+    total = None
+    cols = []
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        cols.append(c.alias(f"score_{t}"))
+        total = c if total is None else total + c
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        wide.select(id_col, F.col("dl").cast("long").alias("dl"), *cols,
+                    total.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1573,3 +1573,58 @@ def text_scripts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[f"n_{n}" for n in X.SCRIPT_RANGES],
         "n_script_chars", "main_script", "script_ratio",
     )
+
+
+@register(
+    "zz_text_bm25",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), pairs AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM pairs GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ), dft AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_t FROM pairs
+        WHERE tok IN ('merge', 'stream', 'window') GROUP BY tok
+    ), scored AS (
+        SELECT p.doc_id, dl.dl, p.tok,
+               ((stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+               * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))))
+                   AS score_t
+        FROM pairs p
+        JOIN dft ON p.tok = dft.tok
+        JOIN dl ON p.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ), wide AS (
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+               COALESCE(MAX(CASE WHEN tok = 'merge' THEN score_t END), 0.0) AS score_merge,
+               COALESCE(MAX(CASE WHEN tok = 'stream' THEN score_t END), 0.0) AS score_stream,
+               COALESCE(MAX(CASE WHEN tok = 'window' THEN score_t END), 0.0) AS score_window
+        FROM scored GROUP BY doc_id, dl
+    )
+    SELECT doc_id, dl, score_merge, score_stream, score_window,
+           (score_merge + score_stream) + score_window AS score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY (score_merge + score_stream) + score_window DESC,
+                     doc_id ASC) AS rnk
+        FROM wide
+    ) WHERE rnk <= 10
+    """,
+    survey="ext: BM25 lexical retrieval (top-k docs for a bag-of-words "
+           "query) — the sparse twin of the ANN ladder for hybrid search; "
+           "rational idf (N-df+0.5)/(df+0.5) keeps every step a plain "
+           "fixed-order IEEE expression (engine-bit-identical where libm "
+           "log is not); per-term contributions pinned to columns, total "
+           "= fixed-order sum, never a float groupBy-sum; plan = shared "
+           "wordcount core + broadcast df/stats + TakeOrdered top-k",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_rank(_docs(spark, sf_dir), ["merge", "stream", "window"], k=10)

@@ -558,3 +558,33 @@ def test_script_profile_multilingual(spark):
     assert out[5]["main_script"] == "hangul" and out[5]["n_hangul"] == 5
     assert out[6]["n_latin"] == 9  # accents are letters, not 'other'
     assert abs(out[2]["script_ratio"] - 9 / 11) < 1e-12
+
+
+def test_bm25_rank_monotone_in_tf(spark):
+    """A doc with more query-term hits (same length) must score higher;
+    docs without any query term are absent; ranks are dense from 1."""
+    import pyspark.sql.functions as F
+    from rdw_spark.operators.text import bm25_rank
+
+    rows = [
+        (1, "merge merge merge pad pad pad pad pad"),
+        (2, "merge pad pad pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad pad pad"),
+        (4, "stream merge pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(df, ["merge", "stream"], k=10).orderBy("rank").collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].score_merge > by_id[2].score_merge
+    assert by_id[4].score == by_id[4].score_merge + by_id[4].score_stream
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+    from rdw_spark.operators.text import bm25_rank
+
+    with pytest.raises(ValueError):
+        bm25_rank(None, [], k=5)
