@@ -665,3 +665,72 @@ def zz_pivot_matrix_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in prios
         ],
     )
+
+
+@register(
+    "zz_scd2_intervals",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM chg
+    ), runs AS (
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, event_type,
+               MIN(ts) AS effective_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM seg GROUP BY user_id, seg_id, event_type
+    )
+    SELECT user_id, event_type, effective_from,
+           LEAD(effective_from) OVER w2 AS effective_to,
+           LEAD(effective_from) OVER w2 IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+           n_events
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from)
+    """,
+    survey="ext: SCD Type-2 historization / gaps-and-islands — collapse a "
+           "per-entity change log into validity intervals "
+           "[effective_from, effective_to) with version numbers and an "
+           "is_current flag: lag-based change detection + running-sum "
+           "island ids + one groupBy, all over the SAME (user_id) "
+           "partitioning so Spark plans a single shuffle and reuses the "
+           "sort across both window passes; total (ts, event_id) order "
+           "makes the result deterministic under ts ties",
+)
+def zz_scd2_intervals_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    evs = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (prev.isNull() | (prev != F.col("event_type"))).cast("int")
+    seg = (
+        evs.withColumn("is_chg", chg)
+        .withColumn(
+            "seg_id",
+            F.sum("is_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "seg_id", "event_type")
+        .agg(
+            F.min("ts").alias("effective_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("effective_from")
+    nxt = F.lead("effective_from").over(w2)
+    return seg.select(
+        "user_id", "event_type", "effective_from",
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        "n_events",
+    )
