@@ -734,3 +734,61 @@ def zz_scd2_intervals_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version"),
         "n_events",
     )
+
+
+@register(
+    "zz_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, 'bigint' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(SUM(CAST(o_orderkey AS DECIMAL(27,6))) AS DOUBLE) / COUNT(o_orderkey) AS avg_num,
+           CAST(-1 AS BIGINT) AS min_len, CAST(-1 AS BIGINT) AS max_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(o_totalprice),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+           CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT),
+           CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+           CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT),
+           CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT)
+    FROM orders
+    """,
+    survey="ext: one-pass table profiler — per-column null counts, EXACT "
+           "distinct counts, numeric min/max/decimal-accumulated mean, "
+           "string length bounds, all in a single df.agg (multi-distinct "
+           "Expand plan, one scan) unpivoted via stack — no per-column "
+           "jobs, no driver collect; approx=True switches distincts to "
+           "HLL++ and drops the Expand for monitoring-grade profiles — "
+           "operators/profiling.py::profile_columns",
+)
+def zz_profile_columns_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    prof = profile_columns(
+        o, ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+    # sentinel-fill the per-type NULL stats: the driver's multiset compare
+    # sorts row tuples, and mixed None/value columns don't sort
+    return prof.fillna({"min_num": -1.0, "max_num": -1.0, "avg_num": -1.0,
+                        "min_len": -1, "max_len": -1})

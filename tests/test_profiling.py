@@ -1,0 +1,45 @@
+"""profile_columns: one-pass stats vs hand-computed values."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdw_spark.operators.profiling import profile_columns
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, 10.0, "aa"),
+        (2, None, "bbbb"),
+        (3, 30.0, None),
+        (4, 10.0, "c"),
+        (None, 5.0, "aa"),
+    ]
+    return spark.createDataFrame(rows, "k long, v double, s string")
+
+
+def test_profile_values(df):
+    p = {r.column_name: r for r in profile_columns(df).collect()}
+    k, v, s = p["k"], p["v"], p["s"]
+    assert k.n_rows == 5 and k.n_null == 1 and k.n_distinct == 4
+    assert (k.min_num, k.max_num) == (1.0, 4.0)
+    assert k.avg_num == pytest.approx(2.5)
+    assert k.min_len is None and k.max_len is None
+    assert v.n_null == 1 and v.n_distinct == 3
+    assert v.avg_num == pytest.approx((10 + 30 + 10 + 5) / 4)
+    assert s.n_null == 1 and s.n_distinct == 3
+    assert (s.min_len, s.max_len) == (1, 4)
+    assert s.min_num is None and s.avg_num is None
+
+
+def test_profile_subset_and_approx(df):
+    rows = profile_columns(df, ["k"], approx=True).collect()
+    assert len(rows) == 1
+    # HLL++ on 4 values is exact in practice
+    assert rows[0].n_distinct == 4
+
+
+def test_profile_unknown_column(df):
+    with pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
