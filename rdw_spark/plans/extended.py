@@ -792,3 +792,36 @@ def zz_profile_columns_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts row tuples, and mixed None/value columns don't sort
     return prof.fillna({"min_num": -1.0, "max_num": -1.0, "avg_num": -1.0,
                         "min_len": -1, "max_len": -1})
+
+
+@register(
+    "zz_stream_attribution",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 60 MINUTE
+    """,
+    survey="ext/T7: view→purchase attribution interval join — the batch "
+           "twin of the stream-stream join in streaming/events.py::"
+           "stream_attribution (watermarked both sides, time-bounded join "
+           "condition ⇒ O(window) state): one equi-shuffle on user_id "
+           "with the interval bounds as a post-join filter, never a "
+           "cross product; the streaming twin is pytest-checked "
+           "batch-equal across micro-batch splits",
+)
+def zz_stream_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import attribution_pairs
+
+    evs = _t(spark, sf_dir, "events")
+    return attribution_pairs(
+        evs.filter(F.col("event_type") == "view"),
+        evs.filter(F.col("event_type") == "purchase"),
+        window_minutes=60,
+    ).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )

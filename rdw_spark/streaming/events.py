@@ -240,3 +240,71 @@ def stream_events_to_mart(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribution_pairs(
+    views: DataFrame, purchases: DataFrame, window_minutes: int = 60
+) -> DataFrame:
+    """All (view, purchase) attribution pairs: a purchase joins every view
+    by the same user in the preceding ``window_minutes`` —
+    ``view_ts <= purchase_ts < view_ts + window``. Works identically on
+    batch and streaming inputs (pass watermarked streams and this is
+    Spark's canonical stream-stream interval join: the time bounds in the
+    join condition + both watermarks let the engine expire join state, so
+    state is O(window), not O(stream)).
+
+    One equi-shuffle on user_id; the interval bounds evaluate as a
+    post-join filter on the matched pairs, never a cross product.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    bound = F.col("view_ts") + F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+    return v.join(p, "user_id").filter(
+        (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < bound)
+    )
+
+
+def stream_attribution(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming view→purchase attribution: one event stream split into
+    two watermarked branches, stream-stream interval join, append sink.
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` within ``[view_ts, view_ts + window)``, so Spark
+    retains view-side state only until the purchase watermark passes the
+    window bound — bounded state regardless of stream length. Results
+    append exactly-once under the checkpoint (the file sink records
+    committed batches in its manifest log).
+    """
+    evs = read_events_stream(spark, events_path)
+    views = evs.filter(F.col("event_type") == "view").withWatermark("ts", watermark)
+    purchases = evs.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    joined = attribution_pairs(views, purchases, window_minutes)
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

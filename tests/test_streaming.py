@@ -955,3 +955,48 @@ def test_stream_ann_index_maintenance(spark, tmp_path, sf_dir):
 
     with pytest.raises(ValueError):
         stream_ann_index(spark, str(landing), str(tmp_path / "none"), ckpt)
+
+
+class TestStreamAttribution:
+    def test_stream_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Views and purchases split into separate files (separate
+        micro-batches at maxFilesPerTrigger=1): cross-batch pairs must
+        still join, and the appended result must equal the batch twin."""
+        from rdw_spark.streaming.events import attribution_pairs, stream_attribution
+
+        evs = _batch_events(spark)
+        src = tmp_path / "events_split"
+        src.mkdir()
+        # stage views and purchases as separate files so pairs span batches
+        evs.filter(F.col("event_type") == "view").coalesce(1).write.parquet(
+            str(src / "f1"))
+        evs.filter(F.col("event_type") != "view").coalesce(1).write.parquet(
+            str(src / "f2"))
+        import glob as g
+        import shutil as sh
+        for i, f in enumerate(
+            g.glob(str(src / "f*" / "*.parquet"))
+        ):
+            sh.copy(f, src / f"part-{i}.parquet")
+        sh.rmtree(src / "f1"), sh.rmtree(src / "f2")
+
+        out = str(tmp_path / "pairs")
+        q = stream_attribution(
+            spark, str(src), out, str(tmp_path / "ckpt"), window_minutes=60
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        exp = {
+            (r.view_id, r.purchase_id)
+            for r in attribution_pairs(
+                evs.filter(F.col("event_type") == "view"),
+                evs.filter(F.col("event_type") == "purchase"),
+                60,
+            ).collect()
+        }
+        assert exp, "fixture should produce at least one attribution pair"
+        assert got == exp
