@@ -85,3 +85,60 @@ def profile_columns(
         "min_len, max_len)"
     )
     return one.select(F.expr(stack))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact Pearson correlation for every pair of ``cols`` in ONE pass —
+    long format ``(col_a, col_b, n, corr)`` for the C(k,2) pairs.
+
+    All moments (Σx, Σx², Σxy) accumulate as DECIMAL — exact and
+    associative, so unlike ``F.corr`` (Welford on doubles, partial-agg
+    order-dependent) the result is bit-identical across partitionings and
+    engines. The correlation itself is one fixed-order double expression
+    per pair: ``(n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²))``
+    (sqrt is IEEE-correctly-rounded everywhere). Constant columns yield
+    NULL (0/0 guarded via NULLIF-style predicate).
+
+    One scan, one 1-row agg, no shuffle beyond the final partial-agg
+    reduce; the k + C(k,2) decimal accumulators are the whole state, so
+    at 100 TB this costs exactly one pass over the projected columns.
+    Rows where ANY profiled column is NULL are excluded (pairwise-complete
+    would need per-pair counts; listwise keeps one shared n).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    d = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop()
+    dec = "decimal(38,12)"
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"_s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"_sp_{a}_{b}"))
+    one = d.agg(*aggs)
+
+    parts = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(_n AS DOUBLE) * CAST(`_sp_{a}_{b}` AS DOUBLE)"
+            f" - CAST(`_s_{a}` AS DOUBLE) * CAST(`_s_{b}` AS DOUBLE))"
+        )
+        va = (
+            f"(CAST(_n AS DOUBLE) * CAST(`_ss_{a}` AS DOUBLE)"
+            f" - CAST(`_s_{a}` AS DOUBLE) * CAST(`_s_{a}` AS DOUBLE))"
+        )
+        vb = (
+            f"(CAST(_n AS DOUBLE) * CAST(`_ss_{b}` AS DOUBLE)"
+            f" - CAST(`_s_{b}` AS DOUBLE) * CAST(`_s_{b}` AS DOUBLE))"
+        )
+        corr = (
+            f"CASE WHEN {va} <= 0 OR {vb} <= 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE {num} / (sqrt({va}) * sqrt({vb})) END"
+        )
+        parts.append(f"'{a}', '{b}', _n, {corr}")
+    stack = (
+        f"stack({len(pairs)}, " + ", ".join(parts)
+        + ") AS (col_a, col_b, n, corr)"
+    )
+    return one.select(F.expr(stack))

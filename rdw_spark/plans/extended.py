@@ -825,3 +825,64 @@ def zz_stream_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts",
         "purchase_value",
     )
+
+
+@register(
+    "zz_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(38,12))) AS s_q,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS ss_q,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS s_p,
+               SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS ss_p,
+               SUM(CAST(l_discount AS DECIMAL(38,12))) AS s_d,
+               SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS ss_d,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sp_qp,
+               SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS sp_qd,
+               SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS sp_pd
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) <= 0
+                  OR (CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)) <= 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(n AS DOUBLE) * CAST(sp_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))) END AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) <= 0
+                  OR (CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)) <= 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(n AS DOUBLE) * CAST(sp_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) END
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)) <= 0
+                  OR (CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)) <= 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(n AS DOUBLE) * CAST(sp_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) END
+    FROM m
+    """,
+    survey="ext: exact one-pass Pearson correlation matrix — Σx/Σx²/Σxy "
+           "accumulated as DECIMAL (exact + associative ⇒ bit-identical "
+           "across partitionings, unlike F.corr's double Welford), corr "
+           "assembled as a fixed-order double expression with IEEE sqrt; "
+           "one scan + one 1-row agg for k + C(k,2) accumulators — "
+           "operators/profiling.py::correlation_matrix",
+)
+def zz_corr_matrix_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

@@ -43,3 +43,39 @@ def test_profile_subset_and_approx(df):
 def test_profile_unknown_column(df):
     with pytest.raises(ValueError):
         profile_columns(df, ["nope"])
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from rdw_spark.operators.profiling import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=200)
+    y = 2 * x + rng.normal(size=200) * 0.1
+    z = rng.normal(size=200)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    exp = np.corrcoef(np.vstack([x, y, z]))
+    assert got[("x", "y")] == pytest.approx(exp[0, 1], abs=1e-9)
+    assert got[("x", "z")] == pytest.approx(exp[0, 2], abs=1e-9)
+    assert got[("y", "z")] == pytest.approx(exp[1, 2], abs=1e-9)
+
+
+def test_correlation_constant_column_is_null(spark):
+    from rdw_spark.operators.profiling import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    rows = correlation_matrix(df, ["x", "c"]).collect()
+    assert rows[0].corr is None
+
+
+def test_correlation_requires_two_columns(spark):
+    from rdw_spark.operators.profiling import correlation_matrix
+
+    with pytest.raises(ValueError):
+        correlation_matrix(None, ["x"])
