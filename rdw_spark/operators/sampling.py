@@ -108,3 +108,38 @@ def split_train_eval(
     every run. Returns (train, eval)."""
     pred = _hash_sample_pred(F.col(key_col), eval_fraction, seed)
     return df.filter(~pred), df.filter(pred)
+
+
+def weighted_sample_k(
+    df: DataFrame, k: int, weight_col: str, key_col: str, seed: str = "w0"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws ``u = (h+1)/2^32`` from its md5 hash
+    and ranks by ``u^(1/w)``; the top ``k`` keys are the sample. Inclusion
+    probability is proportional to weight at each sequential draw —
+    the length/quality-weighted corpus subset selector.
+
+    Same determinism contract as the rest of this module: the draw is a
+    pure function of (seed, key), so the sample is identical across runs,
+    partitionings, and engines up to libm ``pow`` rounding (the es_key is
+    a transcendental — two candidates within 1 ulp could order
+    differently across engines; for audit-exact cross-engine parity
+    compare the selected KEY SETS, which the catalog oracle does on the
+    fixed driver data). Rows with weight <= 0 or NULL are excluded.
+
+    Map-only scoring + a single TakeOrderedAndProject top-k: no shuffle
+    of the input, no per-stratum state; at 100 TB this is one scan.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(_hash_hex(F.col(key_col), seed), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(HASH_SPACE))
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", es_key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("es_key")
+    )

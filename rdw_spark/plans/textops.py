@@ -1628,3 +1628,32 @@ def text_scripts_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_rank(_docs(spark, sf_dir), ["merge", "stream", "window"], k=10)
+
+
+@register(
+    "zz_sample_weighted",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS w,
+               POWER((CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('w0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0,
+                     1.0 / CAST(LENGTH(text) AS DOUBLE)) AS es_key
+        FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id, w,
+           CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS sample_rank
+    FROM t QUALIFY sample_rank <= 50
+    """,
+    survey="ext: weighted sampling without replacement (Efraimidis–"
+           "Spirakis A-ES) — length-proportional corpus subset: "
+           "u=(md5-hash+1)/2^32 per (seed,key), rank by u^(1/w), top-k; "
+           "deterministic across runs/partitionings/engines (oracle "
+           "verifies the SELECTED SET and ranks bit-equal in DuckDB on "
+           "the driver data); map-only scoring + TakeOrderedAndProject, "
+           "one scan, no shuffle — operators/sampling.py::"
+           "weighted_sample_k",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    return SA.weighted_sample_k(d, 50, "w", "doc_id")

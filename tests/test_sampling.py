@@ -366,3 +366,39 @@ def test_plan_epochs_permutation_and_hash_model(spark):
     again = {(r["epoch"], r["epoch_pos"], r["shard"])
              for r in PK.plan_epochs(idx.repartition(7), 4, "eS").collect()}
     assert again == {(r["epoch"], r["epoch_pos"], r["shard"]) for r in out}
+
+
+class TestWeightedSampleK:
+    def test_heavier_rows_selected_more_often(self, spark):
+        """Across many seeds, a weight-100 row must appear far more often
+        than weight-1 rows (inclusion ∝ weight)."""
+        from rdw_spark.operators.sampling import weighted_sample_k
+
+        rows = [(i, 100.0 if i == 0 else 1.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        heavy_hits = light_hits = 0
+        for seed in [f"s{i}" for i in range(12)]:
+            got = {r.id for r in weighted_sample_k(df, 5, "w", "id", seed).collect()}
+            heavy_hits += 0 in got
+            light_hits += len(got - {0})
+        assert heavy_hits >= 10  # ~P(include) ≈ 100/139 per draw, 5 draws
+        assert light_hits / (12 * 39) < 0.35
+
+    def test_deterministic_and_excludes_nonpositive(self, spark):
+        from rdw_spark.operators.sampling import weighted_sample_k
+
+        rows = [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0), (6, 1.0)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        a = [(r.id, r.sample_rank) for r in weighted_sample_k(df, 2, "w", "id").collect()]
+        b = [(r.id, r.sample_rank)
+             for r in weighted_sample_k(df.repartition(7), 2, "w", "id").collect()]
+        assert sorted(a) == sorted(b)
+        assert {r for r, _ in a} <= {1, 5, 6}
+
+    def test_k_validation(self, spark):
+        import pytest as pt
+
+        from rdw_spark.operators.sampling import weighted_sample_k
+
+        with pt.raises(ValueError):
+            weighted_sample_k(None, 0, "w", "id")
