@@ -1657,3 +1657,45 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("double").alias("w")
     )
     return SA.weighted_sample_k(d, 50, "w", "doc_id")
+
+
+@register(
+    "zz_emb_gram",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,12))) AS s_0,
+               SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(38,12))) AS s_1,
+               SUM(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(38,12))) AS s_2,
+               SUM(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,12))) AS g_0_0,
+               SUM(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[2] AS DOUBLE) AS DECIMAL(38,12))) AS g_0_1,
+               SUM(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[3] AS DOUBLE) AS DECIMAL(38,12))) AS g_0_2,
+               SUM(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE) AS DECIMAL(38,12))) AS g_1_1,
+               SUM(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[3] AS DOUBLE) AS DECIMAL(38,12))) AS g_1_2,
+               SUM(CAST(CAST(embedding[3] AS DOUBLE) * CAST(embedding[3] AS DOUBLE) AS DECIMAL(38,12))) AS g_2_2
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(0 AS INT) AS i, CAST(0 AS INT) AS j, n, CAST(g_0_0 AS DOUBLE) AS gram,
+           CAST(g_0_0 AS DOUBLE) / n - (CAST(s_0 AS DOUBLE) / n) * (CAST(s_0 AS DOUBLE) / n) AS cov FROM m
+    UNION ALL SELECT 0, 1, n, CAST(g_0_1 AS DOUBLE),
+           CAST(g_0_1 AS DOUBLE) / n - (CAST(s_0 AS DOUBLE) / n) * (CAST(s_1 AS DOUBLE) / n) FROM m
+    UNION ALL SELECT 0, 2, n, CAST(g_0_2 AS DOUBLE),
+           CAST(g_0_2 AS DOUBLE) / n - (CAST(s_0 AS DOUBLE) / n) * (CAST(s_2 AS DOUBLE) / n) FROM m
+    UNION ALL SELECT 1, 1, n, CAST(g_1_1 AS DOUBLE),
+           CAST(g_1_1 AS DOUBLE) / n - (CAST(s_1 AS DOUBLE) / n) * (CAST(s_1 AS DOUBLE) / n) FROM m
+    UNION ALL SELECT 1, 2, n, CAST(g_1_2 AS DOUBLE),
+           CAST(g_1_2 AS DOUBLE) / n - (CAST(s_1 AS DOUBLE) / n) * (CAST(s_2 AS DOUBLE) / n) FROM m
+    UNION ALL SELECT 2, 2, n, CAST(g_2_2 AS DOUBLE),
+           CAST(g_2_2 AS DOUBLE) / n - (CAST(s_2 AS DOUBLE) / n) * (CAST(s_2 AS DOUBLE) / n) FROM m
+    """,
+    survey="ext: exact embedding Gram/covariance (audit path) — per-pair "
+           "decimal-accumulated Σx_i·x_j over f64-promoted elements in "
+           "ONE agg pass (bit-identical across partitionings/engines); "
+           "the wide-d scale twin is the mapInPandas batched XᵀX inside "
+           "whiten_embeddings (pytest: whitened covariance ≈ I) — "
+           "operators/embstats.py",
+)
+def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embstats import embedding_gram
+
+    return embedding_gram(_emb(spark, sf_dir), [0, 1, 2])
