@@ -886,3 +886,64 @@ def zz_corr_matrix_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@register(
+    "zz_table_diff",
+    oracle="""
+    WITH new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1.0, 'N'
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), l AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_type,
+           CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN ''
+                ELSE ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                    [CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN 'o_totalprice' END,
+                     CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN 'o_orderstatus' END],
+                    x -> x IS NOT NULL)), ',') END AS changed_cols
+    FROM l FULL OUTER JOIN new_snap r ON l.o_orderkey = r.o_orderkey
+    WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+       OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+       OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+    """,
+    survey="ext: row-level table diff (snapshot reconciliation) — "
+           "added/removed/changed with per-column attribution: one "
+           "full-outer equi-join (bucket both snapshots at scale and the "
+           "shuffle disappears), codegen'd null-safe comparisons, "
+           "unchanged keys dropped pre-materialization; the row-level "
+           "complement of K4's count reconciliation — "
+           "operators/diff.py::table_diff",
+)
+def zz_table_diff_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    return table_diff(o, new_snap, ["o_orderkey"])
