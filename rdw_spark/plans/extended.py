@@ -947,3 +947,132 @@ def zz_table_diff_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, new_snap, ["o_orderkey"])
+
+
+@register(
+    "zz_set_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, c_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ) GROUP BY c_custkey
+    UNION ALL
+    SELECT 'except', c_custkey, CAST(COUNT(*) AS BIGINT)
+    FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ) GROUP BY c_custkey
+    """,
+    survey="ext/U-series completion: INTERSECT ALL and EXCEPT ALL "
+           "(multiset semantics — retained multiplicities, not the "
+           "distinct variants): Spark plans both as a single "
+           "count-per-key aggregation + generate (one shuffle each, no "
+           "join explosion); year-over-year retained/churned customer "
+           "order multiplicities, rolled up for a stable driver window",
+)
+def zz_set_intersect_except_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    def yr(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+        ).select(F.col("o_custkey").alias("c_custkey"))
+    cur, prev = yr(1997), yr(1996)
+    inter = cur.intersectAll(prev).groupBy("c_custkey").agg(
+        F.count("*").alias("n")).withColumn("op", F.lit("intersect"))
+    exc = cur.exceptAll(prev).groupBy("c_custkey").agg(
+        F.count("*").alias("n")).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc).select("op", "c_custkey", "n")
+
+
+@register(
+    "zz_last_touch_attribution",
+    oracle="""
+    SELECT user_id, purchase_id, purchase_ts, view_id AS last_view_id,
+           view_ts AS last_view_ts, purchase_value
+    FROM (
+        SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 60 MINUTE
+    ) WHERE rn = 1
+    """,
+    survey="ext/T7: LAST-touch attribution — argmax over the interval-join "
+           "pairs: per-purchase row_number window with (view_ts, view_id) "
+           "total order; WindowGroupLimit prunes to 1 row per purchase "
+           "map-side before the window shuffle",
+)
+def zz_last_touch_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.events import attribution_pairs
+
+    evs = _t(spark, sf_dir, "events")
+    pairs = attribution_pairs(
+        evs.filter(F.col("event_type") == "view"),
+        evs.filter(F.col("event_type") == "purchase"),
+        window_minutes=60,
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("view_ts").desc(), F.col("view_id").desc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "purchase_id", "purchase_ts",
+            F.col("view_id").alias("last_view_id"),
+            F.col("view_ts").alias("last_view_ts"),
+            "purchase_value",
+        )
+    )
+
+
+@register(
+    "zz_equidepth_histogram",
+    oracle="""
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_totalprice,
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                   AS bucket
+        FROM orders
+    ) GROUP BY bucket
+    """,
+    survey="ext: equi-depth histogram — NTILE(10) over a TOTAL order "
+           "(value + key tiebreak ⇒ deterministic bucket boundaries, "
+           "unlike bare NTILE under ties) then per-bucket min/max/count/"
+           "decimal-sum; complements A6's equi-width buckets; the global "
+           "sort is the honest cost — at scale swap in approx_percentile "
+           "cuts + map-side bucketing (the a9/j8 percentile pattern)",
+)
+def zz_equidepth_histogram_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
