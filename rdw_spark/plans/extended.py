@@ -1076,3 +1076,125 @@ def zz_equidepth_histogram_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@register(
+    "zz_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+        SELECT r_name, n_name,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev_d
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+           CAST(rev_d AS DOUBLE)
+             / CAST(SUM(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS share_in_region,
+           CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE)
+               AS share_of_total
+    FROM nat
+    """,
+    survey="ext: ratio-to-report analytics — per-nation revenue share "
+           "within region and of grand total: window sums accumulate in "
+           "DECIMAL (exact/associative — a double window sum is partial-"
+           "order-dependent) over the 25-row AGGREGATED result, so the "
+           "unpartitioned grand-total window is a single tiny task, "
+           "never a global shuffle of the fact",
+)
+def zz_ratio_to_report_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(27,6)")
+            ).alias("rev_d")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return nat.select(
+        "r_name", "n_name",
+        F.col("rev_d").cast("double").alias("revenue"),
+        (F.col("rev_d").cast("double") / F.sum("rev_d").over(wr).cast("double"))
+            .alias("share_in_region"),
+        (F.col("rev_d").cast("double") / F.sum("rev_d").over(wt).cast("double"))
+            .alias("share_of_total"),
+    )
+
+
+@register(
+    "zz_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment AS segment,
+               quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    ), dev AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice, m.med,
+               ABS(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN med m ON c.c_mktsegment = m.segment
+    ), mad AS (
+        SELECT segment, ANY_VALUE(med) AS med,
+               quantile_cont(adev, 0.5) AS mad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dev GROUP BY segment
+    )
+    SELECT d.segment, m.med, m.mad, m.n,
+           CAST(COUNT(*) FILTER (
+               WHERE d.adev > 3.0 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.segment = m.segment
+    GROUP BY d.segment, m.med, m.mad, m.n
+    """,
+    survey="ext: robust outlier detection (median absolute deviation) — "
+           "per-segment median, MAD, and |x−med| > 3·1.4826·MAD counts: "
+           "two exact-percentile aggregation passes (Spark percentile() "
+           "is bit-identical to DuckDB quantile_cont) with the tiny "
+           "per-segment stats broadcast back — robust z-scores where "
+           "mean/stddev would chase their own outliers",
+)
+def zz_outlier_mad_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_totalprice"
+    )
+    med = base.groupBy("segment").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5D)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "segment")
+        .groupBy("segment", "med", "mad", "n")
+        .agg(
+            F.sum(
+                (F.col("adev") > 3.0 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
