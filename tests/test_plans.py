@@ -237,3 +237,17 @@ class TestSpanDedupAndLmPlans:
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert "EvalPython" not in plan
+
+
+class TestGlobalPlanHygiene:
+    def test_no_cartesian_product_anywhere_in_catalog(self, spark, catalog):
+        """EVERY catalog entry must plan without a CartesianProduct — the
+        one operator that cannot survive a 100x scale-up. (1-row stat
+        broadcasts legitimately plan as BroadcastNestedLoopJoin; a
+        CartesianProduct means two real relations crossed.)"""
+        offenders = []
+        for name in sorted(catalog):
+            plan = _plan(spark, catalog, name)
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+        assert not offenders, f"cartesian products in: {offenders}"
