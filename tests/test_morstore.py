@@ -173,3 +173,36 @@ class TestAutoCompaction:
         assert mor.delta_count() < 5
         rows = {r["k"]: r["v"] for r in mor.read(spark).collect()}
         assert rows == {0: 9, 1: 10, 2: 11}  # latest write per key survived
+
+
+class TestSchemaEvolution:
+    def test_widened_schema_reads_old_deltas_with_nulls(self, spark, tmp_path):
+        """Add-a-column evolution: a table re-opened with a WIDENED declared
+        schema must read pre-evolution base/delta files (column absent in
+        parquet → NULL) alongside new deltas carrying the column, resolve
+        latest-wins across the boundary, and survive compaction."""
+        from pyspark.sql import types as T
+
+        from rdw_spark.warehouse.morstore import MergeOnReadTable
+
+        v1 = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ])
+        old = MergeOnReadTable(str(tmp_path), "t", ["k"], schema=v1,
+                               auto_compact_at=100)
+        old.append_delta(spark.createDataFrame([(1, "a"), (2, "b")], v1))
+
+        v2 = v1.add("extra", T.DoubleType())  # fresh StructType from add()
+        new = MergeOnReadTable(str(tmp_path), "t", ["k"], schema=v2,
+                               auto_compact_at=100)
+        new.append_delta(
+            spark.createDataFrame([(2, "b2", 9.5), (3, "c", 1.0)], v2)
+        )
+
+        got = {r.k: (r.v, r.extra) for r in new.read(spark).collect()}
+        assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+
+        new.compact(spark)
+        got2 = {r.k: (r.v, r.extra) for r in new.read(spark).collect()}
+        assert got2 == got
