@@ -142,3 +142,44 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         + ") AS (col_a, col_b, n, corr)"
     )
     return one.select(F.expr(stack))
+
+
+def group_regression(
+    df: DataFrame, group_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple OLS ``y = slope·x + intercept`` with the same
+    exactness contract as :func:`correlation_matrix`: decimal-accumulated
+    moments (one groupBy, map-side partial agg), coefficients assembled
+    as fixed-order double expressions — reproducible across
+    partitionings and engines. Output per group: ``(group…, n, slope,
+    intercept, r2)``; groups with zero x-variance yield NULLs. Rows with
+    NULL x or y are excluded.
+    """
+    dec = "decimal(38,12)"
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.filter(x.isNotNull() & y.isNotNull())
+    m = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = F.when(varx > 0, cov / varx)
+    intercept = F.when(varx > 0, (sy - (cov / varx) * sx) / nd)
+    r2 = F.when((varx > 0) & (vary > 0), (cov / varx) * (cov / vary))
+    return m.select(
+        *group_cols, "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
