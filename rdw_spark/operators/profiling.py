@@ -57,7 +57,11 @@ def profile_columns(
                 F.min(col).cast("double").alias(f"_min_{c}"),
                 F.max(col).cast("double").alias(f"_max_{c}"),
                 (
-                    F.sum(col.cast("decimal(27,6)")).cast("double")
+                    # decimal(38,12): 12 fractional digits keeps sub-1e-6
+                    # magnitudes from rounding to 0 and 26 integer digits
+                    # covers sums up to ~1e26 (the correlation_matrix
+                    # accumulator width — see ADVICE r6).
+                    F.sum(col.cast("decimal(38,12)")).cast("double")
                     / F.count(col)
                 ).alias(f"_avg_{c}"),
             ]
@@ -142,6 +146,73 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         + ") AS (col_a, col_b, n, corr)"
     )
     return one.select(F.expr(stack))
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    exact: bool = True,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram over ``value_col``:
+    ``(bucket, n, lo, hi, total)`` with ``total`` decimal-accumulated.
+
+    ``exact=True`` is NTILE over a TOTAL order (``value_col`` plus
+    ``order_cols`` tiebreak for deterministic boundaries under ties) —
+    bit-reproducible and oracle-comparable, but the global sort is a
+    SINGLE-TASK window at scale: correct at any size, pathological
+    beyond ~10^8 rows per executor.
+
+    ``exact=False`` is the 100 TB plan: ONE ``approx_percentile`` pass
+    computes the ``buckets-1`` interior cut points (tiny array on the
+    driver plan as a literal-free aggregate), then a map-only pass
+    assigns each row its bucket by counting cuts below the value
+    (``F.aggregate`` over the cut array — the a9/j8 broadcast-tiny-stats
+    pattern), then one groupBy. No window, no global sort, two scans.
+    Bucket populations are approximate at the cut boundaries
+    (approx_percentile error + ties all land one side), bucket COUNT is
+    exact per assigned bucket. Empty buckets (possible under heavy ties)
+    are absent from the output rather than zero-filled.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    v = F.col(value_col)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(value_col, *(order_cols or []))
+        assigned = df.withColumn("bucket", F.ntile(buckets).over(w))
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = df.agg(
+            F.percentile_approx(
+                v.cast("double"), F.array(*[F.lit(p) for p in probs]), 10_000
+            ).alias("_cuts")
+        )
+        # Tiny 1-row frame: broadcast cross-join, then bucket = 1 + number
+        # of interior cuts strictly below the value — pure map-side.
+        assigned = df.crossJoin(F.broadcast(cuts)).withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    F.col("_cuts"),
+                    F.lit(0),
+                    lambda acc, c: acc
+                    + F.when(v.cast("double") > c, 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+            F.sum(v.cast("decimal(27,6)")).cast("double").alias("total"),
+        )
+    )
 
 
 def group_regression(

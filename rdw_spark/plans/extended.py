@@ -1062,19 +1062,14 @@ def zz_last_touch_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFra
            "cuts + map-side bucketing (the a9/j8 percentile pattern)",
 )
 def zz_equidepth_histogram_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # exact=True (oracle-comparable NTILE). The 100 TB plan is
+    # equi_depth_histogram(exact=False): approx_percentile cuts + map-side
+    # bucket assignment, zero windows — plan-gated in tests/test_plans.py.
+    from ..operators.profiling import equi_depth_histogram
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.withColumn("bucket", F.ntile(10).over(w))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-            _dsum(F.col("o_totalprice")).alias("total"),
-        )
+    return equi_depth_histogram(
+        o, "o_totalprice", buckets=10, exact=True, order_cols=["o_orderkey"]
     )
 
 
@@ -1174,7 +1169,12 @@ def zz_ratio_to_report_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zz_outlier_mad_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # No broadcast hint on customer: it is a fact-sized side (15 M rows at
+    # TPC-H sf100) and a forced broadcast OOMs at the 100x tier.  AQE still
+    # picks a broadcast join at small SF where it fits; at scale it falls
+    # back to a shuffle join.  The med/mad broadcasts below stay — those
+    # frames are <= one row per segment.
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), "o_totalprice"
     )
     med = base.groupBy("segment").agg(

@@ -332,15 +332,21 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                ], x -> x IS NOT NULL) AS q_reasons
         FROM f
     )
-    SELECT doc_id, q_reasons, len(q_reasons) = 0 AS q_keep FROM r
+    SELECT doc_id, coalesce(array_to_string(q_reasons, ','), '') AS q_reasons,
+           len(q_reasons) = 0 AS q_keep FROM r
     """,
     survey="ext: composite quality filter — per-doc keep/drop with the "
            "violated-threshold reasons array (auditable drop set); one "
            "map-only codegen'd pass",
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The underlying operator keeps q_reasons as an ARRAY (auditable); the
+    # catalog entry stringifies it because the driver harness canonicalizes
+    # rows via pandas hashing, which cannot hash list cells.
     return X.quality_filter(_docs(spark, sf_dir)).select(
-        "doc_id", "q_reasons", "q_keep"
+        "doc_id",
+        F.array_join("q_reasons", ",").alias("q_reasons"),
+        "q_keep",
     )
 
 

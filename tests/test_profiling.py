@@ -79,3 +79,89 @@ def test_correlation_requires_two_columns(spark):
 
     with pytest.raises(ValueError):
         correlation_matrix(None, ["x"])
+
+
+def test_profile_small_magnitude_avg(spark):
+    # decimal(38,12) accumulator: sub-1e-6 values must not average to 0
+    df = spark.createDataFrame(
+        [(2e-9,), (4e-9,), (6e-9,)], "v double"
+    )
+    row = profile_columns(df, ["v"]).collect()[0]
+    assert row.avg_num == pytest.approx(4e-9, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# equi_depth_histogram
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hist_df(spark):
+    # 1000 distinct values, deterministic pseudo-random order
+    from rdw_spark.operators.profiling import equi_depth_histogram  # noqa
+
+    return spark.range(1000).selectExpr(
+        "id AS k", "CAST((id * 2654435761) % 100000 AS DOUBLE) / 7.0 AS v"
+    )
+
+
+def test_equidepth_exact_buckets_equal(hist_df):
+    from rdw_spark.operators.profiling import equi_depth_histogram
+
+    rows = equi_depth_histogram(
+        hist_df, "v", buckets=10, exact=True, order_cols=["k"]
+    ).collect()
+    assert len(rows) == 10
+    assert all(r.n == 100 for r in rows)
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    # non-overlapping ordered ranges
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi <= b.lo
+
+
+def test_equidepth_approx_matches_exact_shape(hist_df):
+    from rdw_spark.operators.profiling import equi_depth_histogram
+
+    rows = equi_depth_histogram(hist_df, "v", buckets=10, exact=False).collect()
+    total_n = sum(r.n for r in rows)
+    assert total_n == 1000
+    # approx_percentile with accuracy 10k on 1k distinct values is exact
+    # at the cut points, so populations are within one rank of equal
+    assert all(abs(r.n - 100) <= 1 for r in rows)
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi <= b.lo
+    # total is conserved
+    exact_total = sum(
+        r.total
+        for r in equi_depth_histogram(
+            hist_df, "v", buckets=10, exact=True, order_cols=["k"]
+        ).collect()
+    )
+    assert sum(r.total for r in rows) == pytest.approx(exact_total)
+
+
+def test_equidepth_approx_plan_has_no_window(hist_df):
+    # the 100 TB gate: the approx path must contain NO window operator
+    # (no single-task global sort) — cut computation is one aggregate,
+    # bucket assignment is map-side over the broadcast cut array
+    import contextlib
+    import io
+
+    from rdw_spark.operators.profiling import equi_depth_histogram
+
+    df = equi_depth_histogram(hist_df, "v", buckets=10, exact=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_equidepth_rejects_one_bucket(hist_df):
+    from rdw_spark.operators.profiling import equi_depth_histogram
+
+    with pytest.raises(ValueError):
+        equi_depth_histogram(hist_df, "v", buckets=1)
