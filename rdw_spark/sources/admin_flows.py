@@ -37,19 +37,48 @@ def resubmit_exams_by_status(
     )
     if limit:
         backlog = backlog.limit(limit)
+    # O(rows) metadata only — ids and digests, never payload bytes
     rows = backlog.select("id", "digest").collect()
     if not rows:
         return {"resubmitted": 0, "processed": 0, "failed": 0}
 
-    accepted = [
-        (r["id"],
-         log.read_archived_payload(ImportContent.EXAM, r["digest"]).decode("utf-8"))
-        for r in rows
-    ]
     # replay keeps the original import ids; only their status advances
     from rdw_spark.sources.exam_ingest import process_accepted
 
-    res = process_accepted(spark, wh, log, accepted)
+    if limit:
+        # endpoint-batched replay (docs/API.md:434, default <= 100/call):
+        # bounded driver-side reads are fine
+        accepted: list[tuple[int, str]] | DataFrame = [
+            (r["id"],
+             log.read_archived_payload(
+                 ImportContent.EXAM, r["digest"]).decode("utf-8"))
+            for r in rows
+        ]
+        res = process_accepted(spark, wh, log, accepted)
+    else:
+        # mass replay (no limit): payload XML must never funnel through
+        # the driver. Read the archive files distributed (wholetext), then
+        # recover the import-id mapping by recomputing the digest from the
+        # bytes — the streaming-ingest shape (streaming/ingest.py).
+        paths = [
+            log.archived_payload_path(ImportContent.EXAM, r["digest"])
+            for r in rows
+        ]
+        id_map = spark.createDataFrame(
+            [(r["id"], r["digest"]) for r in rows],
+            "import_id long, digest string",
+        )
+        payloads = (
+            spark.read.format("text").option("wholetext", "true")
+            .load(paths)
+            .select(
+                F.col("value").alias("payload"),
+                F.upper(F.md5(F.col("value").cast("binary"))).alias("digest"),
+            )
+            .join(F.broadcast(id_map), "digest")
+            .select("import_id", "payload")
+        )
+        res = process_accepted(spark, wh, log, payloads)
     return {"resubmitted": len(rows), **res}
 
 

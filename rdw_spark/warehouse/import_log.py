@@ -248,10 +248,16 @@ class ImportLog:
         are re-parsed from the archive in import-id order."""
         return self.read(spark).filter(F.col("status") == status).orderBy("id")
 
-    def read_archived_payload(self, content: int, digest: str) -> bytes:
-        d = os.path.join(
+    def archived_payload_path(self, content: int, digest: str) -> str:
+        """Archive path for a payload — digest-prefix-pair layout
+        (docs/Troubleshooting.md:336-338). Used both for driver-side reads
+        (bounded replay) and to build path lists for distributed reads
+        (mass replay / streaming)."""
+        return os.path.join(
             self.archive_root, ImportContent.NAMES[content],
             digest[0:2].upper(), digest[2:4].upper(), digest,
         )
-        with open(d, "rb") as fh:
+
+    def read_archived_payload(self, content: int, digest: str) -> bytes:
+        with open(self.archived_payload_path(content, digest), "rb") as fh:
             return fh.read()

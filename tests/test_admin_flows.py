@@ -59,6 +59,75 @@ def test_resubmit_after_reference_data_arrives(spark, env):
     assert wh.read(spark, "exam").filter("opp_id = 'R-1'").count() == 1
 
 
+def test_resubmit_unbounded_backlog_payloads_stay_distributed(
+    spark, env, monkeypatch
+):
+    """Mass replay (no limit): a >100-doc backlog must reach
+    process_accepted as a DataFrame built from a distributed archive read —
+    payload XML never funnels through the driver (the streaming-ingest
+    shape). Only O(rows) id/digest metadata is collected."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    wh, log = env
+    # orgs NOT loaded → all fail UNKNOWN_SCHOOL; distinct ssids keep every
+    # payload byte-distinct so nothing collapses on digest dedup
+    payloads = [
+        make_trt(opp_id=f"M-{i}", ssid=f"STU{i:03d}") for i in range(110)
+    ]
+    res = ingest_exams(spark, wh, log, payloads)
+    assert res["failed"] == 110
+
+    seen_types = []
+    from rdw_spark.sources import exam_ingest as EI
+
+    real = EI.process_accepted
+
+    def spy(s, w, lg, accepted):
+        seen_types.append(type(accepted))
+        return real(s, w, lg, accepted)
+
+    monkeypatch.setattr(EI, "process_accepted", spy)
+
+    _load_orgs(spark, wh, log)
+    res = resubmit_exams_by_status(spark, wh, log, ImportStatus.UNKNOWN_SCHOOL)
+    assert res["resubmitted"] == 110 and res["processed"] == 110
+    assert seen_types and all(
+        issubclass(t, SparkDataFrame) for t in seen_types
+    )
+    assert wh.read(spark, "exam").filter("NOT deleted").count() == 110
+
+
+def test_resubmit_bounded_limit_uses_driver_reads(spark, env, monkeypatch):
+    """Endpoint-batched replay (limit set, docs/API.md:434): the bounded
+    path reads payloads driver-side (list form) — and respects the limit."""
+    from rdw_spark.sources import exam_ingest as EI
+
+    wh, log = env
+    payloads = [make_trt(opp_id=f"L-{i}", ssid=f"STU{i:03d}") for i in range(5)]
+    ingest_exams(spark, wh, log, payloads)
+
+    seen_types = []
+    real = EI.process_accepted
+
+    def spy(s, w, lg, accepted):
+        seen_types.append(type(accepted))
+        return real(s, w, lg, accepted)
+
+    monkeypatch.setattr(EI, "process_accepted", spy)
+
+    _load_orgs(spark, wh, log)
+    res = resubmit_exams_by_status(
+        spark, wh, log, ImportStatus.UNKNOWN_SCHOOL, limit=3
+    )
+    assert res["resubmitted"] == 3
+    assert seen_types == [list]
+    # the remaining two replay on the next call
+    res = resubmit_exams_by_status(
+        spark, wh, log, ImportStatus.UNKNOWN_SCHOOL, limit=100
+    )
+    assert res["resubmitted"] == 2
+
+
 def test_bulk_delete_propagates_to_marts(spark, env, tmp_path):
     wh, log = env
     _load_orgs(spark, wh, log)
