@@ -529,7 +529,7 @@ def corpus_to_shards(
 
 
 @register(
-    "zz_training_manifest",
+    "e2e_training_manifest",
     oracle="""
     WITH t AS (
         SELECT doc_id, lang,

@@ -361,7 +361,7 @@ def zz_skew_hotkeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_fuzzy_join",
+    "j_fuzzy_join",
     oracle="""
     SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
            a.c_name AS left_value, b.c_name AS right_value,
@@ -828,7 +828,7 @@ def zz_stream_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_corr_matrix",
+    "stat_corr_matrix",
     oracle="""
     WITH m AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,

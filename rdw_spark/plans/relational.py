@@ -864,7 +864,7 @@ def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f_json_extraction",
+    "zz_f_json_extraction",
     oracle="""
     SELECT CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT) AS k,
            COUNT(*) AS n_events,

@@ -405,7 +405,7 @@ def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sample_train_eval_split",
+    "zz_sample_train_eval_split",
     oracle="""
     SELECT doc_id,
            CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -429,7 +429,7 @@ def sample_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "text_quality_scores",
+    "zz_text_quality_scores",
     oracle="""
     WITH f AS (
         SELECT doc_id,
@@ -491,7 +491,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_token_counts",
+    "zz_text_token_counts",
     oracle="""
     SELECT source,
            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
@@ -547,7 +547,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_embedding_norms",
+    "zz_sim_embedding_norms",
     oracle="""
     SELECT label,
            COUNT(*) AS n_vectors,
@@ -843,7 +843,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "zz_pack_sequences",
+    "pack_sequences",
     oracle="""
     WITH t AS (
         SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
@@ -1411,7 +1411,7 @@ def sample_token_budget_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_dedup_spans",
+    "dedup_spans_exact",
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS l

@@ -105,7 +105,7 @@ class TestTrainingOpPlans:
     def test_sampling_is_map_only(self, spark, catalog):
         # Bernoulli/stratified sampling must be a pure scan+filter: no
         # Exchange anywhere in the plan at any scale
-        for name in ("sample_stratified", "sample_train_eval_split"):
+        for name in ("sample_stratified", "zz_sample_train_eval_split"):
             plan = _plan(spark, catalog, name)
             assert "Exchange" not in plan, f"{name} shuffles"
 
@@ -172,7 +172,7 @@ class TestTrainingOpPlans:
         # the md5-threshold predicate is not parquet-pushable (expression
         # over a column), but it must evaluate inside the scan's codegen
         # stage: WholeStageCodegen(1) contains both Scan and Filter
-        plan = _plan(spark, catalog, "sample_train_eval_split")
+        plan = _plan(spark, catalog, "zz_sample_train_eval_split")
         assert "Filter" in plan and "Scan parquet" in plan
 
 
@@ -182,7 +182,7 @@ class TestSpanDedupAndLmPlans:
         # must come back to the occurrence stream as a broadcast, and the
         # flagged-starts rebuild join against the docs must broadcast too
         # — the full window set is never shuffle-joined
-        plan = _plan(spark, catalog, "zz_text_dedup_spans")
+        plan = _plan(spark, catalog, "dedup_spans_exact")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
