@@ -53,7 +53,7 @@ def _trt_doc(i: int) -> bytes:
 </TDSReport>""".encode()
 
 
-def pipeline_bench(spark, n_exams: int = 2000) -> dict:
+def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> dict:
     """Ingest + migrate throughput vs BASELINE.md (exam processing 20-30/s,
     migrate→reporting 140+/s, migrate→OLAP >1.5M/h ≈ 420/s, all per
     single-instance reference process)."""
@@ -109,7 +109,7 @@ def pipeline_bench(spark, n_exams: int = 2000) -> dict:
         build_corpus(docs, minhash_threshold=0.5)
         corpus_s = time.perf_counter() - t0
 
-        return {
+        out = {
             "n_exams": n_exams,
             "ingest_sec": round(ingest_s, 2),
             "ingest_exams_per_sec": round(n_exams / ingest_s, 1),
@@ -117,6 +117,53 @@ def pipeline_bench(spark, n_exams: int = 2000) -> dict:
             "migrate_olap_per_sec": round(n_exams / olap_s, 1),
             "corpus_build_docs_per_sec": round(n_docs / corpus_s, 1),
         }
+
+        # streaming twins (availableNow drain over the same inputs) — the
+        # components whose r5 scale seams were fixed get throughput numbers
+        # alongside their batch counterparts
+        if not with_streaming:
+            return out
+        try:
+            from rdw_spark.streaming.corpus import stream_corpus_build
+
+            landing = os.path.join(root, "doc_landing")
+            docs.repartition(8).write.parquet(landing)
+            t0 = time.perf_counter()
+            q = stream_corpus_build(
+                spark, landing, os.path.join(root, "stream_corpus"),
+                os.path.join(root, "ckpt_corpus"),
+                max_files_per_trigger=4, available_now=True,
+            )
+            q.awaitTermination()
+            stream_corpus_s = time.perf_counter() - t0
+            out["stream_corpus_docs_per_sec"] = round(n_docs / stream_corpus_s, 1)
+        except Exception as e:  # noqa: BLE001 — batch numbers still count
+            out["stream_corpus_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+
+        try:
+            from rdw_spark.streaming.ingest import stream_exam_ingest
+
+            n_stream = 500
+            exam_landing = os.path.join(root, "exam_landing")
+            os.makedirs(exam_landing)
+            # offset past the batch phase's ids so digests are fresh
+            # (byte-identical payloads would digest-dedup to no-ops)
+            for i in range(n_stream):
+                with open(os.path.join(exam_landing, f"e{i}.xml"), "wb") as fh:
+                    fh.write(_trt_doc(1_000_000 + i))
+            t0 = time.perf_counter()
+            q = stream_exam_ingest(
+                spark, wh, log, exam_landing,
+                os.path.join(root, "ckpt_ingest"),
+                max_files_per_trigger=250, available_now=True,
+            )
+            q.awaitTermination()
+            stream_ingest_s = time.perf_counter() - t0
+            out["stream_ingest_exams_per_sec"] = round(n_stream / stream_ingest_s, 1)
+        except Exception as e:  # noqa: BLE001
+            out["stream_ingest_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -142,7 +189,7 @@ def main() -> None:
     # (~4x slower ingest measured afterwards); a small untimed warmup pass
     # settles codegen/JIT so the reported number is steady-state throughput
     try:
-        pipeline_bench(spark, n_exams=200)
+        pipeline_bench(spark, n_exams=200, with_streaming=False)
         pipeline = pipeline_bench(spark)
     except Exception as e:  # noqa: BLE001 — catalog numbers still count
         pipeline = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
