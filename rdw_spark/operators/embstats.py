@@ -46,6 +46,10 @@ def embedding_gram(
     """
     if not dims:
         raise ValueError("dims must be non-empty")
+    # normalize: the pair enumeration below assumes sorted, duplicate-free
+    # dims (unsorted input would emit i > j rows; duplicates would alias
+    # two aggregates to the same name and fail opaquely)
+    dims = sorted(set(dims))
     if len(dims) > 32:
         raise ValueError(
             "embedding_gram is the exact/audit path; use whiten_embeddings'"

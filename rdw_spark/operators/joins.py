@@ -165,10 +165,13 @@ def hot_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
     carries O(distinct keys), not O(rows); the top-k is
     TakeOrderedAndProject (no global sort), and the total for the share
     column comes from re-aggregating the (small) per-key counts rather
-    than a second scan of the input. No sketch needed: exact heavy
-    hitters at 100 TB cost one combiner shuffle, which the downstream
-    join was about to pay anyway."""
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    than a second scan of the input — the counts frame is materialized
+    once (localCheckpoint) so the total/top fan-out cannot re-run the
+    input scan. No sketch needed: exact heavy hitters at 100 TB cost one
+    combiner shuffle, which the downstream join was about to pay anyway."""
+    counts = (
+        df.groupBy(*key_cols).agg(F.count("*").alias("n")).localCheckpoint()
+    )
     total = counts.agg(F.sum("n").alias("_total"))
     top = counts.orderBy(F.desc("n"), *key_cols).limit(k)
     w = Window.orderBy(F.desc("n"), *key_cols)

@@ -352,28 +352,47 @@ def ivf_compact(
     :func:`ivf_append` adds a file per touched cell, so probe read cost
     creeps up with batch count until folded. Rewrites only cells whose
     file count exceeds ``max_files_per_cell`` (coalesced to one file
-    each, via a staging dir + directory swap so a crash leaves the old
-    cell intact), leaving cold cells untouched. Run on the maintenance
-    cadence alongside ``maintain_corpus``. Returns the number of cells
-    compacted."""
+    each, via a staging dir + dot-prefixed backup swap: Spark and the
+    cell glob never see in-flight dirs, and a crash mid-swap is healed
+    on the next call by re-installing the orphaned backup), leaving cold
+    cells untouched. Run on the maintenance cadence alongside
+    ``maintain_corpus``. Returns the number of cells compacted."""
     import glob
     import os
     import shutil
 
     vdir = os.path.join(index_path, "vectors")
+
+    # crash recovery first: a crash between the two renames below leaves
+    # an orphaned backup and NO live cell dir — re-install the backup.
+    # Backups are dot-prefixed so Spark's partition discovery and the
+    # cell=* glob never see them (a 'cell=K.old' sibling would poison the
+    # index: partition column inferred as string with bogus values).
+    for bak in glob.glob(os.path.join(vdir, ".old-cell-*")):
+        cell_name = "cell=" + os.path.basename(bak)[len(".old-cell-"):]
+        live = os.path.join(vdir, cell_name)
+        if os.path.exists(live):
+            shutil.rmtree(bak, ignore_errors=True)  # swap completed; drop it
+        else:
+            os.rename(bak, live)
+
     compacted = 0
     for cell_dir in sorted(glob.glob(os.path.join(vdir, "cell=*"))):
+        base = os.path.basename(cell_dir).split("=", 1)[1]
+        try:
+            cell = int(base)
+        except ValueError:
+            continue  # never ours — cell values are ints; don't crash on it
         files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
         if len(files) <= max_files_per_cell:
             continue
-        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
         stage = os.path.join(vdir, f".compact-cell-{cell}")
         shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
         (
             spark.read.parquet(cell_dir).coalesce(1)
             .write.mode("overwrite").parquet(stage)
         )
-        old = cell_dir + ".old"
+        old = os.path.join(vdir, f".old-cell-{cell}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(cell_dir, old)
         os.rename(stage, cell_dir)

@@ -279,6 +279,56 @@ def test_ivf_compact_folds_append_files(spark, sf_dir, tmp_path):
     assert ivf_compact(spark, path, max_files_per_cell=4) == 0
 
 
+def test_ivf_compact_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """A crash between the backup rename and the stage install leaves an
+    orphaned dot-prefixed backup and NO live cell dir. The next
+    ivf_compact call must re-install the backup; the index reads clean in
+    the interim (Spark ignores dot-prefixed dirs, so no 'K.old' partition
+    value ever poisons the cell column)."""
+    import glob
+    import os
+    import shutil
+
+    from rdw_spark.operators.similarity import ivf_compact, ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index(spark, emb, path, n_centroids=4)
+    vdir = os.path.join(path, "vectors")
+    full = spark.read.parquet(vdir)
+    n_full = full.count()
+    ids_full = {r["vec_id"] for r in full.select("vec_id").collect()}
+
+    # simulate the crash window: one cell renamed to its backup, stage gone
+    victim = sorted(glob.glob(os.path.join(vdir, "cell=*")))[0]
+    cell = os.path.basename(victim).split("=", 1)[1]
+    os.rename(victim, os.path.join(vdir, f".old-cell-{cell}"))
+
+    # the index still reads (partition column stays clean int, just short)
+    partial = spark.read.parquet(vdir)
+    assert set(partial.columns) == set(full.columns)
+    assert partial.count() < n_full
+
+    # recovery: next compact call re-installs the orphan, content intact
+    ivf_compact(spark, path, max_files_per_cell=4)
+    healed = spark.read.parquet(vdir)
+    assert healed.count() == n_full
+    assert {r["vec_id"] for r in healed.select("vec_id").collect()} == ids_full
+    assert not glob.glob(os.path.join(vdir, ".old-cell-*"))
+
+    # a completed-swap leftover (live dir present) is just dropped
+    shutil.copytree(victim, os.path.join(vdir, f".old-cell-{cell}"))
+    ivf_compact(spark, path, max_files_per_cell=4)
+    assert not glob.glob(os.path.join(vdir, ".old-cell-*"))
+    assert spark.read.parquet(vdir).count() == n_full
+
+    # foreign junk under cell=* that isn't an int partition is skipped,
+    # not crashed on
+    os.makedirs(os.path.join(vdir, "cell=junk.old"))
+    assert ivf_compact(spark, path, max_files_per_cell=4) == 0
+    shutil.rmtree(os.path.join(vdir, "cell=junk.old"))
+
+
 def test_frame_sample_and_resize_plumbing(spark, sf_dir):
     from rdw_spark.io import load_table
     from rdw_spark.operators import multimodal as M
