@@ -179,6 +179,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment — pairs where one document's
+    shingle set is largely a SUBSET of another's: ``C(A,B) = |A∩B|/|A|``.
+    Jaccard misses partial copies (a paragraph quoted inside a much
+    longer page has tiny Jaccard but containment ~1.0); containment is
+    the partial-copy / quotation detector a training corpus runs next to
+    symmetric near-dup (cf. Broder's resemblance-vs-containment split).
+
+    Output: ``(a, b, cont_a_in_b, cont_b_in_a, n_common)`` for pairs
+    where EITHER direction >= ``threshold``, ``a < b``.
+
+    Scale shape: same capped inverted shingle index as
+    :func:`ngram_jaccard_pairs` — candidates must share a live shingle
+    (stop-shingles over ``max_shingle_freq`` docs leave the index, set
+    sizes stay uncapped), one equi-shuffle on the shingle hash, zero
+    post-agg joins.
+    """
+    sh = shingles(df, n, text_col, id_col, hashed=True)
+    both = (
+        sh.withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+        .withColumn("df_", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df_") <= max_shingle_freq)
+    )
+    a = both.select(F.col(id_col).alias("a"), "shingle", F.col("n_sh").alias("na"))
+    b = both.select(F.col(id_col).alias("b"), "shingle", F.col("n_sh").alias("nb"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    out = inter.select(
+        "a", "b",
+        (F.col("n_common") / F.col("na")).alias("cont_a_in_b"),
+        (F.col("n_common") / F.col("nb")).alias("cont_b_in_a"),
+        "n_common",
+    )
+    return out.filter(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

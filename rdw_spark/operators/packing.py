@@ -294,6 +294,62 @@ def validate_shards(spark, out_dir: str, weight_col: str = "n_tokens") -> dict:
     return report
 
 
+def length_bucket_plan(
+    df: DataFrame,
+    length_col: str,
+    batch_tokens: int = 8192,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Length-bucketed batching plan: group sequences into power-of-two
+    length buckets and size the per-bucket batch schedule. Batching
+    same-length sequences minimizes padding waste (the standard
+    bucketed-batching trick); this computes the plan a loader executes.
+
+    Per (group, bucket): ``bucket_lo``/``bucket_hi`` (the power-of-two
+    range), ``n_seqs``, ``sum_len``, ``batch_size`` (sequences per batch
+    = floor(batch_tokens / bucket_hi), >= 1 — sized to the bucket CEILING
+    so a batch never overflows ``batch_tokens`` even if all rows are at
+    the top of the range), ``n_batches`` (= ceil(n_seqs/batch_size)), and
+    ``pad_frac`` — the padding fraction if every sequence pads to
+    ``bucket_hi`` (1 - sum_len / (n_seqs*bucket_hi)), the waste metric
+    the bucket granularity is tuned against.
+
+    Scale shape: map-only bucket assignment (integer log2 via bit
+    length of the value, pure codegen), ONE partial-aggregated groupBy.
+    Rows with length <= 0 are excluded.
+    """
+    g = list(group_cols or [])
+    ln = F.col(length_col).cast("long")
+    # floor(log2(len)): 63 - leading zeros — expressed portably as the
+    # bit length of the value via FLOOR(LOG2(x)) would hit float edges at
+    # exact powers of two; use string length of binary representation
+    log2f = (F.length(F.conv(ln.cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    b = (
+        df.filter(ln > 0)
+        .withColumn("_b", log2f)
+        .groupBy(*g, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum(ln).alias("sum_len"),
+        )
+    )
+    # SQL form: the Python F.shiftleft only takes a literal int numBits
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), _b)")
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), _b + 1)") - 1
+    bs = F.greatest(F.floor(F.lit(batch_tokens) / hi), F.lit(1)).cast("long")
+    return b.select(
+        *g,
+        F.col("_b").alias("bucket"),
+        lo.alias("bucket_lo"),
+        hi.alias("bucket_hi"),
+        "n_seqs",
+        "sum_len",
+        bs.alias("batch_size"),
+        F.ceil(F.col("n_seqs") / bs).cast("long").alias("n_batches"),
+        (F.lit(1.0) - F.col("sum_len") / (F.col("n_seqs") * hi)).alias("pad_frac"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     stratum_col: str,

@@ -327,6 +327,59 @@ def _token_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One BPE merge round at word granularity: corpus-wide frequency of
+    ADJACENT normalized-token pairs, top ``k``. The vocabulary-induction
+    primitive (Sennrich et al. BPE counts symbol-pair frequencies and
+    merges the argmax; this is that counting pass, word-level) and a
+    collocation detector in its own right.
+
+    Output: ``(tok_a, tok_b, n_pairs, n_docs)`` — total adjacent
+    occurrences and distinct documents — ordered by ``n_pairs`` desc with
+    a full lexicographic tiebreak so the top-k set is deterministic.
+
+    Scale shape: map-only pair explode (zip_with over the let-bound token
+    array — tokenization evaluates once per row, not once per element),
+    ONE partial-aggregated shuffle on the pair, then TakeOrdered top-k —
+    the wordcount plan, never a global sort.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    # let-bind via single-element-array transform (nested-HOF re-eval trap)
+    pairs = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+            ),
+        ),
+        1,
+    )
+    exploded = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(
+            F.col(id_col),
+            F.col("_p.ta").alias("tok_a"),
+            F.col("_p.tb").alias("tok_b"),
+        )
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+    )
+    counts = exploded.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.desc("n_pairs"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(k)
+
+
 def token_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1198,3 +1198,116 @@ def zz_outlier_mad_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: CUBE, ordered string_agg, per-group OLS
+# --------------------------------------------------------------------------
+
+@register(
+    "zz_olap_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    survey="ext: OLAP CUBE with grouping_id — all 2^k dim subsets in ONE "
+           "pass (Spark Expand duplicates map-side, a single shuffle "
+           "carries every granularity; k separate GROUP BYs would scan "
+           "the fact k times at 100 TB); gid bitmask parity with DuckDB "
+           "GROUPING()",
+)
+def zz_olap_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "total")
+    )
+
+
+@register(
+    "zz_olap_string_agg",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey="ext: deterministic ordered string aggregation (LISTAGG/"
+           "string_agg ORDER BY) — Spark's collect_list is partial-order-"
+           "nondeterministic, so the entry sorts the collected array "
+           "before joining (array_sort ∘ collect_list ≡ string_agg ORDER "
+           "BY); the group cardinality bounds the array, never the fact",
+)
+def zz_olap_string_agg_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                .alias("nations"),
+        )
+    )
+
+
+@register(
+    "zz_group_regression",
+    oracle="""
+    WITH m AS (
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS syy,
+               SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS sxy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+    FROM m
+    """,
+    survey="ext: per-group simple OLS (slope/intercept/R²) with decimal-"
+           "accumulated moments — exact/associative partial aggregation "
+           "(F.corr's Welford-on-doubles is partial-order-dependent), "
+           "coefficients assembled as fixed-order double expressions so "
+           "the result is bit-identical across partitionings and engines; "
+           "one groupBy, map-side combine",
+)
+def zz_group_regression_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import group_regression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    return group_regression(li, ["l_linestatus"], "l_quantity", "l_extendedprice")

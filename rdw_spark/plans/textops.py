@@ -1705,3 +1705,113 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embstats import embedding_gram
 
     return embedding_gram(_emb(spark, sf_dir), [0, 1, 2])
+
+
+# --------------------------------------------------------------------------
+# Round 7: containment dedup, BPE pair counts, length-bucketed batching
+# --------------------------------------------------------------------------
+
+@register(
+    "zz_dedup_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks WHERE len(l) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), live AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+    ), inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN live l ON a.shingle = l.shingle
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b,
+           CAST(n_common AS DOUBLE) / sa.n AS cont_a_in_b,
+           CAST(n_common AS DOUBLE) / sb.n AS cont_b_in_a,
+           CAST(n_common AS BIGINT) AS n_common
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+               JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.5
+       OR CAST(n_common AS DOUBLE) / sb.n >= 0.5
+    """,
+    survey="ext: asymmetric shingle containment |A∩B|/|A| — the "
+           "partial-copy/quotation detector Jaccard misses (Broder's "
+           "resemblance-vs-containment split): a paragraph quoted inside "
+           "a long page has tiny Jaccard but containment ~1; same capped "
+           "inverted-index scale shape as the Jaccard entry",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.size(X.tokens(F.col("text"))) >= 3)
+    return D.containment_pairs(d, n=3, threshold=0.5, max_shingle_freq=1000)
+
+
+@register(
+    "zz_text_bpe_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), p AS (
+        SELECT doc_id, l[i] AS tok_a, l[i+1] AS tok_b
+        FROM toks, unnest(range(1, len(l))) AS u(i)
+        WHERE l[i] <> '' AND l[i+1] <> ''
+    )
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM p GROUP BY tok_a, tok_b
+    ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50
+    """,
+    survey="ext: BPE merge-round pair counting (Sennrich et al. "
+           "vocabulary induction: adjacent symbol-pair frequencies, word "
+           "level) — map-only zip_with pair explode over the let-bound "
+           "token array, ONE partial-agg shuffle, TakeOrdered top-k; "
+           "never a global sort",
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+@register(
+    "zz_length_buckets",
+    oracle="""
+    WITH t AS (
+        SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ), b AS (
+        SELECT CAST(length(bin(CAST(n_tokens AS BIGINT))) - 1 AS INT) AS bucket,
+               COUNT(*) AS n_seqs, SUM(n_tokens) AS sum_len
+        FROM t WHERE n_tokens > 0 GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(2 ** bucket AS BIGINT) AS bucket_lo,
+           CAST(2 ** (bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(n_seqs AS BIGINT) AS n_seqs,
+           CAST(sum_len AS BIGINT) AS sum_len,
+           CAST(GREATEST(FLOOR(8192 / (2 ** (bucket + 1) - 1)), 1) AS BIGINT) AS batch_size,
+           CAST(CEIL(CAST(n_seqs AS DOUBLE)
+                     / GREATEST(FLOOR(8192 / (2 ** (bucket + 1) - 1)), 1)) AS BIGINT) AS n_batches,
+           1.0 - CAST(sum_len AS DOUBLE)
+                 / CAST(n_seqs * (2 ** (bucket + 1) - 1) AS DOUBLE) AS pad_frac
+    FROM b
+    """,
+    survey="ext: length-bucketed batching plan — power-of-two token-length "
+           "buckets with per-bucket batch sizing against a fixed token "
+           "budget and the padding-waste fraction (the bucketed-batching "
+           "loader schedule); map-only integer log2 via binary bit length "
+           "+ ONE partial-agg groupBy",
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as PK
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return PK.length_bucket_plan(d, "n_tokens", batch_tokens=8192)

@@ -1099,3 +1099,62 @@ def test_training_mix_max_doc_tokens(spark, sf_dir):
         assert r["offset"] == run
         run += r["n_tokens"]
     assert all(v <= 20 * docs.count() for v in out["totals"].values())
+
+
+def test_containment_detects_partial_copy(spark):
+    """A short passage quoted verbatim inside a much longer document has
+    low Jaccard (misses the symmetric threshold) but containment ~1 in
+    the quoted->quoting direction — the case the operator exists for."""
+    import pytest
+
+    from rdw_spark.operators import dedup as D
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, quote),                        # the short original
+        (2, filler + " " + quote),         # quotes it inside a long page
+        (3, "totally unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r.a, r.b): r for r in
+            D.containment_pairs(df, n=3, threshold=0.8).collect()}
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    assert r.cont_a_in_b == pytest.approx(1.0)  # all of 1's shingles in 2
+    assert r.cont_b_in_a < 0.2                  # but 2 is mostly not 1
+    # and Jaccard would have missed it at any symmetric threshold >= 0.2
+    jac = {(x.a, x.b): x.jaccard for x in
+           D.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.2
+    assert not any(3 in k for k in cont)
+
+
+def test_containment_counts_match_brute_force(spark):
+    """Directional ratios equal brute-force set math on the same 3-gram
+    shingle sets for every emitted pair."""
+    import pytest
+
+    from rdw_spark.operators import dedup as D
+
+    corpus = {
+        1: "a b c d e f g",
+        2: "c d e f g h i j",
+        3: "a b c d e f g extra tail tokens",
+        4: "q r s t u v w",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    got = {(r.a, r.b): r for r in
+           D.containment_pairs(df, n=3, threshold=0.3).collect()}
+    for (a, b), r in got.items():
+        inter = len(sh(corpus[a]) & sh(corpus[b]))
+        assert r.n_common == inter
+        assert r.cont_a_in_b == pytest.approx(inter / len(sh(corpus[a])))
+        assert r.cont_b_in_a == pytest.approx(inter / len(sh(corpus[b])))
+    # pair (1,3) is a full prefix copy: containment 1.0 one way
+    assert got[(1, 3)].cont_a_in_b == pytest.approx(1.0)

@@ -588,3 +588,59 @@ def test_bm25_empty_query_raises(spark):
 
     with pytest.raises(ValueError):
         bm25_rank(None, [], k=5)
+
+
+def test_bpe_pair_counts_matches_counter_model(spark):
+    from collections import Counter
+
+    from rdw_spark.operators.text import bpe_pair_counts
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran. The dog sat!",
+        3: "punctuation-only?!",
+        4: "single",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = Counter()
+    docs = {}
+    import re
+    for i, t in texts.items():
+        toks = [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split() if w]
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+            docs.setdefault((a, b), set()).add(i)
+    got = bpe_pair_counts(df, k=100).collect()
+    assert {(r.tok_a, r.tok_b): r.n_pairs for r in got} == dict(pairs)
+    for r in got:
+        assert r.n_docs == len(docs[(r.tok_a, r.tok_b)])
+    # ordering: count desc with lexicographic tiebreak
+    keys = [(-r.n_pairs, r.tok_a, r.tok_b) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_length_bucket_plan_values(spark):
+    import math
+
+    import pytest
+
+    from rdw_spark.operators.packing import length_bucket_plan
+
+    lens = [1, 2, 3, 7, 8, 9, 100, 5000, 0, -2]  # <=0 excluded
+    df = spark.createDataFrame([(x,) for x in lens], "n long")
+    rows = {r.bucket: r for r in
+            length_bucket_plan(df, "n", batch_tokens=100).collect()}
+    # bucket b holds lengths in [2^b, 2^(b+1))
+    assert set(rows) == {0, 1, 2, 3, 6, 12}
+    assert rows[1].n_seqs == 2 and rows[1].sum_len == 5      # 2,3
+    assert rows[3].n_seqs == 2 and rows[3].sum_len == 17     # 8,9 in [8,16)
+    assert rows[2].n_seqs == 1 and rows[2].sum_len == 7      # 7 in [4,8)
+    for b, r in rows.items():
+        assert r.bucket_lo == 2 ** b and r.bucket_hi == 2 ** (b + 1) - 1
+        assert r.batch_size == max(100 // r.bucket_hi, 1)
+        assert r.n_batches == math.ceil(r.n_seqs / r.batch_size)
+        assert r.pad_frac == pytest.approx(
+            1.0 - r.sum_len / (r.n_seqs * r.bucket_hi))
+    # a batch never exceeds the token budget (unless a single seq does)
+    for r in rows.values():
+        assert r.batch_size * r.bucket_hi <= 100 or r.batch_size == 1
