@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _d(c: Column) -> Column:
@@ -399,6 +400,78 @@ def ivf_compact(
         shutil.rmtree(old, ignore_errors=True)
         compacted += 1
     return compacted
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein): from a
+    per-query candidate pool (e.g. the top-50 of a brute/ANN pass),
+    greedily select ``k`` results maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` — the
+    diversity pass that keeps a retrieval result (or a RAG context set)
+    from being k copies of the same near-duplicate.
+
+    MMR is inherently sequential per query, so this is the honest
+    Pandas-path operator: ``applyInPandas`` grouped by query — each
+    group's candidate pool is small by construction (it came out of a
+    top-N), the greedy loop runs vectorized numpy inside one Arrow
+    batch, and queries parallelize across the cluster. Nothing about
+    the 100 TB corpus is in play here — only the already-reduced pools.
+
+    Ties break by id; output ``(query, id, relevance, mmr_score,
+    mmr_rank)`` with rank 1..k in selection order. Deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = T.StructType([
+        fields[query_id_col], fields[id_col],
+        T.StructField("relevance", T.DoubleType()),
+        T.StructField("mmr_score", T.DoubleType()),
+        T.StructField("mmr_rank", T.IntegerType()),
+    ])
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([score_col, id_col],
+                              ascending=[False, True]).reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64)
+                         for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr[~remaining] = -np.inf
+            best = int(np.argmax(mmr))  # argmax takes first ⇒ id tiebreak
+            selected.append(best)
+            scores.append(float(mmr[best]))
+            remaining[best] = False
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame({
+            query_id_col: pdf[query_id_col].iloc[selected].to_numpy(),
+            id_col: pdf[id_col].iloc[selected].to_numpy(),
+            "relevance": rel[selected],
+            "mmr_score": scores,
+            "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+        })
+
+    return candidates.groupBy(query_id_col).applyInPandas(per_query, out_schema)
 
 
 def ivf_topk(

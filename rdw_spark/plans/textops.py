@@ -1815,3 +1815,25 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return PK.length_bucket_plan(d, "n_tokens", batch_tokens=8192)
+
+
+@register(
+    "zz_sim_mmr_rerank",
+    oracle=None,  # inherently sequential greedy selection — no SQL twin;
+                  # exactness vs the pure-python model locked in
+                  # tests/test_dedup_similarity.py (deterministic output)
+    survey="ext: MMR diversity rerank (Carbonell & Goldstein) over "
+           "per-query candidate pools — the honest Pandas-path operator: "
+           "applyInPandas per query group (pools are top-N-small by "
+           "construction, queries parallelize across the cluster), "
+           "vectorized numpy greedy inside one Arrow batch",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pool = S.cosine_topk_brute(e, q, k=20).join(
+        e.select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "embedding", "cosine")
+    return S.mmr_rerank(pool, k=5, lam=0.7)

@@ -88,6 +88,29 @@ def windowed_event_counts(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop replayed events by key
+    ACROSS micro-batches. ``dropDuplicatesWithinWatermark`` keeps one row
+    per key and bounds the dedup state to the watermark horizon — the
+    at-scale contract (an unwatermarked streaming dropDuplicates grows
+    state forever; the ingest tier's digest-dedup, import_log.accept, is
+    this same idea for payloads). A duplicate arriving later than the
+    watermark past its original is NOT caught — that is the documented
+    trade: state is O(events per horizon), not O(all history).
+
+    Works on a static frame too (plain dropDuplicates — exact, no
+    horizon), so batch backfills and the stream share one call site.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

@@ -1158,3 +1158,72 @@ def test_containment_counts_match_brute_force(spark):
         assert r.cont_b_in_a == pytest.approx(inter / len(sh(corpus[b])))
     # pair (1,3) is a full prefix copy: containment 1.0 one way
     assert got[(1, 3)].cont_a_in_b == pytest.approx(1.0)
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """Two near-identical top candidates: plain top-k ranks them 1-2;
+    MMR keeps one and pulls a diverse candidate into the second slot."""
+    import pytest
+
+    from rdw_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # (query, id, candidate vector, relevance)
+        (1, 10, [1.0, 0.0, 0.0], 0.99),
+        (1, 11, [0.999, 0.01, 0.0], 0.98),   # near-dup of 10
+        (1, 12, [0.0, 1.0, 0.0], 0.90),      # orthogonal, slightly less relevant
+        (1, 13, [0.0, 0.0, 1.0], 0.50),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, cosine double"
+    )
+    got = sorted(mmr_rerank(df, k=3, lam=0.5).collect(), key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in got] == [10, 12, 13]  # 11 demoted out of top-3
+    assert got[0].relevance == pytest.approx(0.99)
+    assert got[0].mmr_score == pytest.approx(0.5 * 0.99)  # first pick: no penalty
+
+
+def test_mmr_rerank_matches_python_model(spark, sf_dir):
+    """Greedy MMR on real candidate pools equals the pure-python model
+    (selection order, ids, and scores), per query."""
+    import numpy as np
+    import pytest
+
+    from rdw_spark.operators.similarity import cosine_topk_brute, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pool = cosine_topk_brute(emb, q, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "embedding", "cosine")
+    lam = 0.7
+    got = {}
+    for r in mmr_rerank(pool, k=5, lam=lam).collect():
+        got.setdefault(r.query_id, []).append((r.mmr_rank, r.vec_id, r.mmr_score))
+
+    cands = {}
+    for r in pool.collect():
+        cands.setdefault(r.query_id, []).append(
+            (r.vec_id, np.array(r.embedding, float), r.cosine))
+    for qid, items in cands.items():
+        items.sort(key=lambda t: (-t[2], t[0]))
+        unit = np.array([v / (np.linalg.norm(v) or 1.0) for _, v, _ in items])
+        rel = np.array([c for _, _, c in items])
+        chosen = []
+        max_sim = np.full(len(items), -np.inf)  # true max, incl. negatives
+        picked = np.zeros(len(items), bool)
+        for rank in range(5):
+            penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr[picked] = -np.inf
+            b = int(np.argmax(mmr))
+            chosen.append((rank + 1, items[b][0], float(mmr[b])))
+            picked[b] = True
+            max_sim = np.maximum(max_sim, unit @ unit[b])
+        want = chosen
+        have = sorted(got[qid])
+        assert [w[1] for w in want] == [h[1] for h in have]
+        for w, h in zip(want, have):
+            assert h[2] == pytest.approx(w[2], abs=1e-12)

@@ -49,6 +49,50 @@ class TestWindowedCounts:
         assert got == want and len(got) > 10
 
 
+class TestDedupEvents:
+    def test_duplicates_dropped_within_and_across_batches(self, spark, tmp_path):
+        """Replayed event_ids collapse to one row even when the replay
+        lands in a LATER micro-batch (within the watermark horizon) —
+        the at-least-once → effectively-once contract."""
+        from rdw_spark.streaming.events import dedup_events
+
+        d = tmp_path / "ev"
+        d.mkdir()
+        rows1 = [(1, "2024-01-01 10:00:00", 7, "view", 1.0),
+                 (2, "2024-01-01 10:01:00", 7, "view", 2.0),
+                 (2, "2024-01-01 10:01:00", 7, "view", 2.0)]  # in-batch dup
+        rows2 = [(1, "2024-01-01 10:00:00", 7, "view", 1.0),  # cross-batch replay
+                 (3, "2024-01-01 10:05:00", 8, "purchase", 9.0)]
+        schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+        for name, rows in (("b1", rows1), ("b2", rows2)):
+            (spark.createDataFrame(rows, schema)
+             .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                         "user_id", "event_type", "value")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(str(tmp_path / "stage" / name)))
+            import glob as g
+            src = g.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+            shutil.copy(src, str(d / f"{name}.parquet"))
+
+        stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+        q = (
+            dedup_events(stream, keys=["event_id"], watermark="1 hour")
+            .writeStream.format("memory").queryName("dedup_ev")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT event_id FROM dedup_ev").collect()
+        ids = sorted(r.event_id for r in got)
+        assert ids == [1, 2, 3]
+
+    def test_batch_twin_is_exact(self, spark):
+        from rdw_spark.streaming.events import dedup_events
+
+        ev = _batch_events(spark)
+        doubled = ev.unionByName(ev)
+        assert dedup_events(doubled).count() == ev.select("event_id").distinct().count()
+
+
 class TestSessionize:
     def test_batch_sessions(self, spark):
         ev = _batch_events(spark)
