@@ -148,6 +148,46 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.expr(stack))
 
 
+def distinct_sketch_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB pattern for
+    COUNT(DISTINCT) over arbitrary slices: build one Apache DataSketches
+    HLL per fine-grained group ONCE (``(group…, sketch, estimate)``),
+    then answer any coarser-grained distinct question by merging sketches
+    (:func:`merge_distinct_sketches`) without ever rescanning the fact.
+
+    A raw COUNT(DISTINCT) re-shuffles the full fact per question asked;
+    a stored sketch cube answers every rollup from O(groups) bytes. The
+    estimate is within ~1.6%/sqrt(2^lgk) rsd (lgk=12 → ~2.5%). Merging
+    is commutative/associative and deterministic, and the merged
+    estimate stays inside the same rsd envelope — but it is NOT
+    bit-identical to a direct single-pass sketch (the union gadget's
+    internal representation differs from a freshly built sketch), so
+    incremental maintenance agrees with a full rebuild to within the
+    error bound, not exactly — pytest-locked at 5% against exact.
+
+    One partial-aggregated shuffle; the sketch binary is the only state.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch")
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Roll a sketch table up to a coarser grain: union the HLL binaries
+    per surviving group and re-estimate. Input is the (tiny) sketch
+    table, so this never touches the fact — the whole point."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
 def equi_depth_histogram(
     df: DataFrame,
     value_col: str,

@@ -1311,3 +1311,26 @@ def zz_group_regression_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus", "l_quantity", "l_extendedprice"
     )
     return group_regression(li, ["l_linestatus"], "l_quantity", "l_extendedprice")
+
+
+@register(
+    "zz_distinct_sketch_rollup",
+    oracle=None,  # DataSketches HLL estimates have no DuckDB twin; the
+                  # estimate-accuracy + deterministic-merge contracts are
+                  # pytest-locked (tests/test_profiling.py)
+    survey="ext: mergeable HLL distinct-count cube — per-group Apache "
+           "DataSketches sketches built ONCE (one partial-agg shuffle), "
+           "every coarser rollup answered by unioning the O(groups) "
+           "sketch table without rescanning the fact; the 100 TB pattern "
+           "for COUNT(DISTINCT) over arbitrary slices, incremental by "
+           "per-batch sketch union",
+)
+def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import distinct_sketch_rollup, merge_distinct_sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").alias("o_year"), "o_custkey"
+    )
+    fine = distinct_sketch_rollup(o, ["o_orderstatus", "o_year"], "o_custkey")
+    coarse = merge_distinct_sketches(fine, ["o_orderstatus"])
+    return coarse.select("o_orderstatus", F.col("estimate").alias("approx_customers"))
