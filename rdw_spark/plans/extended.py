@@ -1057,9 +1057,10 @@ def zz_last_touch_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFra
     survey="ext: equi-depth histogram — NTILE(10) over a TOTAL order "
            "(value + key tiebreak ⇒ deterministic bucket boundaries, "
            "unlike bare NTILE under ties) then per-bucket min/max/count/"
-           "decimal-sum; complements A6's equi-width buckets; the global "
-           "sort is the honest cost — at scale swap in approx_percentile "
-           "cuts + map-side bucketing (the a9/j8 percentile pattern)",
+           "decimal-sum; complements A6's equi-width buckets; the 100 TB "
+           "path SHIPS as equi_depth_histogram(exact=False) — "
+           "approx_percentile cuts + map-side bucketing, zero windows, "
+           "plan-gated in tests/test_profiling.py",
 )
 def zz_equidepth_histogram_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact=True (oracle-comparable NTILE). The 100 TB plan is

@@ -251,3 +251,43 @@ class TestGlobalPlanHygiene:
             if "CartesianProduct" in plan:
                 offenders.append(name)
         assert not offenders, f"cartesian products in: {offenders}"
+
+
+class TestRound7Plans:
+    def test_bpe_pairs_partial_agg_and_takeordered(self, spark, catalog):
+        # wordcount shape: the pair groupBy partial-aggregates map-side and
+        # the top-k is TakeOrdered, never a global sort of the pair counts
+        plan = _plan(spark, catalog, "zz_text_bpe_pairs")
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+    def test_length_buckets_single_shuffle(self, spark, catalog):
+        # map-only log2 bucket assignment + ONE partial-agg groupBy: the
+        # plan carries exactly one shuffle node (formatted explain lists
+        # each node in the tree AND the details — count tree nodes)
+        import re
+
+        plan = _plan(spark, catalog, "zz_length_buckets")
+        assert "Window" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_olap_cube_single_expand_single_shuffle(self, spark, catalog):
+        # all 2^k granularities from one Expand + one shuffle — k separate
+        # GROUP BYs would scan the fact k times
+        import re
+
+        plan = _plan(spark, catalog, "zz_olap_cube")
+        assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_containment_no_sort_merge_join(self, spark, catalog):
+        # the inverted-index self-join shares the shingle-hash partitioning
+        # from the window pass — no extra SMJ shuffle, no cartesian
+        plan = _plan(spark, catalog, "zz_dedup_containment")
+        assert "CartesianProduct" not in plan
+
+    def test_sketch_rollup_partial_aggregates(self, spark, catalog):
+        # sketch build and union both partial-aggregate map-side
+        plan = _plan(spark, catalog, "zz_distinct_sketch_rollup")
+        assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
