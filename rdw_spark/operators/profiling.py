@@ -148,6 +148,56 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.expr(stack))
 
 
+def rank_statistics(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-row ``percent_rank`` and ``cume_dist`` within each partition —
+    computed at VALUE granularity, not row granularity: aggregate to per-
+    (partition, value) counts first, run the tiny cumulative window over
+    DISTINCT VALUES, then join the stats back to the rows on
+    (partition, value).
+
+    Exactly equal to the SQL window functions (``PERCENT_RANK() =
+    (min_rank-1)/(n-1)``, ``CUME_DIST() = rows_le_value/n`` — both are
+    tie-invariant, which is what makes the value-level rewrite exact),
+    but the window state is O(distinct values per partition) instead of
+    O(rows per partition): a 100 TB fact with a 5-value partition key and
+    a bounded-cardinality measure never drags rows through a per-
+    partition sort — the classic skewed-window fix. The join back is an
+    equi-join on (partition, value); at scale it reuses the counts
+    shuffle partitioning.
+    """
+    keep = list(keep_cols or [])
+    counts = df.groupBy(*part_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(*part_cols).orderBy(value_col)
+    wall = Window.partitionBy(*part_cols)
+    stats = (
+        counts
+        .withColumn("_cum", F.sum("_c").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_n", F.sum("_c").over(wall))
+        .select(
+            *part_cols, value_col,
+            # min rank of the tie group = rows strictly below + 1
+            F.when(F.col("_n") > 1,
+                   (F.col("_cum") - F.col("_c")).cast("double")
+                   / (F.col("_n") - 1)).otherwise(F.lit(0.0))
+                .alias("percent_rank"),
+            (F.col("_cum").cast("double") / F.col("_n")).alias("cume_dist"),
+        )
+    )
+    return df.select(*part_cols, value_col, *keep).join(
+        stats, [*part_cols, value_col]
+    )
+
+
 def distinct_sketch_rollup(
     df: DataFrame,
     group_cols: list[str],

@@ -1335,3 +1335,31 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
     fine = distinct_sketch_rollup(o, ["o_orderstatus", "o_year"], "o_custkey")
     coarse = merge_distinct_sketches(fine, ["o_orderstatus"])
     return coarse.select("o_orderstatus", F.col("estimate").alias("approx_customers"))
+
+
+@register(
+    "zz_rank_statistics",
+    oracle="""
+    SELECT c_mktsegment AS segment, c_acctbal, c_custkey,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS percent_rank,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS cume_dist
+    FROM customer
+    """,
+    survey="ext: per-row PERCENT_RANK/CUME_DIST via VALUE-level rewrite — "
+           "per-(partition,value) counts + a cumulative window over "
+           "DISTINCT VALUES + equi-join back: exactly the SQL window "
+           "semantics (both stats are tie-invariant) with O(distinct "
+           "values) window state instead of O(rows) — the skewed-window "
+           "fix for rank stats on a 5-partition 100 TB fact",
+)
+def zz_rank_statistics_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import rank_statistics
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_acctbal", "c_custkey"
+    )
+    return rank_statistics(
+        c, ["segment"], "c_acctbal", keep_cols=["c_custkey"]
+    )

@@ -237,3 +237,43 @@ def test_sketch_rollup_incremental_tracks_rebuild(spark):
     again = {r.g: r.estimate
              for r in merge_distinct_sketches(per_batch, ["g"]).collect()}
     assert again == incr
+
+
+# --------------------------------------------------------------------------
+# rank_statistics: value-level percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+
+def test_rank_statistics_match_row_level_windows(spark):
+    from pyspark.sql import Window
+
+    from rdw_spark.operators.profiling import rank_statistics
+
+    df = spark.range(500).selectExpr(
+        "CAST(id % 3 AS INT) AS g",
+        "CAST((id * 37) % 50 AS DOUBLE) AS v",   # heavy ties
+        "id AS k",
+    )
+    got = {(r.g, r.k): (r.percent_rank, r.cume_dist)
+           for r in rank_statistics(df, ["g"], "v", keep_cols=["k"]).collect()}
+    w = Window.partitionBy("g").orderBy("v")
+    want = {(r.g, r.k): (r.pr, r.cd)
+            for r in df.select(
+                "g", "k",
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd")).collect()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == pytest.approx(want[key][0], abs=1e-15)
+        assert got[key][1] == pytest.approx(want[key][1], abs=1e-15)
+
+
+def test_rank_statistics_single_row_partition(spark):
+    from rdw_spark.operators.profiling import rank_statistics
+
+    df = spark.createDataFrame([("a", 5.0), ("b", 1.0), ("b", 2.0)],
+                               "g string, v double")
+    rows = {(r.g, r.v): r for r in rank_statistics(df, ["g"], "v").collect()}
+    assert rows[("a", 5.0)].percent_rank == 0.0      # n=1: no 0/0
+    assert rows[("a", 5.0)].cume_dist == 1.0
+    assert rows[("b", 2.0)].percent_rank == 1.0
