@@ -1363,3 +1363,64 @@ def zz_rank_statistics_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_statistics(
         c, ["segment"], "c_acctbal", keep_cols=["c_custkey"]
     )
+
+
+@register(
+    "zz_ts_interpolate",
+    oracle="""
+    WITH d AS (
+        SELECT user_id % 100 AS u, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS daily_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), b AS (
+        SELECT u, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY u
+    ), cal AS (
+        SELECT u, lo + CAST(gs AS INT) AS day
+        FROM b, generate_series(0, 100000) t(gs)
+        WHERE lo + CAST(gs AS INT) <= hi
+    ), j AS (
+        SELECT cal.u, cal.day, d.daily_value AS v
+        FROM cal LEFT JOIN d ON cal.u = d.u AND cal.day = d.day
+    ), w AS (
+        SELECT u, day, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY u ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                OVER (PARTITION BY u ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j
+    )
+    SELECT u, day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('day', pt, day) AS DOUBLE)
+                        / CAST(date_diff('day', pt, nt) AS DOUBLE)) END
+               AS daily_value,
+           v IS NULL AS interpolated
+    FROM w
+    """,
+    survey="ext: time-series gap fill + linear interpolation (the "
+           "hypertable interpolate() shape, extending U3's densify from "
+           "counts to values) — per-key calendar generated where the key "
+           "lives (bounds agg + map-only sequence explode, no global "
+           "calendar cross join), bracketing neighbors from two "
+           "PARTITIONED ignore-nulls window passes, fixed-order double "
+           "interpolation arithmetic (bit-equal to the DuckDB oracle)",
+)
+def zz_ts_interpolate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 100).alias("u"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("u", "day").agg(_dsum(F.col("value")).alias("daily_value"))
+    return gap_fill_interpolate(daily, ["u"], "day", "daily_value")
