@@ -119,3 +119,55 @@ def test_shuffle_order_matches_sorted_hash_model(spark, keys):
 
     expected = {k: p for p, k in enumerate(sorted(keys, key=h))}
     assert out == expected
+
+
+# word-soup docs for containment: overlapping prefixes/suffixes/quotes
+_word = st.sampled_from(list("abcdefgh"))
+_wdoc = st.lists(_word, min_size=3, max_size=14).map(" ".join)
+_wdocs = st.lists(_wdoc, min_size=2, max_size=6)
+
+
+@given(texts=_wdocs)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_set_model(spark, texts):
+    """containment_pairs == brute-force shingle-set math on EVERY pair of
+    random short docs (heavy shingle overlap by construction)."""
+    from rdw_spark.operators import dedup as D
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): (r.cont_a_in_b, r.cont_b_in_a, r.n_common)
+           for r in D.containment_pairs(df, n=3, threshold=0.4).collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            sa, sb = sh(a), sh(texts[j])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            ca, cb = inter / len(sa), inter / len(sb)
+            if inter and (ca >= 0.4 or cb >= 0.4):
+                want[(i, j)] = (ca, cb, inter)
+    assert set(got) == set(want)
+    for k, (ca, cb, n) in want.items():
+        assert got[k][2] == n
+        assert abs(got[k][0] - ca) < 1e-12 and abs(got[k][1] - cb) < 1e-12
+
+
+@given(texts=_wdocs)
+@settings(**_SETTINGS)
+def test_bpe_pairs_total_conservation(spark, texts):
+    """Σ n_pairs over ALL pairs == Σ max(len(tokens)-1, 0) over docs —
+    no pair double-counted or lost (k large enough to keep everything)."""
+    from rdw_spark.operators.text import bpe_pair_counts
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_pair_counts(df, k=10_000).collect()
+    want_total = sum(max(len(_norm_tokens(t)) - 1, 0) for t in texts)
+    assert sum(r.n_pairs for r in got) == want_total
