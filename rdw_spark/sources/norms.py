@@ -34,6 +34,59 @@ NORMS_CSV_SCHEMA = T.StructType([
 _KEY = ["assessment_id", "start_date", "end_date"]
 
 
+def percentile_lookup(
+    exams: DataFrame,
+    percentile: DataFrame,
+    percentile_score: DataFrame,
+    asmt_col: str = "assessment_id",
+    date_col: str = "completed_date",
+    score_col: str = "scale_score",
+) -> DataFrame:
+    """Runtime use of the norms tables: map each exam's scale score to its
+    national percentile — find the percentile table whose
+    ``[start_date, end_date]`` covers the exam's completed date (unique by
+    the parse-time non-overlap validation) and return the HIGHEST
+    ``percentile_rank`` whose ``score <= scale_score`` (the reference's
+    rank-row semantics, docs/Norms.md:12-37: rank rows are the score
+    floors of each percentile band). Scores below the lowest rank row get
+    NULL percentile; exams with no covering table keep NULL too (both
+    left-join semantics — the report renders them as "no norms").
+
+    Scale shape: norms are dims — rank rows collapse to ONE sorted array
+    per table key (tiny), the exam→table match is a BROADCAST equi-join
+    on assessment_id with the date-range predicate as join filter, and
+    the band pick is a map-side array fold over the broadcast array.
+    The fact never shuffles.
+    """
+    bands = percentile_score.groupBy("percentile_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("score", "percentile_rank"))
+        ).alias("_bands")
+    )
+    tables = percentile.select(
+        F.col("id").alias("percentile_id"),
+        "assessment_id", "start_date", "end_date",
+    ).join(bands, "percentile_id")
+    e = exams
+    joined = e.join(
+        F.broadcast(tables),
+        (e[asmt_col] == tables.assessment_id)
+        & (e[date_col] >= tables.start_date)
+        & (e[date_col] <= tables.end_date),
+        "left",
+    )
+    s = F.col(score_col).cast("double")
+    band = F.filter(F.col("_bands"), lambda b: b["score"] <= s)
+    pct = F.when(
+        F.size(band) > 0, F.element_at(band, -1)["percentile_rank"]
+    ).cast("int")
+    return joined.select(
+        *[e[c] for c in exams.columns],
+        F.col("percentile_id"),
+        pct.alias("national_percentile"),
+    )
+
+
 def read_norms_csv(spark: SparkSession, path_or_payload: str) -> DataFrame:
     """Accepts a path or the raw CSV text."""
     if "\n" in path_or_payload or "," in path_or_payload.splitlines()[0]:

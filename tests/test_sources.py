@@ -741,3 +741,57 @@ def test_stagestore_gc_keeps_current_and_latest(spark, tmp_path):
 
     assert cur.gc(keep_latest=1) == [old2.fingerprint]
     assert os.listdir(root) == [cur.fingerprint]
+
+
+class TestPercentileLookup:
+    def test_lookup_picks_covering_table_and_band(self, spark):
+        """Exams map to the norms table covering their completed date and
+        to the highest rank row with score <= scale score; below-floor
+        scores and uncovered dates stay NULL (docs/Norms.md:12-37)."""
+        import datetime as dt
+
+        from rdw_spark.sources.norms import (
+            parse_norms, percentile_lookup, read_norms_csv,
+        )
+
+        out = parse_norms(spark, read_norms_csv(spark, NORMS_CSV),
+                          default_min_score=2000.0, default_max_score=3000.0)
+        d = dt.date
+        exams = spark.createDataFrame(
+            [
+                (1, "TESTASMT-G6-2018", d(2017, 9, 15), 2425.0),  # T1: ==50-floor
+                (2, "TESTASMT-G6-2018", d(2017, 9, 15), 2424.0),  # T1: band 25
+                (3, "TESTASMT-G6-2018", d(2018, 4, 1), 2600.0),   # T2: band 75
+                (4, "TESTASMT-G6-2018", d(2018, 4, 1), 2300.0),   # below floor
+                (5, "TESTASMT-G6-2018", d(2019, 1, 1), 2500.0),   # no table
+                (6, "OTHER-ASMT", d(2017, 9, 15), 2500.0),        # unknown asmt
+            ],
+            "exam_id long, assessment_id string, completed_date date, scale_score double",
+        )
+        got = {r.exam_id: r.national_percentile
+               for r in percentile_lookup(
+                   exams, out["percentile"], out["percentile_score"]).collect()}
+        assert got == {1: 50, 2: 25, 3: 75, 4: None, 5: None, 6: None}
+
+    def test_lookup_is_broadcast_no_fact_shuffle(self, spark):
+        """Scale gate: norms broadcast; the exam side never shuffles."""
+        import contextlib
+        import datetime as dt
+        import io
+
+        from rdw_spark.sources.norms import (
+            parse_norms, percentile_lookup, read_norms_csv,
+        )
+
+        out = parse_norms(spark, read_norms_csv(spark, NORMS_CSV))
+        exams = spark.createDataFrame(
+            [(1, "TESTASMT-G6-2018", dt.date(2017, 9, 15), 2425.0)],
+            "exam_id long, assessment_id string, completed_date date, scale_score double",
+        )
+        df = percentile_lookup(exams, out["percentile"], out["percentile_score"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
