@@ -327,6 +327,82 @@ def _token_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    d: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick, Weinberger
+    et al. 2009): every normalized token hashes to one of ``d`` buckets
+    with a ±1 sign, per-bucket signed term frequencies form the vector,
+    L2-normalized. No model, no vocabulary pass, fully deterministic and
+    engine-reproducible (md5-derived bucket/sign) — the honest lexical
+    embedder for similarity/RAG plumbing where the container has no
+    neural encoder, and a real technique in its own right (sign hashing
+    makes bucket collisions cancel in expectation).
+
+    Output: ``(id, embedding array<double>, emb_norm)`` — ``emb_norm`` is
+    the pre-normalization L2 norm (0 for empty/all-cancelled docs, whose
+    embedding is the zero vector, NOT NaNs).
+
+    Scale shape: map-only token explode, ONE partial-agg shuffle on
+    (id, bucket), one groupBy(id) to assemble the dense array. O(d)
+    state per doc.
+    """
+    tok = F.explode(
+        F.split(normalize_text(F.col(text_col)), r"\s+")
+    ).alias("_tok")
+    hexed = F.md5(F.col("_tok").cast("binary"))
+    bucket = (F.conv(F.substring(hexed, 1, 8), 16, 10).cast("long") % d).cast("int")
+    sign = (
+        F.lit(1)
+        - 2 * (F.conv(F.substring(hexed, 9, 1), 16, 10).cast("long") % 2)
+    ).cast("long")
+    vals = (
+        df.select(F.col(id_col), tok)
+        .filter(F.col("_tok") != "")
+        .select(F.col(id_col), bucket.alias("_b"), sign.alias("_s"))
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    assembled = vals.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    # let-bind the raw array so the map lookup evaluates once per element,
+    # not once per element per consumer (the nested-HOF re-eval trap)
+    out = assembled.withColumn("_raw", raw).withColumn(
+        "emb_norm",
+        F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    # docs present in df but with zero live tokens never reach `vals`;
+    # keep them with a zero vector via a left join back
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("emb_norm") > 0,
+                F.transform(F.col("_raw"), lambda x: x / F.col("emb_norm")),
+            )
+            .otherwise(
+                F.array_repeat(F.lit(0.0), d)
+            )
+            .alias("embedding"),
+            F.coalesce("emb_norm", F.lit(0.0)).alias("emb_norm"),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     k: int = 50,

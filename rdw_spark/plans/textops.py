@@ -1837,3 +1837,83 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "embedding"), "vec_id"
     ).select("query_id", "vec_id", "embedding", "cosine")
     return S.mmr_rerank(pool, k=5, lam=0.7)
+
+
+@register(
+    "zz_text_hash_embed",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), sgn AS (
+        SELECT doc_id,
+               CAST(CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) AS b,
+               1 - 2 * (CAST(CONCAT('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2) AS s
+        FROM toks WHERE tok <> ''
+    ), v AS (
+        SELECT doc_id, b, CAST(SUM(s) AS DOUBLE) AS val
+        FROM sgn GROUP BY doc_id, b
+    ), n AS (
+        SELECT doc_id, sqrt(SUM(val * val)) AS emb_norm FROM v GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.emb_norm,
+           COALESCE(MAX(CASE WHEN v.b = 0 THEN v.val END), 0) / n.emb_norm AS e0,
+           COALESCE(MAX(CASE WHEN v.b = 1 THEN v.val END), 0) / n.emb_norm AS e1,
+           COALESCE(MAX(CASE WHEN v.b = 2 THEN v.val END), 0) / n.emb_norm AS e2
+    FROM n JOIN v ON n.doc_id = v.doc_id
+    WHERE n.emb_norm > 0
+    GROUP BY n.doc_id, n.emb_norm
+    """,
+    survey="ext: feature-hashing embeddings (hashing trick, Weinberger et "
+           "al.) — md5-derived bucket + ±1 sign per token, signed tf per "
+           "bucket, L2 normalize: model-free deterministic lexical "
+           "vectors for similarity/RAG plumbing; map-only explode + one "
+           "partial-agg shuffle + per-doc assembly",
+)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = X.hash_embed(_docs(spark, sf_dir), d=64)
+    return e.filter(F.col("emb_norm") > 0).select(
+        "doc_id", "emb_norm",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 2).alias("e1"),
+        F.element_at("embedding", 3).alias("e2"),
+    )
+
+
+@register(
+    "zz_rag_retrieval",
+    oracle=None,  # end-to-end chain over engine-hash embeddings; each link
+                  # is individually verified (chunking: zz_text_chunks;
+                  # embeddings: zz_text_hash_embed; brute top-k:
+                  # sim_cosine_topk; MMR: model-parity pytest) — the chain
+                  # itself is deterministic, rows-only checked
+    survey="ext: RAG retrieval chain — chunk (overlapping token windows) "
+           "-> feature-hash embed -> brute cosine top-20 -> MMR "
+           "diversity rerank to 5 contexts/query: the retrieve-for-"
+           "context pipeline end-to-end, every stage the catalog "
+           "verifies in isolation; swap ivf_topk for the brute pass at "
+           "corpus scale",
+)
+def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    chunks = X.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    # stable per-chunk key: doc_id * 1024 + chunk_index (chunk counts are
+    # far below 1024 on any input this entry sees)
+    emb = X.hash_embed(
+        chunks.select(
+            (F.col("doc_id") * 1024 + F.col("chunk_index")).alias("chunk_id"),
+            F.col("chunk_text"),
+        ),
+        d=64, text_col="chunk_text", id_col="chunk_id",
+    ).filter(F.col("emb_norm") > 0)
+    queries = emb.filter(F.col("chunk_id") < 5 * 1024).select(
+        F.col("chunk_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pool = S.cosine_topk_brute(
+        emb, queries, k=20, id_col="chunk_id"
+    ).join(emb.select("chunk_id", "embedding"), "chunk_id").select(
+        "query_id", "chunk_id", "embedding", "cosine"
+    )
+    return S.mmr_rerank(pool, k=5, lam=0.7, id_col="chunk_id")

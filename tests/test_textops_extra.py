@@ -644,3 +644,40 @@ def test_length_bucket_plan_values(spark):
     # a batch never exceeds the token budget (unless a single seq does)
     for r in rows.values():
         assert r.batch_size * r.bucket_hi <= 100 or r.batch_size == 1
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    import math
+
+    import pytest
+
+    from rdw_spark.operators.text import hash_embed
+
+    texts = [(1, "the cat sat on the mat"), (2, "?!...,,"), (3, "solo")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r.doc_id: r for r in hash_embed(df, d=16).collect()}
+    assert set(rows) == {1, 2, 3}
+    # live docs produce unit vectors; punctuation-only docs the zero vector
+    v1 = rows[1].embedding
+    assert math.sqrt(sum(x * x for x in v1)) == pytest.approx(1.0)
+    assert rows[1].emb_norm > 0
+    assert rows[2].embedding == [0.0] * 16 and rows[2].emb_norm == 0.0
+    # deterministic across recomputation
+    again = {r.doc_id: r.embedding for r in hash_embed(df, d=16).collect()}
+    assert again[1] == v1
+
+
+def test_hash_embed_identical_docs_cosine_one(spark):
+    import pytest
+
+    from rdw_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta eta")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.embedding for r in hash_embed(df, d=32).collect()}
+    dot12 = sum(a * b for a, b in zip(rows[1], rows[2]))
+    assert dot12 == pytest.approx(1.0)
+    dot13 = abs(sum(a * b for a, b in zip(rows[1], rows[3])))
+    assert dot13 < 0.9  # different token sets should not look identical
