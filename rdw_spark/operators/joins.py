@@ -166,11 +166,18 @@ def hot_keys(df: DataFrame, key_cols: list[str], k: int = 20) -> DataFrame:
     TakeOrderedAndProject (no global sort), and the total for the share
     column comes from re-aggregating the (small) per-key counts rather
     than a second scan of the input — the counts frame is materialized
-    once (localCheckpoint) so the total/top fan-out cannot re-run the
-    input scan. No sketch needed: exact heavy hitters at 100 TB cost one
-    combiner shuffle, which the downstream join was about to pay anyway."""
+    once (lazy localCheckpoint: the scan runs when the CALLER first acts
+    on the result, not at build time) so the total/top fan-out cannot
+    re-run the input scan. Trade-off: localCheckpoint blocks are
+    executor-local and non-replicated — on a cluster, losing an executor
+    after materialization fails downstream actions instead of recomputing
+    (acceptable for a one-shot diagnostic; use cache() if the report is
+    re-read across stages). No sketch needed: exact heavy hitters at
+    100 TB cost one combiner shuffle, which the downstream join was about
+    to pay anyway."""
     counts = (
-        df.groupBy(*key_cols).agg(F.count("*").alias("n")).localCheckpoint()
+        df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n").alias("_total"))
     top = counts.orderBy(F.desc("n"), *key_cols).limit(k)

@@ -166,9 +166,12 @@ def rank_statistics(
     but the window state is O(distinct values per partition) instead of
     O(rows per partition): a 100 TB fact with a 5-value partition key and
     a bounded-cardinality measure never drags rows through a per-
-    partition sort — the classic skewed-window fix. The join back is an
-    equi-join on (partition, value); at scale it reuses the counts
-    shuffle partitioning.
+    partition sort — the classic skewed-window fix. The join back is a
+    NULL-SAFE equi-join on (partition, value): SQL window functions rank
+    NULL values (they sort as a tie group) rather than dropping the rows,
+    so a plain equi-join would silently lose every row with a NULL
+    partition key or NULL value — ``eqNullSafe`` keeps them and still
+    plans as a hash equi-join, reusing the counts shuffle partitioning.
     """
     keep = list(keep_cols or [])
     counts = df.groupBy(*part_cols, value_col).agg(
@@ -193,9 +196,16 @@ def rank_statistics(
             (F.col("_cum").cast("double") / F.col("_n")).alias("cume_dist"),
         )
     )
-    return df.select(*part_cols, value_col, *keep).join(
-        stats, [*part_cols, value_col]
-    )
+    join_keys = [*part_cols, value_col]
+    rhs = stats
+    for c in join_keys:
+        rhs = rhs.withColumnRenamed(c, f"__r_{c}")
+    lhs = df.select(*join_keys, *keep)
+    cond = None
+    for c in join_keys:
+        eq = lhs[c].eqNullSafe(rhs[f"__r_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return lhs.join(rhs, cond).drop(*[f"__r_{c}" for c in join_keys])
 
 
 def distinct_sketch_rollup(

@@ -68,17 +68,45 @@ def resubmit_exams_by_status(
             [(r["id"], r["digest"]) for r in rows],
             "import_id long, digest string",
         )
-        payloads = (
+        # Join by FILE NAME — the archive basename IS the logged digest
+        # (digest-pair layout above), so every scanned file matches its
+        # log row unconditionally (a missing file fails the load itself).
+        # Then compare the RECOMPUTED digest against the logged one: an
+        # archived file whose bytes no longer re-digest to the logged
+        # value (corruption, non-UTF-8 mangling by the text reader)
+        # SURFACES with its import id instead of silently dropping out of
+        # the replay while still being counted. Name keys keep the id_map
+        # broadcastable (a left-outer preserving the small side cannot).
+        joined = (
             spark.read.format("text").option("wholetext", "true")
             .load(paths)
             .select(
                 F.col("value").alias("payload"),
-                F.upper(F.md5(F.col("value").cast("binary"))).alias("digest"),
+                F.upper(F.md5(F.col("value").cast("binary")))
+                .alias("replay_digest"),
+                F.col("_metadata.file_name").alias("digest"),
             )
             .join(F.broadcast(id_map), "digest")
+        )
+        # O(rows) metadata: ids only, never payload bytes
+        mismatched_ids = sorted(
+            r["import_id"]
+            for r in joined.filter(F.col("replay_digest") != F.col("digest"))
+            .select("import_id").collect()
+        )
+        payloads = (
+            joined.filter(F.col("replay_digest") == F.col("digest"))
             .select("import_id", "payload")
         )
         res = process_accepted(spark, wh, log, payloads)
+        res["payload_mismatches"] = len(mismatched_ids)
+        for iid in mismatched_ids:
+            log.set_status(
+                spark, int(iid), ImportStatus.BAD_FORMAT,
+                message="resubmit: archived payload digest mismatch on "
+                        "replay",
+            )
+        return {"resubmitted": len(rows) - len(mismatched_ids), **res}
     return {"resubmitted": len(rows), **res}
 
 

@@ -92,6 +92,7 @@ def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """At-least-once → effectively-once: drop replayed events by key
     ACROSS micro-batches. ``dropDuplicatesWithinWatermark`` keeps one row
@@ -108,7 +109,7 @@ def dedup_events(
     keys = keys or ["event_id"]
     if not events.isStreaming:
         return events.dropDuplicates(keys)
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 SESSION_SCHEMA = T.StructType([

@@ -97,6 +97,30 @@ def test_resubmit_unbounded_backlog_payloads_stay_distributed(
     assert wh.read(spark, "exam").filter("NOT deleted").count() == 110
 
 
+def test_resubmit_corrupt_archive_payload_surfaces(spark, env):
+    """Mass replay: an archived file whose bytes no longer re-digest to
+    the logged value must SURFACE (counted in payload_mismatches, import
+    marked BAD_FORMAT) instead of silently vanishing while 'resubmitted'
+    still counts it (round-8 advisor fix)."""
+    wh, log = env
+    payloads = [make_trt(opp_id=f"C-{i}", ssid=f"STU{i:03d}") for i in range(3)]
+    res = ingest_exams(spark, wh, log, payloads)
+    assert res["failed"] == 3
+
+    # corrupt one archived payload on disk
+    victim = log.by_status(spark, ImportStatus.UNKNOWN_SCHOOL).collect()[0]
+    path = log.archived_payload_path(ImportContent.EXAM, victim["digest"])
+    with open(path, "ab") as fh:
+        fh.write(b"<!-- bitrot -->")
+
+    _load_orgs(spark, wh, log)
+    res = resubmit_exams_by_status(spark, wh, log, ImportStatus.UNKNOWN_SCHOOL)
+    assert res["payload_mismatches"] == 1
+    assert res["resubmitted"] == 2 and res["processed"] == 2
+    bad = log.read(spark).filter(F.col("id") == victim["id"]).collect()[0]
+    assert bad["status"] == ImportStatus.BAD_FORMAT
+
+
 def test_resubmit_bounded_limit_uses_driver_reads(spark, env, monkeypatch):
     """Endpoint-batched replay (limit set, docs/API.md:434): the bounded
     path reads payloads driver-side (list form) — and respects the limit."""

@@ -268,6 +268,31 @@ def test_rank_statistics_match_row_level_windows(spark):
         assert got[key][1] == pytest.approx(want[key][1], abs=1e-15)
 
 
+def test_rank_statistics_null_values_and_keys_kept(spark):
+    """NULL values / NULL partition keys rank like the SQL window fns
+    (they sort as a tie group) instead of being dropped by the join-back
+    (round-8 advisor fix: eqNullSafe join)."""
+    from pyspark.sql import Window
+
+    from rdw_spark.operators.profiling import rank_statistics
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", None),
+         (None, 3.0), (None, None), (None, 3.0)],
+        "g string, v double",
+    )
+    out = rank_statistics(df, ["g"], "v")
+    assert out.count() == 7          # nothing dropped
+    got = {(r.g, r.v): (r.percent_rank, r.cume_dist) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("v")
+    want = {(r.g, r.v): (r.pr, r.cd)
+            for r in df.select(
+                "g", "v",
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd")).collect()}
+    assert got == want
+
+
 def test_rank_statistics_single_row_partition(spark):
     from rdw_spark.operators.profiling import rank_statistics
 
