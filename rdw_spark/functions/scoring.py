@@ -59,32 +59,26 @@ def with_percentile_rank(
 ) -> DataFrame:
     """A9/J8: percentile rank for each exam from the norms tables.
 
-    Plan shape: percentile tables are dims → both joins broadcast; the
-    rank selection is a max() aggregation grouped by exam id, so the only
-    shuffle is that (small-keyed) aggregation. The non-overlap validation at
-    import time (sources/norms.py) guarantees at most one matching table per
-    exam, which is what makes the aggregation rewrite of the as-of join
-    exact.
+    Delegates to ``sources.norms.percentile_lookup`` — the canonical plan:
+    rank rows collapse to ONE sorted array per table key (tiny), the
+    exam→table match is a broadcast equi-join on assessment_id with the
+    date-range predicate as join filter, and the band pick is a map-side
+    array fold over the broadcast array. The fact never shuffles (the old
+    shape here re-aggregated per exam id — a fact-sized shuffle).
     """
+    from rdw_spark.sources.norms import percentile_lookup
+
     if asmt is not None:
         nat = asmt.select(F.col("id").alias("asmt_id"),
                           F.col("natural_id").alias("assessment_id"))
         exam = exam.join(F.broadcast(nat), "asmt_id", "left")
-    tables = F.broadcast(percentile.select(
-        F.col("id").alias("percentile_id"), "assessment_id", "start_date", "end_date",
-    ))
-    ranks = F.broadcast(percentile_score.select(
-        "percentile_id", "percentile_rank", F.col("score").alias("rank_min_score"),
-    ))
-    # inner match-side only; exams with no matching window keep a null rank
-    # via the final left join back on exam id
-    matched = (
-        exam.select("id", "assessment_id", "completed_at", "scale_score")
-        .join(tables, "assessment_id")
-        .filter(F.to_date("completed_at").between(F.col("start_date"), F.col("end_date")))
-        .join(ranks, "percentile_id")
-        .filter(F.col("rank_min_score") <= F.col("scale_score"))
-        .groupBy("id")
-        .agg(F.max("percentile_rank").alias("percentile_rank"))
+    with_date = exam.withColumn("_completed_date", F.to_date("completed_at"))
+    out = percentile_lookup(
+        with_date, percentile, percentile_score,
+        asmt_col="assessment_id", date_col="_completed_date",
+        score_col="scale_score",
     )
-    return exam.join(matched, "id", "left")
+    return (
+        out.withColumnRenamed("national_percentile", "percentile_rank")
+        .drop("percentile_id", "_completed_date")
+    )

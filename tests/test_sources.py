@@ -795,3 +795,47 @@ class TestPercentileLookup:
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_with_percentile_rank_delegates_to_lookup(self, spark):
+        """functions.scoring.with_percentile_rank is the reporting-surface
+        wrapper over the canonical array-fold plan: same band semantics
+        (highest rank-row floor <= score), natural-id resolution via the
+        asmt dim, timestamps coerced to dates, and the never-shuffle-the-
+        fact plan shape (broadcast only, no SortMergeJoin)."""
+        import contextlib
+        import datetime as dt
+        import io
+
+        from rdw_spark.functions.scoring import with_percentile_rank
+        from rdw_spark.sources.norms import parse_norms, read_norms_csv
+
+        out = parse_norms(spark, read_norms_csv(spark, NORMS_CSV),
+                          default_min_score=2000.0, default_max_score=3000.0)
+        ts = dt.datetime
+        exam = spark.createDataFrame(
+            [
+                (1, 10, ts(2017, 9, 15, 11, 30), 2425.0),  # ==50-floor
+                (2, 10, ts(2018, 4, 1, 8, 0), 2300.0),     # below floor
+                (3, 10, ts(2019, 1, 1, 0, 0), 2500.0),     # no covering table
+                (4, 99, ts(2017, 9, 15, 0, 0), 2500.0),    # unknown asmt
+            ],
+            "id long, asmt_id long, completed_at timestamp, scale_score double",
+        )
+        asmt = spark.createDataFrame(
+            [(10, "TESTASMT-G6-2018"), (99, "OTHER-ASMT")],
+            "id long, natural_id string",
+        )
+        df = with_percentile_rank(
+            exam, out["percentile"], out["percentile_score"], asmt=asmt)
+        got = {r.id: r.percentile_rank for r in df.collect()}
+        assert got == {1: 50, 2: None, 3: None, 4: None}
+        # delegation keeps the exam columns and adds exactly percentile_rank
+        assert set(df.columns) == {
+            "id", "asmt_id", "completed_at", "scale_score",
+            "assessment_id", "percentile_rank"}
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
