@@ -1206,7 +1206,7 @@ def zz_outlier_mad_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "zz_olap_cube",
+    "olap_cube",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
            CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
@@ -1266,7 +1266,7 @@ def zz_olap_string_agg_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_group_regression",
+    "stat_group_regression",
     oracle="""
     WITH m AS (
         SELECT l_linestatus,
@@ -1338,7 +1338,7 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "zz_rank_statistics",
+    "stat_rank_statistics",
     oracle="""
     SELECT c_mktsegment AS segment, c_acctbal, c_custkey,
            PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
@@ -1366,7 +1366,7 @@ def zz_rank_statistics_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_interpolate",
+    "t_gap_interpolate",
     oracle="""
     WITH d AS (
         SELECT user_id % 100 AS u, CAST(ts AS DATE) AS day,

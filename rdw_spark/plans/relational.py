@@ -114,7 +114,7 @@ def p_scoped_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p3_status_code_filter",
+    "zz_p3_status_code_filter",
     oracle="""
     SELECT CASE event_type WHEN 'error' THEN -6 WHEN 'signup' THEN 0
                            WHEN 'view' THEN 1 WHEN 'click' THEN 2
@@ -274,7 +274,7 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j5_anti_join",
+    "zz_j5_anti_join",
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers_without_orders
     FROM customer
@@ -378,7 +378,7 @@ def j8_asof_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "a4_count_distinct",
+    "zz_a4_count_distinct",
     oracle="""
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS n_customers,
@@ -397,7 +397,7 @@ def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a5_having_postfilter",
+    "zz_a5_having_postfilter",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_parts
     FROM part
@@ -416,7 +416,7 @@ def a5_having_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a6_histogram_buckets",
+    "zz_a6_histogram_buckets",
     oracle="""
     SELECT CAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 30) AS INT) AS delay_bucket_months,
            COUNT(*) AS n_items

@@ -1840,7 +1840,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_hash_embed",
+    "text_hash_embed",
     oracle="""
     WITH toks AS (
         SELECT doc_id,

@@ -44,7 +44,7 @@ class TestJoinStrategies:
     def test_semi_and_anti_joins_broadcast(self, spark, catalog):
         plan = _plan(spark, catalog, "j4_semi_join")
         assert "LeftSemi" in plan and "Broadcast" in plan
-        plan = _plan(spark, catalog, "j5_anti_join")
+        plan = _plan(spark, catalog, "zz_j5_anti_join")
         assert "LeftAnti" in plan and "Broadcast" in plan
 
     def test_embargo_row_filter_broadcasts_allowed_set(self, spark, catalog):
@@ -277,7 +277,7 @@ class TestRound7Plans:
         # GROUP BYs would scan the fact k times
         import re
 
-        plan = _plan(spark, catalog, "zz_olap_cube")
+        plan = _plan(spark, catalog, "olap_cube")
         assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
