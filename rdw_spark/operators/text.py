@@ -456,6 +456,127 @@ def bpe_pair_counts(
     ).limit(k)
 
 
+def bpe_word_symbols(
+    df: DataFrame, text_col: str = "text", end_of_word: str = "</w>"
+) -> DataFrame:
+    """The BPE training input: the corpus collapsed to its WORD-FREQUENCY
+    table, each distinct word as its initial symbol sequence (characters +
+    the end-of-word marker, Sennrich et al. 2016 §3.2).
+
+    This is the one corpus-sized pass of BPE training — everything after
+    operates on the distinct-word frame, which is O(vocabulary) (tiny vs
+    the corpus at any scale; at 100 TB it is still millions of rows, so it
+    stays a DataFrame, never driver state).
+
+    Output: ``(symbols array<string>, freq long)``.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    words = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.select(
+        F.concat(F.split("word", ""), F.array(F.lit(end_of_word))).alias("symbols"),
+        "freq",
+    )
+
+
+def bpe_apply_merge(symbols: Column, tok_a: str, tok_b: str) -> Column:
+    """Apply one BPE merge (``tok_a``,``tok_b``) → ``tok_a+tok_b`` to a
+    symbol array, leftmost-greedy, as a pure array fold (no Python per
+    row). The fold "replace the accumulator's last element when it is
+    ``tok_a`` and the incoming symbol is ``tok_b``" is EXACTLY the
+    left-to-right non-overlapping scan: a cascade would need the merged
+    token ``tok_a+tok_b`` to equal ``tok_a``, impossible for non-empty
+    ``tok_b`` (covers the self-pair case too: merging (a,a) over
+    [a,a,a,a] yields [aa,aa], never [aaa,a])."""
+    merged = F.lit(tok_a + tok_b)
+
+    def step(acc: Column, x: Column) -> Column:
+        prev = F.try_element_at(acc, F.lit(-1))
+        hit = (F.size(acc) > 0) & (prev == F.lit(tok_a)) & (x == F.lit(tok_b))
+        return F.when(
+            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(symbols, F.slice(symbols, 1, 0), step)
+
+
+def bpe_pair_frequencies(word_symbols: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over a word-symbol frame
+    (one round's counting pass): map-only zip_with explode, ONE
+    partial-aggregated shuffle on the pair."""
+    sym = F.col("symbols")
+    n = F.greatest(F.size(sym) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(sym, 1, n), F.slice(sym, 2, n),
+        lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+    )
+    return (
+        word_symbols.select(F.explode(pairs).alias("_p"), "freq")
+        .groupBy(F.col("_p.ta").alias("tok_a"), F.col("_p.tb").alias("tok_b"))
+        .agg(F.sum("freq").alias("n_pairs"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+    min_count: int = 1,
+) -> dict:
+    """Full BPE vocabulary induction (Sennrich et al. 2016): iterate
+    (count adjacent symbol pairs → merge the argmax pair into one symbol)
+    ``num_merges`` times. The tokenizer-training primitive —
+    ``bpe_pair_counts`` is one counting round of this loop at word
+    granularity; this is the real multi-round induction at character
+    granularity.
+
+    Driver-side loop of Spark jobs over the cached word-frequency symbol
+    frame: per round ONE partial-agg shuffle (the pair count), an O(1)
+    argmax collect (top-1 with the deterministic count-desc /
+    lexicographic tiebreak), and a map-only array-fold merge
+    (``bpe_apply_merge``) re-cached so lineage stays one round deep.
+    The corpus itself is read exactly once (``bpe_word_symbols``).
+
+    Stops early when no pair reaches ``min_count`` (or none is left).
+    Returns ``{"merges": [(tok_a, tok_b, merged, n_pairs), ...],
+    "vocab": sorted final symbol inventory}``.
+    """
+    cur = bpe_word_symbols(df, text_col, end_of_word).cache()
+    cur.count()  # materialize the corpus pass once
+    merges: list[tuple[str, str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            top = (
+                bpe_pair_frequencies(cur)
+                .orderBy(F.desc("n_pairs"), F.asc("tok_a"), F.asc("tok_b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n_pairs"] < min_count:
+                break
+            a, b, n = top[0]["tok_a"], top[0]["tok_b"], int(top[0]["n_pairs"])
+            merges.append((a, b, a + b, n))
+            nxt = cur.select(
+                bpe_apply_merge(F.col("symbols"), a, b).alias("symbols"), "freq"
+            ).cache()
+            nxt.count()  # materialize before dropping the parent's blocks
+            cur.unpersist()
+            cur = nxt
+        vocab = sorted(
+            r["s"]
+            for r in cur.select(F.explode("symbols").alias("s")).distinct().collect()
+        )
+    finally:
+        cur.unpersist()
+    return {"merges": merges, "vocab": vocab}
+
+
 def token_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

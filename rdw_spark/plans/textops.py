@@ -1780,6 +1780,81 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_bpe_train_rounds",
+    # Three full induction rounds in chained CTEs. The merge-application
+    # trick: a symbol sequence rendered as '|s1||s2||...|' (tokens are
+    # [a-z0-9</w>]+, never '|') makes one BPE merge a plain replace() of
+    # '|a||b|' with '|ab|' — left-to-right non-overlapping replacement IS
+    # the leftmost-greedy merge scan (a replaced occurrence consumes one
+    # bar of each flanking '||', leaving the string well-formed), the same
+    # argument that makes the Spark side's array fold exact.
+    oracle="""
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY 1
+    ), s0 AS (
+        SELECT '|' || array_to_string(
+                   list_append(string_split(word, ''), '</w>'), '||') || '|' AS s,
+               freq
+        FROM words
+    ), p1 AS (
+        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
+        FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM s0),
+             unnest(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ), m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1
+    ), s1 AS (
+        SELECT replace(s, '|' || m1.a || '||' || m1.b || '|',
+                          '|' || m1.a || m1.b || '|') AS s, freq
+        FROM s0, m1
+    ), p2 AS (
+        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
+        FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM s1),
+             unnest(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ), m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1
+    ), s2 AS (
+        SELECT replace(s, '|' || m2.a || '||' || m2.b || '|',
+                          '|' || m2.a || m2.b || '|') AS s, freq
+        FROM s1, m2
+    ), p3 AS (
+        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
+        FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM s2),
+             unnest(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ), m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS merge_round, a AS tok_a, b AS tok_b,
+               a || b AS merged, CAST(n AS BIGINT) AS n_pairs FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INT), a, b, a || b, CAST(n AS BIGINT) FROM m2
+        UNION ALL
+        SELECT CAST(3 AS INT), a, b, a || b, CAST(n AS BIGINT) FROM m3
+    ) ORDER BY merge_round
+    """,
+    survey="ext: full BPE vocabulary induction (Sennrich et al. 2016) — "
+           "iterative merge training over the cached word-frequency symbol "
+           "frame: per round ONE partial-agg shuffle (pair count), an O(1) "
+           "argmax collect, and a map-only array-fold merge; the corpus is "
+           "read exactly once. Entry returns the first three merges "
+           "(pair, product, frequency-weighted count).",
+)
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.train_bpe(_docs(spark, sf_dir), num_merges=3)
+    rows = [
+        (i + 1, a, b, m, n) for i, (a, b, m, n) in enumerate(out["merges"])
+    ]
+    return spark.createDataFrame(
+        rows, "merge_round int, tok_a string, tok_b string, "
+              "merged string, n_pairs long",
+    ).orderBy("merge_round")
+
+
+@register(
     "zz_length_buckets",
     oracle="""
     WITH t AS (

@@ -171,3 +171,79 @@ def test_bpe_pairs_total_conservation(spark, texts):
     got = bpe_pair_counts(df, k=10_000).collect()
     want_total = sum(max(len(_norm_tokens(t)) - 1, 0) for t in texts)
     assert sum(r.n_pairs for r in got) == want_total
+
+
+# ---------------------------------------------------------------------------
+# Full BPE vocabulary induction (train_bpe) vs a pure-Python Sennrich trainer
+# ---------------------------------------------------------------------------
+
+def _py_bpe(texts, num_merges, eow="</w>", min_count=1):
+    """Reference BPE trainer (Sennrich et al. 2016, the dict-of-tuples
+    algorithm from the paper's pseudo-code): word-frequency table, per
+    round count adjacent pairs, merge the (count desc, pair asc) argmax
+    leftmost-greedy."""
+    wf = Counter()
+    for t in texts:
+        wf.update(_norm_tokens(t))
+    vocab = Counter()
+    for w, c in wf.items():
+        vocab[tuple(list(w) + [eow])] += c
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b, a + b, n))
+        nxt = Counter()
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] += c
+        vocab = nxt
+    return merges, sorted({s for sym in vocab for s in sym})
+
+
+def test_train_bpe_known_corpus(spark):
+    """Hand-checkable corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest'
+    x3 (the Sennrich paper's running example shape). First merges must be
+    the est-driven ones, counts exact, and the fold-merge must handle the
+    repeated-symbol case."""
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["aaa a aa"])  # self-pair stress: (a,a) merges leftmost-greedy
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = X.train_bpe(df, num_merges=6)
+    want_merges, want_vocab = _py_bpe(texts, 6)
+    assert got["merges"] == want_merges
+    assert got["vocab"] == want_vocab
+    # est-driven first merge: ('e','s') and ('s','t') tie at 9
+    # (newest x6 + widest x3); the lexicographic tiebreak picks ('e','s')
+    assert got["merges"][0] == ("e", "s", "es", 9)
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_train_bpe_matches_python_reference(spark, texts):
+    """Multi-round parity on adversarial corpora: every merge (pair,
+    product AND frequency-weighted count) and the final symbol inventory
+    match the pure-Python trainer — which also extends the single-round
+    pair-conservation property to the full induction loop (a lost or
+    double-counted pair would flip an argmax somewhere)."""
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = X.train_bpe(df, num_merges=4)
+    want_merges, want_vocab = _py_bpe(texts, 4)
+    assert got["merges"] == want_merges
+    assert got["vocab"] == want_vocab
