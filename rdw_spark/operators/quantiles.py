@@ -1,0 +1,188 @@
+"""Mergeable quantile sketches — the percentile twin of the HLL
+distinct-count cube (``profiling.distinct_sketch_rollup``).
+
+A raw ``percentile``/``approx_percentile`` answers ONE slicing of the
+fact and rescans it for the next question. This module builds a
+merging digest (t-digest family, Dunning & Ertl; equi-weight ``k0``
+scale function) per fine-grained group ONCE, after which ANY
+coarser-grained quantile question is answered by merging the O(groups)
+digest table — the 100 TB pattern for percentile dashboards over
+arbitrary slices.
+
+Scale shape: ``mapInPandas`` builds per-partition partial digests
+(user-space map-side combine — each partition emits at most
+#groups-it-saw rows of O(delta) centroids), then ONE shuffle on the
+group keys merges partials. The fact's values never shuffle. All digest
+math is vectorized numpy inside Arrow batches; no row-at-a-time Python.
+
+Determinism contract (the HLL contract, pytest-locked): building or
+merging the SAME partial digests is bit-deterministic (centroids are
+processed in a total (mean, weight) sort order), and merge-then-ask
+agrees with rebuild-from-scratch within the error envelope — but NOT
+bit-exactly, and a different input partitioning yields different (still
+within-envelope) partials, so never assert cross-partitioning equality.
+
+Error: equi-weight clusters of ≤ total/delta mass give uniform quantile
+error O(1/delta) (delta=200 → ~0.5%); exact min/max are carried so the
+extreme tails interpolate against true endpoints. (The classic k1 scale
+sharpens tails at equal state; uniform error is simpler and fine for
+profile/report workloads — documented trade-off.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SKETCH_FIELDS = [
+    T.StructField("means", T.ArrayType(T.DoubleType(), False), False),
+    T.StructField("weights", T.ArrayType(T.DoubleType(), False), False),
+    T.StructField("vmin", T.DoubleType(), True),
+    T.StructField("vmax", T.DoubleType(), True),
+    T.StructField("n", T.LongType(), False),
+]
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Fold sorted centroids into O(delta·log) clusters under the
+    t-digest weight bound ``w_cluster ≤ 4·W·q(1−q)/delta`` (the k2-style
+    scale function): clusters shrink toward the extremes, so tail
+    quantiles keep near-exact rank resolution while the middle stays
+    O(W/delta). Deterministic: input is put in a total (mean, weight)
+    order first, and the running weighted mean is accumulated in that
+    fixed order."""
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_so_far = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        proposed = cur_w + w
+        qm = (w_so_far + proposed / 2.0) / total
+        if proposed <= 4.0 * total * qm * (1.0 - qm) / delta:
+            cur_w = proposed
+            cur_m += (m - cur_m) * (w / cur_w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_so_far += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _digest_row(key, means, weights, vmin, vmax, n, delta):
+    m, w = _compress(np.asarray(means, float), np.asarray(weights, float), delta)
+    return (*key, m, w, vmin, vmax, n)
+
+
+def _out_schema(df: DataFrame, group_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [df.schema[c] for c in group_cols] + list(_SKETCH_FIELDS)
+    )
+
+
+def quantile_sketch_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    delta: int = 200,
+) -> DataFrame:
+    """Build one mergeable quantile digest per group:
+    ``(group…, means, weights, vmin, vmax, n)``. NULL values are ignored
+    (percentile semantics); a group of only NULLs yields n=0 with NULL
+    bounds. One shuffle (the partial-digest merge); the fact never
+    shuffles its values."""
+    cols = [*group_cols, value_col]
+    out_schema = _out_schema(df, group_cols)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partial digest per group seen by THIS partition (map-side combine)
+        acc: dict[tuple, list[np.ndarray]] = {}
+        for pdf in batches:
+            for key, g in pdf.groupby(group_cols, dropna=False, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                v = g[value_col].to_numpy(dtype=float)
+                acc.setdefault(k, []).append(v[~np.isnan(v)])
+        rows = []
+        for k, chunks in acc.items():
+            v = np.concatenate(chunks) if chunks else np.empty(0)
+            if v.size == 0:
+                rows.append((*k, [], [], None, None, 0))
+                continue
+            rows.append(_digest_row(
+                k, v, np.ones_like(v), float(v.min()), float(v.max()),
+                int(v.size), delta,
+            ))
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    partials = df.select(*cols).mapInPandas(build, out_schema)
+    return merge_quantile_sketches(partials, group_cols, delta)
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame, group_cols: list[str], delta: int = 200
+) -> DataFrame:
+    """Roll a digest table up to a coarser grain (or merge per-batch
+    digests of the same grain): concatenate centroids per surviving
+    group and re-compress. Input is the tiny digest table — the fact is
+    never rescanned, which is the whole point."""
+    out_schema = _out_schema(sketches, group_cols)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        means = [np.asarray(x, float) for x in pdf["means"] if len(x)]
+        if not means:
+            row = (*key, [], [], None, None, 0)
+            return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+        m = np.concatenate(means)
+        w = np.concatenate(
+            [np.asarray(x, float) for x in pdf["weights"] if len(x)])
+        row = _digest_row(
+            key, m, w,
+            float(pdf["vmin"].min()), float(pdf["vmax"].max()),
+            int(pdf["n"].sum()), delta,
+        )
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return sketches.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def sketch_quantiles(
+    sketches: DataFrame, qs: list[float], prefix: str = "q_"
+) -> DataFrame:
+    """Add one estimate column per requested quantile (``q_50`` for
+    0.5, …): midpoint-interpolation over the digest's centroids with the
+    exact min/max as endpoints. Vectorized over rows in one Arrow batch
+    pass; empty digests (n=0) estimate NULL."""
+    qlist = list(qs)
+
+    @F.pandas_udf("array<double>")
+    def est(means: pd.Series, weights: pd.Series,
+            vmin: pd.Series, vmax: pd.Series) -> pd.Series:
+        out = []
+        for m, w, lo, hi in zip(means, weights, vmin, vmax):
+            m = np.asarray(m, float)
+            w = np.asarray(w, float)
+            if m.size == 0:
+                out.append([None] * len(qlist))
+                continue
+            total = w.sum()
+            mid = np.cumsum(w) - w / 2.0
+            x = np.concatenate(([0.0], mid, [total]))
+            y = np.concatenate(([lo], m, [hi]))
+            out.append([float(np.interp(q * total, x, y)) for q in qlist])
+        return pd.Series(out)
+
+    out = sketches.withColumn("_est", est("means", "weights", "vmin", "vmax"))
+    for i, q in enumerate(qlist):
+        name = f"{prefix}{str(q).replace('0.', '').replace('.', '_')}"
+        out = out.withColumn(name, F.element_at("_est", i + 1))
+    return out.drop("_est")

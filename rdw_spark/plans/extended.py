@@ -1338,6 +1338,39 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zz_quantile_sketch_cube",
+    oracle=None,  # t-digest estimates have no DuckDB twin; the accuracy,
+                  # merge-vs-rebuild, and deterministic-merge contracts
+                  # are pytest-locked (tests/test_profiling.py) — the
+                  # HLL entry's verification pattern
+    survey="ext: mergeable t-digest quantile cube — per-group digests "
+           "built ONCE via mapInPandas partial digests (user-space "
+           "map-side combine: the fact's values never shuffle, only "
+           "O(delta) centroids per partition-group do) + ONE merge "
+           "shuffle; every coarser percentile question answers from the "
+           "O(groups) digest table without rescanning the fact — the "
+           "percentile twin of the HLL distinct cube",
+)
+def zz_quantile_sketch_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import (
+        merge_quantile_sketches, quantile_sketch_rollup, sketch_quantiles,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    )
+    fine = quantile_sketch_rollup(o, ["o_orderstatus", "o_year"], "o_totalprice")
+    coarse = merge_quantile_sketches(fine, ["o_orderstatus"])
+    est = sketch_quantiles(coarse, [0.5, 0.95])
+    return est.select(
+        "o_orderstatus", "n",
+        F.col("vmin").alias("min_price"), F.col("vmax").alias("max_price"),
+        F.round("q_5", 2).alias("approx_p50"),
+        F.round("q_95", 2).alias("approx_p95"),
+    )
+
+
+@register(
     "stat_rank_statistics",
     oracle="""
     SELECT c_mktsegment AS segment, c_acctbal, c_custkey,

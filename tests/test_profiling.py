@@ -302,3 +302,115 @@ def test_rank_statistics_single_row_partition(spark):
     assert rows[("a", 5.0)].percent_rank == 0.0      # n=1: no 0/0
     assert rows[("a", 5.0)].cume_dist == 1.0
     assert rows[("b", 2.0)].percent_rank == 1.0
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_rollup: mergeable t-digest quantile cubes (HLL twin)
+# ---------------------------------------------------------------------------
+
+def _exact_q(vals, q):
+    import numpy as np
+
+    return float(np.quantile(np.asarray(vals, float), q))
+
+
+def test_quantile_sketch_accuracy_and_rollup(spark):
+    """Digest estimates track exact quantiles within the delta error
+    envelope at fine AND merged grains, and merging the fine digests
+    agrees with rebuilding from the fact at the coarse grain."""
+    import random
+
+    import numpy as np
+
+    from rdw_spark.operators.quantiles import (
+        merge_quantile_sketches, quantile_sketch_rollup, sketch_quantiles,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (g1, g2, rng.lognormvariate(0.0, 1.0))
+        for g1 in ("a", "b") for g2 in (1, 2, 3) for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, v double").repartition(16)
+    by_fine: dict = {}
+    by_coarse: dict = {}
+    for g1, g2, v in rows:
+        by_fine.setdefault((g1, g2), []).append(v)
+        by_coarse.setdefault(g1, []).append(v)
+
+    fine = quantile_sketch_rollup(df, ["g1", "g2"], "v", delta=200).cache()
+    est = {
+        (r["g1"], r["g2"]): r
+        for r in sketch_quantiles(fine, [0.1, 0.5, 0.9, 0.99]).collect()
+    }
+    assert set(est) == set(by_fine)
+    for k, vals in by_fine.items():
+        r = est[k]
+        assert r["n"] == len(vals)
+        assert r["vmin"] == min(vals) and r["vmax"] == max(vals)
+        spread = max(vals) - min(vals)
+        for q, col in ((0.1, "q_1"), (0.5, "q_5"), (0.9, "q_9"), (0.99, "q_99")):
+            # rank-error bound ~1/delta translated through the local density;
+            # 2% of spread is a loose envelope for delta=200 on lognormal
+            assert abs(r[col] - _exact_q(vals, q)) <= 0.02 * spread, (k, q)
+
+    # centroid state is bounded by the compression (k2 scale:
+    # O(delta*log n) with singleton tails), not by the data size
+    for r in fine.collect():
+        assert len(r["means"]) <= 6 * 200
+        assert abs(sum(r["weights"]) - r["n"]) < 1e-6
+
+    # coarse answers from the DIGEST table vs rebuilt from the fact
+    merged = sketch_quantiles(
+        merge_quantile_sketches(fine, ["g1"]), [0.5, 0.9])
+    rebuilt = sketch_quantiles(
+        quantile_sketch_rollup(df, ["g1"], "v", delta=200), [0.5, 0.9])
+    m = {r["g1"]: r for r in merged.collect()}
+    b = {r["g1"]: r for r in rebuilt.collect()}
+    for g1, vals in by_coarse.items():
+        spread = max(vals) - min(vals)
+        assert m[g1]["n"] == b[g1]["n"] == len(vals)
+        for col, q in (("q_5", 0.5), ("q_9", 0.9)):
+            assert abs(m[g1][col] - _exact_q(vals, q)) <= 0.02 * spread
+            assert abs(m[g1][col] - b[g1][col]) <= 0.02 * spread
+
+    fine.unpersist()
+
+
+def test_quantile_sketch_deterministic_merge_and_nulls(spark):
+    """Same partials merged twice → bit-identical digests (the HLL
+    determinism contract); NULL values are ignored and an all-NULL group
+    yields n=0 with NULL estimates; the fact's values never shuffle
+    (exactly ONE exchange, from the partial-digest merge)."""
+    import contextlib
+    import io
+
+    from rdw_spark.operators.quantiles import (
+        merge_quantile_sketches, quantile_sketch_rollup, sketch_quantiles,
+    )
+
+    rows = [("a", float(i % 97)) for i in range(3000)] + [
+        ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    fine = quantile_sketch_rollup(df, ["g"], "v", delta=50).cache()
+    one = {r["g"]: r for r in merge_quantile_sketches(fine, ["g"]).collect()}
+    two = {r["g"]: r for r in merge_quantile_sketches(fine, ["g"]).collect()}
+    for g in one:
+        assert one[g]["means"] == two[g]["means"]
+        assert one[g]["weights"] == two[g]["weights"]
+
+    est = {r["g"]: r for r in sketch_quantiles(fine, [0.5]).collect()}
+    assert est["a"]["n"] == 3000 and est["b"]["n"] == 0
+    assert est["b"]["q_5"] is None and est["b"]["vmin"] is None
+    assert abs(est["a"]["q_5"] - 48.0) <= 2.0
+
+    plain = spark.createDataFrame(rows, "g string, v double")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quantile_sketch_rollup(plain, ["g"], "v").explain("formatted")
+    plan = buf.getvalue()
+    # tree section lists each node once as '+- <Node>' (details repeat
+    # them); the one exchange is the partial-digest merge — the fact's
+    # values never shuffle
+    assert plan.count("+- Exchange") == 1
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
