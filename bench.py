@@ -126,22 +126,28 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
         try:
             from rdw_spark.streaming.corpus import stream_corpus_build
 
-            # 8 shards / 4-per-trigger = 2 micro-batches: the number is
-            # dominated by per-batch fixed costs (index probe + CC + state
-            # maintenance) at this tiny scale; those amortize at real batch
-            # sizes, so read it as "per-micro-batch overhead", not as the
-            # asymptotic docs/s (the batch corpus number above is that)
+            # trigger-size sweep over the SAME 32-file landing: per-batch
+            # fixed cost (index probe + CC + state maintenance) amortizes
+            # with trigger size, so the small setting reads as
+            # "per-micro-batch overhead" and the large one approaches the
+            # asymptotic stream rate (the batch corpus number is the
+            # no-state upper bound)
             landing = os.path.join(root, "doc_landing")
-            docs.repartition(8).write.parquet(landing)
-            t0 = time.perf_counter()
-            q = stream_corpus_build(
-                spark, landing, os.path.join(root, "stream_corpus"),
-                os.path.join(root, "ckpt_corpus"),
-                max_files_per_trigger=4, available_now=True,
-            )
-            q.awaitTermination()
-            stream_corpus_s = time.perf_counter() - t0
-            out["stream_corpus_docs_per_sec"] = round(n_docs / stream_corpus_s, 1)
+            docs.repartition(32).write.parquet(landing)
+            by_trigger: dict[str, float] = {}
+            for fpt in (4, 32):
+                t0 = time.perf_counter()
+                q = stream_corpus_build(
+                    spark, landing,
+                    os.path.join(root, f"stream_corpus_{fpt}"),
+                    os.path.join(root, f"ckpt_corpus_{fpt}"),
+                    max_files_per_trigger=fpt, available_now=True,
+                )
+                q.awaitTermination()
+                by_trigger[str(fpt)] = round(
+                    n_docs / (time.perf_counter() - t0), 1)
+            out["stream_corpus_by_trigger"] = by_trigger
+            out["stream_corpus_docs_per_sec"] = by_trigger["32"]
         except Exception as e:  # noqa: BLE001 — batch numbers still count
             out["stream_corpus_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 
@@ -152,19 +158,26 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
             exam_landing = os.path.join(root, "exam_landing")
             os.makedirs(exam_landing)
             # offset past the batch phase's ids so digests are fresh
-            # (byte-identical payloads would digest-dedup to no-ops)
-            for i in range(n_stream):
-                with open(os.path.join(exam_landing, f"e{i}.xml"), "wb") as fh:
-                    fh.write(_trt_doc(1_000_000 + i))
-            t0 = time.perf_counter()
-            q = stream_exam_ingest(
-                spark, wh, log, exam_landing,
-                os.path.join(root, "ckpt_ingest"),
-                max_files_per_trigger=250, available_now=True,
-            )
-            q.awaitTermination()
-            stream_ingest_s = time.perf_counter() - t0
-            out["stream_ingest_exams_per_sec"] = round(n_stream / stream_ingest_s, 1)
+            # (byte-identical payloads would digest-dedup to no-ops);
+            # separate id ranges per trigger setting for the same reason
+            ingest_by_trigger: dict[str, float] = {}
+            for fpt in (50, 500):
+                for i in range(n_stream):
+                    path = os.path.join(exam_landing, f"e{fpt}_{i}.xml")
+                    with open(path, "wb") as fh:
+                        fh.write(_trt_doc(1_000_000 + fpt * 10_000 + i))
+                t0 = time.perf_counter()
+                q = stream_exam_ingest(
+                    spark, wh, log, exam_landing,
+                    os.path.join(root, "ckpt_ingest"),  # shared: old files
+                    max_files_per_trigger=fpt,          # stay consumed
+                    available_now=True,
+                )
+                q.awaitTermination()
+                ingest_by_trigger[str(fpt)] = round(
+                    n_stream / (time.perf_counter() - t0), 1)
+            out["stream_ingest_by_trigger"] = ingest_by_trigger
+            out["stream_ingest_exams_per_sec"] = ingest_by_trigger["500"]
         except Exception as e:  # noqa: BLE001
             out["stream_ingest_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 

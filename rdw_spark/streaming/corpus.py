@@ -11,8 +11,8 @@ Per-batch work, all O(batch):
      runs first);
   2. exact dedup against the fingerprint index — the probe reads ONLY the
      digest-prefix buckets the batch's digests land in
-     (``PartitionedTable.read(parts=...)`` prunes via the manifest; the
-     4096-bucket prefix means a B-doc batch opens <= B of 4096 dirs);
+     (``PartitionedTable.read(parts=...)`` prunes via the manifest; a
+     B-doc batch opens <= B of the prefix buckets);
   3. near-dup dedup against the LSH band index — the batch's band rows
      are probed against only the touched band-hash buckets; candidates
      are verified by MinHash-signature agreement (the signatures live in
@@ -43,8 +43,10 @@ probes resolve them with a bounded pointer-chase of pruned lookups.
 Exactly-once by composition, every layer idempotent under replay:
 - the file-source checkpoint assigns each landed file to exactly one
   micro-batch;
-- every state merge is replace-by-key and the corpus delete is
-  idempotent, so a replayed batch lands idempotently;
+- state writes are insert-only appends keyed by the micro-batch id
+  (``append_rows(tag=batch_id)`` — a replay overwrites its own version
+  dirs byte-for-byte), drops/stats are replace-by-key, and the corpus
+  delete is idempotent, so a replayed batch lands idempotently;
 - manifest renames publish each table atomically (a crash mid-batch
   leaves the previous snapshot visible, and the replay redoes the batch);
 - the FINGERPRINT index is written LAST: it is the gate that makes a
@@ -59,9 +61,9 @@ per-batch pipeline metrics, opt-in — plus):
                exact_dup, near_dup, merged-away canonical, or — for JSONL
                input — rejected lines under negative synthetic ids)
   corpus/    — the deduped documents, partitioned by source
-  fpindex/   — (digest, canonical_id), partitioned by 3-hex-char digest
-               prefix (4096 buckets) so the per-batch probe join reads
-               only the touched buckets at scale
+  fpindex/   — (digest, canonical_id), partitioned by digest prefix
+               (``fp_prefix_len`` hex chars) so the per-batch probe join
+               reads only the touched buckets at scale
   bandindex/ — (band, sig, doc_id) LSH bucket membership, partitioned by
                a hash of the bucket key
   sigindex/  — (doc_id, source, sigs) MinHash signatures + the partition
@@ -137,41 +139,58 @@ EMB_SCHEMA = T.StructType([
 _DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
 
 
-def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
-    """The corpus table plus its four maintained dedup-state tables."""
+def corpus_tables(
+    out_root: str,
+    fp_prefix_len: int = 2,
+    band_buckets: int = 128,
+    kv_buckets: int = 64,
+) -> dict[str, PartitionedTable]:
+    """The corpus table plus its four maintained dedup-state tables.
+
+    Bucket counts trade PROBE read granularity against PER-BATCH write
+    fanout: a probe reads ``touched/total`` of the index, but every
+    micro-batch's state write creates up to one file per touched bucket —
+    and a dynamic-partition parquet write's cost is dominated by file
+    count (measured: 5k rows into 4096 dirs = 40 s, into 256 dirs =
+    3.5 s, into 16 dirs = 0.6 s on local[32]). Defaults suit batches of
+    10^3–10^5 docs; a deployment probing a multi-TB index with TINY
+    batches can raise them. The values are baked into partition
+    expressions at creation — they must stay CONSTANT for the life of a
+    state directory (a change re-buckets nothing and breaks pruning).
+    """
     return {
         "corpus": PartitionedTable(
             out_root, "corpus", "source", keys=["doc_id"],
             schema=DOC_SCHEMA, sort_cols=("doc_id",),
         ),
         "fpindex": PartitionedTable(
-            out_root, "fpindex", "substring(digest, 1, 3)", keys=["digest"],
-            schema=INDEX_SCHEMA, sort_cols=("digest",),
+            out_root, "fpindex", f"substring(digest, 1, {fp_prefix_len})",
+            keys=["digest"], schema=INDEX_SCHEMA, sort_cols=("digest",),
         ),
         "bandindex": PartitionedTable(
-            out_root, "bandindex", "pmod(xxhash64(band, sig), 512)",
+            out_root, "bandindex", f"pmod(xxhash64(band, sig), {band_buckets})",
             keys=["band", "doc_id"], schema=BAND_SCHEMA, sort_cols=("sig",),
         ),
         "sigindex": PartitionedTable(
-            out_root, "sigindex", "pmod(doc_id, 256)", keys=["doc_id"],
+            out_root, "sigindex", f"pmod(doc_id, {kv_buckets})", keys=["doc_id"],
             schema=SIG_SCHEMA, sort_cols=("doc_id",),
         ),
         "clusters": PartitionedTable(
-            out_root, "clusters", "pmod(doc_id, 256)", keys=["doc_id"],
+            out_root, "clusters", f"pmod(doc_id, {kv_buckets})", keys=["doc_id"],
             schema=CLUSTER_SCHEMA, sort_cols=("doc_id",),
         ),
         # the batch build_corpus drop_report's streaming twin: why each
         # non-surviving doc fell out (quality / exact_dup / near_dup /
         # merged), replace-by-doc_id so replays stay idempotent
         "drops": PartitionedTable(
-            out_root, "drops", "pmod(doc_id, 256)", keys=["doc_id"],
+            out_root, "drops", f"pmod(doc_id, {kv_buckets})", keys=["doc_id"],
             schema=DROPS_SCHEMA, sort_cols=("doc_id",),
         ),
         # SRP-bucketed embeddings for the semantic near-dup stage (only
         # populated when semantic=True): bucket-pruned probes, the
         # embedding twin of sigindex
         "embindex": PartitionedTable(
-            out_root, "embindex", "pmod(bucket, 256)", keys=["doc_id"],
+            out_root, "embindex", f"pmod(bucket, {kv_buckets})", keys=["doc_id"],
             schema=EMB_SCHEMA, sort_cols=("doc_id",),
         ),
         # per-batch pipeline metrics (long format: one row per batch ×
@@ -186,7 +205,7 @@ def corpus_tables(out_root: str) -> dict[str, PartitionedTable]:
 
 def maintain_corpus(
     spark: SparkSession, out_root: str, max_files: int = 4,
-    keep_manifests: int = 2,
+    keep_manifests: int = 2, table_opts: dict | None = None,
 ) -> dict[str, dict[str, int]]:
     """Periodic maintenance for the streaming corpus store — every
     micro-batch appends a version to each touched bucket, so file count
@@ -202,12 +221,13 @@ def maintain_corpus(
             "compacted_partitions": pt.compact(spark, max_files=max_files),
             "removed_dirs": pt.gc(keep_manifests=keep_manifests),
         }
-        for name, pt in corpus_tables(out_root).items()
+        for name, pt in corpus_tables(out_root, **(table_opts or {})).items()
     }
 
 
 def validate_corpus_store(
     spark: SparkSession, out_root: str, sample: int = 20,
+    table_opts: dict | None = None,
 ) -> dict:
     """Cross-table integrity validation for the streaming corpus store —
     the corpus twin of ``migrate.validate_integrity`` (the check the
@@ -236,7 +256,7 @@ def validate_corpus_store(
     Full-table anti-joins, one partition-parallel pass per invariant —
     a maintenance-window check, not a per-batch cost. Returns violation
     counts plus up to ``sample`` offending ids per check."""
-    t = corpus_tables(out_root)
+    t = corpus_tables(out_root, **(table_opts or {}))
     corpus_ids = t["corpus"].read(spark).select("doc_id")
     clusters = t["clusters"].read(spark)
     drops = t["drops"].read(spark).select("doc_id")
@@ -320,6 +340,7 @@ def stream_corpus_build(
     semantic_threshold: float = 0.95,
     semantic_bits: int = 8,
     normalize_unicode: str | None = None,
+    table_opts: dict | None = None,
 ):
     """Watch ``landing_dir`` for document drops in the documents schema,
     dedup each micro-batch against the maintained indexes (exact always;
@@ -375,7 +396,7 @@ def stream_corpus_build(
     if semantic and input_format == "csv":
         raise ValueError("semantic=True needs an embedding array column; "
                          "CSV can't carry one — use parquet or jsonl")
-    tables = corpus_tables(out_root)
+    tables = corpus_tables(out_root, **(table_opts or {}))
     corpus, fpindex = tables["corpus"], tables["fpindex"]
     bandindex, sigindex, clusters, drops = (
         tables["bandindex"], tables["sigindex"], tables["clusters"],
@@ -524,11 +545,10 @@ def stream_corpus_build(
         cached = [docs.cache()]
         try:
             # ---- exact stage: digest-prefix-pruned index probe ----
-            pfx = [
-                r[0] for r in docs.select(
-                    F.substring(text_digest(F.col("text")), 1, 3).alias("p")
-                ).distinct().collect()
-            ]
+            # prefixes come from the table's own partition expression, so
+            # the probe stays correct whatever fp_prefix_len the store uses
+            pfx = fpindex.parts_of(
+                docs.select(text_digest(F.col("text")).alias("digest")))
             idx = fpindex.read(s, parts=pfx)
             out = incremental_exact_dedup(docs, idx)
             drop_frames.append(out["dup_map"].select(
@@ -552,9 +572,11 @@ def stream_corpus_build(
                 return
 
             if not near_dup:
-                corpus.merge_rows(s, survivors.select(*_DOC_COLS))
+                # exact-survivor ids/digests are proven-new (the probe just
+                # anti-joined them) → insert-only appends, O(batch) writes
+                corpus.append_rows(s, survivors.select(*_DOC_COLS), tag=batch_id)
                 merge_drops()
-                fpindex.merge_rows(s, out["index_delta"])
+                fpindex.append_rows(s, out["index_delta"], tag=batch_id)
                 write_stats(survivors.count() if with_stats else 0)
                 return
 
@@ -709,7 +731,16 @@ def stream_corpus_build(
                 )
 
             # ---- writes; fpindex (the replay gate) strictly last ----
-            corpus.merge_rows(s, final_new.select(*_DOC_COLS))
+            # Every state write below is INSERT-ONLY (survivor doc_ids,
+            # their digests/sigs/bands, and first-time cluster entries are
+            # all proven-new by the probes), so they use the O(batch)
+            # append path — merge_rows' read+anti-join+rewrite would make
+            # each micro-batch O(touched state), the amortization killer
+            # at scale. Replays overwrite the same tag dirs (idempotent).
+            # drops/stats keep replace-by-key: JSONL reject rows use
+            # content-hashed ids that CAN legitimately repeat across
+            # batches (the same malformed line in two shards is one fact).
+            corpus.append_rows(s, final_new.select(*_DOC_COLS), tag=batch_id)
             if corpus_losers is not None and not corpus_losers.isEmpty():
                 # a new doc bridged two existing canonicals: the losing
                 # canonical leaves the corpus; its source (the partition
@@ -721,8 +752,10 @@ def stream_corpus_build(
                 )
                 corpus.delete_rows(s, loser_meta)
             if new_losers is not None:
-                clusters.merge_rows(
-                    s, new_losers.unionByName(corpus_losers)
+                # first-time entries only: new docs were never in the map,
+                # and a losing canonical was (by definition) never a loser
+                clusters.append_rows(
+                    s, new_losers.unionByName(corpus_losers), tag=batch_id
                 )
                 drop_frames.append(new_losers.select(
                     F.col("doc_id"), F.lit("near_dup").alias("stage"),
@@ -735,22 +768,23 @@ def stream_corpus_build(
             # ALL exact-survivors (even near-dup losers) are indexed: future
             # docs similar to a dropped doc must still find its buckets and
             # resolve to the canonical through the cluster map
-            sigindex.merge_rows(
+            sigindex.append_rows(
                 s, new_sigs.join(
                     survivors.select("doc_id", "source"), "doc_id"
-                ).select("doc_id", "source", "sigs")
+                ).select("doc_id", "source", "sigs"), tag=batch_id
             )
-            bandindex.merge_rows(s, new_bands)
+            bandindex.append_rows(s, new_bands, tag=batch_id)
             if new_emb is not None:
                 # like sigindex: EVERY exact-survivor's vector is indexed,
                 # near-dup losers included — a future doc semantically close
                 # to a dropped doc must still find its bucket and resolve
                 # to the canonical through the cluster map
-                embindex.merge_rows(
-                    s, new_emb.select("doc_id", "source", "bucket", "embedding")
+                embindex.append_rows(
+                    s, new_emb.select("doc_id", "source", "bucket", "embedding"),
+                    tag=batch_id,
                 )
             merge_drops()
-            fpindex.merge_rows(s, out["index_delta"])
+            fpindex.append_rows(s, out["index_delta"], tag=batch_id)
             write_stats(final_new.count() if with_stats else 0)
         finally:
             for c in cached:

@@ -15,7 +15,11 @@ Layout::
     <root>/<table>/_manifests/v<N>.json                -- snapshot manifests
 
 A *snapshot* is a manifest: ``{"version": N, "parts": {part_value: M, ...}}``
-mapping each partition to the version directory holding its current data.
+mapping each partition to the version directory holding its current data —
+or, for append-accumulated partitions, to a LIST of directories
+(``[M, "aB1", "aB7", ...]``) whose union is the partition's content (the
+Iceberg append-manifest model; ``compact()``/``merge_rows`` collapse the
+list back to one directory).
 Writers stage new partition dirs, then publish by atomically renaming a new
 manifest into place — a crashed writer leaves unreferenced dirs, never a
 torn table (same two-phase contract as TableStore's ``_SUCCESS`` publish,
@@ -71,9 +75,15 @@ class PartitionedTable:
     def _dir(self) -> str:
         return os.path.join(self.root, self.name)
 
-    def _part_dir(self, part: str, version: int) -> str:
+    def _part_dir(self, part: str, version: int | str) -> str:
         return os.path.join(self._dir(), f"part={urllib.parse.quote(part, safe='')}",
                             f"v={version}")
+
+    @staticmethod
+    def _vers(man_value) -> list:
+        """Normalize a manifest parts value: plain version (int) or
+        append-accumulated list of versions."""
+        return man_value if isinstance(man_value, list) else [man_value]
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._dir(), _MANIFEST_DIR, f"v{version:012d}.json")
@@ -156,7 +166,11 @@ class PartitionedTable:
         full_man = man
         if parts is not None:
             man = {p: v for p, v in man.items() if p in set(parts)}
-        paths = [self._part_dir(p, v) for p, v in sorted(man.items())]
+        paths = [
+            self._part_dir(p, v)
+            for p, vs in sorted(man.items())
+            for v in self._vers(vs)
+        ]
         if not paths:
             if self.schema is not None:
                 return spark.createDataFrame([], self.schema)
@@ -165,7 +179,8 @@ class PartitionedTable:
                 # (e.g. a report year with no data yet): empty frame with
                 # the table's real schema, not an error
                 p, v = next(iter(sorted(full_man.items())))
-                return spark.read.parquet(self._part_dir(p, v)).limit(0)
+                return spark.read.parquet(
+                    self._part_dir(p, self._vers(v)[0])).limit(0)
             stored = self._manifest_schema()
             if stored is not None:
                 # every row was deleted — typed empty frame from the
@@ -193,7 +208,7 @@ class PartitionedTable:
             r["_p"] for r in df.select(self._part_col().alias("_p")).distinct().collect()
         ]
 
-    def _write_parts(self, out: DataFrame, version: int) -> list[str]:
+    def _write_parts(self, out: DataFrame, version: int | str) -> list[str]:
         """Stage ``out`` (which carries ``_part``) as one partitioned write,
         then move each staged partition dir into its versioned home. Returns
         the partition values written."""
@@ -232,7 +247,11 @@ class PartitionedTable:
             n = batch.count()
             ver, man = self.latest()
             cols = rows.columns
-            cur_paths = [self._part_dir(p, man[p]) for p in touched if p in man]
+            cur_paths = [
+                self._part_dir(p, v)
+                for p in touched if p in man
+                for v in self._vers(man[p])
+            ]
             if cur_paths:
                 reader = spark.read
                 if self.schema is not None:
@@ -253,6 +272,43 @@ class PartitionedTable:
             return n
         finally:
             batch.unpersist()
+
+    def append_rows(self, spark: SparkSession, rows: DataFrame, tag: str) -> int:
+        """INSERT-ONLY fast path: stage ``rows`` as NEW version dirs
+        (``v=a<tag>``) next to each touched partition's existing data and
+        publish a manifest that lists both — never reading or rewriting
+        what is already there. ``merge_rows`` is O(touched partition
+        bytes) per call because replace-by-key must read+anti-join+rewrite;
+        for keys the caller KNOWS are new (index deltas: a dedup index only
+        ever learns digests it just proved absent), that read-modify-write
+        is pure waste — at scale it makes every micro-batch cost O(state),
+        the amortization killer. Append is O(batch) regardless of state
+        size.
+
+        Idempotent under replay by the ``tag`` (pass the micro-batch id):
+        the version dir name is ``a<tag>``, so a replayed batch overwrites
+        its own dirs byte-for-byte and the manifest list gains no
+        duplicate — replace-by-key idempotency without the read.
+
+        Caller contract: rows' keys must not already exist in the table
+        (violations surface as duplicate rows on read, exactly like
+        appending twice to any log). ``compact()`` folds accumulated
+        append dirs back into one file per partition; ``merge_rows`` /
+        ``replace_parts`` also collapse the list for the partitions they
+        rewrite."""
+        tag_ver = f"a{tag}"
+        batch = rows.withColumn("_part", self._part_col())
+        ver, man = self.latest()
+        written = self._write_parts(batch, tag_ver)
+        if not written:
+            return 0
+        man2 = dict(man)
+        for p in written:
+            vs = self._vers(man2[p]) if p in man2 else []
+            if tag_ver not in vs:
+                man2[p] = vs + [tag_ver]
+        self._publish(ver + 1, man2, batch.drop("_part").schema.json())
+        return len(written)
 
     def replace_parts(self, spark: SparkSession, df: DataFrame,
                       parts: list[str] | None = None) -> int:
@@ -319,9 +375,13 @@ class PartitionedTable:
         one file each (OPTIMIZE analog). Returns partitions compacted."""
         ver, man = self.latest()
         frag = []
-        for p, v in man.items():
-            d = self._part_dir(p, v)
-            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        for p, vs in man.items():
+            n_files = sum(
+                1
+                for v in self._vers(vs)
+                for f in os.listdir(self._part_dir(p, v))
+                if f.endswith(".parquet")
+            )
             if n_files > max_files:
                 frag.append(p)
         if not frag:
@@ -330,7 +390,9 @@ class PartitionedTable:
         if self.schema is not None:
             reader = reader.schema(self.schema)
         out = (
-            reader.parquet(*[self._part_dir(p, man[p]) for p in frag])
+            reader.parquet(*[
+                self._part_dir(p, v) for p in frag for v in self._vers(man[p])
+            ])
             .withColumn("_part", self._part_col())
             .repartition(F.col("_part"))  # one task → one file per partition
         )
@@ -357,10 +419,13 @@ class PartitionedTable:
             if e.startswith("v") and e.endswith(".json")
         )
         keep = versions[-keep_manifests:]
-        live: set[tuple[str, int]] = set()
+        # version ids compared as strings: plain snapshot numbers and
+        # append tags ("a<batch>") both round-trip through the dir name
+        live: set[tuple[str, str]] = set()
         for v in keep:
             with open(self._manifest_path(v)) as fh:
-                live.update((p, pv) for p, pv in json.load(fh)["parts"].items())
+                for p, pv in json.load(fh)["parts"].items():
+                    live.update((p, str(x)) for x in self._vers(pv))
         removed = 0
         table_dir = self._dir()
         for entry in os.listdir(table_dir):
@@ -369,7 +434,7 @@ class PartitionedTable:
             part = urllib.parse.unquote(entry[len("part="):])
             pdir = os.path.join(table_dir, entry)
             for vdir in os.listdir(pdir):
-                if vdir.startswith("v=") and (part, int(vdir[2:])) not in live:
+                if vdir.startswith("v=") and (part, vdir[2:]) not in live:
                     shutil.rmtree(os.path.join(pdir, vdir))
                     removed += 1
         for v in versions:

@@ -94,6 +94,71 @@ class TestPartitionedTable:
         assert n_after == 1
         assert pt.read(spark).count() == 8
 
+    def test_append_rows_is_insert_only_and_tag_idempotent(self, spark, tmp_path):
+        """append_rows never reads or rewrites existing data (the O(batch)
+        state-maintenance path streaming micro-batches need): existing
+        version dirs stay byte-identical, the manifest lists base+append
+        dirs, and replaying the same tag neither duplicates rows nor
+        grows the manifest."""
+        pt = PartitionedTable(str(tmp_path), "idx", "pmod(id, 4)", ["id"])
+        pt.overwrite(spark, spark.createDataFrame(
+            [Row(id=i, v="base") for i in range(8)]))
+        pdir = os.path.join(str(tmp_path), "idx", "part=0")
+        before = set(os.listdir(pdir))
+
+        batch = spark.createDataFrame([Row(id=100, v="b7"), Row(id=101, v="b7")])
+        assert pt.append_rows(spark, batch, tag=7) == 2  # parts 0 and 1
+        assert set(os.listdir(pdir)) == before | {"v=a7"}
+        _, man = pt.latest()
+        assert man["0"] == [1, "a7"] and man["1"] == [1, "a7"]
+        assert man["2"] == 1 and man["3"] == 1  # untouched stay plain
+
+        rows = {r["id"]: r["v"] for r in pt.read(spark).collect()}
+        assert len(rows) == 10 and rows[100] == "b7" and rows[0] == "base"
+
+        # replay of the same micro-batch: same tag, same rows — idempotent
+        pt.append_rows(spark, batch, tag=7)
+        _, man = pt.latest()
+        assert man["0"] == [1, "a7"]
+        assert pt.read(spark).count() == 10
+
+        # pruned read still unions base + append dirs of the partition
+        part0 = pt.read(spark, parts=["0"]).collect()
+        assert {r["id"] for r in part0} == {0, 4, 100}
+
+    def test_append_then_merge_collapses_and_compact_gc_interplay(
+            self, spark, tmp_path):
+        """merge_rows over an append-accumulated partition folds the dir
+        list back to one version; compact counts files ACROSS append dirs;
+        gc keeps live append dirs and drops superseded ones."""
+        pt = PartitionedTable(str(tmp_path), "idx", "pmod(id, 2)", ["id"],
+                              sort_cols=("id",))
+        pt.overwrite(spark, spark.createDataFrame([Row(id=0, v="base")]))
+        for b in range(4):
+            pt.append_rows(spark, spark.createDataFrame(
+                [Row(id=10 + 2 * b, v=f"b{b}")]), tag=b)
+        _, man = pt.latest()
+        assert man["0"] == [1, "a0", "a1", "a2", "a3"]
+        assert pt.read(spark).count() == 5
+
+        # compact folds the five 1-file dirs into one dir with one file
+        assert pt.compact(spark, max_files=4) == 1
+        _, man = pt.latest()
+        assert isinstance(man["0"], int)
+        assert pt.read(spark).count() == 5
+        removed = pt.gc(keep_manifests=1)
+        assert removed == 5  # v=1 + four append dirs superseded
+        assert {r["v"] for r in pt.read(spark).collect()} == {
+            "base", "b0", "b1", "b2", "b3"}
+
+        # merge over appends also collapses: new appends then replace-by-key
+        pt.append_rows(spark, spark.createDataFrame([Row(id=20, v="x")]), tag=9)
+        pt.merge_rows(spark, spark.createDataFrame([Row(id=20, v="UPD")]))
+        _, man = pt.latest()
+        assert isinstance(man["0"], int)
+        rows = {r["id"]: r["v"] for r in pt.read(spark).collect()}
+        assert rows[20] == "UPD" and rows[0] == "base"
+
 
 class TestImportLogPartitioned:
     def test_set_status_touches_one_bucket(self, spark, tmp_path):

@@ -536,7 +536,7 @@ def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeyp
     by_name = {}
     for n, p in probes:
         by_name.setdefault(n, []).append(p)
-    # 2 docs -> <=2 digest prefixes of 4096; <=16 band buckets of 512
+    # 2 docs -> <=2 digest prefixes; <=16 band buckets of 128
     assert max(by_name["fpindex"]) <= 2
     assert max(by_name.get("bandindex", [0])) <= 16
 
