@@ -143,3 +143,55 @@ def weighted_sample_k(
         .filter(F.col("sample_rank") <= k)
         .drop("es_key")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: float,
+    size_col: str,
+    key_col: str,
+    seed: str = "mix0",
+) -> tuple[DataFrame, DataFrame]:
+    """Budgeted mixture resampling — the training-mix planner: given
+    target mixture ``weights`` (source -> share of the budget) and a
+    ``token_budget``, derive each source's keep fraction
+    ``min(1, weight·budget / available)`` and draw that fraction with the
+    module's deterministic per-stratum hash predicate. Sources not in
+    ``weights`` contribute nothing (explicit mixes only); a source with
+    less material than its target is capped at keep-everything (its
+    deficit is reported, not silently shifted onto other sources —
+    rebalancing policy belongs to the caller).
+
+    Returns ``(plan, sample)``: ``plan`` has one row per weighted source
+    (``source, available, target, keep_fraction``), ``sample`` is the
+    drawn subset of ``df``.
+
+    Scale shape: one partial-agg shuffle over O(sources) keys to size the
+    pool, an O(sources) driver collect for the fraction math, then a
+    map-only filter — the fact is scanned twice and never shuffled.
+    Every arithmetic step (exact integer-valued sums, double divide,
+    floor to the hex threshold) is engine-reproducible, so the drawn KEY
+    SET is identical across runs, partitionings, and engines.
+    """
+    sizes = {
+        r["_s"]: r["_t"] or 0
+        for r in df.groupBy(F.col(source_col).alias("_s"))
+        .agg(F.sum(size_col).cast("long").alias("_t"))
+        .collect()
+    }
+    plan_rows = []
+    fracs: dict[str, float] = {}
+    for srcv, w in sorted(weights.items()):
+        avail = int(sizes.get(srcv, 0))
+        target = float(w) * float(token_budget)
+        frac = 0.0 if avail == 0 else min(1.0, target / avail)
+        fracs[srcv] = frac
+        plan_rows.append((srcv, avail, target, frac))
+    spark = df.sparkSession
+    plan = spark.createDataFrame(
+        plan_rows,
+        "source string, available long, target double, keep_fraction double",
+    )
+    return plan, stratified_sample(df, source_col, fracs, key_col, seed)

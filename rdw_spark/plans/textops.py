@@ -381,6 +381,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_sample_mixture",
+    # keep_fraction is emitted UNROUNDED: both engines derive it through
+    # the same exact-integer sums and double divide, so the doubles are
+    # bit-identical (rounding would only add a rounding-mode hazard)
+    oracle="""
+    WITH w(source, w) AS (
+        VALUES ('src1', 0.4), ('src2', 0.3), ('src3', 0.2), ('src4', 0.1)
+    ), avail AS (
+        SELECT w.source, w.w,
+               CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS available
+        FROM w LEFT JOIN documents d ON d.source = w.source
+        GROUP BY w.source, w.w
+    ), plan AS (
+        SELECT source, available,
+               CASE WHEN available = 0 THEN 0.0
+                    ELSE LEAST(1.0, (w * 20000.0) / available) END AS f
+        FROM avail
+    ), thr AS (
+        SELECT source, available, f,
+               printf('%08x', CAST(LEAST(FLOOR(f * 4294967296.0),
+                                         4294967295.0) AS BIGINT)) AS t
+        FROM plan
+    ), kept AS (
+        SELECT t.source, d.n_chars
+        FROM documents d JOIN thr t ON d.source = t.source
+        WHERE substr(md5('mix0' || d.source || '|'
+                         || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.t
+    )
+    SELECT t.source, t.available, t.f AS keep_fraction,
+           CAST(COUNT(k.n_chars) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT) AS sampled_chars
+    FROM thr t LEFT JOIN kept k ON k.source = t.source
+    GROUP BY t.source, t.available, t.f
+    ORDER BY t.source
+    """,
+    survey="ext: budgeted mixture resampling (training-mix planner) — "
+           "per-source keep fraction min(1, weight*budget/available) "
+           "derived from one O(sources) partial-agg pass, then the "
+           "deterministic md5-threshold draw; map-only apply, fact never "
+           "shuffles, capped sources report their deficit instead of "
+           "silently borrowing budget",
+)
+def zz_sample_mixture_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    weights = {"src1": 0.4, "src2": 0.3, "src3": 0.2, "src4": 0.1}
+    plan, sample = SA.mixture_sample(
+        d, "source", weights, 20_000.0, "n_chars", "doc_id")
+    stats = sample.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+    return (
+        plan.join(stats, "source", "left")
+        .select(
+            "source", "available", "keep_fraction",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_chars", F.lit(0)).alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "sample_k_per_stratum",
     oracle="""
     SELECT doc_id, source

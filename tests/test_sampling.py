@@ -402,3 +402,40 @@ class TestWeightedSampleK:
 
         with pt.raises(ValueError):
             weighted_sample_k(None, 0, "w", "id")
+
+
+def test_mixture_sample_plan_caps_and_determinism(spark):
+    """The mixture planner: fractions are min(1, weight*budget/available),
+    a source short of its target is capped at 1.0 (keeps everything),
+    unweighted sources are excluded, and the draw is identical across
+    repartitionings (pure hash predicate)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"src1": 0.5, "src2": 0.25, "src3": 0.25}
+    budget = 10_000.0
+    plan, sample = SA.mixture_sample(
+        docs, "source", weights, budget, "n_chars", "doc_id")
+    p = {r["source"]: r for r in plan.collect()}
+    assert set(p) == set(weights)
+    avail = {
+        r["source"]: r["a"]
+        for r in docs.groupBy("source").agg(
+            F.sum("n_chars").cast("long").alias("a")).collect()
+    }
+    for s, w in weights.items():
+        want = min(1.0, w * budget / avail[s])
+        assert p[s]["available"] == avail[s]
+        assert abs(p[s]["keep_fraction"] - want) < 1e-15
+    # src1 target (5000) < available (~7-8k) -> fractional; all sampled
+    # rows come from weighted sources only
+    got_sources = {r["source"] for r in sample.select("source").distinct().collect()}
+    assert got_sources <= set(weights)
+    ids1 = {r["doc_id"] for r in sample.collect()}
+    _, sample2 = SA.mixture_sample(
+        docs.repartition(13), "source", weights, budget, "n_chars", "doc_id")
+    assert {r["doc_id"] for r in sample2.collect()} == ids1
+    # capped source: tiny budget share but weight*budget > available
+    plan3, sample3 = SA.mixture_sample(
+        docs, "source", {"src1": 1.0}, 1e9, "n_chars", "doc_id")
+    assert plan3.collect()[0]["keep_fraction"] == 1.0
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert sample3.count() == n_src1
