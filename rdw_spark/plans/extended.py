@@ -1338,6 +1338,51 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zz_incremental_agg",
+    # the oracle is ONE direct GROUP BY over all rows — the entry builds
+    # the same answer from two per-batch partial states merged together,
+    # so a hash match proves the maintenance identity
+    # merge(delta(A), delta(B)) == agg(A ∪ B) bit-exactly
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_values,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_val,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_val,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_val
+    FROM orders GROUP BY 1, 2
+    """,
+    survey="ext: incremental aggregate maintenance (materialized-view "
+           "pattern) — per-batch O(groups) partial states (count/sum-in-"
+           "decimal/min/max) merged by a groupBy over STATE rows; a "
+           "continuously-loaded fact answers dashboard aggregates without "
+           "rescans, and the decimal accumulation makes the maintained "
+           "answer bit-identical to a one-shot GROUP BY in any batch "
+           "order or engine",
+)
+def zz_incremental_agg_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import agg_delta, agg_readout, merge_agg_state
+
+    keys = ["o_orderstatus", "order_year"]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice", "o_orderkey",
+    )
+    batch0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    state = merge_agg_state(
+        agg_delta(batch0, keys, "o_totalprice"),
+        agg_delta(batch1, keys, "o_totalprice"),
+        group_cols=keys,
+    )
+    return agg_readout(state)
+
+
+@register(
     "zz_quantile_sketch_cube",
     oracle=None,  # t-digest estimates have no DuckDB twin; the accuracy,
                   # merge-vs-rebuild, and deterministic-merge contracts
