@@ -1338,6 +1338,70 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zz_graph_pagerank",
+    # Three synchronous rounds in chained CTEs over the undirected
+    # customer↔supplier bipartite graph. Integer micro-unit arithmetic
+    # (floor division both engines) makes every round bit-exact — the
+    # engine-parity trick that decimal sums play for aggregates, applied
+    # to an ITERATIVE algorithm.
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000000 AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT s, d FROM raw UNION SELECT d, s FROM raw
+    ), deg AS (
+        SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), r0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    ), i1 AS (
+        SELECT e.d AS node, SUM(r0.r // deg.outdeg) AS insum
+        FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r1 AS (
+        SELECT n.node, 150000000000 + (85 * COALESCE(i1.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN i1 ON n.node = i1.node
+    ), i2 AS (
+        SELECT e.d AS node, SUM(r1.r // deg.outdeg) AS insum
+        FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r2 AS (
+        SELECT n.node, 150000000000 + (85 * COALESCE(i2.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN i2 ON n.node = i2.node
+    ), i3 AS (
+        SELECT e.d AS node, SUM(r2.r // deg.outdeg) AS insum
+        FROM e JOIN r2 ON e.s = r2.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r3 AS (
+        SELECT n.node, 150000000000 + (85 * COALESCE(i3.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN i3 ON n.node = i3.node
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3
+    ORDER BY rank_units DESC, node LIMIT 20
+    """,
+    survey="ext: integer-scaled PageRank (Page et al.) — per round one "
+           "equi-join (edges cached once with degrees) + one partial-agg "
+           "groupBy; only the O(nodes) rank frame moves between rounds; "
+           "64-bit micro-unit floor arithmetic is bit-identical across "
+           "partitionings AND engines, proven by a 3-round chained-CTE "
+           "oracle on the customer↔supplier bipartite graph",
+)
+def zz_graph_pagerank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iters=3, undirected=True)
+    return pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
+
+
+@register(
     "zz_incremental_agg",
     # the oracle is ONE direct GROUP BY over all rows — the entry builds
     # the same answer from two per-batch partial states merged together,

@@ -1,0 +1,57 @@
+"""Integer-scaled PageRank vs a pure-Python model: exact recurrence
+parity, dangling semantics, undirected mirroring, repartition
+invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from rdw_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iters, damping_pct=85, unit=10**12, undirected=False):
+    es = set(edges)
+    if undirected:
+        es |= {(d, s) for s, d in es}
+    nodes = {s for s, _ in es} | {d for _, d in es}
+    outs: dict = {}
+    for s, d in es:
+        outs.setdefault(s, []).append(d)
+    base = (unit * (100 - damping_pct)) // 100
+    r = {n: unit for n in nodes}
+    for _ in range(iters):
+        insum = {n: 0 for n in nodes}
+        for s, ds in outs.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                insum[d] += c
+        r = {n: base + (damping_pct * insum[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_model(spark):
+    # star into 1 plus a chain with a dangling tail (4 -> 5, 5 has no out)
+    edges = [(2, 1), (3, 1), (4, 1), (4, 5), (1, 2)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges]).repartition(7)
+
+    for undirected in (False, True):
+        got = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(df, iters=4, undirected=undirected).collect()
+        }
+        want = _py_pagerank(edges, iters=4, undirected=undirected)
+        assert got == want, f"undirected={undirected}"
+
+    # directed sanity: node 3 has no in-edges so it sits at the base
+    # rank; node 1 (in-degree 3) must beat it, and the dangling node 5
+    # still receives (from 4) without redistributing
+    d = _py_pagerank(edges, iters=4)
+    base = (10**12 * 15) // 100
+    assert d[3] == base
+    assert d[1] > d[3] and d[5] > base
+    # repartition invariance (pure integer arithmetic, no float order)
+    again = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df.repartition(2), iters=4).collect()
+    }
+    assert again == d
