@@ -291,3 +291,54 @@ class TestRound7Plans:
         # sketch build and union both partial-aggregate map-side
         plan = _plan(spark, catalog, "zz_distinct_sketch_rollup")
         assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+class TestRound8Plans:
+    def test_mixture_sample_apply_is_map_only(self, spark):
+        # the DRAW is a pure hash-threshold filter: zero shuffles — only
+        # the O(sources) sizing pass (a separate action) aggregates
+        import re
+
+        from rdw_spark.io import load_table
+        from rdw_spark.operators.sampling import mixture_sample
+
+        docs = load_table(spark, SF, "documents")
+        _, sample = mixture_sample(
+            docs, "source", {"src1": 0.5, "src2": 0.5}, 5_000.0,
+            "n_chars", "doc_id")
+        plan = explain_str(sample)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+        assert "Filter" in plan
+
+    def test_bpe_train_round_counts_partial_agg(self, spark):
+        # one induction round's counting pass: partial-agg shuffle on the
+        # pair, never a global sort of the counts (argmax is a limit-1
+        # TakeOrdered on the entry path; here we gate the count frame)
+        import re
+
+        from rdw_spark.io import load_table
+        from rdw_spark.operators.text import bpe_pair_frequencies, bpe_word_symbols
+
+        docs = load_table(spark, SF, "documents")
+        counts = bpe_pair_frequencies(bpe_word_symbols(docs))
+        plan = explain_str(counts)
+        assert "HashAggregate" in plan
+        # word-symbol build (1 shuffle) + pair count (1 shuffle)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+    def test_pagerank_round_broadcasts_rank_frame(self, spark, catalog):
+        # edges are the big cached side; the O(nodes) rank frame joins in
+        # via broadcast at this scale (AQE may pick SMJ when ranks
+        # outgrow the threshold — the gate is NO cartesian and no
+        # fact-side re-sort of the cached edges)
+        plan = _plan(spark, catalog, "zz_graph_pagerank")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_incremental_agg_partial_states(self, spark, catalog):
+        # two deltas + a merge: every aggregate is hash-based (mergeable
+        # partial state), no sort-based aggregation, no window
+        plan = _plan(spark, catalog, "zz_incremental_agg")
+        assert "HashAggregate" in plan
+        assert "Window" not in plan
+        assert "SortAggregate" not in plan
