@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Small per-language stopword anchor sets for the n-gram/stopword-voting
 # language heuristic. Counting uses \b word boundaries so token duplication
@@ -575,6 +576,77 @@ def train_bpe(
     finally:
         cur.unpersist()
     return {"merges": merges, "vocab": vocab}
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize with a trained BPE vocabulary: replay the learned merges
+    in order over each word (exactly the training fold, so a training
+    word's tokens equal its final train-time symbols). Output one row per
+    token: ``(id, word_pos, token_pos, token)`` — order-reconstructing
+    and lossless (concatenating a word's tokens and stripping the marker
+    yields the normalized word).
+
+    Scale shape: normalization + word splitting stay JVM-side
+    (``normalize_text`` — the engine-parity surface); the merge replay is
+    the canonical Python-bound tokenizer step, run as an Arrow-batched
+    ``mapInPandas`` with per-distinct-word memoization inside each
+    partition (real corpora repeat words heavily, so the replay cost is
+    O(distinct words), not O(tokens)). ``merges`` accepts ``train_bpe``'s
+    ``(tok_a, tok_b, merged, n)`` tuples or bare pairs.
+    """
+    import pandas as pd
+
+    pairs = [(m[0], m[1]) for m in merges]
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("word_pos", "word")
+    ).filter(F.col("word") != "")
+    out_schema = T.StructType([
+        words.schema[id_col],
+        T.StructField("word_pos", T.IntegerType(), False),
+        T.StructField("token_pos", T.IntegerType(), False),
+        T.StructField("token", T.StringType(), False),
+    ])
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            sym = cache.get(w)
+            if sym is not None:
+                return sym
+            sym = list(w) + [end_of_word]
+            for a, b in pairs:
+                merged, out, i = a + b, [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            cache[w] = sym
+            return sym
+
+        for pdf in batches:
+            ids, wps, tps, ts = [], [], [], []
+            for i, wp, w in zip(pdf[id_col], pdf["word_pos"], pdf["word"]):
+                for tp, t in enumerate(enc(w)):
+                    ids.append(i)
+                    wps.append(wp)
+                    tps.append(tp)
+                    ts.append(t)
+            yield pd.DataFrame(
+                {id_col: ids, "word_pos": wps, "token_pos": tps, "token": ts})
+
+    return words.mapInPandas(run, out_schema)
 
 
 def token_rarity(

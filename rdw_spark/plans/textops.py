@@ -1917,6 +1917,73 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_round")
 
 
+def _bpe_encode_oracle(rounds: int, top_k: int) -> str:
+    """Generated chained-CTE oracle: re-derive ``rounds`` BPE merges (the
+    zz_bpe_train_rounds recurrence) then tokenize the corpus with them
+    (the same wrapped-string replace = leftmost-greedy merge) and count
+    token frequencies weighted by word frequency."""
+    head = """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY 1
+    ), s0 AS (
+        SELECT '|' || array_to_string(
+                   list_append(string_split(word, ''), '</w>'), '||') || '|' AS s,
+               freq
+        FROM words
+    )"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(f""", p{k} AS (
+        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
+        FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM s{k - 1}),
+             unnest(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ), m{k} AS (SELECT a, b FROM p{k} ORDER BY n DESC, a, b LIMIT 1
+    ), s{k} AS (
+        SELECT replace(s, '|' || m{k}.a || '||' || m{k}.b || '|',
+                          '|' || m{k}.a || m{k}.b || '|') AS s, freq
+        FROM s{k - 1}, m{k}
+    )""")
+    tail = f""", tok AS (
+        SELECT unnest(string_split(trim(s, '|'), '||')) AS token, freq
+        FROM s{rounds}
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT {top_k}
+    """
+    return head + "".join(rounds_sql) + tail
+
+
+@register(
+    "zz_bpe_encode",
+    oracle=_bpe_encode_oracle(rounds=10, top_k=20),
+    survey="ext: BPE tokenization with a trained vocabulary — merges "
+           "replayed in learned order per word (== training-time final "
+           "symbols); JVM-side normalization/splitting, Arrow-batched "
+           "mapInPandas replay memoized per distinct word (O(distinct "
+           "words) Python cost, not O(tokens)); the entry trains 10 "
+           "merges, encodes the corpus, and reports the top-20 token "
+           "frequencies — oracle re-derives the merges AND the encoding "
+           "in pure SQL",
+)
+def zz_bpe_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    merges = X.train_bpe(d, num_merges=10)["merges"]
+    enc = X.bpe_encode(d, merges)
+    return (
+        enc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
 @register(
     "zz_length_buckets",
     oracle="""

@@ -247,3 +247,44 @@ def test_train_bpe_matches_python_reference(spark, texts):
     want_merges, want_vocab = _py_bpe(texts, 4)
     assert got["merges"] == want_merges
     assert got["vocab"] == want_vocab
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_bpe_encode_replay_parity_and_lossless(spark, texts):
+    """Encoding with trained merges: (1) a word's tokens equal the
+    training-time replay (independent python reference), (2) the encoding
+    is lossless — concatenating a word's tokens in token_pos order and
+    stripping the marker reconstructs the normalized word, (3) word_pos
+    preserves document order."""
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = _py_bpe(texts, 4)
+    got = X.bpe_encode(df, merges).collect()
+
+    def py_replay(w):
+        sym = list(w) + ["</w>"]
+        for a, b, _m, _n in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    by_word: dict = {}
+    for r in got:
+        by_word.setdefault((r["doc_id"], r["word_pos"]), []).append(
+            (r["token_pos"], r["token"]))
+    for i, t in enumerate(texts):
+        words = _norm_tokens(t)
+        doc_keys = sorted(k for k in by_word if k[0] == i)
+        assert len(doc_keys) == len(words)
+        for (k, w) in zip(doc_keys, words):
+            toks = [tok for _, tok in sorted(by_word[k])]
+            assert toks == py_replay(w)
+            assert "".join(toks).removesuffix("</w>") == w
