@@ -98,7 +98,14 @@ def main() -> int:
             totals["skipped"] += ns
             per_file: dict[str, float] = {}
             for case in suite.iter("testcase"):
-                src = case.get("classname", "").split(".")[0]
+                # classname is the dotted module path (+ class), e.g.
+                # "tests.test_sources.TestNorms" — the module segment is
+                # the last one starting with "test_"
+                parts = case.get("classname", "").split(".")
+                src = next(
+                    (p for p in reversed(parts) if p.startswith("test_")), None)
+                if src is None:
+                    continue
                 per_file[src] = per_file.get(src, 0.0) + float(case.get("time", 0))
             for mod, t in per_file.items():
                 new_times[f"tests/{mod}.py"] = round(t, 1)
