@@ -1338,6 +1338,58 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zz_topk_sketch",
+    # capacity (m=64) exceeds every group's item cardinality here, so the
+    # sketch is EXACT and a plain GROUP-BY/rank oracle can hash-check it
+    # end to end (fine grain AND merged rollup); the truncation bounds /
+    # Misra-Gries guarantee on over-capacity zipf data are pytest-locked
+    # (tests/test_freqitems.py)
+    oracle="""
+    WITH f AS (
+        SELECT o_orderstatus AS scope, o_orderpriority AS item, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS n_total
+        FROM orders GROUP BY 1, 2
+    ), g AS (
+        SELECT 'ALL' AS scope, o_orderpriority AS item, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER () AS n_total
+        FROM orders GROUP BY 2
+    ), u AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY scope
+                                     ORDER BY c DESC, item) AS rk
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM g)
+    )
+    SELECT scope, CAST(rk AS INT) AS rank, item,
+           CAST(c AS BIGINT) AS count_lo, CAST(c AS BIGINT) AS count_hi,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM u WHERE rk <= 5 ORDER BY scope, rank
+    """,
+    survey="ext: mergeable frequent-items (heavy-hitter) sketch cube — "
+           "the top-k member of the sketch family (HLL distinct, t-digest "
+           "quantiles): exact per-partition counts truncated to m items + "
+           "tracked dropped mass, merged per group in ONE shuffle; any "
+           "coarser top-k answers from the O(groups*m) summary with "
+           "[count_lo, count_hi] bounds and the Misra-Gries presence "
+           "guarantee",
+)
+def zz_topk_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.freqitems import (
+        merge_topk_sketches, sketch_topk, topk_sketch_rollup,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    fine = topk_sketch_rollup(o, ["o_orderstatus"], "o_orderpriority", m=64)
+    merged = merge_topk_sketches(
+        fine.withColumn("_all", F.lit("ALL")), ["_all"], m=64)
+    per_flag = sketch_topk(fine, 5).select(
+        F.col("o_orderstatus").alias("scope"), "rank", "item",
+        "count_lo", "count_hi", "n_total")
+    overall = sketch_topk(merged, 5).select(
+        F.col("_all").alias("scope"), "rank", "item",
+        "count_lo", "count_hi", "n_total")
+    return per_flag.unionByName(overall).orderBy("scope", "rank")
+
+
+@register(
     "zz_graph_pagerank",
     # Three synchronous rounds in chained CTEs over the undirected
     # customer↔supplier bipartite graph. Integer micro-unit arithmetic
