@@ -354,3 +354,75 @@ def group_regression(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size: one row
+    ``(chi2, dof, n, cramers_v)``.
+
+    Scale shape: ONE partial-agg shuffle builds the contingency counts
+    (the only pass over the fact); margins and the full R×C grid
+    (including zero cells — they contribute their expected mass) are
+    O(categories²) and broadcast. The final statistic folds the cell
+    terms in SORTED (a, b) order via ``F.aggregate`` — a deterministic
+    sequential double sum, so the value is bit-identical across runs,
+    partitionings, and engines (the ordered-fold trick: the float-sum
+    analog of the decimal-accumulate pattern, usable because cells are
+    few). NULL categories participate as their own level is NOT standard
+    chi-square — NULL rows are excluded (SQL GROUP BY would keep them;
+    callers wanting a "missing" level should fillna first).
+    """
+    a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
+    counts = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    rt = counts.groupBy("_a").agg(F.sum("_o").alias("_r"))
+    ct = counts.groupBy("_b").agg(F.sum("_o").alias("_t"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(counts, ["_a", "_b"], "left")
+        .select(
+            "_a", "_b", "_r", "_t",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+        )
+    )
+    e = (F.col("_r").cast("double") * F.col("_t").cast("double")) / F.col("_n")
+    d = F.col("_o").cast("double") - e
+    cells = (
+        grid.crossJoin(F.broadcast(
+            counts.agg(F.sum("_o").cast("double").alias("_n"))))
+        .select(
+            F.struct(
+                F.col("_a"), F.col("_b"), (d * d / e).alias("term")
+            ).alias("_cell"),
+            "_n",
+            F.col("_r"), F.col("_t"),
+        )
+    )
+    agg = cells.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list("_cell")), lambda x: x["term"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        F.count_distinct(F.col("_cell")["_a"]).alias("_nr"),
+        F.count_distinct(F.col("_cell")["_b"]).alias("_nc"),
+        F.first("_n").alias("n_d"),
+    )
+    return agg.select(
+        F.col("chi2"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("int").alias("dof"),
+        F.col("n_d").cast("long").alias("n"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n_d") * F.least(F.col("_nr") - 1, F.col("_nc") - 1))
+        ).alias("cramers_v"),
+    )

@@ -1338,6 +1338,62 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zz_stat_chi_square",
+    # both engines fold the R×C cell terms in sorted (a, b) order — a
+    # deterministic sequential double sum (the float analog of the
+    # decimal-accumulate pattern, valid because cells are few), so chi2
+    # and Cramér's V hash-match bit-exactly
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY 1
+    ), ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS t FROM c GROUP BY 1
+    ), nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c
+    ), grid AS (
+        SELECT rt.a, ct.b, rt.r, ct.t, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+        FROM rt CROSS JOIN ct LEFT JOIN c ON c.a = rt.a AND c.b = ct.b
+    ), t1 AS (
+        SELECT a, b, CAST(o AS DOUBLE) AS od,
+               (CAST(r AS DOUBLE) * CAST(t AS DOUBLE)) / n AS e
+        FROM grid, nn
+    ), cells AS (
+        SELECT struct_pack(a := a, b := b,
+                           term := (od - e) * (od - e) / e) AS cell
+        FROM t1
+    ), agg AS (
+        SELECT list_reduce(list_transform(list_sort(list(cell)),
+                                          x -> x['term']),
+                           (acc, x) -> acc + x) AS chi2,
+               COUNT(DISTINCT cell['a']) AS nr,
+               COUNT(DISTINCT cell['b']) AS nc
+        FROM cells
+    )
+    SELECT chi2,
+           CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n,
+           sqrt(chi2 / ((SELECT n FROM nn) * LEAST(nr - 1, nc - 1)))
+               AS cramers_v
+    FROM agg
+    """,
+    survey="ext: Pearson chi-square independence test + Cramér's V over "
+           "two categorical columns — ONE partial-agg pass over the fact "
+           "builds the contingency counts; margins/grid are O(categories²) "
+           "broadcast; the statistic folds cell terms in sorted order "
+           "(deterministic sequential double sum) so the value is "
+           "bit-identical across runs, partitionings, and engines",
+)
+def zz_stat_chi_square_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import chi_square_independence
+
+    return chi_square_independence(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@register(
     "zz_topk_sketch",
     # capacity (m=64) exceeds every group's item cardinality here, so the
     # sketch is EXACT and a plain GROUP-BY/rank oracle can hash-check it

@@ -414,3 +414,43 @@ def test_quantile_sketch_deterministic_merge_and_nulls(spark):
     # values never shuffle
     assert plan.count("+- Exchange") == 1
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_chi_square_independence_matches_model(spark):
+    """chi2/dof/n/cramers_v bit-match a hand-computed python model (same
+    sorted-fold order); NULL categories are excluded; an independent
+    2x2 table gives chi2 == 0."""
+    import math
+    from collections import Counter
+
+    from rdw_spark.operators.profiling import chi_square_independence
+
+    rows = ([("x", "p")] * 30 + [("x", "q")] * 10 + [("y", "p")] * 15
+            + [("y", "q")] * 25 + [("z", "p")] * 5
+            + [(None, "p")] * 3 + [("x", None)] * 2)
+    df = spark.createDataFrame(rows, "a string, b string").repartition(8)
+    out = chi_square_independence(df, "a", "b").collect()[0]
+
+    obs = Counter((a, b) for a, b in rows if a is not None and b is not None)
+    n = sum(obs.values())
+    ra: Counter = Counter()
+    cb: Counter = Counter()
+    for (a, b), o in obs.items():
+        ra[a] += o
+        cb[b] += o
+    chi2 = 0.0
+    for a, b in sorted((a, b) for a in ra for b in cb):
+        e = (float(ra[a]) * float(cb[b])) / float(n)
+        d = float(obs.get((a, b), 0)) - e
+        chi2 += d * d / e
+    assert out["chi2"] == chi2
+    assert out["dof"] == (len(ra) - 1) * (len(cb) - 1)
+    assert out["n"] == n
+    assert out["cramers_v"] == math.sqrt(
+        chi2 / (n * min(len(ra) - 1, len(cb) - 1)))
+
+    indep = spark.createDataFrame(
+        [("u", "l")] * 8 + [("u", "m")] * 8 + [("v", "l")] * 4 + [("v", "m")] * 4,
+        "a string, b string")
+    r = chi_square_independence(indep, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
