@@ -135,7 +135,7 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
             landing = os.path.join(root, "doc_landing")
             docs.repartition(32).write.parquet(landing)
             by_trigger: dict[str, float] = {}
-            for fpt in (4, 32):
+            for fpt in (8, 32):
                 t0 = time.perf_counter()
                 q = stream_corpus_build(
                     spark, landing,
@@ -161,7 +161,7 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
             # (byte-identical payloads would digest-dedup to no-ops);
             # separate id ranges per trigger setting for the same reason
             ingest_by_trigger: dict[str, float] = {}
-            for fpt in (50, 500):
+            for fpt in (100, 500):
                 for i in range(n_stream):
                     path = os.path.join(exam_landing, f"e{fpt}_{i}.xml")
                     with open(path, "wb") as fh:
@@ -180,6 +180,27 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
             out["stream_ingest_exams_per_sec"] = ingest_by_trigger["500"]
         except Exception as e:  # noqa: BLE001
             out["stream_ingest_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+
+        try:
+            # continuously-maintained aggregate state (ivm streaming twin):
+            # docs/s maintaining a per-(lang, source) char aggregate
+            import shutil as _sh
+
+            from rdw_spark.streaming.aggstate import stream_incremental_agg
+
+            agg_ckpt = os.path.join(root, "ckpt_agg")
+            agg_out = os.path.join(root, "agg_state")
+            t0 = time.perf_counter()
+            q = stream_incremental_agg(
+                spark, landing, docs.schema, agg_out, agg_ckpt,
+                ["lang", "source"], "n_chars", max_files_per_trigger=8,
+            )
+            q.awaitTermination()
+            out["stream_agg_docs_per_sec"] = round(
+                n_docs / (time.perf_counter() - t0), 1)
+            _sh.rmtree(agg_ckpt, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            out["stream_agg_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 
         return out
     finally:
