@@ -1,24 +1,30 @@
-"""Continuously-maintained aggregate state: the streaming twin of
-``operators.ivm`` (incremental view maintenance).
+"""Continuously-maintained mergeable state: the streaming twin of the
+summary operators (``operators.ivm`` aggregates, ``operators.quantiles``
+t-digests, ``operators.freqitems`` top-k summaries — anything whose
+per-batch DELTA rows merge associatively per group).
 
-Each micro-batch appends its own O(groups) partial-aggregate delta to a
+Each micro-batch appends its own O(groups) summary delta to a
 bucket-partitioned state table, keyed ``(group…, batch_id)`` and written
 with ``append_rows(tag=batch_id)`` — so a replayed batch overwrites its
 own version dirs byte-for-byte and the state is EXACTLY-ONCE BY
 CONSTRUCTION, with no high-water-mark sidecar and no read-modify-write
 of prior state on the hot path (per-batch cost is O(batch groups),
-independent of history). Reading the live aggregate merges the deltas
-per group (``merge_agg_state`` — a groupBy over O(groups·batches) STATE
-rows, never the facts); periodic compaction folds all-but-the-newest
-deltas into one base row per group so the read stays O(groups).
+independent of history). Reading the live answer merges the deltas per
+group (a groupBy over O(groups·batches) STATE rows, never the facts);
+periodic compaction folds all-but-the-newest deltas into one base row
+per group so the read stays O(groups).
 
-Because the ivm arithmetic is decimal-exact and merge-order-invariant,
-the maintained answer is BIT-IDENTICAL to a one-shot GROUP BY over
-everything ingested — pytest-locked across multi-batch drains, replays,
-and compaction.
+For the ivm aggregates the arithmetic is decimal-exact and
+merge-order-invariant, so the maintained answer is BIT-IDENTICAL to a
+one-shot GROUP BY over everything ingested — pytest-locked across
+multi-batch drains, replays, and compaction. Sketch deltas (digest,
+top-k) inherit their operators' contracts: deterministic merges, error
+envelopes instead of bit equality.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,19 +45,24 @@ def agg_state_table(
     )
 
 
-def stream_incremental_agg(
+# ---------------------------------------------------------------------------
+# generic mergeable-state core
+# ---------------------------------------------------------------------------
+
+def stream_mergeable_state(
     spark: SparkSession,
     landing_dir: str,
     read_schema,
     out_root: str,
     checkpoint: str,
     group_cols: list[str],
-    value_col: str,
+    delta_fn: Callable[[DataFrame], DataFrame],
     max_files_per_trigger: int = 100,
     available_now: bool = True,
 ):
-    """Watch ``landing_dir`` (parquet drops in ``read_schema``) and
-    maintain the aggregate state. Returns the StreamingQuery."""
+    """Watch ``landing_dir`` (parquet drops in ``read_schema``); per
+    micro-batch append ``delta_fn(batch)`` (one summary row per group)
+    tagged with the batch id. Returns the StreamingQuery."""
     pt = agg_state_table(out_root, group_cols)
     raw = (
         spark.readStream.schema(read_schema)
@@ -62,8 +73,7 @@ def stream_incremental_agg(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delta = agg_delta(batch_df, group_cols, value_col).withColumn(
-            "batch_id", F.lit(int(batch_id)))
+        delta = delta_fn(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
         pt.append_rows(batch_df.sparkSession, delta, tag=batch_id)
 
     writer = raw.writeStream.foreachBatch(sink).option(
@@ -73,19 +83,23 @@ def stream_incremental_agg(
     return writer.start()
 
 
-def read_agg_state(
-    spark: SparkSession, out_root: str, group_cols: list[str]
+def read_mergeable_state(
+    spark: SparkSession,
+    out_root: str,
+    group_cols: list[str],
+    merge_fn: Callable[[DataFrame], DataFrame],
 ) -> DataFrame:
-    """The live aggregate: merge every delta (and any compacted base) per
-    group and expose the readout columns. Touches only state rows."""
+    """The live answer: ``merge_fn`` over every delta (and any compacted
+    base) — touches only state rows."""
     pt = agg_state_table(out_root, group_cols)
-    return agg_readout(
-        merge_agg_state(pt.read(spark).drop("batch_id"), group_cols=group_cols)
-    )
+    return merge_fn(pt.read(spark).drop("batch_id"))
 
 
-def compact_agg_state(
-    spark: SparkSession, out_root: str, group_cols: list[str]
+def compact_mergeable_state(
+    spark: SparkSession,
+    out_root: str,
+    group_cols: list[str],
+    merge_fn: Callable[[DataFrame], DataFrame],
 ) -> int:
     """Fold all deltas EXCEPT the newest batch's into one base row per
     group (batch_id = -1), so reads stay O(groups) as batches accumulate.
@@ -100,11 +114,106 @@ def compact_agg_state(
     top = rows.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
     if top is None:
         return 0
-    old = rows.filter(F.col("batch_id") != top)
-    base = merge_agg_state(
-        old.drop("batch_id"), group_cols=group_cols
+    base = merge_fn(
+        rows.filter(F.col("batch_id") != top).drop("batch_id")
     ).withColumn("batch_id", F.lit(_BASE_BATCH))
     newest = rows.filter(F.col("batch_id") == top)
     ver = pt.overwrite(spark, base.unionByName(newest))
     pt.gc(keep_manifests=1)
     return ver
+
+
+# ---------------------------------------------------------------------------
+# ivm aggregates (bit-exact contract)
+# ---------------------------------------------------------------------------
+
+def stream_incremental_agg(
+    spark: SparkSession,
+    landing_dir: str,
+    read_schema,
+    out_root: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: agg_delta(b, group_cols, value_col),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_agg_state(
+    spark: SparkSession, out_root: str, group_cols: list[str]
+) -> DataFrame:
+    return agg_readout(read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_agg_state(rows, group_cols=group_cols),
+    ))
+
+
+def compact_agg_state(
+    spark: SparkSession, out_root: str, group_cols: list[str]
+) -> int:
+    return compact_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_agg_state(rows, group_cols=group_cols),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch twins (their operators' determinism/error contracts)
+# ---------------------------------------------------------------------------
+
+def stream_quantile_state(
+    spark: SparkSession, landing_dir: str, read_schema, out_root: str,
+    checkpoint: str, group_cols: list[str], value_col: str,
+    delta: int = 200, max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    from rdw_spark.operators.quantiles import quantile_sketch_rollup
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: quantile_sketch_rollup(b, group_cols, value_col, delta),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_quantile_state(
+    spark: SparkSession, out_root: str, group_cols: list[str],
+    delta: int = 200,
+) -> DataFrame:
+    from rdw_spark.operators.quantiles import merge_quantile_sketches
+
+    return read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_quantile_sketches(rows, group_cols, delta),
+    )
+
+
+def stream_topk_state(
+    spark: SparkSession, landing_dir: str, read_schema, out_root: str,
+    checkpoint: str, group_cols: list[str], item_col: str, m: int = 64,
+    max_files_per_trigger: int = 100, available_now: bool = True,
+):
+    from rdw_spark.operators.freqitems import topk_sketch_rollup
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: topk_sketch_rollup(b, group_cols, item_col, m),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_topk_state(
+    spark: SparkSession, out_root: str, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    from rdw_spark.operators.freqitems import merge_topk_sketches
+
+    return read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_topk_sketches(rows, group_cols, m),
+    )

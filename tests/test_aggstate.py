@@ -78,3 +78,66 @@ def test_stream_agg_equals_one_shot_and_survives_restart(spark, tmp_path):
     # batch-id layout: one base row per group (-1) + the newest batch's
     ids = {r["batch_id"] for r in pt.read(spark).select("batch_id").collect()}
     assert -1 in ids and len(ids) == 2
+
+
+def test_stream_sketch_states_quantile_and_topk(spark, tmp_path):
+    """Sketch twins over the generic mergeable-state core: a multi-batch
+    quantile-state drain answers within the digest's envelope of the
+    exact quantile, and the top-k state is exact when capacity fits —
+    both reading from state rows only."""
+    import numpy as np
+
+    from rdw_spark.operators.quantiles import sketch_quantiles
+    from rdw_spark.operators.freqitems import sketch_topk
+    from rdw_spark.streaming.aggstate import (
+        read_quantile_state, read_topk_state,
+        stream_quantile_state, stream_topk_state,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    vals: list[float] = []
+    items: list[str] = []
+    for b in range(3):
+        rows = []
+        for i in range(2000):
+            v = float((i * 37 + b * 11) % 500)
+            it = f"i{(i * 7 + b) % 9}"
+            vals.append(v)
+            items.append(it)
+            rows.append(("g", v, it))
+        _drop_any(spark, landing, rows)
+
+    schema = "g string, v double, item string"
+    sdf = spark.createDataFrame([], schema)
+
+    q = stream_quantile_state(
+        spark, str(landing), sdf.schema, str(tmp_path / "qs"),
+        str(tmp_path / "qck"), ["g"], "v", max_files_per_trigger=1)
+    q.awaitTermination(120)
+    est = sketch_quantiles(
+        read_quantile_state(spark, str(tmp_path / "qs"), ["g"]),
+        [0.5, 0.9]).collect()[0]
+    assert est["n"] == len(vals)
+    spread = max(vals) - min(vals)
+    assert abs(est["q_5"] - float(np.quantile(vals, 0.5))) <= 0.02 * spread
+    assert abs(est["q_9"] - float(np.quantile(vals, 0.9))) <= 0.02 * spread
+
+    q = stream_topk_state(
+        spark, str(landing), sdf.schema, str(tmp_path / "ts"),
+        str(tmp_path / "tck"), ["g"], "item", m=32, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    from collections import Counter
+
+    truth = Counter(items)
+    top = sketch_topk(
+        read_topk_state(spark, str(tmp_path / "ts"), ["g"], m=32), 9
+    ).collect()
+    assert {r["item"]: r["count_lo"] for r in top} == dict(truth)
+    assert all(r["count_lo"] == r["count_hi"] for r in top)  # exact: 9 <= m
+
+
+def _drop_any(spark, landing, rows):
+    spark.createDataFrame(
+        rows, "g string, v double, item string"
+    ).coalesce(1).write.mode("append").parquet(str(landing))
