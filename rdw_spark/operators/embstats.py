@@ -159,3 +159,74 @@ def whiten_embeddings(
             yield pdf
 
     return df.mapInPandas(proj, out_schema)
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> tuple[DataFrame, dict]:
+    """PCA dimensionality reduction to ``k`` components — the embedding
+    compressor in front of ANN/clustering (d→k cuts index bytes and
+    distance FLOPs by d/k with measured variance loss).
+
+    Same scale shape as :func:`whiten_embeddings`: one distributed pass
+    fits mean + covariance (batched numpy Gram partials, O(d²) state),
+    the d×d eigenproblem runs on the DRIVER, and the projection is
+    map-only per Arrow batch. Components are deterministic given the
+    fitted covariance (sorted by eigenvalue desc; sign fixed so each
+    component's largest-|loading| coordinate is positive) — the
+    covariance itself carries float partial-sum order, so like the Gram
+    scale path this is reproducible-in-practice, not bit-contractual.
+
+    Returns ``(projected_df, model)`` where model carries ``mean``,
+    ``components`` (k×d), ``explained_variance`` and
+    ``explained_variance_ratio``.
+    """
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if first is None:
+        raise ValueError("no non-null vectors")
+    dim = len(first[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    g, s, n = _gram_numpy(df, vec_col, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    # canonical sign: largest-|loading| coordinate positive per component
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    total = float(np.trace(cov))
+    model = {
+        "mean": mu,
+        "components": comps,
+        "explained_variance": ev,
+        "explained_variance_ratio": ev / total if total > 0 else ev,
+        "n": n,
+    }
+    sc = df.sparkSession.sparkContext
+    bc, bmu = sc.broadcast(comps), sc.broadcast(mu)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def proj(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mask = pdf[vec_col].notna()
+            res = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            if mask.any():
+                x = np.vstack(pdf.loc[mask, vec_col].to_numpy()).astype(np.float64)
+                res.loc[mask] = list((x - bmu.value) @ bc.value.T)
+            pdf[out_col] = res
+            yield pdf
+
+    return df.mapInPandas(proj, out_schema), model

@@ -1770,6 +1770,40 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_gram(_emb(spark, sf_dir), [0, 1, 2])
 
 
+@register(
+    "zz_emb_pca",
+    oracle=None,  # eigendecomposition has no DuckDB twin; numpy-parity,
+                  # orthonormality, and variance-capture are pytest-locked
+                  # (tests/test_embstats.py::test_pca_project_matches_numpy)
+    survey="ext: PCA dimensionality reduction for embeddings — one "
+           "distributed pass fits mean+covariance (batched numpy Gram "
+           "partials, O(d²) state), d×d eigenproblem on the driver, "
+           "map-only projection per Arrow batch; the d→k compressor in "
+           "front of ANN/clustering with measured variance loss — "
+           "operators/embstats.py::pca_project",
+)
+def zz_emb_pca_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embstats import pca_project
+
+    projected, model = pca_project(_emb(spark, sf_dir), k=8)
+    spark_ = spark
+    rows = [
+        (i, float(model["explained_variance"][i]),
+         float(model["explained_variance_ratio"][i]))
+        for i in range(len(model["explained_variance"]))
+    ]
+    stats = projected.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("pca").isNotNull(), 1)).alias("n_projected"),
+    ).collect()[0]
+    return spark_.createDataFrame(
+        [(c, ev, r, int(stats["n"]), int(stats["n_projected"]))
+         for c, ev, r in rows],
+        "component int, explained_variance double, "
+        "explained_variance_ratio double, n long, n_projected long",
+    ).orderBy("component")
+
+
 # --------------------------------------------------------------------------
 # Round 7: containment dedup, BPE pair counts, length-bucketed batching
 # --------------------------------------------------------------------------

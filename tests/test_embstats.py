@@ -65,3 +65,41 @@ def test_gram_validates_dims(spark, emb):
         embedding_gram(emb, [])
     with pytest.raises(ValueError):
         embedding_gram(emb, list(range(40)))
+
+
+def test_pca_project_matches_numpy(spark):
+    """Top-k projection: explained variance and projections match a
+    numpy PCA on the collected matrix (same covariance convention);
+    components orthonormal; ratio sums <= 1 and decreases; NULL vectors
+    pass through as NULL."""
+    import numpy as np
+
+    from rdw_spark.operators.embstats import pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(300, 3)) @ np.diag([5.0, 1.0, 0.1])
+    x = np.hstack([base, base[:, :1] * 0.5])  # 4 dims, rank-ish 3
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(300)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    out, model = pca_project(df, k=2)
+    got = {r["id"]: r["pca"] for r in out.collect()}
+    assert got[999] is None and len(got[3]) == 2
+
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    want_ev = evals[order]
+    assert np.allclose(model["explained_variance"], want_ev, rtol=1e-8)
+    r = model["explained_variance_ratio"]
+    assert r[0] >= r[1] >= 0 and r.sum() <= 1.0 + 1e-12
+    c = model["components"]
+    assert np.allclose(c @ c.T, np.eye(2), atol=1e-10)
+    # projections match numpy up to the canonical sign (already fixed)
+    want = (x - mu) @ c.T
+    got_m = np.vstack([got[i] for i in range(300)])
+    assert np.allclose(got_m, want, atol=1e-8)
+    # variance captured in projected space == eigenvalues
+    assert np.allclose(got_m.var(axis=0, ddof=0), want_ev, rtol=1e-6)
