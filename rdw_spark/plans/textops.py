@@ -1771,6 +1771,69 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_split_leakage_safe",
+    # the contamination guard in composition: split on the CONTENT
+    # fingerprint (md5 of normalized text), not the doc id, so exact
+    # near-identical renderings can never straddle train/eval. The oracle
+    # recomputes the same md5-threshold predicate and proves (a) identical
+    # per-side doc/fingerprint counts and (b) ZERO fingerprints seen on
+    # both sides — the invariant that makes the split decontaminated.
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents WHERE text IS NOT NULL
+    ), tagged AS (
+        SELECT doc_id, fp,
+               CASE WHEN substr(md5('split0' || fp), 1, 8) < '028f5c28'
+                    THEN 'eval' ELSE 'train' END AS side
+        FROM f
+    ), sides AS (
+        SELECT side, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        FROM tagged GROUP BY side
+    ), cross_side AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT fp FROM tagged GROUP BY fp
+            HAVING COUNT(DISTINCT side) > 1
+        )
+    )
+    SELECT side, n_docs, n_fingerprints,
+           (SELECT c FROM cross_side) AS cross_side_fingerprints
+    FROM sides ORDER BY side
+    """,
+    survey="ext: leakage-safe (decontaminated) train/eval split — keyed "
+           "on the content fingerprint so byte-different re-renderings of "
+           "the same text land on the same side; map-only predicate, "
+           "zero shuffle for the split itself; the oracle proves zero "
+           "cross-side fingerprints",
+)
+def zz_split_leakage_safe_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import split_train_eval
+    from ..operators.text import fingerprint
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    train, ev = split_train_eval(d, "fp", eval_fraction=0.01, seed="split0")
+    tagged = train.withColumn("side", F.lit("train")).unionByName(
+        ev.withColumn("side", F.lit("eval")))
+    sides = tagged.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_fingerprints"),
+    )
+    cross = (
+        tagged.groupBy("fp")
+        .agg(F.count_distinct("side").alias("_s"))
+        .filter(F.col("_s") > 1)
+        .agg(F.count(F.lit(1)).alias("cross_side_fingerprints"))
+    )
+    return sides.crossJoin(F.broadcast(cross)).orderBy("side")
+
+
+@register(
     "zz_emb_pca",
     oracle=None,  # eigendecomposition has no DuckDB twin; numpy-parity,
                   # orthonormality, and variance-capture are pytest-locked
