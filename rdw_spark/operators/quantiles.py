@@ -3,8 +3,8 @@ distinct-count cube (``profiling.distinct_sketch_rollup``).
 
 A raw ``percentile``/``approx_percentile`` answers ONE slicing of the
 fact and rescans it for the next question. This module builds a
-merging digest (t-digest family, Dunning & Ertl; equi-weight ``k0``
-scale function) per fine-grained group ONCE, after which ANY
+merging digest (t-digest family, Dunning & Ertl; ``k2``-style scale —
+cluster weight capped at ``4·W·q(1−q)/delta``) per fine-grained group ONCE, after which ANY
 coarser-grained quantile question is answered by merging the O(groups)
 digest table — the 100 TB pattern for percentile dashboards over
 arbitrary slices.
@@ -22,11 +22,13 @@ agrees with rebuild-from-scratch within the error envelope — but NOT
 bit-exactly, and a different input partitioning yields different (still
 within-envelope) partials, so never assert cross-partitioning equality.
 
-Error: equi-weight clusters of ≤ total/delta mass give uniform quantile
-error O(1/delta) (delta=200 → ~0.5%); exact min/max are carried so the
-extreme tails interpolate against true endpoints. (The classic k1 scale
-sharpens tails at equal state; uniform error is simpler and fine for
-profile/report workloads — documented trade-off.)
+Error: the q(1−q) weight cap means rank error ≤ 4·q(1−q)/delta —
+≤ 1/delta at the median (delta=200 → ≤0.5%) and shrinking toward the
+extremes, where clusters degrade to singletons; exact min/max are
+carried so the tails interpolate against true endpoints. State is
+O(delta·log) centroids rather than the k0 scale's flat delta — the
+usual t-digest trade, chosen here because tail percentiles (p99s) are
+what profile/report workloads actually ask for.
 """
 
 from __future__ import annotations

@@ -103,12 +103,14 @@ def compact_mergeable_state(
 ) -> int:
     """Fold all deltas EXCEPT the newest batch's into one base row per
     group (batch_id = -1), so reads stay O(groups) as batches accumulate.
-    The newest batch's delta dirs are kept verbatim: structured streaming
-    only ever replays the last uncommitted batch, and its replayed append
-    must land on its own tag dirs (idempotent) rather than double-count
-    against a base that already absorbed it. Run from the maintenance
-    window like ``maintain_corpus`` (single writer per table). Returns
-    the new snapshot version."""
+    The newest batch's delta DIRS are kept referenced verbatim
+    (``rebase(keep_versions={a<top>})``) — structured streaming only ever
+    replays the last uncommitted batch, and its replayed append must land
+    on its own tag dirs as an idempotent self-overwrite rather than
+    double-count against a base that already absorbed it (folding those
+    rows into plain version dirs, as ``overwrite`` would, breaks exactly
+    that). Run from the maintenance window like ``maintain_corpus``
+    (single writer per table). Returns the new snapshot version."""
     pt = agg_state_table(out_root, group_cols)
     rows = pt.read(spark)
     top = rows.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
@@ -117,8 +119,7 @@ def compact_mergeable_state(
     base = merge_fn(
         rows.filter(F.col("batch_id") != top).drop("batch_id")
     ).withColumn("batch_id", F.lit(_BASE_BATCH))
-    newest = rows.filter(F.col("batch_id") == top)
-    ver = pt.overwrite(spark, base.unionByName(newest))
+    ver = pt.rebase(spark, base, keep_versions={f"a{top}"})
     pt.gc(keep_manifests=1)
     return ver
 

@@ -40,6 +40,15 @@ batch build produces (given ids assigned in arrival order). The cluster
 map may hold short chains after a merge (D->L written before L->W);
 probes resolve them with a bounded pointer-chase of pruned lookups.
 
+Input contract: ``doc_id`` is immutable per content stream (the
+docsource readers derive deterministic ids) — re-sending an existing id
+with DIFFERENT text is a producer error, not an update: the exact stage
+proves DIGESTS new, not ids, so the conflicting row would append a
+second doc_id-keyed row rather than replace (upsert-by-id was the old
+O(state)-per-batch behavior this design deliberately dropped).
+``validate_corpus_store`` surfaces such conflicts as
+``duplicate_doc_id`` at maintenance time.
+
 Exactly-once by composition, every layer idempotent under replay:
 - the file-source checkpoint assigns each landed file to exactly one
   micro-batch;
@@ -139,6 +148,57 @@ EMB_SCHEMA = T.StructType([
 _DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
 
 
+_LAYOUT_FILE = "_layout.json"
+_LAYOUT_DEFAULTS = {"fp_prefix_len": 2, "band_buckets": 128, "kv_buckets": 64}
+
+
+def resolve_table_opts(out_root: str, table_opts: dict | None) -> dict:
+    """Bucket layout is baked into partition expressions at creation and
+    must stay constant for the life of a state directory — so the store
+    is SELF-DESCRIBING: the first open writes ``_layout.json`` and every
+    later open reads it back, erroring on an explicit mismatch instead of
+    silently probing with wrong partition keys (which would read empty
+    indexes and re-admit known documents). A directory that already holds
+    tables but predates the layout manifest must be opened once with the
+    ``table_opts`` it was created with (recorded thereafter)."""
+    import json
+    import os
+
+    path = os.path.join(out_root, _LAYOUT_FILE)
+    if os.path.exists(path):
+        with open(path) as fh:
+            stored = dict(json.load(fh))
+        if table_opts:
+            conflict = {
+                k: (v, stored.get(k)) for k, v in table_opts.items()
+                if stored.get(k) != v
+            }
+            if conflict:
+                raise ValueError(
+                    f"corpus store {out_root} was created with a different "
+                    f"layout: {conflict} (requested, stored) — bucket "
+                    "counts cannot change for an existing state directory"
+                )
+        return stored
+    legacy = any(
+        os.path.isdir(os.path.join(out_root, t))
+        for t in ("fpindex", "corpus", "bandindex")
+    )
+    if legacy and table_opts is None:
+        raise ValueError(
+            f"corpus store {out_root} predates the layout manifest; open it "
+            "once with table_opts matching its creation (it will be "
+            "recorded) — guessing would silently mis-prune every probe"
+        )
+    opts = {**_LAYOUT_DEFAULTS, **(table_opts or {})}
+    os.makedirs(out_root, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(opts, fh)
+    os.replace(tmp, path)
+    return opts
+
+
 def corpus_tables(
     out_root: str,
     fp_prefix_len: int = 2,
@@ -221,7 +281,8 @@ def maintain_corpus(
             "compacted_partitions": pt.compact(spark, max_files=max_files),
             "removed_dirs": pt.gc(keep_manifests=keep_manifests),
         }
-        for name, pt in corpus_tables(out_root, **(table_opts or {})).items()
+        for name, pt in corpus_tables(
+            out_root, **resolve_table_opts(out_root, table_opts)).items()
     }
 
 
@@ -251,12 +312,16 @@ def validate_corpus_store(
         (verification would silently drop their candidate pairs);
       - ``emb_doc_missing_sig``: embedding-index members (semantic mode)
         must have sig rows — an embindex id the lexical tier never saw
-        means a doc skipped the exact stage.
+        means a doc skipped the exact stage;
+      - ``duplicate_doc_id``: one corpus row per doc_id — a duplicate
+        means a producer re-sent an existing id with different text
+        (ids are digest-proven-new, not id-proven; see the module
+        docstring's input contract).
 
     Full-table anti-joins, one partition-parallel pass per invariant —
     a maintenance-window check, not a per-batch cost. Returns violation
     counts plus up to ``sample`` offending ids per check."""
-    t = corpus_tables(out_root, **(table_opts or {}))
+    t = corpus_tables(out_root, **resolve_table_opts(out_root, table_opts))
     corpus_ids = t["corpus"].read(spark).select("doc_id")
     clusters = t["clusters"].read(spark)
     drops = t["drops"].read(spark).select("doc_id")
@@ -281,6 +346,9 @@ def validate_corpus_store(
         "emb_doc_missing_sig":
             t["embindex"].read(spark).select("doc_id")
             .join(sig_ids, "doc_id", "left_anti"),
+        "duplicate_doc_id":
+            corpus_ids.groupBy("doc_id").count()
+            .filter(F.col("count") > 1).select("doc_id"),
     }
     report: dict = {"ok": True, "violations": {}}
     for name, df in checks.items():
@@ -396,7 +464,7 @@ def stream_corpus_build(
     if semantic and input_format == "csv":
         raise ValueError("semantic=True needs an embedding array column; "
                          "CSV can't carry one — use parquet or jsonl")
-    tables = corpus_tables(out_root, **(table_opts or {}))
+    tables = corpus_tables(out_root, **resolve_table_opts(out_root, table_opts))
     corpus, fpindex = tables["corpus"], tables["fpindex"]
     bandindex, sigindex, clusters, drops = (
         tables["bandindex"], tables["sigindex"], tables["clusters"],
@@ -740,17 +808,26 @@ def stream_corpus_build(
             # drops/stats keep replace-by-key: JSONL reject rows use
             # content-hashed ids that CAN legitimately repeat across
             # batches (the same malformed line in two shards is one fact).
-            corpus.append_rows(s, final_new.select(*_DOC_COLS), tag=batch_id)
             if corpus_losers is not None and not corpus_losers.isEmpty():
                 # a new doc bridged two existing canonicals: the losing
                 # canonical leaves the corpus; its source (the partition
-                # key) comes from the sig index, not a corpus scan
+                # key) comes from the sig index, not a corpus scan.
+                # Delete BEFORE this batch's corpus append: delete_rows
+                # rewrites the touched partitions into plain version dirs,
+                # which would COLLAPSE a just-appended a<batch_id> dir —
+                # a crash before the fpindex gate would then replay the
+                # append on top of the absorbed rows (duplicates). The
+                # loser is by definition a pre-existing canonical, never a
+                # batch row, so deleting first is semantically identical;
+                # a replayed delete of an already-gone loser matches zero
+                # rows and rewrites nothing (idempotent).
                 loser_meta = (
                     sigindex.read(s, parts=sigindex.parts_of(corpus_losers))
                     .join(corpus_losers.select("doc_id"), "doc_id", "left_semi")
                     .select("doc_id", "source")
                 )
                 corpus.delete_rows(s, loser_meta)
+            corpus.append_rows(s, final_new.select(*_DOC_COLS), tag=batch_id)
             if new_losers is not None:
                 # first-time entries only: new docs were never in the map,
                 # and a losing canonical was (by definition) never a loser

@@ -357,6 +357,33 @@ class PartitionedTable:
         self.replace_parts(spark, kept, parts=parts)
         return n
 
+    def rebase(self, spark: SparkSession, df: DataFrame,
+               keep_versions: set[str] | None = None) -> int:
+        """Publish ``df`` as the table's complete content EXCEPT rows
+        living in ``keep_versions`` dirs, which stay referenced verbatim.
+        This is the compaction primitive for append-accumulated tables
+        whose NEWEST tag must survive the fold: ``overwrite`` would
+        absorb a still-replayable batch's rows into plain version dirs,
+        so a replayed ``append_rows`` with the same tag would add them a
+        second time — keeping the tag dir referenced keeps the replay an
+        idempotent self-overwrite. Partitions absent from both ``df``
+        and ``keep_versions`` are dropped."""
+        keep = {str(v) for v in (keep_versions or set())}
+        ver, man = self.latest()
+        new_ver = ver + 1
+        out = df.withColumn("_part", self._part_col())
+        written = self._write_parts(out, new_ver)
+        man2: dict[str, list] = {p: [new_ver] for p in written}
+        for p, vs in man.items():
+            kept = [v for v in self._vers(vs) if str(v) in keep]
+            if kept:
+                man2[p] = man2.get(p, []) + kept
+        flat = {
+            p: (vs[0] if len(vs) == 1 else vs) for p, vs in man2.items()
+        }
+        self._publish(new_ver, flat, out.drop("_part").schema.json())
+        return new_ver
+
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
         """Full rewrite: the new snapshot references exactly the partitions
         present in ``df`` (a partition absent from ``df`` is dropped)."""

@@ -79,6 +79,17 @@ def test_stream_agg_equals_one_shot_and_survives_restart(spark, tmp_path):
     ids = {r["batch_id"] for r in pt.read(spark).select("batch_id").collect()}
     assert -1 in ids and len(ids) == 2
 
+    # crash-replay after compaction: structured streaming may replay the
+    # newest batch; its append_rows(tag=top) must land as an idempotent
+    # self-overwrite (the tag dirs survived the rebase), NOT double-count
+    # against the compacted base
+    top = max(i for i in ids if i >= 0)
+    replayed = pt.read(spark).filter(f"batch_id = {top}")
+    n_state = pt.read(spark).count()
+    pt.append_rows(spark, replayed, tag=top)
+    assert pt.read(spark).count() == n_state
+    assert _canon(read_agg_state(spark, out, ["g"])) == _canon(full2)
+
 
 def test_stream_sketch_states_quantile_and_topk(spark, tmp_path):
     """Sketch twins over the generic mergeable-state core: a multi-batch

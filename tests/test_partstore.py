@@ -416,3 +416,48 @@ class TestTimeTravel:
         assert {r["id"] for r in pt.read(spark, version=2).collect()} == set(range(10))
         with _pytest.raises(ValueError, match="v1 not on disk"):
             pt.read(spark, version=1)
+
+
+def test_rebase_keeps_tag_dirs_replay_idempotent(spark, tmp_path):
+    """rebase() is the compaction primitive for append-accumulated state:
+    the fold rewrites everything EXCEPT the kept tag dirs, so a
+    structured-streaming replay of the newest batch self-overwrites its
+    own dirs instead of double-counting against the absorbed base."""
+    pt = PartitionedTable(str(tmp_path), "state", "g % 2", ["g", "batch_id"])
+    for b in range(3):
+        pt.append_rows(spark, spark.createDataFrame(
+            [Row(g=i, batch_id=b, n=1) for i in range(4)]), tag=b)
+    assert pt.read(spark).count() == 12
+
+    # fold batches 0-1 into a base; batch 2's tag dirs stay referenced
+    base = spark.createDataFrame(
+        [Row(g=i, batch_id=-1, n=2) for i in range(4)])
+    pt.rebase(spark, base, keep_versions={"a2"})
+    got = {(r["g"], r["batch_id"]): r["n"] for r in pt.read(spark).collect()}
+    assert len(got) == 8  # 4 base rows + batch 2's 4 rows
+    assert got[(0, -1)] == 2 and got[(0, 2)] == 1
+
+    # the kept dirs are the ORIGINAL a2 dirs, untouched on disk
+    for part in ("0", "1"):
+        d = os.path.join(str(tmp_path), "state", f"part={part}")
+        assert "v=a2" in os.listdir(d)
+
+    # replayed newest batch = idempotent self-overwrite
+    pt.append_rows(spark, spark.createDataFrame(
+        [Row(g=i, batch_id=2, n=1) for i in range(4)]), tag=2)
+    assert pt.read(spark).count() == 8
+
+    # empty base + only kept tags: partitions live purely on tag dirs
+    pt2 = PartitionedTable(str(tmp_path / "t2"), "state", "g % 2", ["g"])
+    pt2.append_rows(spark, spark.createDataFrame([Row(g=1, n=1)]), tag=7)
+    empty = spark.createDataFrame([], "g long, n long")
+    pt2.rebase(spark, empty, keep_versions={"a7"})
+    assert [r["g"] for r in pt2.read(spark).collect()] == [1]
+
+    # a partition absent from both base and kept tags is dropped
+    pt3 = PartitionedTable(str(tmp_path / "t3"), "state", "g % 2", ["g"])
+    pt3.append_rows(spark, spark.createDataFrame(
+        [Row(g=0, n=1), Row(g=1, n=1)]), tag=0)
+    pt3.rebase(spark, spark.createDataFrame([Row(g=1, n=5)]),
+               keep_versions=set())
+    assert {(r["g"], r["n"]) for r in pt3.read(spark).collect()} == {(1, 5)}

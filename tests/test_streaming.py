@@ -1044,3 +1044,60 @@ class TestStreamAttribution:
         }
         assert exp, "fixture should produce at least one attribution pair"
         assert got == exp
+
+
+def test_layout_manifest_pins_bucket_counts(spark, tmp_path):
+    """The state dir is self-describing: the first open records the
+    bucket layout, later opens reuse it, an explicit mismatch errors
+    instead of silently mis-pruning probes, and a legacy dir (tables but
+    no layout file) demands explicit opts once."""
+    import json
+    import os
+
+    import pytest
+
+    from rdw_spark.streaming.corpus import resolve_table_opts
+
+    root = str(tmp_path / "store")
+    opts = resolve_table_opts(root, {"fp_prefix_len": 3})
+    assert opts["fp_prefix_len"] == 3 and opts["band_buckets"] == 128
+    # reopen with no opts -> stored layout wins (NOT the module defaults)
+    assert resolve_table_opts(root, None)["fp_prefix_len"] == 3
+    with pytest.raises(ValueError, match="different layout"):
+        resolve_table_opts(root, {"fp_prefix_len": 2})
+
+    legacy = tmp_path / "old_store"
+    (legacy / "fpindex").mkdir(parents=True)
+    with pytest.raises(ValueError, match="predates the layout manifest"):
+        resolve_table_opts(str(legacy), None)
+    got = resolve_table_opts(
+        str(legacy),
+        {"fp_prefix_len": 3, "band_buckets": 512, "kv_buckets": 256})
+    assert got["band_buckets"] == 512
+    assert json.load(open(os.path.join(str(legacy), "_layout.json")))[
+        "kv_buckets"] == 256
+
+
+def test_validate_flags_duplicate_doc_ids(spark, tmp_path):
+    """A producer re-sending an existing doc_id with different text
+    violates the id-immutability contract; validation surfaces it."""
+    from rdw_spark.streaming.corpus import (
+        corpus_tables, resolve_table_opts, validate_corpus_store,
+    )
+
+    root = str(tmp_path / "store")
+    resolve_table_opts(root, None)
+    corpus = corpus_tables(root)["corpus"]
+    rows = spark.createDataFrame(
+        [(1, "one text", "en", "s0", 8), (2, "two text", "en", "s0", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    corpus.append_rows(spark, rows, tag=0)
+    conflicting = spark.createDataFrame(
+        [(1, "DIFFERENT text", "en", "s0", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    corpus.append_rows(spark, conflicting, tag=1)
+
+    report = validate_corpus_store(spark, root)
+    assert report["violations"]["duplicate_doc_id"]["count"] == 1
+    assert report["violations"]["duplicate_doc_id"]["sample"] == [1]
+    assert not report["ok"]
