@@ -85,3 +85,175 @@ def gap_fill_interpolate(
             F.col("_v").isNull().alias("interpolated"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    smoothing recursion ``s_t = alpha*x_t + (1-alpha)*s_{t-1}`` seeded
+    with ``s_1 = x_1`` — returning one row per key:
+    ``(key…, n_points, last_<order_col>, ewma)``.
+
+    Engine-parity contract: the fold is a sequential left-to-right pass
+    over the key's series in ``order_col`` order, each step exactly
+    ``alpha*x + (1-alpha)*acc`` in double arithmetic — the SAME operation
+    sequence any engine's fold runs (DuckDB ``list_reduce``, pandas
+    ``ewm(adjust=False)``), so results are bit-exact across engines, runs
+    and partitionings. A window-function formulation
+    (``sum(x*(1-a)^-i)`` tricks) overflows for long series; this one
+    never leaves [min(x), max(x)].
+
+    Scale shape: ONE shuffle (groupBy key); each key's series is
+    assembled with ``sort_array∘collect_list`` and folded by a codegen'd
+    ``aggregate`` expression where the key lives — O(rows-per-key) memory
+    in one task, the honest cost of an order-dependent recursion (same
+    cost class as the interpolation windows above). Keys parallelize;
+    a single key's history must fit in an executor, which holds for any
+    bounded-retention series (cap with a time filter upstream if not).
+
+    ``order_col`` must be unique per key (aggregate to the series grain
+    first) — with duplicates the within-tie fold order would be
+    partitioning-dependent, exactly the nondeterminism this contract
+    exists to exclude.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    k = list(key_cols)
+    a = float(alpha)
+    series = (
+        df.select(*k, F.col(order_col).alias("_o"),
+                  F.col(value_col).cast("double").alias("_v"))
+        .groupBy(*k)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),
+            F.count("_v").alias("n_points"),
+            F.max("_o").alias(f"last_{order_col}"),
+        )
+    )
+    vals = F.transform("_s", lambda s: s["_v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return series.select(
+        *k, "n_points", f"last_{order_col}", folded.alias("ewma")
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each stage IN ORDER
+    (stage ``i+1`` counted only from events strictly after the user's
+    earliest qualifying stage-``i`` event — the product-analytics funnel
+    every event store ships). Returns one row per stage:
+    ``(stage_idx, stage, n_users, avg_step_seconds)`` where
+    ``avg_step_seconds`` is the mean gap from the previous stage's
+    qualifying timestamp (0.0 for stage 0 — there is no previous stage;
+    a non-NULL sentinel keeps the column totally ordered for canonical
+    row comparison).
+
+    Semantics: per user, ``t_0 = min ts of stage 0``; ``t_{i+1} = min ts
+    of a stage-``i+1`` event with ts > t_i``. Strict inequality — a
+    same-timestamp pair is NOT a conversion (deterministic; no
+    tie-break dependence).
+
+    Scale shape: one co-partitioned equi-join on the user key per stage
+    (stage frames are per-user aggregates — orders of magnitude smaller
+    than the fact; AQE picks broadcast when they fit), each followed by
+    a partial-aggregated min. No windows, no per-user event arrays: the
+    fact is scanned once per stage with the stage filter pushed to the
+    scan. Averages are exact-integer epoch sums divided once, so output
+    is engine-parity exact.
+    """
+    frames = funnel_stage_frames(df, user_col, ts_col, stage_col, stages)
+    out_rows = [frames[0].agg(
+        F.lit(0).alias("stage_idx"),
+        F.lit(stages[0]).alias("stage"),
+        F.count("*").cast("long").alias("n_users"),
+        F.lit(0.0).alias("avg_step_seconds"),
+    )]
+    for i, stage in enumerate(stages[1:], start=1):
+        out_rows.append(frames[i].agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count("*").cast("long").alias("n_users"),
+            (
+                # exact integer microsecond sum, divided once — engine-
+                # parity safe (a float epoch() sum would be order-dependent)
+                F.sum(F.unix_micros("_t") - F.unix_micros("_pt"))
+                .cast("double") / F.count("*") / F.lit(1000000.0)
+            ).alias("avg_step_seconds"),
+        ))
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def funnel_stage_frames(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+    within_seconds: int | None = None,
+) -> list[DataFrame]:
+    """The funnel engine under ``funnel`` (and the catalog's
+    conversion-rate funnel): per stage ``i`` a DataFrame of the users who
+    reached it IN ORDER, with the qualifying timestamps —
+    ``(_u, _t, _pt)`` where ``_t`` is the user's earliest qualifying
+    stage-``i`` event and ``_pt`` the previous stage's (``_pt`` is NULL
+    for stage 0). ``within_seconds`` additionally bounds each step:
+    stage ``i+1`` must land in ``(t_i, t_i + within_seconds]`` — the
+    bounded-window funnel product analytics defaults to.
+
+    One implementation for every funnel variant (the percentile-rank
+    lesson: two copies of the same multi-pass skeleton drift apart).
+    Scale shape per stage: stage filter pushed to the scan, one
+    co-partitioned equi-join on the user key against the previous
+    stage's per-user mins (tiny; AQE broadcasts when it fits), one
+    partial-aggregated min — deliberately multi-pass conditional-min,
+    never a per-user ``collect_list`` fold, so a 10^8-event user costs
+    nothing extra.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(stage_col).alias("_g"),
+    )
+    prev = (
+        ev.filter(F.col("_g") == stages[0])
+        .groupBy("_u").agg(F.min("_ts").alias("_t"))
+    )
+    frames = [prev.select(
+        "_u", "_t", F.lit(None).cast("timestamp").alias("_pt"))]
+    for stage in stages[1:]:
+        cond = F.col("_ts") > F.col("_pt")
+        if within_seconds is not None:
+            cond &= (
+                F.col("_ts")
+                <= F.col("_pt") + F.expr(f"INTERVAL {within_seconds} SECOND")
+            )
+        nxt = (
+            ev.filter(F.col("_g") == stage)
+            .join(prev.select("_u", F.col("_t").alias("_pt")), "_u")
+            .filter(cond)
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"), F.min("_pt").alias("_pt"))
+        )
+        frames.append(nxt)
+        prev = nxt.select("_u", "_t")
+    return frames

@@ -471,7 +471,9 @@ def zz_olap_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     survey="ext: ordered event funnel (signup → first view within 24h → "
-           "first purchase within 24h of that view) — multi-pass "
+           "first purchase within 24h of that view) — built on the shared "
+           "timeseries.funnel_stage_frames core (one funnel engine for "
+           "both catalog variants): multi-pass "
            "conditional-min aggregation, NOT a per-user collect_list fold: "
            "each stage is one equi-shuffle on user_id (Spark reuses the "
            "hash partitioning across the join→groupBy pairs), so a user "
@@ -480,27 +482,18 @@ def zz_olap_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "oracle exactly",
 )
 def zz_event_funnel_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import funnel_stage_frames
+
     evs = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    day = F.expr("INTERVAL 24 HOURS")
-    t1 = evs.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
-    )
-    s2 = (
-        evs.filter(F.col("event_type") == "view")
-        .join(t1.filter(F.col("t1").isNotNull()), "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        evs.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    frames = funnel_stage_frames(
+        evs, "user_id", "ts", "event_type",
+        ["signup", "view", "purchase"], within_seconds=24 * 3600,
     )
     counts = (
-        t1.agg(F.count("*").alias("total"), F.count("t1").alias("c1"))
-        .crossJoin(s2.agg(F.count("*").alias("c2")))
-        .crossJoin(s3.agg(F.count("*").alias("c3")))
+        evs.agg(F.count_distinct("user_id").alias("total"))
+        .crossJoin(frames[0].agg(F.count("*").alias("c1")))
+        .crossJoin(frames[1].agg(F.count("*").alias("c2")))
+        .crossJoin(frames[2].agg(F.count("*").alias("c3")))
     )
     return counts.select(
         F.expr(
@@ -1674,3 +1667,151 @@ def zz_ts_interpolate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("u", "day").agg(_dsum(F.col("value")).alias("daily_value"))
     return gap_fill_interpolate(daily, ["u"], "day", "daily_value")
+
+
+@register(
+    "zz_ts_ewma",
+    # bit-exact fold parity: both engines run the SAME left-to-right
+    # sequential recursion alpha*x + (1-alpha)*acc in doubles over the
+    # day-ordered series (Spark aggregate() over sort_array∘collect_list;
+    # DuckDB list_reduce over list(… ORDER BY day), whose seed is likewise
+    # the first element) — no float-window trickery, no rounding needed
+    oracle="""
+    WITH d AS (
+        SELECT user_id % 50 AS u, event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS dval
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT u, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MAX(day) AS last_day,
+           list_reduce(list(dval ORDER BY day),
+                       (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                                   + CAST(0.8 AS DOUBLE) * acc) AS ewma
+    FROM d GROUP BY u, event_type
+    """,
+    survey="ext: per-key EWMA smoothing (timeseries.ewma) — ONE shuffle to "
+           "the key grain, codegen'd aggregate() fold where the key lives "
+           "(O(rows-per-key) in one task, the honest cost of an "
+           "order-dependent recursion; keys parallelize); window-sum "
+           "formulations overflow on long series, the fold never leaves "
+           "[min,max]",
+)
+def zz_ts_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("u"),
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("u", "event_type", "day").agg(
+        _dsum(F.col("value")).alias("dval")
+    )
+    return ewma(daily, ["u", "event_type"], "day", "dval", alpha=0.2)
+
+
+@register(
+    "zz_graph_triangles",
+    # exact enumeration with total-order orientation a<b<c — every
+    # triangle found exactly once; pure integer counting, bit-exact
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ), w AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM raw e1 JOIN raw e2 ON e1.b = e2.a
+    ), t AS (
+        SELECT w.a, w.b, w.c
+        FROM w JOIN raw e3 ON w.a = e3.a AND w.c = e3.b
+    ), x AS (
+        SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM x GROUP BY node
+    """,
+    survey="ext: exact triangle counting (graph.triangle_count) over the "
+           "part co-purchase graph — canonical a<b orientation bounds "
+           "wedge enumeration by oriented out-degrees (the standard "
+           "work-bound), two equi-joins (AQE skew-split covers hub "
+           "vertices), integer counts; completes the graph tier next to "
+           "connected components (dedup) and PageRank",
+)
+def zz_graph_triangles_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # co-occurrence pairs via ONE partial-agg shuffle to the order grain
+    # + map-side pair explosion (bounded by per-order basket size), not a
+    # fact self-join — the self-join shuffles the fact twice and was
+    # measured 4.2s of this entry's 6s at sf0.1
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2,
+                            F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return triangle_count(pairs)
+
+
+@register(
+    "zz_funnel_stages",
+    # strict-after ordering (ts > previous stage's min) is deterministic
+    # under ties; averages are exact integer microsecond sums divided
+    # once — identical expression structure both engines
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id AS u, MIN(ts) AS t
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+        SELECT e.user_id AS u, MIN(e.ts) AS t, MIN(s0.t) AS pt
+        FROM events e JOIN s0 ON e.user_id = s0.u
+        WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id AS u, MIN(e.ts) AS t, MIN(s1.t) AS pt
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(0 AS DOUBLE) AS avg_step_seconds
+    FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'click', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(epoch_us(t) - epoch_us(pt)) AS DOUBLE) / COUNT(*)
+               / CAST(1000000 AS DOUBLE)
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(epoch_us(t) - epoch_us(pt)) AS DOUBLE) / COUNT(*)
+               / CAST(1000000 AS DOUBLE)
+    FROM s2
+    """,
+    survey="ext: ordered funnel analysis (timeseries.funnel) — per stage "
+           "one co-partitioned equi-join on the user key against the "
+           "previous stage's per-user mins (tiny; AQE broadcasts) plus a "
+           "partial-aggregated min, stage filter pushed to the scan; no "
+           "windows, no per-user arrays — the product-analytics staple "
+           "over the events stream",
+)
+def zz_funnel_stages_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])

@@ -55,3 +55,33 @@ def test_pagerank_matches_integer_model(spark):
         for r in pagerank(df.repartition(2), iters=4).collect()
     }
     assert again == d
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """triangle_count vs an O(n^3) pure-Python model on a graph with
+    hubs, a clique, duplicate/reversed edges, and self-loops."""
+    from itertools import combinations
+
+    from rdw_spark.operators.graph import triangle_count
+
+    raw = [
+        # K4 clique on 1-4 (four triangles, each vertex in three)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # a pendant path and an extra triangle sharing vertex 4
+        (4, 5), (5, 6), (4, 6),
+        # noise: reversed duplicate, exact duplicate, self-loop, isolate
+        (2, 1), (3, 4), (7, 7), (8, 9),
+    ]
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nodes = {v for e in edges for v in e}
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in raw])
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(df).collect()}
+    assert got == expect
+    assert got[1] == 3 and got[4] == 4 and 8 not in got
