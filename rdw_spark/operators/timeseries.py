@@ -257,3 +257,178 @@ def funnel_stage_frames(
         frames.append(nxt)
         prev = nxt.select("_u", "_t")
     return frames
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling-window anomaly scores: each point against the mean/std of
+    the ``lookback`` points STRICTLY BEFORE it (its own value never
+    contaminates its baseline — the self-exclusion that makes a level
+    shift actually trip the alarm). Output:
+    ``(key…, <order_col>, <value_col>, baseline_n, zscore, is_anomaly)``
+    with ``zscore`` NULL (and ``is_anomaly`` false) until ``lookback``
+    prior points exist — a partial baseline alarms on noise.
+
+    Engine-parity contract: the window mean is an exact decimal(27,6)
+    sum divided once; the variance is assembled from exact decimal
+    Σx/Σx² moments in a fixed expression order
+    (``(sumsq - sum²/n)/(n-1)``, sample variance), so the score is
+    reproducible across engines and partitionings — the same
+    decimal-moment pattern as profile_columns/group_regression, in a
+    window instead of a groupBy.
+
+    Scale shape: two decimal sums over ONE partitioned bounded window
+    (per key, ordered by ``order_col``, ``lookback`` rows) — no
+    unpartitioned window, no self-join, state O(lookback) per key.
+    ``order_col`` must be unique per key (aggregate to the series grain
+    first), as in ``ewma``.
+    """
+    if lookback < 2:
+        raise ValueError(f"lookback must be >= 2, got {lookback}")
+    k = list(key_cols)
+    w = (
+        Window.partitionBy(*k).orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(27,6)")
+    n = F.count(value_col).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s.cast("double") / n
+    # sample variance from exact moments, one fixed assembly order
+    var = (
+        (s2.cast("double") - s.cast("double") * s.cast("double") / n)
+        / (n - F.lit(1))
+    )
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    # var > 0 guard: a constant baseline's variance can round to a tiny
+    # negative when the exact decimal moments are assembled in doubles —
+    # sqrt would NaN; a zero-variance baseline has no meaningful z either
+    scored = (n >= F.lit(lookback)) & (var > F.lit(0.0))
+    return df.select(
+        *k,
+        order_col,
+        value_col,
+        n.cast("long").alias("baseline_n"),
+        F.when(scored, z).alias("zscore"),
+        F.coalesce(
+            scored & (F.abs(z) > F.lit(float(z_threshold))), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + linear trend):
+
+        level_t = alpha*x_t + (1-alpha)*(level_{t-1} + trend_{t-1})
+        trend_t = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}
+
+    seeded ``level_1 = x_1, trend_1 = 0`` (the zero-trend seed — simple
+    and engine-neutral; the x_2-x_1 seed needs lookahead a first-element
+    fold seed can't express). Returns one row per key:
+    ``(key…, n_points, last_<order_col>, level, trend, forecast_1)``
+    where ``forecast_1 = level + trend`` is the one-step-ahead forecast.
+
+    Same engine-parity and scale contract as ``ewma`` (this is the
+    two-state extension of that fold): a sequential left-to-right double
+    fold over the ``order_col``-ordered series with a STRUCT accumulator
+    — identical operation sequence as a DuckDB ``list_reduce`` with a
+    struct state, so bit-exact across engines and partitionings. ONE
+    shuffle to the key grain; O(rows-per-key) in one task; ``order_col``
+    unique per key.
+    """
+    for name, p in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {p}")
+    k = list(key_cols)
+    a, bt = float(alpha), float(beta)
+    series = (
+        df.select(*k, F.col(order_col).alias("_o"),
+                  F.col(value_col).cast("double").alias("_v"))
+        .groupBy(*k)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),
+            F.count("_v").alias("n_points"),
+            F.max("_o").alias(f"last_{order_col}"),
+        )
+    )
+    vals = F.transform("_s", lambda s: s["_v"])
+
+    def step(acc, x):
+        # level_t appears in both updates; the recomputed expression is
+        # value-identical (same double ops) on both engines
+        lvl = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        return F.struct(
+            lvl.alias("l"),
+            (F.lit(bt) * (lvl - acc["l"]) + F.lit(1.0 - bt) * acc["t"])
+            .alias("t"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("t")),
+        step,
+    )
+    return series.select(
+        *k, "n_points", f"last_{order_col}",
+        folded["l"].alias("level"),
+        folded["t"].alias("trend"),
+        (folded["l"] + folded["t"]).alias("forecast_1"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences
+    → ``(from_state, to_state, n_transitions, prob)`` where ``prob`` is
+    the row-normalized transition probability. The behavioral-modeling /
+    synthetic-sequence primitive: what follows what, how often.
+
+    ``tiebreak_col`` is REQUIRED (any per-key-unique column, e.g. the
+    event id): same-timestamp events would otherwise make the sequence —
+    and therefore the counts — partitioning-dependent. Counts are exact
+    integers; ``prob`` is one integer-exact division, so output is
+    engine-parity exact.
+
+    Scale shape: one lead() over a window PARTITIONED by the key
+    (O(events-per-key) state, keys parallelize), one partial-agg shuffle
+    to the O(states²) pair grain, then row normalization as a window sum
+    over that tiny frame. The fact is scanned once.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = (
+        pairs.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(
+        Window.partitionBy("from_state")
+    )
+    return counts.select(
+        "from_state", "to_state", "n_transitions",
+        (F.col("n_transitions").cast("double") / row_total).alias("prob"),
+    )

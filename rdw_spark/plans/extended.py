@@ -1815,3 +1815,161 @@ def zz_funnel_stages_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type",
                   ["view", "click", "purchase"])
+
+
+@register(
+    "zz_ts_anomaly",
+    # exact decimal Σx/Σx² window moments assembled into doubles in ONE
+    # fixed expression order on both engines — the profile_columns
+    # decimal-moment pattern inside a bounded window; integer daily
+    # counts enter the decimal cast exactly, so no rounding ambiguity
+    oracle="""
+    WITH d AS (
+        SELECT user_id % 20 AS u, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT u, day, n_events,
+               COUNT(n_events) OVER win AS n,
+               SUM(CAST(n_events AS DECIMAL(27,6))) OVER win AS s,
+               SUM(CAST(n_events AS DECIMAL(27,6))
+                   * CAST(n_events AS DECIMAL(27,6))) OVER win AS s2
+        FROM d
+        WINDOW win AS (PARTITION BY u ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), v AS (
+        SELECT u, day, n_events, n,
+               CAST(s AS DOUBLE) / n AS mean,
+               (CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)
+                   AS var
+        FROM w
+    )
+    SELECT u, day, n_events,
+           CAST(n AS BIGINT) AS baseline_n,
+           CASE WHEN n >= 7 AND var > 0
+                THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var) END
+               AS zscore,
+           COALESCE(n >= 7 AND var > 0
+                    AND abs((CAST(n_events AS DOUBLE) - mean) / sqrt(var))
+                        > 2.5,
+                    false) AS is_anomaly
+    FROM v
+    """,
+    survey="ext: rolling-window anomaly scores (timeseries.rolling_zscore) "
+           "— each point vs the mean/std of the 7 points STRICTLY before "
+           "it (self-excluded baseline), two decimal window sums over ONE "
+           "partitioned bounded window, state O(lookback) per key; "
+           "zscore withheld until the baseline is full (partial baselines "
+           "alarm on noise)",
+)
+def zz_ts_anomaly_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_zscore
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 20).alias("u"), F.to_date("ts").alias("day"))
+        .groupBy("u", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return rolling_zscore(daily, ["u"], "day", "n_events",
+                          lookback=7, z_threshold=2.5)
+
+
+@register(
+    "zz_ts_holt",
+    # the two-state extension of the zz_ts_ewma fold parity: both
+    # engines run the identical left-to-right double sequence. The
+    # oracle unrolls the fold as a RECURSIVE CTE rather than a
+    # list_reduce struct accumulator — DuckDB 1.0's multi-field lambda
+    # accumulators mis-evaluate cross-field references (probed: an
+    # {a,b} fold over [1,2,3] returns b=70 where the left fold gives
+    # 40), while the CTE makes every double op explicit; level_t is
+    # recomputed inside the trend update on both sides
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT user_id % 50 AS u, event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS dval
+        FROM events GROUP BY 1, 2, 3
+    ), s AS (
+        SELECT u, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               MAX(day) AS last_day,
+               list(dval ORDER BY day) AS arr
+        FROM d GROUP BY u, event_type
+    ), r AS (
+        SELECT u, event_type, 1 AS i, arr[1] AS l, CAST(0 AS DOUBLE) AS t,
+               len(arr) AS n, arr
+        FROM s
+        UNION ALL
+        SELECT u, event_type, i + 1,
+               CAST(0.5 AS DOUBLE) * arr[i + 1]
+                   + CAST(0.5 AS DOUBLE) * (l + t),
+               CAST(0.3 AS DOUBLE)
+                   * (CAST(0.5 AS DOUBLE) * arr[i + 1]
+                      + CAST(0.5 AS DOUBLE) * (l + t) - l)
+                   + CAST(0.7 AS DOUBLE) * t,
+               n, arr
+        FROM r WHERE i < n
+    )
+    SELECT s.u, s.event_type, s.n_points, s.last_day,
+           r.l AS level, r.t AS trend, r.l + r.t AS forecast_1
+    FROM s JOIN r ON s.u = r.u AND s.event_type = r.event_type
+                 AND r.i = r.n
+    """,
+    survey="ext: Holt double-exponential smoothing "
+           "(timeseries.holt_smoothing) — level+trend struct fold, one "
+           "shuffle to the key grain, O(rows-per-key) in one task, "
+           "one-step-ahead forecast; bit-exact vs a DuckDB list_reduce "
+           "struct-state oracle",
+)
+def zz_ts_holt_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_smoothing
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("u"),
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("u", "event_type", "day").agg(
+        _dsum(F.col("value")).alias("dval")
+    )
+    return holt_smoothing(daily, ["u", "event_type"], "day", "dval",
+                          alpha=0.5, beta=0.3)
+
+
+@register(
+    "zz_event_transitions",
+    # exact integer pair counts; prob is one integer-exact division —
+    # the tiebreak on event_id makes same-timestamp sequences (and so
+    # the counts) deterministic
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS from_state,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    ), c AS (
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / SUM(n_transitions) OVER (PARTITION BY from_state) AS prob
+    FROM c
+    """,
+    survey="ext: first-order Markov transition matrix "
+           "(timeseries.event_transitions) over per-user event sequences "
+           "— one lead() over a key-PARTITIONED window (tiebroken by "
+           "event_id: same-ts events never make counts "
+           "partitioning-dependent), one partial-agg shuffle to the "
+           "O(states²) pair grain, row-normalize on that tiny frame; the "
+           "behavioral-modeling / synthetic-sequence primitive",
+)
+def zz_event_transitions_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import event_transitions
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts",
+                                            "event_type", "event_id")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")

@@ -342,3 +342,64 @@ class TestRound8Plans:
         assert "HashAggregate" in plan
         assert "Window" not in plan
         assert "SortAggregate" not in plan
+
+
+class TestRound8LatePlans:
+    def test_ewma_single_operator_shuffle(self, spark, catalog):
+        # daily-grain groupBy + key-grain fold groupBy: exactly two
+        # Exchanges, no window, no join — the fold happens where the key
+        # lives
+        import re
+
+        plan = _plan(spark, catalog, "zz_ts_ewma")
+        assert "Window" not in plan and "Join" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+    def test_holt_single_operator_shuffle(self, spark, catalog):
+        import re
+
+        plan = _plan(spark, catalog, "zz_ts_holt")
+        assert "Window" not in plan and "Join" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+    def test_anomaly_window_partitioned_and_bounded(self, spark, catalog):
+        # one key-partitioned bounded window over the daily grain — no
+        # unpartitioned window, no join back
+        import re
+
+        plan = _plan(spark, catalog, "zz_ts_anomaly")
+        assert "Join" not in plan
+        for s in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            first = s.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, (
+                f"unpartitioned window: {s!r}")
+
+    def test_transitions_windows_partitioned(self, spark, catalog):
+        # the lead() runs per user and the row-normalization per
+        # from_state — every window partitioned; counts frame is tiny
+        import re
+
+        plan = _plan(spark, catalog, "zz_event_transitions")
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs
+        for s in specs:
+            first = s.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, (
+                f"unpartitioned window: {s!r}")
+
+    def test_triangles_no_cartesian_no_unpartitioned_window(
+            self, spark, catalog):
+        # wedge enumeration and close are equi-joins on vertex keys; the
+        # degree-rank attach is an equi-join too — nothing degenerates
+        # to a cartesian and nothing needs a window at all
+        plan = _plan(spark, catalog, "zz_graph_triangles")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "windowspecdefinition" not in plan
+
+    def test_funnel_stage_filters_pushed(self, spark, catalog):
+        # each stage's event_type filter reaches the parquet scan
+        plan = _plan(spark, catalog, "zz_funnel_stages")
+        assert "CartesianProduct" not in plan
+        assert "PushedFilters:" in plan
+        assert plan.count("event_type") >= 3

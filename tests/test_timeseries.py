@@ -140,3 +140,139 @@ def test_funnel_strict_ordering_and_averages(spark):
     assert got2["buy"]["n_users"] == 1           # u1: buy@40 after view@0
     assert got2["click"]["n_users"] == 0         # u1 has no click after @40
     assert got2["click"]["avg_step_seconds"] is None
+
+
+def test_rolling_zscore_self_excluded_baseline(spark):
+    """rolling_zscore vs a pure-Python model: strictly-prior window,
+    z withheld until the baseline is full, spike flagged, constant
+    baseline (zero variance) never scores; window stays partitioned."""
+    import statistics
+
+    base = [10, 12, 11, 9, 10, 12, 11]          # 7-point baseline
+    series = base + [50, 10]                     # spike, then normal
+    rows = [("a", dt.date(2024, 1, 1) + dt.timedelta(days=i), v)
+            for i, v in enumerate(series)]
+    # second key: constant series — variance 0, never scored
+    rows += [("c", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5)
+             for i in range(9)]
+
+    from rdw_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    out = rolling_zscore(df, ["k"], "day", "v", lookback=7, z_threshold=3.0)
+    got = {(r["k"], r["day"]): r for r in out.collect()}
+    assert len(got) == len(rows)
+
+    spike = got[("a", dt.date(2024, 1, 1) + dt.timedelta(days=7))]
+    mean = sum(base) / 7
+    var = statistics.variance(base)              # sample variance
+    assert spike["baseline_n"] == 7
+    assert abs(spike["zscore"] - (50 - mean) / var ** 0.5) < 1e-9
+    assert spike["is_anomaly"]
+    # the day AFTER the spike: baseline now CONTAINS the spike (windows
+    # roll), but the point itself (10) is near the pre-spike level
+    after = got[("a", dt.date(2024, 1, 1) + dt.timedelta(days=8))]
+    assert after["baseline_n"] == 7 and not after["is_anomaly"]
+    # partial baselines: no score for the first `lookback` points
+    for i in range(7):
+        r = got[("a", dt.date(2024, 1, 1) + dt.timedelta(days=i))]
+        assert r["zscore"] is None and not r["is_anomaly"]
+        assert r["baseline_n"] == i
+    # constant series: full window but var == 0 -> withheld, not NaN
+    r = got[("c", dt.date(2024, 1, 1) + dt.timedelta(days=8))]
+    assert r["baseline_n"] == 7 and r["zscore"] is None
+    assert not r["is_anomaly"]
+
+    # scale gate: the rolling window is partitioned by the key
+    import contextlib
+    import io
+    import re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    for s in re.findall(r"windowspecdefinition\(([^)]*)", buf.getvalue()):
+        first = s.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned window: {s!r}")
+
+    with pytest.raises(ValueError, match="lookback"):
+        rolling_zscore(df, ["k"], "day", "v", lookback=1)
+
+
+def test_holt_matches_sequential_model(spark):
+    """holt_smoothing vs the pure-Python two-state recursion, bit-exact
+    and repartition-invariant; single point keeps level=x, trend=0."""
+    import random
+
+    rng = random.Random(11)
+    a, b = 0.4, 0.25
+    rows, series = [], {}
+    for k in ("a", "b"):
+        for i in range(rng.randint(4, 30)):
+            v = round(rng.uniform(-50, 150), 3)
+            rows.append((k, dt.date(2024, 1, 1) + dt.timedelta(days=i), v))
+            series.setdefault(k, []).append(v)
+    expect = {}
+    for k, xs in series.items():
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            nl = a * x + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        expect[k] = (l, t)
+
+    from rdw_spark.operators.timeseries import holt_smoothing
+
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    for frame in (df, df.repartition(9)):
+        got = {r["k"]: r for r in
+               holt_smoothing(frame, ["k"], "day", "v",
+                              alpha=a, beta=b).collect()}
+        for k in got:
+            assert got[k]["level"] == expect[k][0]
+            assert got[k]["trend"] == expect[k][1]
+            assert got[k]["forecast_1"] == expect[k][0] + expect[k][1]
+
+    one = spark.createDataFrame(
+        [("z", dt.date(2024, 1, 1), 7.0)], "k string, day date, v double")
+    r = holt_smoothing(one, ["k"], "day", "v").collect()[0]
+    assert r["level"] == 7.0 and r["trend"] == 0.0
+
+    with pytest.raises(ValueError, match="beta"):
+        holt_smoothing(df, ["k"], "day", "v", beta=1.5)
+
+
+def test_event_transitions_counts_and_tiebreak(spark):
+    """event_transitions: exact pair counts, row-normalized probs, and
+    the tiebreak column pinning same-timestamp order."""
+    from rdw_spark.operators.timeseries import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1: A -> B -> A -> C
+        (1, s(0), "A", 1), (1, s(1), "B", 2), (1, s(2), "A", 3),
+        (1, s(3), "C", 4),
+        # u2: two SAME-timestamp events, order pinned by event_id:
+        # A(5) -> B(6) -> B(7)
+        (2, s(9), "A", 5), (2, s(9), "B", 6), (2, s(10), "B", 7),
+        # u3: single event -> no transitions
+        (3, s(0), "A", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, state string, event_id int")
+    got = {(r["from_state"], r["to_state"]): r for r in
+           event_transitions(df, "user_id", "ts", "state",
+                             "event_id").collect()}
+    # from A: A->B twice (u1, u2), A->C once
+    assert got[("A", "B")]["n_transitions"] == 2
+    assert got[("A", "C")]["n_transitions"] == 1
+    assert got[("A", "B")]["prob"] == 2 / 3
+    assert got[("A", "C")]["prob"] == 1 / 3
+    # from B: B->A (u1), B->B (u2, the tiebroken pair)
+    assert got[("B", "A")]["n_transitions"] == 1
+    assert got[("B", "B")]["n_transitions"] == 1
+    assert got[("B", "A")]["prob"] == 0.5
+    # C is terminal: no outgoing row
+    assert not any(k[0] == "C" for k in got)
+    assert len(got) == 4
