@@ -165,3 +165,57 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Nodes of the ``k``-core (the maximal subgraph where every vertex
+    keeps degree ≥ k) after ``rounds`` synchronous peeling passes →
+    ``(node, core_degree)``. Each pass recomputes degrees within the
+    surviving set and drops nodes under ``k`` — the standard bulk
+    peeling; once a pass removes nothing the set is the true k-core and
+    every further pass is a no-op, so overshooting ``rounds`` never
+    changes the answer (callers verify convergence by checking one
+    extra round, or size ``rounds`` from the graph's peel depth).
+
+    Scale shape per pass: the mirrored edge frame is built ONCE and
+    cached; each pass is two semi-joins against the O(alive nodes) set
+    (AQE broadcasts it when it fits) + one partial-agg degree count.
+    Pure integer degrees — bit-exact everywhere, and trivially
+    expressible as chained SQL CTEs for engine-parity checks (the
+    PageRank fixed-iteration pattern applied to peeling).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    mirrored = canon.unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    alive = mirrored.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for i in range(rounds):
+        deg = (
+            mirrored
+            .join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+        )
+        alive = deg.select("node")
+        if (i + 1) % 4 == 0 and i + 1 < rounds:
+            # bound lineage depth; lazy, so un-acted plans cost nothing
+            alive = alive.localCheckpoint(eager=False)
+    return deg

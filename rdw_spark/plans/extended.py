@@ -1973,3 +1973,71 @@ def zz_event_transitions_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts",
                                             "event_type", "event_id")
     return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE peel: the PageRank fixed-iteration parity pattern
+    applied to k-core — both engines run the SAME bounded number of
+    synchronous peeling passes, so the outputs are equal at any scale;
+    once a pass is a fixpoint every further pass is a no-op, so
+    overshooting rounds never changes the answer."""
+    parts = ["""
+    WITH raw AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ), e AS (
+        SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw
+    ), a0 AS (SELECT DISTINCT a AS node FROM e)"""]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS (
+        SELECT e.a AS node, COUNT(*) AS core_degree
+        FROM e JOIN {prev} x ON e.a = x.node
+               JOIN {prev} y ON e.b = y.node
+        GROUP BY e.a HAVING COUNT(*) >= {k}
+    ), a{i} AS (SELECT node FROM d{i})""")
+        prev = f"a{i}"
+    parts.append(
+        f"\n    SELECT node, CAST(core_degree AS BIGINT) AS core_degree"
+        f" FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "zz_graph_kcore",
+    # k=60 sits just above the co-purchase graph's min degree at the
+    # oracle SFs (peels a handful of nodes, fixpoint within 2-4 passes,
+    # verified at sf0.001 and sf0.01); at larger SFs degrees grow past
+    # k and the first pass is already the fixpoint — 6 rounds overshoot
+    # safely in every regime because post-fixpoint passes are no-ops
+    oracle=_kcore_oracle(k=60, rounds=6),
+    survey="ext: k-core decomposition (graph.kcore) — bounded-round bulk "
+           "peeling: mirrored edges cached once, each pass two semi-joins "
+           "against the O(alive) node set (AQE broadcasts) + one "
+           "partial-agg degree count; integer degrees, chained-CTE "
+           "oracle runs the identical passes (the PageRank "
+           "fixed-iteration parity trick applied to peeling)",
+)
+def zz_graph_kcore_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2,
+                            F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return kcore(pairs, k=60, rounds=6)

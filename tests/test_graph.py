@@ -85,3 +85,59 @@ def test_triangle_count_matches_brute_force(spark):
            for r in triangle_count(df).collect()}
     assert got == expect
     assert got[1] == 3 and got[4] == 4 and 8 not in got
+
+
+def test_kcore_matches_peeling_model(spark):
+    """kcore vs exact pure-Python peeling on a graph with a clique core
+    plus pendant/cascade structure; overshot rounds are a no-op."""
+    from rdw_spark.operators.graph import kcore
+
+    raw = [
+        # K5 clique on 1-5: the 4-core
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5),
+        (3, 4), (3, 5), (4, 5),
+        # a chain hanging off the clique: peels in cascading passes
+        (5, 6), (6, 7), (7, 8),
+        # a separate triangle: survives k<=2, peels at k=3+
+        (10, 11), (11, 12), (10, 12),
+        # noise: reversed dup + self-loop
+        (2, 1), (9, 9),
+    ]
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def model(k):
+        alive = set(adj)
+        while True:
+            deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+            new = {n for n in alive if deg[n] >= k}
+            if new == alive:
+                return {n: deg[n] for n in alive}
+            alive = new
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in raw])
+    for k in (2, 3, 4, 5):
+        expect = model(k)
+        got = {r["node"]: r["core_degree"]
+               for r in kcore(df, k=k, rounds=8).collect()}
+        assert got == expect, f"k={k}"
+    # k=4: exactly the clique; k=5: empty (K5 has degree 4)
+    assert set(model(4)) == {1, 2, 3, 4, 5}
+    assert model(5) == {}
+
+    # overshoot invariance: extra rounds after the fixpoint change nothing
+    got8 = {r["node"]: r["core_degree"]
+            for r in kcore(df, k=3, rounds=8).collect()}
+    got3 = {r["node"]: r["core_degree"]
+            for r in kcore(df, k=3, rounds=12).collect()}
+    assert got8 == got3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        kcore(df, k=0)
