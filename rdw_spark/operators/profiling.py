@@ -426,3 +426,110 @@ def chi_square_independence(
             / (F.col("n_d") * F.least(F.col("_nr") - 1, F.col("_nc") - 1))
         ).alias("cramers_v"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to the group's exact
+    [``lower``, ``upper``] percentiles — the standard outlier-taming
+    transform a training pipeline applies before normalization. Output:
+    ``(group…, keep…, <value_col>, winsorized, clipped)``.
+
+    Exact ``percentile`` (linear interpolation — the quantile_cont
+    contract, engine-parity bit-exact) rather than approx: the cut
+    points ARE the operator's semantics. Scale shape: one partial-agg
+    shuffle to the group grain for the two cut points, one equi-join
+    back (the O(groups) cut frame broadcasts), a codegen'd
+    least∘greatest clamp — the fact is scanned once and never shuffles.
+    Group keys join NULL-SAFE, so a NULL group winsorizes within its own
+    stratum instead of silently passing through (the rank_statistics
+    lesson). NULL values stay NULL with ``clipped = false``.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got "
+                         f"({lower}, {upper})")
+    g = list(group_cols)
+    # group keys renamed in the derived frame: joining a frame back onto
+    # its own ancestor with shared column lineage is ambiguous to Spark
+    cuts = df.groupBy(*g).agg(
+        F.expr(f"percentile({value_col}, {lower!r}D)").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper!r}D)").alias("_hi"),
+    ).select(
+        *[F.col(c).alias(f"_g_{c}") for c in g], "_lo", "_hi"
+    )
+    cond = None
+    for c in g:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else (cond & e)
+    v = F.col(value_col)
+    # guard NULL values explicitly: least/greatest SKIP nulls in both
+    # engines, so an unguarded clamp would pin a NULL to the lower cut
+    win = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    return (
+        df.join(F.broadcast(cuts), cond)
+        .select(
+            *g,
+            *(keep_cols or []),
+            v,
+            win.alias("winsorized"),
+            F.coalesce(win != v, F.lit(False)).alias("clipped"),
+        )
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_cols: list[str],
+    target_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category encoded as the
+    mean target of the OTHER rows in its category,
+    ``(S_cat - y_i) / (n_cat - 1)`` — the leakage-safe form (plain mean
+    encoding leaks each row's own label into its feature; LOO is the
+    standard fix). Singleton categories fall back to the global mean —
+    there is no "other rows" evidence. Output:
+    ``(cat…, keep…, <target_col>, encoded)``.
+
+    Engine-parity exact: category sums accumulate in decimal(27,6), the
+    subtraction stays decimal, and each encoding is ONE double division
+    (no float running sums). Scale shape: one partial-agg shuffle to the
+    category grain, one null-safe equi-join back (O(categories) frame —
+    broadcasts), one 1-row global-mean frame cross-joined; the fact is
+    scanned twice (stats + encode) and never shuffles.
+    """
+    g = list(cat_cols)
+    dec = F.col(target_col).cast("decimal(27,6)")
+    # category keys renamed in the derived frame (self-join lineage)
+    stats = df.groupBy(*g).agg(
+        F.sum(dec).alias("_s"), F.count(target_col).alias("_n")
+    ).select(*[F.col(c).alias(f"_g_{c}") for c in g], "_s", "_n")
+    gm = df.agg(
+        (F.sum(dec).cast("double") / F.count(target_col)).alias("_gm")
+    )
+    cond = None
+    for c in g:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else (cond & e)
+    enc = F.when(
+        F.col("_n") > 1,
+        (F.col("_s") - dec).cast("double") / (F.col("_n") - F.lit(1)),
+    ).otherwise(F.col("_gm"))
+    return (
+        df.join(F.broadcast(stats), cond)
+        .crossJoin(F.broadcast(gm))
+        .select(
+            *g,
+            *(keep_cols or []),
+            F.col(target_col),
+            enc.alias("encoded"),
+        )
+    )

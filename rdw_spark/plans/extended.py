@@ -2041,3 +2041,76 @@ def zz_graph_kcore_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.src", "p.dst")
     return kcore(pairs, k=60, rounds=6)
+
+
+@register(
+    "zz_winsorize",
+    # exact percentile cuts (linear interpolation: Spark percentile ==
+    # DuckDB quantile_cont bit-for-bit), clamp via least/greatest —
+    # identical expressions both engines
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, e.value,
+           least(greatest(e.value, c.lo), c.hi) AS winsorized,
+           COALESCE(least(greatest(e.value, c.lo), c.hi) <> e.value, false)
+               AS clipped
+    FROM events e JOIN cuts c ON e.event_type IS NOT DISTINCT FROM c.event_type
+    """,
+    survey="ext: per-group winsorization (profiling.winsorize) — exact "
+           "percentile cut points (one partial-agg shuffle to the group "
+           "grain), broadcast join back, codegen'd clamp; the fact never "
+           "shuffles. Group keys join null-safe (the rank_statistics "
+           "lesson); the outlier-taming transform before normalization "
+           "in a training pipeline",
+)
+def zz_winsorize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return winsorize(ev, ["event_type"], "value",
+                     lower=0.05, upper=0.95, keep_cols=["event_id"])
+
+
+@register(
+    "zz_target_encode",
+    # decimal category sums, decimal subtraction, ONE double division
+    # per row; singleton categories fall back to the global mean
+    oracle="""
+    WITH stats AS (
+        SELECT c_mktsegment,
+               SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS s,
+               COUNT(c_acctbal) AS n
+        FROM customer GROUP BY c_mktsegment
+    ), gm AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(c_acctbal) AS g
+        FROM customer
+    )
+    SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal,
+           CASE WHEN st.n > 1
+                THEN CAST(st.s - CAST(c.c_acctbal AS DECIMAL(27,6))
+                          AS DOUBLE) / (st.n - 1)
+                ELSE gm.g END AS encoded
+    FROM customer c
+    JOIN stats st ON c.c_mktsegment IS NOT DISTINCT FROM st.c_mktsegment
+    CROSS JOIN gm
+    """,
+    survey="ext: leave-one-out target encoding "
+           "(profiling.target_encode_loo) — the leakage-safe categorical "
+           "feature ((S_cat - y_i)/(n_cat - 1); plain mean encoding leaks "
+           "each row's own label), decimal-exact sums with one double "
+           "division, one partial-agg shuffle + broadcast join back, "
+           "null-safe category keys, global-mean fallback for singletons",
+)
+def zz_target_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import target_encode_loo
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal")
+    return target_encode_loo(c, ["c_mktsegment"], "c_acctbal",
+                             keep_cols=["c_custkey"])

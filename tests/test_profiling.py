@@ -454,3 +454,57 @@ def test_chi_square_independence_matches_model(spark):
         "a string, b string")
     r = chi_square_independence(indep, "a", "b").collect()[0]
     assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_winsorize_clamps_null_safe(spark):
+    """winsorize: exact percentile clamp per group, NULL group treated as
+    its own stratum, NULL values pass through unclipped."""
+    from rdw_spark.operators.profiling import winsorize
+
+    rows = (
+        [("a", i, float(i)) for i in range(1, 12)]        # 1..11
+        + [("a", 99, 1000.0), ("a", 98, -1000.0)]          # outliers
+        + [(None, 1, 5.0), (None, 2, 50.0), (None, 3, 500.0)]
+        + [("b", 7, None)]                                 # NULL value
+    )
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = {(r["g"], r["id"]): r for r in
+           winsorize(df, ["g"], "v", lower=0.1, upper=0.9,
+                     keep_cols=["id"]).collect()}
+    assert len(got) == len(rows)
+    # group a: 13 values; p10/p90 interpolated cuts clamp ONLY outliers
+    assert got[("a", 99)]["clipped"] and got[("a", 99)]["winsorized"] < 1000
+    assert got[("a", 98)]["clipped"] and got[("a", 98)]["winsorized"] > -1000
+    assert not got[("a", 5)]["clipped"]
+    assert got[("a", 5)]["winsorized"] == 5.0
+    # NULL group is a real stratum (p10/p90 of [5,50,500] clamp the ends)
+    assert got[(None, 1)]["clipped"] and got[(None, 3)]["clipped"]
+    assert not got[(None, 2)]["clipped"]
+    # NULL value: stays NULL, not pinned to the lower cut
+    assert got[("b", 7)]["winsorized"] is None
+    assert not got[("b", 7)]["clipped"]
+
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(df, ["g"], "v", lower=0.9, upper=0.1)
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    """target_encode_loo: each row encoded by the OTHERS' mean; singleton
+    category falls back to the global mean; NULL category is a stratum."""
+    from rdw_spark.operators.profiling import target_encode_loo
+
+    rows = [
+        ("x", 1, 10.0), ("x", 2, 20.0), ("x", 3, 30.0),
+        ("y", 4, 100.0), ("y", 5, 200.0),
+        ("solo", 6, 7.0),
+        (None, 7, 1.0), (None, 8, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "c string, id int, y double")
+    got = {r["id"]: r["encoded"] for r in
+           target_encode_loo(df, ["c"], "y", keep_cols=["id"]).collect()}
+    assert got[1] == 25.0          # (20+30)/2
+    assert got[2] == 20.0          # (10+30)/2
+    assert got[4] == 200.0
+    assert got[7] == 3.0 and got[8] == 1.0   # NULL category LOO
+    gm = sum(r[2] for r in rows) / len(rows)
+    assert abs(got[6] - gm) < 1e-12          # singleton -> global mean
