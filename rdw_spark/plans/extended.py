@@ -2114,3 +2114,41 @@ def zz_target_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "c_custkey", "c_acctbal")
     return target_encode_loo(c, ["c_mktsegment"], "c_acctbal",
                              keep_cols=["c_custkey"])
+
+
+@register(
+    "zz_sessionize_native",
+    # same sessions as t_sessionize, produced by the JVM-native
+    # session_window instead of the lag+cumsum rewrite — the same lag
+    # oracle proves both (a new session iff ts - prev > gap; an event at
+    # exactly the gap merges in both formulations)
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    survey="T ext: gap sessions via the JVM-native session_window "
+           "(streaming.events.sessionize_windowed) — merging session "
+           "windows in the JVM state store, watermark-evicted in "
+           "streaming, no per-group Python loop (the scale path next to "
+           "the applyInPandasWithState sessionizer); one shuffle on the "
+           "user key, batch/stream the same code",
+)
+def zz_sessionize_native_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import sessionize_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_windowed(ev, gap_minutes=30)

@@ -332,3 +332,38 @@ def stream_attribution(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_windowed(events: DataFrame, gap_minutes: int = 30,
+                        watermark_minutes: int | None = None) -> DataFrame:
+    """Gap-based sessions via the JVM-NATIVE ``session_window`` — the
+    scale path next to :func:`sessionize` (whose per-group Python loop
+    pays an Arrow round-trip per micro-batch): merging session windows
+    live in the JVM state store, stay whole-stage-friendly, and evict by
+    watermark. Identical session semantics to
+    :func:`sessionize`/:func:`sessionize_batch` — a new session starts
+    when ``ts - prev > gap`` (an event at EXACTLY the gap merges; probed
+    against the built-in), ``session_end`` is the last event's ts (the
+    built-in's ``window.end`` would be last+gap).
+
+    Works unchanged on batch frames (the parity pytest runs it both
+    ways). Streaming callers must pass ``watermark_minutes`` (append
+    mode emits a session only once the watermark passes its close — an
+    open session flushes on the next watermark advance, where the
+    Python sessionizer uses a processing-time timeout instead).
+    """
+    df = events
+    if watermark_minutes is not None:
+        df = df.withWatermark("ts", f"{watermark_minutes} minutes")
+    return (
+        df.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .drop("session_window")
+    )

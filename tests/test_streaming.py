@@ -1101,3 +1101,82 @@ def test_validate_flags_duplicate_doc_ids(spark, tmp_path):
     assert report["violations"]["duplicate_doc_id"]["count"] == 1
     assert report["violations"]["duplicate_doc_id"]["sample"] == [1]
     assert not report["ok"]
+
+
+class TestSessionizeWindowed:
+    def test_batch_parity_with_lag_rewrite(self, spark):
+        """The JVM-native session_window produces the EXACT session set of
+        the lag+cumsum rewrite — including the exactly-gap merge edge."""
+        import datetime as dt
+
+        from rdw_spark.streaming.events import sessionize_windowed
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)
+        edge = spark.createDataFrame(
+            [(1, m(0), 1.0), (1, m(30), 2.0),      # exactly gap: merges
+             (1, m(60, ), 3.0), (1, m(90.02), 4.0),  # just over: splits
+             (2, m(0), 5.0)],
+            "user_id int, ts timestamp, value double")
+
+        def canon(df):
+            return {
+                (r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"], r["total_value"])
+                for r in df.collect()
+            }
+
+        for ev in (edge, _batch_events(spark)):
+            got = canon(sessionize_windowed(ev, gap_minutes=30))
+            want = canon(sessionize_batch(ev, gap_minutes=30))
+            assert got == want
+        assert len(canon(sessionize_windowed(edge, gap_minutes=30))) == 3
+
+    def test_stream_sessions_flush_on_watermark(self, spark, tmp_path):
+        """Streaming: append mode emits a session once the watermark
+        passes its close; a far-future sentinel closes everything real."""
+        import datetime as dt
+        import os
+
+        from rdw_spark.streaming.events import sessionize_windowed
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)
+        real = [(1, m(0), 1.0), (1, m(10), 2.0), (1, m(120), 3.0),
+                (2, m(5), 4.0)]
+        sentinel = [(99, m(10_000), 0.0)]
+        land = str(tmp_path / "land")
+        os.makedirs(land)
+        schema = "user_id int, ts timestamp, value double"
+        for i, rows in enumerate((real, sentinel)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{land}/_stage{i}")
+            # the file source doesn't scan subdirs: surface each drop as
+            # a top-level file (ordered so mtimes pin batch order)
+            for f in os.listdir(f"{land}/_stage{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{land}/_stage{i}/{f}",
+                              f"{land}/drop_{i}.parquet")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(land)
+        )
+        q = (
+            sessionize_windowed(stream, gap_minutes=30, watermark_minutes=5)
+            .writeStream.format("memory").queryName("native_sessions")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM native_sessions WHERE user_id != 99"
+            ).collect()
+        }
+        want = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in sessionize_batch(
+                spark.createDataFrame(real, schema), 30).collect()
+        }
+        assert got == want
