@@ -495,8 +495,11 @@ def target_encode_loo(
     mean target of the OTHER rows in its category,
     ``(S_cat - y_i) / (n_cat - 1)`` — the leakage-safe form (plain mean
     encoding leaks each row's own label into its feature; LOO is the
-    standard fix). Singleton categories fall back to the global mean —
-    there is no "other rows" evidence. Output:
+    standard fix). A NULL-target row contributes nothing to leak, so it
+    is encoded as the category's plain mean over the non-null targets
+    (``S_cat / n_cat``). Rows with no "other rows" evidence — singleton
+    categories, and NULL-target rows in an all-null category — fall
+    back to the global mean. Output:
     ``(cat…, keep…, <target_col>, encoded)``.
 
     Engine-parity exact: category sums accumulate in decimal(27,6), the
@@ -519,10 +522,17 @@ def target_encode_loo(
     for c in g:
         e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
         cond = e if cond is None else (cond & e)
-    enc = F.when(
-        F.col("_n") > 1,
-        (F.col("_s") - dec).cast("double") / (F.col("_n") - F.lit(1)),
-    ).otherwise(F.col("_gm"))
+    enc = (
+        F.when(
+            dec.isNull() & (F.col("_n") >= 1),
+            F.col("_s").cast("double") / F.col("_n"),
+        )
+        .when(
+            dec.isNotNull() & (F.col("_n") > 1),
+            (F.col("_s") - dec).cast("double") / (F.col("_n") - F.lit(1)),
+        )
+        .otherwise(F.col("_gm"))
+    )
     return (
         df.join(F.broadcast(stats), cond)
         .crossJoin(F.broadcast(gm))

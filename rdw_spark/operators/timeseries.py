@@ -119,7 +119,10 @@ def ewma(
     ``order_col`` must be unique per key (aggregate to the series grain
     first) — with duplicates the within-tie fold order would be
     partitioning-dependent, exactly the nondeterminism this contract
-    exists to exclude.
+    exists to exclude. NULL values are excluded from the series before
+    folding (an unguarded NULL would poison every later step to NULL);
+    ``n_points``/``last_<order_col>`` count only the kept observations,
+    and an all-NULL key emits no row.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -128,6 +131,7 @@ def ewma(
     series = (
         df.select(*k, F.col(order_col).alias("_o"),
                   F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .groupBy(*k)
         .agg(
             F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),
@@ -348,7 +352,7 @@ def holt_smoothing(
     — identical operation sequence as a DuckDB ``list_reduce`` with a
     struct state, so bit-exact across engines and partitionings. ONE
     shuffle to the key grain; O(rows-per-key) in one task; ``order_col``
-    unique per key.
+    unique per key; NULL values excluded before folding (see ``ewma``).
     """
     for name, p in (("alpha", alpha), ("beta", beta)):
         if not 0.0 < p <= 1.0:
@@ -358,6 +362,7 @@ def holt_smoothing(
     series = (
         df.select(*k, F.col(order_col).alias("_o"),
                   F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .groupBy(*k)
         .agg(
             F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),

@@ -1712,6 +1712,30 @@ def zz_ts_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(daily, ["u", "event_type"], "day", "dval", alpha=0.2)
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edges (src, dst) within orders — the shared
+    edge source for the graph entries. ONE partial-agg shuffle to the
+    order grain + map-side pair explosion (bounded by per-order basket
+    size), not a fact self-join: the self-join shuffles the fact twice
+    and was measured at 4.2s of the triangles entry's 6s at sf0.1."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return baskets.select(
+        F.explode(
+            F.flatten(F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2,
+                            F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.src", "p.dst")
+
+
 @register(
     "zz_graph_triangles",
     # exact enumeration with total-order orientation a<b<c — every
@@ -1746,27 +1770,7 @@ def zz_ts_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zz_graph_triangles_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # co-occurrence pairs via ONE partial-agg shuffle to the order grain
-    # + map-side pair explosion (bounded by per-order basket size), not a
-    # fact self-join — the self-join shuffles the fact twice and was
-    # measured 4.2s of this entry's 6s at sf0.1
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(F.transform(
-                "ps",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2,
-                            F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                ),
-            ))
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    return triangle_count(pairs)
+    return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
 @register(
@@ -2024,23 +2028,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 def zz_graph_kcore_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(F.transform(
-                "ps",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2,
-                            F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                ),
-            ))
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    return kcore(pairs, k=60, rounds=6)
+    return kcore(_copurchase_pairs(spark, sf_dir), k=60, rounds=6)
 
 
 @register(
@@ -2056,9 +2044,11 @@ def zz_graph_kcore_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_type, e.event_id, e.value,
-           least(greatest(e.value, c.lo), c.hi) AS winsorized,
-           COALESCE(least(greatest(e.value, c.lo), c.hi) <> e.value, false)
-               AS clipped
+           CASE WHEN e.value IS NOT NULL
+                THEN least(greatest(e.value, c.lo), c.hi) END AS winsorized,
+           COALESCE(CASE WHEN e.value IS NOT NULL
+                         THEN least(greatest(e.value, c.lo), c.hi) END
+                    <> e.value, false) AS clipped
     FROM events e JOIN cuts c ON e.event_type IS NOT DISTINCT FROM c.event_type
     """,
     survey="ext: per-group winsorization (profiling.winsorize) — exact "
@@ -2092,7 +2082,9 @@ def zz_winsorize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     )
     SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal,
-           CASE WHEN st.n > 1
+           CASE WHEN c.c_acctbal IS NULL AND st.n >= 1
+                THEN CAST(st.s AS DOUBLE) / st.n
+                WHEN c.c_acctbal IS NOT NULL AND st.n > 1
                 THEN CAST(st.s - CAST(c.c_acctbal AS DECIMAL(27,6))
                           AS DOUBLE) / (st.n - 1)
                 ELSE gm.g END AS encoded

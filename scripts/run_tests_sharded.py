@@ -117,7 +117,7 @@ def main() -> int:
                       f"see /tmp/rdw_shard_{i}.log")
         status = "OK" if rc in (0, 5) else f"FAIL rc={rc}"
         print(f"shard {i}: {status}")
-        if rc != 0:
+        if rc not in (0, 5):
             with open(f"/tmp/rdw_shard_{i}.log") as fh:
                 tail = fh.readlines()[-15:]
             sys.stdout.writelines(tail)
@@ -130,6 +130,13 @@ def main() -> int:
     print(f"\n{totals['passed']} passed, {totals['failures']} failed, "
           f"{totals['errors']} errors, {totals['skipped']} skipped "
           f"in {wall:.0f}s across {len(shards)} shards")
+    if totals["passed"] + totals["failures"] + totals["errors"] == 0:
+        # rc=5 per shard is fine under a -k filter, but EVERY shard
+        # collecting nothing means the filter (or collection itself) is
+        # broken — a zero-test run must never exit green
+        print("FAIL: no tests ran anywhere (bad -k filter or collection "
+              "breakage)")
+        return 1
     return 1 if (failed or totals["failures"] or totals["errors"]) else 0
 
 

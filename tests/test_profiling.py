@@ -508,3 +508,22 @@ def test_target_encode_loo_excludes_own_row(spark):
     assert got[7] == 3.0 and got[8] == 1.0   # NULL category LOO
     gm = sum(r[2] for r in rows) / len(rows)
     assert abs(got[6] - gm) < 1e-12          # singleton -> global mean
+
+
+def test_target_encode_loo_null_targets(spark):
+    """NULL-target rows leak nothing: encoded as the category's plain
+    mean over non-null targets; all-null category -> global mean."""
+    from rdw_spark.operators.profiling import target_encode_loo
+
+    rows = [
+        ("x", 1, 10.0), ("x", 2, 20.0), ("x", 3, None),
+        ("z", 4, None), ("z", 5, None),
+        ("y", 6, 100.0), ("y", 7, 200.0),
+    ]
+    df = spark.createDataFrame(rows, "c string, id int, y double")
+    got = {r["id"]: r["encoded"] for r in
+           target_encode_loo(df, ["c"], "y", keep_cols=["id"]).collect()}
+    assert got[3] == 15.0                     # plain mean of the others
+    gm = (10 + 20 + 100 + 200) / 4
+    assert got[4] == gm and got[5] == gm      # all-null category
+    assert got[1] == 20.0 and got[2] == 10.0  # LOO unaffected by the null

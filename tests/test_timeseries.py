@@ -276,3 +276,25 @@ def test_event_transitions_counts_and_tiebreak(spark):
     # C is terminal: no outgoing row
     assert not any(k[0] == "C" for k in got)
     assert len(got) == 4
+
+
+def test_ewma_and_holt_skip_null_values(spark):
+    """A NULL reading must not poison the fold: it is excluded, counts
+    reflect kept observations, and an all-NULL key emits no row."""
+    from rdw_spark.operators.timeseries import ewma, holt_smoothing
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 2), None),
+        ("a", dt.date(2024, 1, 3), 20.0),
+        ("n", dt.date(2024, 1, 1), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    e = {r["k"]: r for r in ewma(df, ["k"], "day", "v", alpha=0.5).collect()}
+    assert set(e) == {"a"}
+    assert e["a"]["ewma"] == 15.0             # fold over [10, 20] only
+    assert e["a"]["n_points"] == 2
+    assert e["a"]["last_day"] == dt.date(2024, 1, 3)
+    h = {r["k"]: r for r in
+         holt_smoothing(df, ["k"], "day", "v", alpha=0.5).collect()}
+    assert set(h) == {"a"} and h[("a")]["n_points"] == 2
