@@ -263,3 +263,96 @@ def test_strip_boilerplate_matches_python_model(spark, docs):
     got = {r["doc_id"]: r["clean_text"]
            for r in strip_boilerplate_lines(df, min_docs=2).collect()}
     assert got == want
+
+
+# random graphs: node pool small enough that triangles/cores actually
+# form, edge lists with dups/reverses/self-loops
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1, max_size=40,
+)
+
+
+def _adj(raw):
+    es = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return es, adj
+
+
+@given(raw=_edges)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_model_on_random_graphs(spark, raw):
+    """Degree-ordered compact-forward enumeration == O(n^3) model on
+    arbitrary graphs (hubs, ties in degree, dups, self-loops)."""
+    from itertools import combinations
+
+    from rdw_spark.operators.graph import triangle_count
+
+    es, adj = _adj(raw)
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if {(x, y), (x, z), (y, z)} <= es:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(list(raw), "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+@given(raw=_edges, k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_kcore_matches_peeling_model_on_random_graphs(spark, raw, k):
+    """Fixpoint-early-exit bulk peeling == exact sequential peeling."""
+    from rdw_spark.operators.graph import kcore
+
+    _, adj = _adj(raw)
+    alive = set(adj)
+    while True:
+        deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+        new = {n for n in alive if deg[n] >= k}
+        if new == alive:
+            break
+        alive = new
+    expect = {n: deg[n] for n in alive}
+
+    df = spark.createDataFrame(list(raw), "src int, dst int")
+    got = {r["node"]: r["core_degree"]
+           for r in kcore(df, k=k, rounds=16).collect()}
+    assert got == expect
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from("ABCD"), min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_event_transitions_matches_model(spark, seqs):
+    """Pair counts == per-user adjacent pairs; probs row-normalize."""
+    from rdw_spark.operators.timeseries import event_transitions
+
+    rows, expect = [], {}
+    base = datetime(2024, 1, 1)
+    eid = 0
+    for u, seq in enumerate(seqs):
+        for i, state in enumerate(seq):
+            eid += 1
+            rows.append((u, base + timedelta(seconds=i), state, eid))
+        for a, b in zip(seq, seq[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, state string, eid int")
+    got = event_transitions(df, "u", "ts", "state", "eid").collect()
+    assert {(r["from_state"], r["to_state"]): r["n_transitions"]
+            for r in got} == expect
+    from_totals: dict[str, float] = {}
+    for r in got:
+        from_totals[r["from_state"]] = (
+            from_totals.get(r["from_state"], 0.0) + r["prob"])
+    for s, p in from_totals.items():
+        assert p == pytest.approx(1.0), s
