@@ -356,3 +356,66 @@ def test_event_transitions_matches_model(spark, seqs):
             from_totals.get(r["from_state"], 0.0) + r["prob"])
     for s, p in from_totals.items():
         assert p == pytest.approx(1.0), s
+
+
+_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=25,
+)
+
+
+@given(xs=_series, alpha=st.sampled_from([0.1, 0.35, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_ewma_and_holt_match_python_fold(spark, xs, alpha):
+    """Bit-exact fold parity vs the pure-Python recursions on arbitrary
+    float series (negatives, tiny/huge magnitudes, single points)."""
+    from rdw_spark.operators.timeseries import ewma, holt_smoothing
+
+    rows = [("k", datetime(2024, 1, 1) + timedelta(days=i), float(x))
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, day timestamp, v double")
+
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = alpha * float(x) + (1 - alpha) * acc
+    got = ewma(df, ["k"], "day", "v", alpha=alpha).collect()[0]
+    assert got["ewma"] == acc and got["n_points"] == len(xs)
+
+    beta = 0.25
+    lv, tr = float(xs[0]), 0.0
+    for x in xs[1:]:
+        nl = alpha * float(x) + (1 - alpha) * (lv + tr)
+        tr = beta * (nl - lv) + (1 - beta) * tr
+        lv = nl
+    h = holt_smoothing(df, ["k"], "day", "v",
+                       alpha=alpha, beta=beta).collect()[0]
+    assert h["level"] == lv and h["trend"] == tr
+
+
+@given(xs=st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=4, max_size=30,
+))
+@settings(**_SETTINGS)
+def test_winsorize_matches_numpy_percentile_model(spark, xs):
+    """Cut points == numpy linear-interpolation percentiles; every
+    output lands inside [lo, hi]; clip flags match the model."""
+    import numpy as np
+
+    from rdw_spark.operators.profiling import winsorize
+
+    arr = np.asarray([float(x) for x in xs], dtype=np.float64)
+    lo = float(np.percentile(arr, 10, method="linear"))
+    hi = float(np.percentile(arr, 90, method="linear"))
+    rows = [("g", i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = winsorize(df, ["g"], "v", lower=0.1, upper=0.9,
+                    keep_cols=["id"]).collect()
+    assert len(got) == len(xs)
+    for r in got:
+        w = min(max(float(xs[r["id"]]), lo), hi)
+        assert r["winsorized"] == pytest.approx(w, abs=1e-9)
+        assert lo - 1e-9 <= r["winsorized"] <= hi + 1e-9
+        assert r["clipped"] == (r["winsorized"] != r["v"])
