@@ -774,3 +774,59 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009) — the
+    standard way to combine a sparse (BM25) and a dense (embedding)
+    retrieval list into one hybrid ranking: each list contributes
+    ``1/(k0 + rank)`` for the ids it ranked, ids are unioned (an id
+    missing from a list just lacks that term), and the fused ranking
+    orders by the summed score. Rank-based, so it needs no score
+    calibration between heterogenous retrievers — and being a rational
+    of small integers, it is engine-parity exact where score-weighted
+    fusion would be float-order-dependent.
+
+    ``ranked`` is ``[(name, DataFrame)]`` where each frame carries
+    ``(id_col, rank_col)`` (1-based ranks, e.g. any *_topk output).
+    Output: ``(id_col, rank_<name>… (0 = not ranked), rrf_score,
+    rank)``. Scale shape: the inputs are top-k heads (tiny by
+    construction); the fusion is full-outer joins + one fixed-order
+    score sum + one bounded row_number — negligible next to the
+    retrieval stages that produced the lists.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    frames = [
+        df.select(F.col(id_col),
+                  F.col(rank_col).cast("long").alias(f"rank_{name}"))
+        for name, df in ranked
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), frames)
+    score = None
+    for name, _ in ranked:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"rank_{name}")), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        joined.select(
+            id_col,
+            *[F.coalesce(F.col(f"rank_{name}"), F.lit(0).cast("long"))
+              .alias(f"rank_{name}") for name, _ in ranked],
+            score.alias("rrf_score"),
+        )
+        # bounded window: the union of top-k heads, never the corpus
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2248,3 +2248,90 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return S.rescore_topk(pool.select("query_id", "vec_id"), e, q, k=5)
+
+
+@register(
+    "zz_hybrid_search_rrf",
+    # rank-based fusion is a rational of small integers — engine-parity
+    # exact where score-weighted fusion would be float-order-dependent;
+    # the sparse branch reuses the zz_text_bm25 oracle shape (k=20), the
+    # dense branch the sim_cosine_topk shape, fused by full outer join
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), pairs AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM pairs GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ), dft AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_t FROM pairs
+        WHERE tok IN ('merge', 'stream', 'window') GROUP BY tok
+    ), scored AS (
+        SELECT p.doc_id, p.tok,
+               ((stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+               * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))))
+                   AS score_t
+        FROM pairs p
+        JOIN dft ON p.tok = dft.tok
+        JOIN dl ON p.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ), sparse AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY (COALESCE(MAX(CASE WHEN tok = 'merge' THEN score_t END), 0.0)
+                      + COALESCE(MAX(CASE WHEN tok = 'stream' THEN score_t END), 0.0))
+                     + COALESCE(MAX(CASE WHEN tok = 'window' THEN score_t END), 0.0) DESC,
+                     doc_id ASC) AS BIGINT) AS rs
+        FROM scored GROUP BY doc_id
+        QUALIFY rs <= 20
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+        SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     vec_id ASC) AS BIGINT) AS rd
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        QUALIFY rd <= 20
+    ), fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               COALESCE(s.rs, CAST(0 AS BIGINT)) AS rank_sparse,
+               COALESCE(d.rd, CAST(0 AS BIGINT)) AS rank_dense,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + s.rs), CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rd), CAST(0 AS DOUBLE))
+                   AS rrf_score
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+    survey="ext: hybrid search via reciprocal-rank fusion (Cormack et "
+           "al.) — BM25 sparse top-20 + exact-cosine dense top-20 fused "
+           "as 1/(60+rank) sums (similarity.rrf_fuse): rank-based, so no "
+           "score calibration across retrievers and engine-parity exact; "
+           "fusion runs on the tiny top-k heads (full-outer join + "
+           "bounded row_number), the retrieval stages keep their own "
+           "scale shapes",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = X.bm25_rank(
+        _docs(spark, sf_dir), ["merge", "stream", "window"], k=20
+    ).select("doc_id", "rank")
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = S.cosine_topk_brute(e, q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return S.rrf_fuse([("sparse", sparse), ("dense", dense)], k=10)

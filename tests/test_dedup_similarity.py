@@ -1287,3 +1287,33 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7, k=4)
+
+
+def test_rrf_fuse_union_and_missing_terms(spark):
+    """RRF: ids union across lists, a missing rank contributes nothing,
+    scores are exact rationals, ties break by id."""
+    from rdw_spark.operators.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    dense = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in
+           rrf_fuse([("sparse", sparse), ("dense", dense)], k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3]["rrf_score"] == 1 / 63 + 1 / 61     # both lists
+    assert got[1]["rrf_score"] == 1 / 61              # sparse only
+    assert got[4]["rrf_score"] == 1 / 62              # dense only
+    assert got[1]["rank_dense"] == 0 and got[4]["rank_sparse"] == 0
+    # doc 3 (two mid terms) outranks doc 1 (one best term)
+    assert got[3]["rank"] == 1 and got[1]["rank"] == 2
+    # equal-score tie (same single rank in different lists) breaks by id:
+    tie_a = spark.createDataFrame([(7, 1)], "doc_id long, rank long")
+    tie_b = spark.createDataFrame([(5, 1)], "doc_id long, rank long")
+    tied = rrf_fuse([("a", tie_a), ("b", tie_b)], k=2).collect()
+    assert [r["doc_id"] for r in sorted(tied, key=lambda r: r["rank"])] == [5, 7]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
