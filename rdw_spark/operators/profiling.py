@@ -543,3 +543,55 @@ def target_encode_loo(
             enc.alias("encoded"),
         )
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mix-concentration diagnostics over the ``group_cols`` partition of
+    the data — how balanced is a training mix across its sources:
+    one row ``(n_groups, total_weight, gini, hhi, top1_share)`` where
+    ``gini`` is the Gini coefficient of the per-group totals
+    (0 = perfectly balanced, →1 = one group holds everything), ``hhi``
+    the Herfindahl–Hirschman index (Σ share²), and ``top1_share`` the
+    largest group's fraction. ``weight_col`` weights rows (token counts,
+    bytes); default is row count.
+
+    Engine-parity exact: per-group totals are exact integers (or
+    decimal sums cast once), the Gini numerator ``Σ (2i−k−1)·w_i`` over
+    rank-ordered totals is pure integer arithmetic, and every metric is
+    a single double division of exact quantities — no float folds at
+    all. Scale shape: one partial-agg shuffle to the group grain, then
+    a rank window + final aggregate over the O(groups) frame (the
+    bounded-window pattern — group counts are small by definition of
+    "mix"). Ranks order by (total, group) so ties are deterministic.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = (F.count(F.lit(1)) if weight_col is None
+         else F.sum(F.col(weight_col).cast("long")))
+    counts = df.groupBy(*g).agg(w.alias("_w"))
+    win = Window.orderBy("_w", *g)
+    ranked = counts.select("_w", F.row_number().over(win).alias("_i"))
+    # Σ(2i−k−1)·w_i decomposed as 2·Σ(i·w) − (k+1)·Σw so k never needs
+    # to be visible per row — everything is a plain integer aggregate
+    k = F.count(F.lit(1))
+    total = F.sum("_w")
+    si = F.sum(F.col("_i") * F.col("_w"))
+    return ranked.agg(
+        k.cast("long").alias("n_groups"),
+        total.cast("long").alias("total_weight"),
+        (
+            (2 * si - (k + 1) * total).cast("double")
+            / (k.cast("double") * total.cast("double"))
+        ).alias("gini"),
+        (
+            F.sum(F.col("_w") * F.col("_w")).cast("double")
+            / (total.cast("double") * total.cast("double"))
+        ).alias("hhi"),
+        (F.max("_w").cast("double") / total.cast("double"))
+        .alias("top1_share"),
+    )

@@ -2144,3 +2144,41 @@ def zz_sessionize_native_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sessionize_windowed(ev, gap_minutes=30)
+
+
+@register(
+    "zz_mix_concentration",
+    # every metric is a single double division of EXACT integer
+    # aggregates (rank-weighted Gini numerator decomposed as
+    # 2*sum(i*w) - (k+1)*sum(w)); ranks order by (weight, group) so
+    # ties are deterministic in both engines
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY w, source) AS i FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(w) AS BIGINT) AS total_weight,
+           CAST(2 * SUM(i * w) - (COUNT(*) + 1) * SUM(w) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
+               AS gini,
+           CAST(SUM(w * w) AS DOUBLE)
+               / (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)) AS hhi,
+           CAST(MAX(w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS top1_share
+    FROM r
+    """,
+    survey="ext: training-mix concentration diagnostics "
+           "(profiling.concentration_stats) — Gini / Herfindahl / top-1 "
+           "share of the per-source corpus weights: one partial-agg "
+           "shuffle to the source grain, a rank window + final aggregate "
+           "over the O(sources) frame, every metric one double division "
+           "of exact integers; the balance report a mixture sampler "
+           "(zz_sample_mixture) acts on",
+)
+def zz_mix_concentration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import concentration_stats
+
+    return concentration_stats(
+        _t(spark, sf_dir, "documents"), ["source"])

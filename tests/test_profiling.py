@@ -527,3 +527,33 @@ def test_target_encode_loo_null_targets(spark):
     gm = (10 + 20 + 100 + 200) / 4
     assert got[4] == gm and got[5] == gm      # all-null category
     assert got[1] == 20.0 and got[2] == 10.0  # LOO unaffected by the null
+
+
+def test_concentration_stats_known_distributions(spark):
+    """Gini/HHI against hand-computed distributions: perfectly balanced
+    -> gini 0, hhi 1/k; fully concentrated -> gini (k-1)/k, hhi ~1;
+    weighted variant respects the weight column."""
+    from rdw_spark.operators.profiling import concentration_stats
+
+    balanced = spark.createDataFrame(
+        [(s, i) for s in "abcd" for i in range(25)], "src string, x int")
+    r = concentration_stats(balanced, ["src"]).collect()[0]
+    assert r["n_groups"] == 4 and r["total_weight"] == 100
+    assert r["gini"] == 0.0 and r["hhi"] == 0.25
+    assert r["top1_share"] == 0.25
+
+    skewed = spark.createDataFrame(
+        [("big", i) for i in range(97)] + [("s1", 0), ("s2", 0), ("s3", 0)],
+        "src string, x int")
+    r = concentration_stats(skewed, ["src"]).collect()[0]
+    # exact: counts [1,1,1,97] -> gini = (2*(1+2+3+4*97)-5*100)/(4*100)
+    assert r["gini"] == (2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400
+    assert r["hhi"] == (1 + 1 + 1 + 97 * 97) / 10000
+    assert r["top1_share"] == 0.97
+
+    weighted = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 70)], "src string, tok int")
+    r = concentration_stats(weighted, ["src"], weight_col="tok").collect()[0]
+    assert r["total_weight"] == 100
+    assert r["top1_share"] == 0.7
+    assert r["hhi"] == (30 * 30 + 70 * 70) / 10000
