@@ -594,10 +594,15 @@ def bpe_encode(
 
     Scale shape: normalization + word splitting stay JVM-side
     (``normalize_text`` — the engine-parity surface); the merge replay is
-    the canonical Python-bound tokenizer step, run as an Arrow-batched
-    ``mapInPandas`` with per-distinct-word memoization inside each
-    partition (real corpora repeat words heavily, so the replay cost is
-    O(distinct words), not O(tokens)). ``merges`` accepts ``train_bpe``'s
+    the canonical Python-bound tokenizer step, but it runs over the
+    GLOBAL distinct-word frame only (``words.select("word").distinct()``
+    → Arrow-batched ``mapInPandas`` → one ``(word, tokens)`` row per
+    vocabulary entry), then the token arrays join back onto the word
+    positions and ``posexplode``. Python cost is O(global distinct
+    words) — NOT O(tokens) and NOT O(Σ per-partition distinct words) as
+    a per-partition memoization cache would be — and for real
+    vocabularies the encoded frame is small enough that AQE broadcasts
+    the join. ``merges`` accepts ``train_bpe``'s
     ``(tok_a, tok_b, merged, n)`` tuples or bare pairs.
     """
     import pandas as pd
@@ -607,20 +612,13 @@ def bpe_encode(
     words = df.select(
         F.col(id_col), F.posexplode(toks).alias("word_pos", "word")
     ).filter(F.col("word") != "")
-    out_schema = T.StructType([
-        words.schema[id_col],
-        T.StructField("word_pos", T.IntegerType(), False),
-        T.StructField("token_pos", T.IntegerType(), False),
-        T.StructField("token", T.StringType(), False),
+    enc_schema = T.StructType([
+        T.StructField("word", T.StringType(), False),
+        T.StructField("_toks", T.ArrayType(T.StringType(), False), False),
     ])
 
     def run(batches):
-        cache: dict[str, list[str]] = {}
-
         def enc(w: str) -> list[str]:
-            sym = cache.get(w)
-            if sym is not None:
-                return sym
             sym = list(w) + [end_of_word]
             for a, b in pairs:
                 merged, out, i = a + b, [], 0
@@ -632,21 +630,16 @@ def bpe_encode(
                         out.append(sym[i])
                         i += 1
                 sym = out
-            cache[w] = sym
             return sym
 
         for pdf in batches:
-            ids, wps, tps, ts = [], [], [], []
-            for i, wp, w in zip(pdf[id_col], pdf["word_pos"], pdf["word"]):
-                for tp, t in enumerate(enc(w)):
-                    ids.append(i)
-                    wps.append(wp)
-                    tps.append(tp)
-                    ts.append(t)
-            yield pd.DataFrame(
-                {id_col: ids, "word_pos": wps, "token_pos": tps, "token": ts})
+            ws = pdf["word"]
+            yield pd.DataFrame({"word": ws, "_toks": [enc(w) for w in ws]})
 
-    return words.mapInPandas(run, out_schema)
+    encoded = words.select("word").distinct().mapInPandas(run, enc_schema)
+    return words.join(encoded, "word").select(
+        id_col, "word_pos", F.posexplode("_toks").alias("token_pos", "token")
+    )
 
 
 def token_rarity(

@@ -2063,9 +2063,10 @@ def _bpe_encode_oracle(rounds: int, top_k: int) -> str:
     survey="ext: BPE tokenization with a trained vocabulary — merges "
            "replayed in learned order per word (== training-time final "
            "symbols); JVM-side normalization/splitting, Arrow-batched "
-           "mapInPandas replay memoized per distinct word (O(distinct "
-           "words) Python cost, not O(tokens)); the entry trains 10 "
-           "merges, encodes the corpus, and reports the top-20 token "
+           "mapInPandas replay over the GLOBAL distinct-word frame then "
+           "a join back to word positions + posexplode (O(vocabulary) "
+           "Python rows, not O(tokens)); the entry trains 10 merges, "
+           "encodes the corpus, and reports the top-20 token "
            "frequencies — oracle re-derives the merges AND the encoding "
            "in pure SQL",
 )

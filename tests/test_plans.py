@@ -403,3 +403,26 @@ class TestRound8LatePlans:
         assert "CartesianProduct" not in plan
         assert "PushedFilters:" in plan
         assert plan.count("event_type") >= 3
+
+
+class TestRound9Plans:
+    def test_bpe_encode_python_runs_over_distinct_words_only(self, spark):
+        # the r8-weak plan, fixed: the Python merge-replay stage consumes
+        # the GLOBAL distinct-word frame (one row per vocabulary entry),
+        # never the per-instance word stream — the MapInPandas node's
+        # input is exactly [word] and it sits above the distinct's final
+        # HashAggregate; tokens join back and posexplode JVM-side
+        import re
+
+        from rdw_spark.io import load_table
+        from rdw_spark.operators.text import bpe_encode
+
+        docs = load_table(spark, SF, "documents")
+        enc = bpe_encode(docs, [("e", "</w>"), ("t", "h")])
+        plan = explain_str(enc)
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+        m = re.search(r"\(\d+\) MapInPandas\nInput \[1\]: \[word#", plan)
+        assert m, "MapInPandas must consume only the distinct word column"
+        assert re.search(
+            r"\(\d+\) HashAggregate\nInput \[1\]: \[word#", plan
+        ), "distinct-word aggregate must feed the Python stage"
