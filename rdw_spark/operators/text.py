@@ -523,12 +523,57 @@ def bpe_pair_frequencies(word_symbols: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_safe_batch(
+    rows: list, max_batch: int
+) -> list[tuple[str, str, int]]:
+    """Select the maximal batch of merges provably equivalent to applying
+    them one counting round at a time (the Sennrich sequential trainer).
+
+    Scan the count-desc / lexicographic-sorted pair rows in order and
+    accept while (a) under ``max_batch`` and (b) the candidate does not
+    interact with any accepted pair — two pairs interact when their
+    symbol sets INCLUDING the merged concatenations overlap
+    ({a, b, a+b} ∩ {c, d, c+d} ≠ ∅); the concatenation term matters
+    because merging (a,b) mints new "ab" symbols that would feed a
+    later (ab,c) count. Then truncate the accepted prefix to counts
+    STRICTLY greater than the first non-accepted row's count.
+
+    Why this equals sequential: the accepted prefix contains every pair
+    ranked above the first rejection, so every non-batch pair's old
+    count ≤ the stop count < every kept pair's count. Merging disjoint
+    pairs leaves other batch pairs' counts unchanged (a merge fuses two
+    symbols, never creates or removes an adjacency of symbols it does
+    not touch), old interacting pairs can only lose occurrences, and
+    any NEW pair (x, ab) is bounded by the old count of the interacting
+    (x, a) ≤ stop count. So at sequential round k the argmax (with the
+    count-desc/lex tiebreak) is exactly batch pair k. Ties at the
+    boundary are truncated away rather than reasoned about; if
+    truncation would empty the batch, the top-1 pair alone is kept
+    (plain sequential step, always safe)."""
+    acc: list[tuple[str, str, int]] = []
+    syms: set[str] = set()
+    stop_count = None
+    for r in rows:
+        a, b, n = r["tok_a"], r["tok_b"], int(r["n_pairs"])
+        trio = {a, b, a + b}
+        if len(acc) >= max_batch or (trio & syms):
+            stop_count = n
+            break
+        acc.append((a, b, n))
+        syms |= trio
+    if stop_count is not None:
+        kept = [t for t in acc if t[2] > stop_count]
+        acc = kept or acc[:1]
+    return acc
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int,
     text_col: str = "text",
     end_of_word: str = "</w>",
     min_count: int = 1,
+    batch_merges: int = 1,
 ) -> dict:
     """Full BPE vocabulary induction (Sennrich et al. 2016): iterate
     (count adjacent symbol pairs → merge the argmax pair into one symbol)
@@ -538,34 +583,48 @@ def train_bpe(
     granularity.
 
     Driver-side loop of Spark jobs over the cached word-frequency symbol
-    frame: per round ONE partial-agg shuffle (the pair count), an O(1)
-    argmax collect (top-1 with the deterministic count-desc /
-    lexicographic tiebreak), and a map-only array-fold merge
-    (``bpe_apply_merge``) re-cached so lineage stays one round deep.
-    The corpus itself is read exactly once (``bpe_word_symbols``).
+    frame: per counting round ONE partial-agg shuffle (the pair count),
+    an O(batch) head collect (count-desc / lexicographic order), and a
+    map-only array-fold merge pass (``bpe_apply_merge``) re-cached so
+    lineage stays one round deep. The corpus itself is read exactly
+    once (``bpe_word_symbols``).
+
+    ``batch_merges > 1`` applies up to that many PROVABLY NON-INTERACTING
+    merges per counting round (``_bpe_safe_batch`` — disjoint symbol
+    sets including concatenations, boundary ties truncated), folding
+    them in sequence inside ONE projection. The merge list is
+    bit-identical to the sequential trainer's; the counting-round count
+    (the scale ceiling — a 32k vocabulary is 32k shuffles at batch 1)
+    drops roughly ``batch_merges``-fold on natural corpora. Returned as
+    ``rounds`` for observability.
 
     Stops early when no pair reaches ``min_count`` (or none is left).
     Returns ``{"merges": [(tok_a, tok_b, merged, n_pairs), ...],
-    "vocab": sorted final symbol inventory}``.
+    "vocab": sorted final symbol inventory, "rounds": counting rounds}``.
     """
     cur = bpe_word_symbols(df, text_col, end_of_word).cache()
     cur.count()  # materialize the corpus pass once
     merges: list[tuple[str, str, str, int]] = []
+    rounds = 0
     try:
-        for _ in range(num_merges):
-            top = (
+        while len(merges) < num_merges:
+            cap = min(max(batch_merges, 1), num_merges - len(merges))
+            head = (
                 bpe_pair_frequencies(cur)
+                .filter(F.col("n_pairs") >= min_count)
                 .orderBy(F.desc("n_pairs"), F.asc("tok_a"), F.asc("tok_b"))
-                .limit(1)
+                .limit(cap + 1)
                 .collect()
             )
-            if not top or top[0]["n_pairs"] < min_count:
+            rounds += 1
+            if not head:
                 break
-            a, b, n = top[0]["tok_a"], top[0]["tok_b"], int(top[0]["n_pairs"])
-            merges.append((a, b, a + b, n))
-            nxt = cur.select(
-                bpe_apply_merge(F.col("symbols"), a, b).alias("symbols"), "freq"
-            ).cache()
+            batch = _bpe_safe_batch(head, cap)
+            sym = F.col("symbols")
+            for a, b, n in batch:
+                merges.append((a, b, a + b, n))
+                sym = bpe_apply_merge(sym, a, b)
+            nxt = cur.select(sym.alias("symbols"), "freq").cache()
             nxt.count()  # materialize before dropping the parent's blocks
             cur.unpersist()
             cur = nxt
@@ -575,7 +634,7 @@ def train_bpe(
         )
     finally:
         cur.unpersist()
-    return {"merges": merges, "vocab": vocab}
+    return {"merges": merges, "vocab": vocab, "rounds": rounds}
 
 
 def bpe_encode(

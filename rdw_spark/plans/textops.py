@@ -2072,7 +2072,7 @@ def _bpe_encode_oracle(rounds: int, top_k: int) -> str:
 )
 def zz_bpe_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    merges = X.train_bpe(d, num_merges=10)["merges"]
+    merges = X.train_bpe(d, num_merges=10, batch_merges=4)["merges"]
     enc = X.bpe_encode(d, merges)
     return (
         enc.groupBy("token")

@@ -288,3 +288,84 @@ def test_bpe_encode_replay_parity_and_lossless(spark, texts):
             toks = [tok for _, tok in sorted(by_word[k])]
             assert toks == py_replay(w)
             assert "".join(toks).removesuffix("</w>") == w
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE merge rounds (batch_merges > 1) ≡ the sequential trainer
+# ---------------------------------------------------------------------------
+
+def test_bpe_safe_batch_rules():
+    """Unit cases for the safe-batch selector: concat-interaction
+    detection, boundary-tie truncation, and the top-1 fallback."""
+    from rdw_spark.operators.text import _bpe_safe_batch
+
+    def rows(*triples):
+        return [{"tok_a": a, "tok_b": b, "n_pairs": n} for a, b, n in triples]
+
+    # plain disjoint prefix, strict count gap at the stop row
+    assert _bpe_safe_batch(rows(("a", "b", 9), ("c", "d", 7), ("a", "x", 5)), 8) \
+        == [("a", "b", 9), ("c", "d", 7)]
+    # concatenation interaction: merging (a,b) mints "ab", so ("ab","c")
+    # must stop the prefix even though string sets {a,b} vs {ab,c} are
+    # disjoint
+    assert _bpe_safe_batch(rows(("a", "b", 9), ("ab", "c", 7)), 8) \
+        == [("a", "b", 9)]
+    # reverse direction: candidate whose concat equals an accepted symbol
+    assert _bpe_safe_batch(rows(("xy", "z", 9), ("x", "y", 7)), 8) \
+        == [("xy", "z", 9)]
+    # boundary tie with an interacting pair truncates the equal-count tail
+    assert _bpe_safe_batch(
+        rows(("a", "b", 9), ("c", "d", 7), ("a", "e", 7)), 8
+    ) == [("a", "b", 9)]
+    # truncation that would empty the batch falls back to top-1
+    assert _bpe_safe_batch(rows(("a", "b", 7), ("a", "c", 7)), 8) \
+        == [("a", "b", 7)]
+    # cap stops the prefix and the next row's count truncates ties
+    assert _bpe_safe_batch(
+        rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 7)), 2
+    ) == [("a", "b", 9)]
+
+
+def test_train_bpe_batched_known_corpus(spark):
+    """Batched trainer produces the bit-identical merge list/vocab on the
+    Sennrich-shaped corpus (every merge chains on the previous, so the
+    safe batch degenerates to 1 — correctness under maximal interaction),
+    and on a disjoint-alphabet corpus it actually batches, cutting the
+    counting-round count."""
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["aaa a aa"])
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = X.train_bpe(df, num_merges=8)
+    bat = X.train_bpe(df, num_merges=8, batch_merges=4)
+    assert bat["merges"] == seq["merges"]
+    assert bat["vocab"] == seq["vocab"]
+    assert seq["rounds"] >= len(seq["merges"])
+
+    # independent frequent pairs with distinct counts: (a,b):10 (c,d):8
+    # (e,f):6 are mutually disjoint, so round 1 applies all three at once
+    texts2 = ["abab"] * 5 + ["cdcd"] * 4 + ["efef"] * 3
+    rows2 = [Row(doc_id=i, text=t) for i, t in enumerate(texts2)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    seq2 = X.train_bpe(df2, num_merges=6)
+    bat2 = X.train_bpe(df2, num_merges=6, batch_merges=4)
+    assert bat2["merges"] == seq2["merges"]
+    assert bat2["vocab"] == seq2["vocab"]
+    assert seq2["rounds"] == 6
+    assert bat2["rounds"] <= 4
+    assert bat2["merges"][:3] == [
+        ("a", "b", "ab", 10), ("c", "d", "cd", 8), ("e", "f", "ef", 6)]
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_train_bpe_batched_matches_sequential(spark, texts):
+    """Property: for any corpus, batch_merges=4 yields exactly the
+    sequential trainer's merge sequence (pairs, products, counts) and
+    vocabulary — the _bpe_safe_batch equivalence proof, exercised."""
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bat = X.train_bpe(df, num_merges=5, batch_merges=4)
+    want_merges, want_vocab = _py_bpe(texts, 5)
+    assert bat["merges"] == want_merges
+    assert bat["vocab"] == want_vocab
