@@ -45,10 +45,12 @@ def pagerank(
 
     ``rank_units / unit`` is the conventional rank. Normalize by
     ``iters``-invariant total mass only if the graph has no dangling
-    nodes (undirected=True qualifies). Pick ``unit`` so
-    ``100 · n_nodes · unit < 2^63`` (the in-sum multiply must stay in
-    64-bit; the default leaves room for ~10^5 nodes — a web-scale graph
-    drops unit to 10^9 and keeps 9 significant digits).
+    nodes (undirected=True qualifies). The in-sum multiply must stay in
+    64-bit: ``100 · n_nodes · unit < 2^63`` is validated at runtime
+    (total mass never exceeds ``n_nodes · unit`` and the damping
+    multiply scales it by ≤ 100). The default unit bounds n_nodes at
+    ~9.2·10^4; a web-scale graph drops ``unit`` to 10^9 (9 significant
+    digits, ~9.2·10^7 nodes) or lower.
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
@@ -57,13 +59,23 @@ def pagerank(
         e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
     e = e.distinct()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
-    ed = e.join(deg, "_s").cache()  # big side: cached once, reused per round
+    # big side: hash-partitioned on the join key BEFORE caching, so every
+    # round's edges⋈ranks reuses the cached partitioning and only the
+    # O(nodes) rank frame shuffles — without the repartition, each round
+    # re-exchanges the cached edge frame too
+    ed = e.join(deg, "_s").repartition("_s").cache()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
         .cache()
     )
+    n_nodes = nodes.count()  # nodes is cached; also the overflow guard
+    if 100 * n_nodes * unit >= 2**63:
+        raise ValueError(
+            f"integer overflow risk: 100 * {n_nodes} nodes * unit {unit} "
+            f">= 2^63 — lower `unit` (needs unit < {2**63 // (100 * max(n_nodes, 1))})"
+        )
     base = (unit * (100 - damping_pct)) // 100
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_units"))
     for i in range(iters):
