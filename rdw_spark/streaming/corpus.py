@@ -273,17 +273,25 @@ def maintain_corpus(
     the reference's maintenance cadence (off-peak, like mart OPTIMIZE):
     compacts fragmented partitions and GCs old manifests/versions for the
     corpus and every state table (dedup indexes, drops, stats). Safe
-    between triggers: each
-    compaction publishes through the same atomic manifest rename the
-    writers use."""
-    return {
-        name: {
-            "compacted_partitions": pt.compact(spark, max_files=max_files),
+    between triggers AND across a crash-restart boundary: each compaction
+    publishes through the same atomic manifest rename the writers use,
+    and the NEWEST append tag's dirs per table are kept referenced
+    verbatim (the ``rebase(keep_versions={a<top>})`` contract from
+    ``compact_mergeable_state``) — structured streaming may replay the
+    last uncommitted batch after a crash, and its ``append_rows`` must
+    land as an idempotent self-overwrite, not re-add rows a compacted
+    dir already absorbed."""
+    out: dict[str, dict[str, int]] = {}
+    for name, pt in corpus_tables(
+            out_root, **resolve_table_opts(out_root, table_opts)).items():
+        top = pt.newest_append_tag()
+        keep = {f"a{top}"} if top is not None else None
+        out[name] = {
+            "compacted_partitions": pt.compact(
+                spark, max_files=max_files, keep_versions=keep),
             "removed_dirs": pt.gc(keep_manifests=keep_manifests),
         }
-        for name, pt in corpus_tables(
-            out_root, **resolve_table_opts(out_root, table_opts)).items()
-    }
+    return out
 
 
 def validate_corpus_store(

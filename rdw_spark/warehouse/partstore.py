@@ -397,15 +397,44 @@ class PartitionedTable:
 
     # ---------- maintenance (reference X3, docs/Performance.md:9-28) ----------
 
-    def compact(self, spark: SparkSession, max_files: int = 4) -> int:
+    def newest_append_tag(self) -> str | None:
+        """The most recent ``append_rows`` tag still referenced by the
+        manifest (numeric tags compare as ints — micro-batch ids — other
+        tags lexicographically), or None if no append dirs exist. This is
+        the tag a crashed-then-restarted stream may replay, so maintenance
+        must keep its dirs referenced verbatim (see ``compact``)."""
+        _, man = self.latest()
+        tags = {
+            str(v)[1:]
+            for vs in man.values()
+            for v in self._vers(vs)
+            if str(v).startswith("a")
+        }
+        if not tags:
+            return None
+        if all(t.lstrip("-").isdigit() for t in tags):
+            return max(tags, key=int)
+        return max(tags)
+
+    def compact(self, spark: SparkSession, max_files: int = 4,
+                keep_versions: set[str] | None = None) -> int:
         """Rewrite partitions fragmented past ``max_files`` data files into
-        one file each (OPTIMIZE analog). Returns partitions compacted."""
+        one file each (OPTIMIZE analog). Returns partitions compacted.
+
+        ``keep_versions`` dirs stay referenced verbatim and are excluded
+        from both the fragmentation count and the fold — the same replay
+        contract as ``rebase``: folding a still-replayable batch's
+        ``a<tag>`` dirs into a plain version dir would turn that batch's
+        replayed ``append_rows`` into a duplicate insert instead of an
+        idempotent self-overwrite."""
+        keep = {str(v) for v in (keep_versions or set())}
         ver, man = self.latest()
         frag = []
         for p, vs in man.items():
             n_files = sum(
                 1
                 for v in self._vers(vs)
+                if str(v) not in keep
                 for f in os.listdir(self._part_dir(p, v))
                 if f.endswith(".parquet")
             )
@@ -418,7 +447,10 @@ class PartitionedTable:
             reader = reader.schema(self.schema)
         out = (
             reader.parquet(*[
-                self._part_dir(p, v) for p in frag for v in self._vers(man[p])
+                self._part_dir(p, v)
+                for p in frag
+                for v in self._vers(man[p])
+                if str(v) not in keep
             ])
             .withColumn("_part", self._part_col())
             .repartition(F.col("_part"))  # one task → one file per partition
@@ -426,7 +458,14 @@ class PartitionedTable:
         new_ver = ver + 1
         written = self._write_parts(out, new_ver)
         man2 = dict(man)
-        man2.update({p: new_ver for p in written})
+        for p in frag:
+            kept = [v for v in self._vers(man[p]) if str(v) in keep]
+            folded = [new_ver] if p in written else []
+            vs2 = folded + kept
+            if not vs2:  # all-empty fold: drop the now-rowless partition
+                man2.pop(p, None)
+                continue
+            man2[p] = vs2[0] if len(vs2) == 1 else vs2
         self._publish(new_ver, man2)
         return len(frag)
 

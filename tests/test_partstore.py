@@ -461,3 +461,53 @@ def test_rebase_keeps_tag_dirs_replay_idempotent(spark, tmp_path):
     pt3.rebase(spark, spark.createDataFrame([Row(g=1, n=5)]),
                keep_versions=set())
     assert {(r["g"], r["n"]) for r in pt3.read(spark).collect()} == {(1, 5)}
+
+
+def test_compact_keep_versions_preserves_replayable_tag(spark, tmp_path):
+    """compact(keep_versions={a<top>}) folds history but leaves the newest
+    append tag's dirs referenced verbatim — the crash-replay contract: a
+    stream that died before its checkpoint commit replays the newest
+    batch, whose append_rows must self-overwrite, not duplicate against a
+    compacted dir that already absorbed it."""
+    pt = PartitionedTable(str(tmp_path), "idx", "pmod(id, 2)", ["id"])
+    for b in range(5):
+        pt.append_rows(spark, spark.createDataFrame(
+            [Row(id=10 * b, v=f"b{b}"), Row(id=10 * b + 1, v=f"b{b}")]),
+            tag=b)
+    assert pt.newest_append_tag() == "4"
+    assert pt.read(spark).count() == 10
+
+    assert pt.compact(spark, max_files=1, keep_versions={"a4"}) == 2
+    _, man = pt.latest()
+    for p in ("0", "1"):
+        assert "a4" in man[p]
+        assert os.path.isdir(os.path.join(str(tmp_path), "idx",
+                                          f"part={p}", "v=a4"))
+    assert pt.read(spark).count() == 10
+
+    # crash-replay of the newest batch: idempotent self-overwrite
+    pt.append_rows(spark, spark.createDataFrame(
+        [Row(id=40, v="b4"), Row(id=41, v="b4")]), tag=4)
+    assert pt.read(spark).count() == 10
+
+    # ...whereas a keep-less compact would have absorbed a4 and the same
+    # replay WOULD duplicate (the bug the guard exists for)
+    pt2 = PartitionedTable(str(tmp_path / "t2"), "idx", "pmod(id, 2)", ["id"])
+    for b in range(5):
+        pt2.append_rows(spark, spark.createDataFrame(
+            [Row(id=10 * b, v=f"b{b}"), Row(id=10 * b + 1, v=f"b{b}")]),
+            tag=b)
+    pt2.compact(spark, max_files=1)
+    pt2.append_rows(spark, spark.createDataFrame(
+        [Row(id=40, v="b4"), Row(id=41, v="b4")]), tag=4)
+    assert pt2.read(spark).count() == 12  # duplicated — hence keep_versions
+
+
+def test_newest_append_tag_numeric_ordering(spark, tmp_path):
+    """Micro-batch ids compare as integers: tag 10 is newer than tag 9
+    (string max would say '9')."""
+    pt = PartitionedTable(str(tmp_path), "idx", "pmod(id, 2)", ["id"])
+    assert pt.newest_append_tag() is None
+    pt.append_rows(spark, spark.createDataFrame([Row(id=0, v="x")]), tag=9)
+    pt.append_rows(spark, spark.createDataFrame([Row(id=1, v="y")]), tag=10)
+    assert pt.newest_append_tag() == "10"

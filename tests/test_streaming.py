@@ -1180,3 +1180,60 @@ class TestSessionizeWindowed:
                 spark.createDataFrame(real, schema), 30).collect()
         }
         assert got == want
+
+
+def test_maintain_corpus_crash_then_maintain_then_replay(spark, tmp_path):
+    """The aggstate crash contract, for the corpus store: if the stream
+    died after its state appends but BEFORE the checkpoint commit, and
+    maintenance ran before restart, the replayed batch's
+    append_rows(tag=top) must land as an idempotent self-overwrite.
+    maintain_corpus keeps the newest append tag's dirs referenced
+    verbatim (compact(keep_versions={a<top>})), so the replay overwrites
+    its own dirs instead of duplicating rows a compacted dir absorbed."""
+    import glob
+    import os
+
+    from rdw_spark.streaming.corpus import (
+        corpus_tables, maintain_corpus, stream_corpus_build,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_root = str(tmp_path / "corpus_store")
+    for b in range(3):
+        _drop_docs(spark, tmp_path, landing, f"b{b}", [
+            (b * 10 + i, _wordy(f"doc{b}x{i}", 12), "en", "src0", 60)
+            for i in range(3)
+        ])
+        q = stream_corpus_build(spark, str(landing), out_root,
+                                str(tmp_path / "ckpt"), near_dup=False)
+        q.awaitTermination(120)
+
+    t = corpus_tables(out_root)
+    top = t["corpus"].newest_append_tag()
+    assert top is not None
+    # capture the newest batch's exact append payload per table (what a
+    # restarted stream would re-emit) BEFORE maintenance touches anything
+    replays = {}
+    for name, pt in t.items():
+        dirs = glob.glob(os.path.join(out_root, name, "part=*", f"v=a{top}"))
+        if dirs:
+            replays[name] = spark.read.parquet(*dirs).collect()
+    assert replays  # the newest batch appended to at least one table
+    before = {n: sorted(map(tuple, pt.read(spark).collect()))
+              for n, pt in t.items()}
+
+    maintain_corpus(spark, out_root, max_files=1)
+
+    # the replayable tag dirs survived maintenance on disk
+    for name in replays:
+        assert glob.glob(os.path.join(out_root, name, "part=*", f"v=a{top}"))
+
+    # crash-replay: same rows, same tag → content identical, no dupes
+    for name, rows in replays.items():
+        t[name].append_rows(
+            spark, spark.createDataFrame(rows, t[name].schema or None),
+            tag=top)
+    after = {n: sorted(map(tuple, pt.read(spark).collect()))
+             for n, pt in t.items()}
+    assert after == before
