@@ -49,6 +49,13 @@ def hash_sample(
 
 
 def _hash_sample_pred(key: Column, fraction: float, seed: str) -> Column:
+    # fraction == 1.0 means keep-everything EXACTLY: the strict '<' against
+    # the max threshold would drop keys whose 8-hex md5 prefix is ffffffff
+    # (~2^-32 per key — a handful of rows at corpus scale)
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return F.lit(True)
     return _hash_hex(key, seed) < F.lit(threshold_hex(fraction))
 
 
@@ -61,23 +68,23 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic Bernoulli: ``fractions`` is either one
     rate for every stratum or a per-stratum dict (missing strata keep
-    nothing — explicit is safer than a silent 100%). Still map-only: the
-    stratum picks the threshold, the hash picks the rows."""
-    if isinstance(fractions, dict):
-        thr = None
-        for value, frac in sorted(fractions.items()):
-            cond = F.col(strata_col) == value
-            lit = F.lit(threshold_hex(frac))
-            thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
-        thr = thr.otherwise(F.lit("00000000")) if thr is not None else F.lit("00000000")
-    else:
-        thr = F.lit(threshold_hex(float(fractions)))
+    nothing — explicit is safer than a silent 100%). A fraction >= 1.0
+    keeps the stratum EXACTLY in full (see ``_hash_sample_pred``). Still
+    map-only: the stratum picks the threshold, the hash picks the rows."""
     # salt the hash with the stratum so per-stratum draws are independent:
     # without it, a row kept at rate r in one stratum is always kept at
     # rate r' >= r in another — correlated samples across strata
     key = F.concat(F.col(strata_col).cast("string"), F.lit("|"),
                    F.col(key_col).cast("string"))
-    return df.filter(_hash_hex(key, seed) < thr)
+    if not isinstance(fractions, dict):
+        return df.filter(_hash_sample_pred(key, float(fractions), seed))
+    pred = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        keep = _hash_sample_pred(key, float(frac), seed)
+        pred = F.when(cond, keep) if pred is None else pred.when(cond, keep)
+    pred = pred.otherwise(F.lit(False)) if pred is not None else F.lit(False)
+    return df.filter(pred)
 
 
 def sample_k_per_stratum(
@@ -160,7 +167,9 @@ def mixture_sample(
     ``min(1, weight·budget / available)`` and draw that fraction with the
     module's deterministic per-stratum hash predicate. Sources not in
     ``weights`` contribute nothing (explicit mixes only); a source with
-    less material than its target is capped at keep-everything (its
+    less material than its target is capped at exactly keep-everything
+    (the 1.0 fraction short-circuits the hash threshold, so no key is
+    lost to the strict '<' at the top of the hash space; its
     deficit is reported, not silently shifted onto other sources —
     rebalancing policy belongs to the caller).
 

@@ -717,6 +717,7 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query build the m×k lookup table
     of exact query-subvector→centroid squared distances ONCE, then score
@@ -724,6 +725,13 @@ def pq_topk(
     reconstructed. ``queries`` is a driver-side ``[(query_id, [floats])]``
     list (query sets are small; the tables broadcast in the UDF
     closure). Returns ``(query_id, vec_id, adc_dist, rank)``.
+
+    ``exclude_self`` (default True) drops candidates whose ``id_col``
+    equals the query id — the right default when queries are drawn from
+    the corpus (``cosine_topk_brute``'s convention, which assumes a
+    SHARED id space). Pass False for externally-numbered queries, where
+    an unrelated corpus vector could collide with a query id and be
+    silently excluded.
 
     Scale shape: scoring is mapInPandas over the ENCODED table — the
     big side never shuffles, each Arrow batch pays one vectorized numpy
@@ -769,9 +777,10 @@ def pq_topk(
     scored = encoded.select(id_col, code_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     return (
-        scored.filter(F.col("query_id") != F.col(id_col))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

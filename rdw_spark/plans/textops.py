@@ -404,9 +404,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          4294967295.0) AS BIGINT)) AS t
         FROM plan
     ), kept AS (
+        -- f >= 1.0 keeps the stratum in full (the engine short-circuits
+        -- the threshold predicate for capped sources)
         SELECT t.source, d.n_chars
         FROM documents d JOIN thr t ON d.source = t.source
-        WHERE substr(md5('mix0' || d.source || '|'
+        WHERE t.f >= 1.0 OR substr(md5('mix0' || d.source || '|'
                          || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.t
     )
     SELECT t.source, t.available, t.f AS keep_fraction,
@@ -1447,15 +1449,17 @@ def shuffle_order_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
         SELECT lang, SUM(n_tokens) AS tw FROM t GROUP BY lang
     ), r AS (
-        SELECT lang,
+        SELECT lang, LEAST(1.0, 5000.0 / tw) AS rate,
                printf('%08x', LEAST(CAST(floor(LEAST(1.0, 5000.0 / tw)
                                           * 4294967296.0) AS BIGINT),
                                     4294967295)) AS thr
         FROM tot
     )
+    -- rate >= 1.0 keeps the stratum in full (engine short-circuit)
     SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
     FROM t JOIN r USING (lang)
-    WHERE substr(md5('s0' || t.lang || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+    WHERE r.rate >= 1.0 OR
+          substr(md5('s0' || t.lang || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8)
           < r.thr
     """,
     survey="ext: token-budget domain rebalance — per-stratum rate = "

@@ -439,3 +439,28 @@ def test_mixture_sample_plan_caps_and_determinism(spark):
     assert plan3.collect()[0]["keep_fraction"] == 1.0
     n_src1 = docs.filter(F.col("source") == "src1").count()
     assert sample3.count() == n_src1
+
+
+def test_fraction_one_keeps_everything_exactly(spark):
+    """fraction >= 1.0 short-circuits the hash threshold: a capped
+    stratum/sample keeps EVERY row (the strict '<' against ffffffff would
+    drop ~2^-32 of keys), and the full-keep branch plans as a literal,
+    not an md5 filter."""
+    import pytest as _pytest
+
+    from rdw_spark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, s string")
+    assert hash_sample(df, 1.0, "id").count() == 100
+    got = stratified_sample(df, "s", {"a": 1.0, "b": 0.0}, "id")
+    assert got.count() == 50
+    assert {r["s"] for r in got.collect()} == {"a"}
+    # hash_sample(1.0) has no md5 in its plan — literal keep-all
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hash_sample(df, 1.0, "id").explain()
+    assert "md5" not in buf.getvalue()
+    with _pytest.raises(ValueError):
+        hash_sample(df, 1.5, "id")
