@@ -785,6 +785,150 @@ def pq_topk(
     )
 
 
+def ivfpq_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_rows: int | None = 8192,
+):
+    """IVFADC build (Jégou et al. 2011 §IV): compose the coarse IVF
+    quantizer with PQ codebooks trained on the RESIDUALS ``x − c(x)``.
+    Residual encoding is what makes the composition better than either
+    rung alone — the coarse centroid absorbs the vector's location so the
+    m-byte code only has to describe the (much lower-variance) offset.
+
+    Returns ``(encoded, centroids, codebooks)`` where ``encoded`` is
+    ``(id_col, cell, pq_code)`` — the search table carries NO
+    full-precision vectors (m bytes + a cell id per vector; at scale,
+    persist it partitioned by ``cell`` exactly like :func:`ivf_index`
+    so probes prune partitions). Scale shape: the residual subtraction
+    is a broadcast join on ``cell`` + one JVM ``zip_with`` (map-only);
+    training touches only a bounded sample."""
+    assigned, centroids = ivf_build(
+        emb, n_centroids, id_col, vec_col, seed, max_iter, sample_rows)
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in centroids], "cell int, _centroid array<double>")
+    resid = (
+        assigned.join(F.broadcast(cent), "cell")
+        .withColumn(
+            "_resid",
+            F.zip_with(F.col(vec_col).cast("array<double>"),
+                       F.col("_centroid"), lambda x, y: x - y),
+        )
+    )
+    books = pq_train(resid, m=m, k=k, vec_col="_resid", seed=seed,
+                     max_iter=max_iter, sample_rows=sample_rows)
+    encoded = pq_encode(resid, books, vec_col="_resid").select(
+        id_col, "cell", "pq_code")
+    return encoded, centroids, books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    queries: list,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC search: probe each query's ``nprobe`` nearest cells and
+    ADC-score ONLY the codes in those cells, using a per-(query, cell)
+    residual lookup table ``lut[j][c] = ||(q − centroid)_j − codebook_j[c]||²``
+    (``||q − (centroid + r̂)||² = ||(q − centroid) − r̂||²``, so summing m
+    gathers is the exact asymmetric distance to the reconstruction).
+
+    Returns the top-``shortlist`` (default ``4·k``) candidates per query
+    by ADC distance — feed them to :func:`rescore_topk` for the exact
+    final ranking (the full ladder: coarse prune → ADC shortlist → exact
+    head). vs :func:`ivf_topk` at equal ``nprobe``, the exact-scoring
+    stage shrinks from every-candidate-in-probed-cells to the shortlist;
+    vs :func:`pq_topk`, the ADC stage shrinks from the whole corpus to
+    the probed cells.
+
+    Scale shape: probe selection is driver-side numpy over the tiny
+    centroid list; the candidate read is ``cell IN (probed)`` — a
+    partition-pruned scan on the IVF layout; scoring is mapInPandas over
+    the encoded table (the big side never shuffles, one vectorized gather
+    per (query, cell) per Arrow batch); only per-query shortlist heads
+    pass through the WindowGroupLimit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if shortlist is None:
+        shortlist = 4 * k
+    cbs = [np.asarray(b, dtype=np.float64) for _, b in
+           sorted(codebooks, key=lambda t: t[0])]
+    m, sub = len(cbs), cbs[0].shape[1]
+    cent_ids = [c for c, _ in sorted(centroids, key=lambda t: t[0])]
+    cent_mat = np.asarray(
+        [v for _, v in sorted(centroids, key=lambda t: t[0])],
+        dtype=np.float64)
+    # cell -> [(query_id, m×k residual LUT)] for the queries probing it
+    probe_map: dict[int, list] = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d2 = ((cent_mat - q[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.asarray(cent_ids), d2))  # ties → lower cell id
+        for pos in order[:nprobe]:
+            r = q - cent_mat[pos]
+            lut = np.empty((m, cbs[0].shape[0]), dtype=np.float64)
+            for j, cb in enumerate(cbs):
+                diff = cb - r[j * sub:(j + 1) * sub][None, :]
+                lut[j] = (diff * diff).sum(axis=1)
+            probe_map.setdefault(int(cent_ids[pos]), []).append((qid, lut))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    probed_cells = sorted(probe_map)
+    rows_j = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf[code_col].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            for cell in np.unique(cells):
+                mask = cells == cell
+                sub_codes, sub_ids = codes[mask], ids[mask]
+                for qid, lut in probe_map.get(int(cell), ()):
+                    d = lut[rows_j[None, :], sub_codes].sum(axis=1)
+                    yield pd.DataFrame({
+                        "query_id": np.full(len(sub_ids), qid, dtype=np.int64),
+                        id_col: sub_ids,
+                        "adc_dist": d,
+                    })
+
+    scored = (
+        encoded.filter(F.col("cell").isin(probed_cells))
+        .select(id_col, "cell", code_col)
+        .mapInPandas(score, out_schema)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+    )
+
+
 def rrf_fuse(
     ranked: list,
     id_col: str = "doc_id",

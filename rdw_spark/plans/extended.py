@@ -223,7 +223,7 @@ def p10_column_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a2_conditional_minmax",
+    "zz_a2_conditional_minmax",
     oracle="""
     SELECT l_linestatus,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
@@ -248,7 +248,7 @@ def a2_conditional_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_windowed_event_counts",
+    "zz_t_windowed_event_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -1331,7 +1331,7 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "zz_stat_chi_square",
+    "stat_chi_square",
     # both engines fold the R×C cell terms in sorted (a, b) order — a
     # deterministic sequential double sum (the float analog of the
     # decimal-accumulate pattern, valid because cells are few), so chi2
@@ -1439,7 +1439,7 @@ def zz_topk_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_graph_pagerank",
+    "graph_pagerank",
     # Three synchronous rounds in chained CTEs over the undirected
     # customer↔supplier bipartite graph. Integer micro-unit arithmetic
     # (floor division both engines) makes every round bit-exact — the
@@ -1881,7 +1881,7 @@ def zz_ts_anomaly_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_holt",
+    "holt_smoothing",
     # the two-state extension of the zz_ts_ewma fold parity: both
     # engines run the identical left-to-right double sequence. The
     # oracle unrolls the fold as a RECURSIVE CTE rather than a
@@ -2011,7 +2011,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 
 
 @register(
-    "zz_graph_kcore",
+    "graph_kcore",
     # k=60 sits just above the co-purchase graph's min degree at the
     # oracle SFs (peels a handful of nodes, fixpoint within 2-4 passes,
     # verified at sf0.001 and sf0.01); at larger SFs degrees grow past

@@ -150,7 +150,7 @@ def p3_status_code_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p5_like_patterns",
+    "zz_p5_like_patterns",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment,
            substr(c_name, length(c_name) - 1, 2) = '42' AS ends_42
@@ -324,7 +324,7 @@ def j6_expression_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j7_cumulative_distinct_users",
+    "zz_j7_cumulative_distinct_users",
     oracle="""
     WITH first_seen AS (
         SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
@@ -722,7 +722,7 @@ def w5_bounded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o1_top_k",
+    "zz_o1_top_k",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders

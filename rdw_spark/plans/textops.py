@@ -2062,7 +2062,7 @@ def _bpe_encode_oracle(rounds: int, top_k: int) -> str:
 
 
 @register(
-    "zz_bpe_encode",
+    "bpe_encode",
     oracle=_bpe_encode_oracle(rounds=10, top_k=20),
     survey="ext: BPE tokenization with a trained vocabulary — merges "
            "replayed in learned order per word (== training-time final "
@@ -2248,6 +2248,44 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     queries = [(int(r["vec_id"]), list(r["v"])) for r in qrows]
     pool = S.pq_topk(enc, books, queries, k=20)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.rescore_topk(pool.select("query_id", "vec_id"), e, q, k=5)
+
+
+@register(
+    "zz_sim_ivfpq_topk",
+    oracle=None,  # both quantizers are iterative KMeans (non-SQL); the
+    # composition's recall-vs-IVF-alone and exact-scored-row-reduction
+    # contracts are locked in
+    # tests/test_dedup_similarity.py::test_ivfpq_recall_and_candidate_reduction
+    survey="ext: IVFADC (Jégou et al. §IV) — the full ANN ladder "
+           "composed: coarse IVF quantizer prunes to nprobe cells "
+           "(partition-pruned read on the cell layout), PQ codes trained "
+           "on RESIDUALS x−c(x) score the survivors by per-(query,cell) "
+           "m×k lookup tables without reconstruction (mapInPandas, big "
+           "side never shuffles), exact cosine rescore touches only the "
+           "ADC shortlist — vs ivf_topk the exact stage shrinks from "
+           "every-candidate-in-probed-cells to 4·k per query",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    # L2-normalize so residual-ADC (L2) ordering tracks the cosine
+    # ordering the exact rescore uses — the standard cosine-ANN prep
+    nrm = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / S.norm_expr(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    enc, cents, books = S.ivfpq_build(nrm, n_centroids=16, m=8, k=64)
+    # bounded driver collect: the QUERY set (5 rows), never candidates
+    qrows = nrm.filter(F.col("vec_id") < 5).collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    pool = S.ivfpq_topk(enc, cents, books, queries, k=5, nprobe=4)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),

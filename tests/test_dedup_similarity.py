@@ -1317,3 +1317,87 @@ def test_rrf_fuse_union_and_missing_terms(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([])
+
+
+def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
+    """IVFADC composition contract (the full ANN ladder): at EQUAL nprobe
+    the IVF+PQ+rescore pipeline recalls at least as much of the brute
+    cosine top-10 as ivf_topk alone, while the exact-scoring stage touches
+    strictly fewer rows (the ADC shortlist vs every candidate in the
+    probed cells). Also pins the encoded-table shape: no full-precision
+    vectors, m codes in [0, k)."""
+    import numpy as np
+
+    from rdw_spark.operators.similarity import (
+        ivf_build, ivf_topk, ivfpq_build, ivfpq_topk, rescore_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / S.norm_expr(F.col("embedding")),
+        ).alias("embedding"),
+    ).cache()
+    n_cells, nprobe, k = 16, 8, 10
+    # 48-bit codes (m=8 × 6 bits): near-uniform synthetic vectors carry
+    # almost no cluster structure, so resolving the top-10 needs more
+    # code budget than real embeddings would
+    enc, cents, books = ivfpq_build(nrm, n_centroids=n_cells, m=8, k=64)
+    enc = enc.cache()
+
+    # encoded search table carries only (id, cell, code) — the memory rung
+    assert set(enc.columns) == {"vec_id", "cell", "pq_code"}
+    first = enc.first()
+    assert len(first["pq_code"]) == 8
+    assert all(0 <= c < 64 for c in first["pq_code"])
+    assert enc.count() == emb.count()
+
+    rows = nrm.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(5)]
+
+    # IVFADC: ADC shortlist -> exact cosine rescore. 160 ≈ half the
+    # ~300 candidates the probed cells hold (worst measured ADC rank of
+    # a true neighbor at this code budget is 69 — 2.3x margin)
+    pool = ivfpq_topk(
+        enc, cents, books, queries, k=k, nprobe=nprobe, shortlist=160).cache()
+    n_exact_ivfpq = pool.count()  # rows the exact stage touches
+    qdf = nrm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    ivfpq = rescore_topk(pool.select("query_id", "vec_id"), nrm, qdf, k=k).collect()
+
+    # IVF alone at the same nprobe (same seeded coarse quantizer)
+    assigned, cents2 = ivf_build(nrm, n_centroids=n_cells)
+    assert cents2 == cents  # seeded: the two builds share the quantizer
+    ivf = ivf_topk(assigned, cents, qdf, k=k, nprobe=nprobe).collect()
+    # rows IVF's exact stage touches: every candidate in the probed cells
+    cell_sizes = dict(
+        assigned.groupBy("cell").count().rdd.map(tuple).collect())
+    cmat = np.asarray([v for _, v in sorted(cents)], dtype=np.float64)
+    n_exact_ivf = 0
+    for _, qv in queries:
+        d2 = ((cmat - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2, kind="stable")[:nprobe]:
+            n_exact_ivf += cell_sizes.get(int(cell), 0)
+    assert n_exact_ivfpq < n_exact_ivf, (n_exact_ivfpq, n_exact_ivf)
+
+    # ground truth: brute cosine top-10 (== L2 order on normalized vecs)
+    def recall(got):
+        sets = {}
+        for r in got:
+            sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        total = 0.0
+        for qid, qv in queries:
+            d = ((X - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+            truth = [int(i) for i in ids[np.argsort(d, kind="stable")]
+                     if int(i) != qid][:k]
+            total += len(sets.get(qid, set()) & set(truth)) / k
+        return total / len(queries)
+
+    r_ivfpq, r_ivf = recall(ivfpq), recall(ivf)
+    assert r_ivfpq >= r_ivf, (r_ivfpq, r_ivf)
+    nrm.unpersist(); enc.unpersist(); pool.unpersist()

@@ -331,7 +331,7 @@ class TestRound8Plans:
         # via broadcast at this scale (AQE may pick SMJ when ranks
         # outgrow the threshold — the gate is NO cartesian and no
         # fact-side re-sort of the cached edges)
-        plan = _plan(spark, catalog, "zz_graph_pagerank")
+        plan = _plan(spark, catalog, "graph_pagerank")
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
 
@@ -358,7 +358,7 @@ class TestRound8LatePlans:
     def test_holt_single_operator_shuffle(self, spark, catalog):
         import re
 
-        plan = _plan(spark, catalog, "zz_ts_holt")
+        plan = _plan(spark, catalog, "holt_smoothing")
         assert "Window" not in plan and "Join" not in plan
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
 
