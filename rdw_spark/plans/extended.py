@@ -1581,6 +1581,47 @@ def zz_quantile_sketch_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "zz_summary_cube",
+    oracle=None,  # the distinct sketch is deterministic-but-non-SQL
+                  # (xxhash64 HLL registers); the single-Exchange plan,
+                  # per-family accuracy, merge-vs-rebuild, register
+                  # bit-identity, and streaming-twin contracts are
+                  # pytest-locked (tests/test_summary.py)
+    survey="ext: UNIFIED sketch cube — t-digest quantiles + Misra-Gries "
+           "top-k + HLL distinct materialized per group in ONE scan of "
+           "the fact (one mapInPandas partial pass carrying every "
+           "family's partials, ONE hash Exchange, one grouped merge — "
+           "plan-gated), vs three separate scans for the per-sketch "
+           "rollups; registers hash JVM-side (xxhash64) and max-merge, "
+           "so the distinct state is bit-identical under any "
+           "partitioning; streaming maintenance via "
+           "streaming.aggstate.stream_summary_state",
+)
+def zz_summary_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.summary import merge_summary_cubes, summary_cube, summary_readout
+
+    spec = [
+        ("chars", "quantile", "n_chars", 200),
+        ("src", "topk", "source", 16),
+        ("docs", "distinct", "doc_id", 12),
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    fine = summary_cube(d, ["lang", "source"], spec)
+    # the dashboard question answers from the cube, not the fact:
+    # roll the (lang, source) grain up to lang and read all three
+    coarse = merge_summary_cubes(fine, ["lang"], spec)
+    out = summary_readout(coarse, spec, quantiles=(0.5, 0.95), topk=3)
+    return out.select(
+        "lang", F.col("chars_n").alias("n_values"),
+        F.round("chars_q5", 2).alias("approx_p50_chars"),
+        F.round("chars_q95", 2).alias("approx_p95_chars"),
+        F.col("src_top").alias("top_sources"),
+        F.col("src_ntotal").alias("n_docs"),
+        F.round("docs_distinct", 0).alias("approx_distinct_docs"),
+    ).orderBy("lang")
+
+
+@register(
     "stat_rank_statistics",
     oracle="""
     SELECT c_mktsegment AS segment, c_acctbal, c_custkey,

@@ -218,3 +218,43 @@ def read_topk_state(
         spark, out_root, group_cols,
         lambda rows: merge_topk_sketches(rows, group_cols, m),
     )
+
+
+def stream_summary_state(
+    spark: SparkSession, landing_dir: str, read_schema, out_root: str,
+    checkpoint: str, group_cols: list[str], spec,
+    max_files_per_trigger: int = 100, available_now: bool = True,
+):
+    """Continuously maintain a full :func:`operators.summary.summary_cube`
+    (every sketch family in one pass per micro-batch) — the unified
+    maintenance path for the per-sketch twins above: one state table,
+    one delta append per trigger, one merge on read."""
+    from rdw_spark.operators.summary import summary_cube
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: summary_cube(b, group_cols, spec),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_summary_state(
+    spark: SparkSession, out_root: str, group_cols: list[str], spec
+) -> DataFrame:
+    from rdw_spark.operators.summary import merge_summary_cubes
+
+    return read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_summary_cubes(rows, group_cols, spec),
+    )
+
+
+def compact_summary_state(
+    spark: SparkSession, out_root: str, group_cols: list[str], spec
+) -> int:
+    from rdw_spark.operators.summary import merge_summary_cubes
+
+    return compact_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_summary_cubes(rows, group_cols, spec),
+    )
