@@ -337,6 +337,70 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_bloom_pruned_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000
+    """,
+    survey="ext/scale (explicit runtime-filter join: a Bloom filter of "
+           "the build side's keys broadcasts where the ROWS can't — "
+           "Kirsch-Mitzenmacher double xxhash64, per-partition numpy "
+           "bitmaps OR-merged through one single-group reduce — and the "
+           "fact drops non-matching rows MAP-SIDE before the join "
+           "shuffle; false positives are removed by the join itself so "
+           "the result is bit-exactly the plain join — the oracle IS the "
+           "plain join. operators/bloom.py)",
+)
+def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_pruned_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).select("c_custkey", "c_name")
+    return bloom_pruned_join(
+        o, c, "o_custkey", "c_custkey", n_bits=1 << 16,
+    ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
+    "zz_corpus_overlap",
+    oracle=None,  # KMV arrays are xxhash64-order statistics (no DuckDB
+                  # twin); bit-determinism under any partitioning, EXACT
+                  # merge-equals-rebuild, and ground-truth overlap
+                  # envelopes are pytest-locked (tests/test_kmv.py)
+    survey="ext: corpus-overlap / contamination-rate estimation via KMV "
+           "set-operation sketches (Bar-Yossef et al.; Beyer et al.) — "
+           "k-minimum xxhash64 values per corpus (one distinct shuffle + "
+           "WindowGroupLimit top-k; raw shingles never shuffle), then "
+           "union/Jaccard/intersection/containment from pure array "
+           "expressions over the two sketch rows: the set algebra HLL "
+           "registers cannot do, at O(k) state per corpus",
+)
+def zz_corpus_overlap_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+    from ..operators.kmv import kmv_overlap, kmv_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    # two halves of the corpus share content exactly where the generator
+    # planted duplicates — the contamination-measurement shape
+    sh = shingles(d, n=3, hashed=True).withColumn("g", F.lit("corpus"))
+    a = kmv_sketch(sh.filter(F.col("doc_id") % 2 == 0), ["g"], "shingle")
+    b = kmv_sketch(sh.filter(F.col("doc_id") % 2 == 1), ["g"], "shingle")
+    r = kmv_overlap(a, b, ["g"])
+    return r.select(
+        "g", F.round("n_a", 1).alias("n_shingles_even"),
+        F.round("n_b", 1).alias("n_shingles_odd"),
+        F.round("union_est", 1).alias("union_est"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+        F.round("intersect_est", 1).alias("intersect_est"),
+        F.round("containment_a_in_b", 4).alias("containment_even_in_odd"),
+        F.round("containment_b_in_a", 4).alias("containment_odd_in_even"),
+    )
+
+
+@register(
     "zz_skew_hotkeys",
     oracle="""
     WITH c AS (

@@ -258,3 +258,33 @@ def compact_summary_state(
         spark, out_root, group_cols,
         lambda rows: merge_summary_cubes(rows, group_cols, spec),
     )
+
+
+def stream_kmv_state(
+    spark: SparkSession, landing_dir: str, read_schema, out_root: str,
+    checkpoint: str, group_cols: list[str], value_col: str, k: int = 1024,
+    max_files_per_trigger: int = 100, available_now: bool = True,
+):
+    """Continuously maintain per-group KMV sketches (``operators.kmv``):
+    per-batch sketch deltas merge EXACTLY (k smallest of a union come
+    from the k smallest of each part), so the maintained sketch is
+    bit-identical to one built over everything ingested — the strongest
+    contract in the sketch family."""
+    from rdw_spark.operators.kmv import kmv_sketch
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: kmv_sketch(b, group_cols, value_col, k),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_kmv_state(
+    spark: SparkSession, out_root: str, group_cols: list[str], k: int = 1024
+) -> DataFrame:
+    from rdw_spark.operators.kmv import kmv_merge
+
+    return read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: kmv_merge(rows, group_cols, k),
+    )
