@@ -1,0 +1,76 @@
+"""Event-sequence pattern matching (MATCH_RECOGNIZE-lite): detect
+regex-shaped behavioral patterns — "views, then clicks, then a
+purchase", "three errors with no recovery between" — per entity over an
+ordered event stream.
+
+The funnel operator answers "did stages happen in order"; this answers
+the strictly richer class of questions with repetition, alternation,
+and adjacency ("v+c+p", "e{3,}", "s(v|c)*p"): each entity's events
+become a SYMBOL STRING (one char per mapped event, in a deterministic
+total (ts, symbol, id) order) and the pattern is a plain regular
+expression over it — the classic trick that makes sequence queries
+engine-portable, since any SQL engine with ordered string_agg + regexp
+evaluates the identical semantics (the catalog entry is oracle-exact
+against DuckDB doing exactly that).
+
+Scale shape: one filter+map projects events to (group, ts, sym, id) —
+unmapped event types are dropped BEFORE the shuffle — then ONE groupBy
+builds the per-entity ordered array (``array_sort(collect_list)``), and
+matching is JVM ``regexp_count``/``regexp_extract`` on the concatenated
+string. Per-entity state is O(events-per-entity); ``max_events`` caps
+pathological entities deterministically (first N in sort order), the
+same guard the sessionizer uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    group_cols: list[str],
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    max_events: int | None = None,
+) -> DataFrame:
+    """One row per entity: ``(group…, seq_len, n_matches, matched,
+    first_match)``. ``symbols`` maps event values to single characters
+    (unmapped events are ignored); ``pattern`` is a regular expression
+    over those characters. ``n_matches`` counts non-overlapping matches
+    left-to-right (regexp_count semantics in both Spark and DuckDB);
+    ``first_match`` is the first matched substring ('' when none).
+    Entities none of whose events are mapped do not appear."""
+    for ev, sym in symbols.items():
+        if len(sym) != 1:
+            raise ValueError(f"symbol for {ev!r} must be one char, got {sym!r}")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(symbols.items()) for x in kv])
+    mapped = (
+        events.filter(F.col(event_col).isin(list(symbols)))
+        .select(
+            *group_cols,
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.element_at(mapping, F.col(event_col)).alias("sym"),
+                F.col(id_col).alias("id"),
+            ).alias("_e"),
+        )
+    )
+    arr = F.array_sort(F.collect_list("_e"))
+    if max_events is not None:
+        arr = F.slice(arr, 1, max_events)
+    seqs = mapped.groupBy(*group_cols).agg(
+        F.concat_ws("", F.transform(arr, lambda e: e["sym"])).alias("seq"))
+    pat = F.lit(pattern)
+    return seqs.select(
+        *group_cols,
+        F.length("seq").alias("seq_len"),
+        F.regexp_count(F.col("seq"), pat).alias("n_matches"),
+        (F.regexp_count(F.col("seq"), pat) > 0).alias("matched"),
+        F.regexp_extract(F.col("seq"), pattern, 0).alias("first_match"),
+    )

@@ -297,6 +297,45 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_sequence_match",
+    oracle="""
+    WITH mapped AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' END AS sym
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), seqs AS (
+        SELECT user_id,
+               string_agg(sym, '' ORDER BY ts, sym, event_id) AS seq
+        FROM mapped GROUP BY user_id
+    )
+    SELECT user_id, CAST(LENGTH(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INT) AS n_matches,
+           len(regexp_extract_all(seq, 'v+c+p')) > 0 AS matched,
+           COALESCE(regexp_extract(seq, 'v+c+p'), '') AS first_match
+    FROM seqs
+    """,
+    survey="ext: MATCH_RECOGNIZE-lite event-sequence matching — each "
+           "entity's events become a symbol string in a deterministic "
+           "(ts, symbol, id) total order and the behavioral pattern is a "
+           "plain regex over it ('v+c+p': views, then clicks, then a "
+           "purchase, adjacent); richer than funnels (repetition/"
+           "alternation/adjacency) yet engine-portable, so the entry is "
+           "oracle-EXACT. One shuffle; unmapped events drop map-side. "
+           "operators/sequence.py",
+)
+def t_sequence_match_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import sequence_match
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match(
+        ev, "v+c+p",
+        {"view": "v", "click": "c", "purchase": "p"},
+        ["user_id"],
+    )
+
+
+@register(
     "j_salted_skew_join",
     oracle="""
     SELECT o.o_orderpriority, l.l_linestatus, COUNT(*) AS n_items,

@@ -1,0 +1,87 @@
+"""Event-sequence pattern matching: hand-checked symbol strings,
+non-overlapping match counts, deterministic tie order, max_events cap,
+and validation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import types as T
+
+from rdw_spark.operators.sequence import sequence_match
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+])
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_symbol_string_and_match_semantics(spark):
+    rows = [
+        # user 1: v v c p x v c p  -> 'vvcpvcp' (x unmapped), 2 matches
+        (1, _ts(1), 1, "view"), (2, _ts(2), 1, "view"),
+        (3, _ts(3), 1, "click"), (4, _ts(4), 1, "purchase"),
+        (5, _ts(5), 1, "other"), (6, _ts(6), 1, "view"),
+        (7, _ts(7), 1, "click"), (8, _ts(8), 1, "purchase"),
+        # user 2: p c v (wrong order) -> no match
+        (9, _ts(1), 2, "purchase"), (10, _ts(2), 2, "click"),
+        (11, _ts(3), 2, "view"),
+        # user 3: only unmapped events -> absent from output
+        (12, _ts(1), 3, "other"),
+    ]
+    got = {r["user_id"]: r for r in sequence_match(
+        spark.createDataFrame(rows, SCHEMA), "v+c+p",
+        {"view": "v", "click": "c", "purchase": "p"}, ["user_id"],
+    ).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["seq_len"] == 7
+    assert got[1]["n_matches"] == 2 and got[1]["matched"]
+    assert got[1]["first_match"] == "vvcp"
+    assert got[2]["n_matches"] == 0 and not got[2]["matched"]
+    assert got[2]["first_match"] == ""
+
+
+def test_tie_order_and_max_events(spark):
+    # same timestamp: order falls back to (symbol, id) — deterministic
+    rows = [
+        (2, _ts(1), 1, "click"), (1, _ts(1), 1, "view"),
+        (3, _ts(1), 1, "purchase"),
+    ]
+    r = sequence_match(
+        spark.createDataFrame(rows, SCHEMA), "vcp|cpv",
+        {"view": "v", "click": "c", "purchase": "p"}, ["user_id"],
+    ).collect()[0]
+    # sort by (ts, sym, id): c(2) < p(3) < v(1) alphabetically -> 'cpv'
+    assert r["first_match"] == "cpv"
+
+    capped = sequence_match(
+        spark.createDataFrame(rows, SCHEMA), "c",
+        {"view": "v", "click": "c", "purchase": "p"}, ["user_id"],
+        max_events=2,
+    ).collect()[0]
+    assert capped["seq_len"] == 2  # first two in sort order only
+
+
+def test_repetition_pattern(spark):
+    rows = [(i, _ts(i), 1, "error") for i in range(5)]
+    r = sequence_match(
+        spark.createDataFrame(rows, SCHEMA), "e{3}",
+        {"error": "e"}, ["user_id"],
+    ).collect()[0]
+    assert r["seq_len"] == 5
+    assert r["n_matches"] == 1  # non-overlapping: eee|ee -> one full match
+    assert r["first_match"] == "eee"
+
+
+def test_symbol_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, _ts(1), 1, "view")], SCHEMA)
+    with pytest.raises(ValueError, match="one char"):
+        sequence_match(df, "v", {"view": "vw"}, ["user_id"])
