@@ -78,3 +78,35 @@ def agg_readout(state: DataFrame) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_val"),
         (F.col("sum_dec").cast("double") / F.col("n_values")).alias("avg_val"),
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance for an INNER equi-join view ``A ⋈ B``
+    under insert-only deltas: the rows this batch ADDS to the view are
+
+        ΔV = (ΔA ⋈ (B_old ∪ ΔB)) ∪ (A_old ⋈ ΔB)
+
+    — the classic delta-join identity (ΔA pairs with all of new B; old A
+    pairs with ΔB; ΔA⋈ΔB is inside the first term, and counted once).
+    Append ΔV to the materialized view and it stays equal to the full
+    join of everything loaded, bit-exactly, in any batch order.
+
+    Scale shape: deltas are batch-sized, so BOTH joins broadcast the
+    delta side — the big old tables are probed in place, never shuffled
+    (plan-gated in tests). Maintaining a 100 TB join view costs
+    O(|Δ| · match) per batch instead of a full re-join; at that scale
+    keep the view partitioned by the join key so the appends co-locate.
+
+    Inner equi-join, insert-only (the ivm contract — deletes need
+    subtractable state that min/max-style views don't have). Pass the
+    EMPTY frame (``a_old.limit(0)``) for a side with no prior rows."""
+    new_from_a = F.broadcast(a_delta).join(
+        b_old.unionByName(b_delta), on, "inner")
+    new_from_b = a_old.join(F.broadcast(b_delta), on, "inner")
+    return new_from_a.unionByName(new_from_b)

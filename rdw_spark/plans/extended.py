@@ -404,6 +404,44 @@ def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_incremental_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey="ext: incremental view maintenance for JOINs — the delta-join "
+           "identity dV = (dA join B_new) UNION (A_old join dB) keeps a "
+           "materialized join view exact under interleaved insert-only "
+           "loads of BOTH sides at O(delta*match) per batch (deltas "
+           "broadcast; the big old sides are never shuffled — "
+           "plan-gated); the accumulated view is bit-exactly the plain "
+           "join, so the oracle IS the plain join + GROUP BY. "
+           "operators/ivm.py::join_delta",
+)
+def zz_incremental_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import join_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o0, o1 = o.filter("c_custkey % 2 = 0"), o.filter("c_custkey % 2 = 1")
+    c0, c1 = c.filter("c_custkey % 3 = 0"), c.filter("c_custkey % 3 <> 0")
+    eo, ec = o.limit(0), c.limit(0)
+    # interleaved loads: orders batch, customers batch, orders, customers
+    v = join_delta(eo, o0, ec, ec, ["c_custkey"])
+    v = v.unionByName(join_delta(o0, eo, ec, c0, ["c_custkey"]))
+    v = v.unionByName(join_delta(o0, o1, c0, ec, ["c_custkey"]))
+    v = v.unionByName(join_delta(o0.unionByName(o1), eo, c0, c1, ["c_custkey"]))
+    return v.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@register(
     "zz_corpus_overlap",
     oracle=None,  # KMV arrays are xxhash64-order statistics (no DuckDB
                   # twin); bit-determinism under any partitioning, EXACT
