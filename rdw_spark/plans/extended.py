@@ -404,6 +404,61 @@ def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_table_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey % 2 = 0
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal,
+           'insert' AS _change_type
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'insert'
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'delete'
+    FROM base WHERE c_custkey % 10 = 0
+    """,
+    survey="ext/storage: change-data feed between table snapshots "
+           "(partstore.read_changes) — manifests diff DRIVER-side so only "
+           "partitions whose data-version sets changed are read at all "
+           "(one changed partition on a 100 TB table reads one partition "
+           "twice); row diffs are exact exceptAll multiset differences, "
+           "updates surface as delete(before)+insert(after), and "
+           "old − deletes + inserts == new exactly — so the feed is "
+           "oracle-EXACT from the known upsert batch. The CDC window is "
+           "the time-travel window (gc keep_manifests)",
+)
+def zz_table_cdc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..warehouse.partstore import PartitionedTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    # fresh-enough table root per dataset build (same keying as the IVF
+    # index entries): reruns add snapshots, but the feed is computed
+    # between the two versions THIS run publishes, so output is stable
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"rdw_cdc_{key}")
+    pt = PartitionedTable(root, "cust", "c_mktsegment", ["c_custkey"])
+    pt.overwrite(spark, c.filter("c_custkey % 2 = 0"))
+    v1 = pt.latest()[0]
+    batch = c.filter("c_custkey % 10 = 0").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    ).unionByName(c.filter("c_custkey % 2 = 1"))
+    pt.merge_rows(spark, batch)
+    v2 = pt.latest()[0]
+    return pt.read_changes(spark, v1, v2)
+
+
+@register(
     "zz_incremental_join",
     oracle="""
     SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,

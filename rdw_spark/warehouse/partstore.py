@@ -192,6 +192,73 @@ class PartitionedTable:
             reader = reader.schema(self.schema)
         return reader.parquet(*paths)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data feed between two snapshots: every row inserted or
+        deleted going from ``from_version`` to ``to_version`` (default
+        latest), tagged ``_change_type`` ('insert' | 'delete'; an update
+        appears as delete + insert of the key). Downstream consumers
+        apply the feed instead of rescanning:
+        ``old − deletes + inserts == new`` exactly (pytest-locked).
+
+        Scale shape: the manifests are compared DRIVER-SIDE (O(parts)
+        dicts), and only partitions whose data-version sets differ are
+        read at all — an unchanged 100 TB table with one changed
+        partition reads one partition twice, nothing else. Within a
+        changed partition the row diff is two ``exceptAll`` multiset
+        differences (exact, null-safe, duplicate-correct). Both
+        snapshots must still be on disk (``gc(keep_manifests=…)``
+        bounds the CDC window exactly like the time-travel window)."""
+        vs = self.versions()
+        if from_version not in vs:
+            raise ValueError(
+                f"{self.name}: snapshot v{from_version} not on disk "
+                f"(available: {vs or 'none'})")
+        if to_version is None:
+            to_version = vs[-1]
+        elif to_version not in vs:
+            raise ValueError(
+                f"{self.name}: snapshot v{to_version} not on disk "
+                f"(available: {vs or 'none'})")
+        m_old = self.manifest(from_version)
+        m_new = self.manifest(to_version)
+        changed = [
+            p for p in set(m_old) | set(m_new)
+            if self._vers(m_old.get(p, [])) != self._vers(m_new.get(p, []))
+        ]
+
+        def _read_parts(man: dict, parts: list[str]) -> DataFrame | None:
+            paths = [
+                self._part_dir(p, v)
+                for p in sorted(parts) if p in man
+                for v in self._vers(man[p])
+            ]
+            if not paths:
+                return None
+            reader = spark.read
+            if self.schema is not None:
+                reader = reader.schema(self.schema)
+            return reader.parquet(*paths)
+
+        old_df = _read_parts(m_old, changed)
+        new_df = _read_parts(m_new, changed)
+        if old_df is None and new_df is None:
+            empty = self.read(spark, parts=[])
+            return empty.withColumn("_change_type", F.lit(""))
+        if old_df is None:
+            old_df = new_df.limit(0)
+        if new_df is None:
+            new_df = old_df.limit(0)
+        inserts = new_df.exceptAll(old_df).withColumn(
+            "_change_type", F.lit("insert"))
+        deletes = old_df.exceptAll(new_df).withColumn(
+            "_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # ---------- write ----------
 
     def _part_col(self):

@@ -511,3 +511,61 @@ def test_newest_append_tag_numeric_ordering(spark, tmp_path):
     pt.append_rows(spark, spark.createDataFrame([Row(id=0, v="x")]), tag=9)
     pt.append_rows(spark, spark.createDataFrame([Row(id=1, v="y")]), tag=10)
     assert pt.newest_append_tag() == "10"
+
+
+class TestChangeDataFeed:
+    def test_read_changes_tracks_upserts_and_deletes(self, spark, tmp_path):
+        """CDC between snapshots: updates appear as delete+insert, pure
+        inserts as insert, delete_rows as delete; applying the feed to
+        the old snapshot reproduces the new one exactly; unchanged
+        partitions are not even listed for reading."""
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        base = spark.createDataFrame(
+            [Row(id=i, school_year=2015 + (i % 4), v="a") for i in range(40)])
+        pt.overwrite(spark, base)  # v1
+        batch = spark.createDataFrame(
+            [Row(id=3, school_year=2018, v="UPDATED"),
+             Row(id=99, school_year=2018, v="NEW")])
+        pt.merge_rows(spark, batch)  # v2
+        pt.delete_rows(  # v3 (keys_df carries the partition source column)
+            spark, spark.createDataFrame([Row(id=0, school_year=2015)]),
+            keys=["id"])
+
+        c12 = pt.read_changes(spark, 1, 2).collect()
+        by_type = {}
+        for r in c12:
+            by_type.setdefault(r["_change_type"], []).append((r["id"], r["v"]))
+        assert sorted(by_type["insert"]) == [(3, "UPDATED"), (99, "NEW")]
+        assert by_type["delete"] == [(3, "a")]  # the update's before-image
+
+        c23 = pt.read_changes(spark, 2, 3).collect()
+        assert [(r["id"], r["_change_type"]) for r in c23] == [(0, "delete")]
+
+        # feed application: old - deletes + inserts == new (multiset-exact)
+        old = pt.read(spark, version=1)
+        feed = pt.read_changes(spark, 1, 3)
+        dels = feed.filter("_change_type = 'delete'").drop("_change_type")
+        ins = feed.filter("_change_type = 'insert'").drop("_change_type")
+        applied = old.exceptAll(dels).unionByName(ins)
+        new = pt.read(spark, version=3)
+        assert sorted(map(tuple, applied.collect())) == sorted(
+            map(tuple, new.collect()))
+
+        # same-version feed is empty; missing snapshot raises
+        assert pt.read_changes(spark, 3, 3).count() == 0
+        with pytest.raises(ValueError, match="not on disk"):
+            pt.read_changes(spark, 999)
+
+    def test_read_changes_prunes_unchanged_partitions(self, spark, tmp_path):
+        """Only changed partitions' paths enter the scan (the driver-side
+        manifest diff is the pruning)."""
+        pt = PartitionedTable(str(tmp_path), "fact", "school_year", ["id"])
+        base = spark.createDataFrame(
+            [Row(id=i, school_year=2015 + (i % 4), v="a") for i in range(40)])
+        pt.overwrite(spark, base)
+        pt.merge_rows(spark, spark.createDataFrame(
+            [Row(id=99, school_year=2018, v="NEW")]))
+        feed = pt.read_changes(spark, 1, 2)
+        files = feed.inputFiles()
+        assert files and all("part%3D2018" in f or "part=2018" in f
+                             for f in files), files
