@@ -165,31 +165,46 @@ def ivf_build(
 ):
     """Train the coarse quantizer and assign every vector to its cell.
 
-    The quantizer fits on a ``sample_rows``-row sample (pass ``None`` for a
-    full fit); assignment is always the full table. Returns
-    ``(assigned, centroids)``: ``assigned`` = emb + ``cell`` column
-    (at 100 TB, persist partitioned by ``cell`` so probes prune partitions —
-    :func:`ivf_index` does exactly that);
+    The quantizer fits on a ``sample_rows``-row sample (pass ``None`` for
+    a full fit) — bounded by design, so the fit is a seeded vectorized
+    numpy Lloyd's over the collected sample (a few MB; a Spark-ML fit at
+    that size is all job-orchestration overhead, measured ~2 s/fit).
+    Assignment is always the full table: one Arrow-batched argmin pass,
+    map-only. Returns ``(assigned, centroids)``: ``assigned`` = emb +
+    ``cell`` column (at 100 TB, persist partitioned by ``cell`` so probes
+    prune partitions — :func:`ivf_index` does exactly that);
     ``centroids`` = small driver-side list [(cell_id, [floats])] that
     broadcasts into the search.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+    from pyspark.sql.functions import pandas_udf
 
-    vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    fit_on = vecs
+    fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_rows is not None:
-        # the quantizer only needs a representative sample — fitting KMeans
-        # on the full table is O(N·k·iters) for no recall benefit
+        # the quantizer only needs a representative sample — fitting on
+        # the full table is O(N·k·iters) for no recall benefit
         n = emb.count()
         if n > sample_rows:
-            fit_on = vecs.sample(False, sample_rows / n, seed)
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_v",
-        predictionCol="cell",
-    ).fit(fit_on)
-    assigned = model.transform(vecs).drop("_v")
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+            fit_on = fit_on.sample(False, sample_rows / n, seed)
+    # bounded driver collect: the training SAMPLE, never the table
+    x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
+    cents = _lloyd(x, n_centroids, seed, max_iter)
+    cb = np.asarray(cents, dtype=np.float64)
+    cb_sq = (cb * cb).sum(axis=1)
+
+    # no type hints: PEP-563 stringified annotations (future-imported in
+    # this module) break pandas_udf's signature inference
+    @pandas_udf(T2.IntegerType())
+    def assign(vs):
+        xs = np.vstack(vs.to_numpy()).astype(np.float64)
+        d = -2.0 * (xs @ cb.T) + cb_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    assigned = emb.withColumn(
+        "cell", assign(F.col(vec_col).cast("array<double>")))
+    centroids = [(i, [float(v) for v in c]) for i, c in enumerate(cb)]
     return assigned, centroids
 
 
@@ -618,6 +633,42 @@ def cluster_stats(
 # without ever reconstructing them.
 # ---------------------------------------------------------------------------
 
+def _lloyd(x, k: int, seed: int, iters: int):
+    """Seeded vectorized Lloyd's k-means on a driver-side sample array.
+    Deterministic: seeded distinct-row init, argmin ties break low,
+    empty clusters re-seeded from the farthest points in a fixed order.
+    Returns the (k, dim) centroid array."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    uniq = np.unique(x, axis=0)
+    if len(uniq) <= k:
+        # fewer distinct points than centroids: pad by repeating the
+        # last distinct row (assignment is unaffected)
+        pad = np.repeat(uniq[-1:], k - len(uniq), axis=0)
+        return np.concatenate([uniq, pad]) if len(uniq) < k else uniq
+    cents = uniq[rng.choice(len(uniq), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        new = np.empty_like(cents)
+        empty = []
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                new[c] = x[mask].mean(axis=0)
+            else:
+                empty.append(c)
+        if empty:
+            far = np.argsort(-d.min(axis=1), kind="stable")
+            for i, c in enumerate(empty):
+                new[c] = x[far[i]]
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 4,
@@ -628,9 +679,13 @@ def pq_train(
     sample_rows: int | None = 8192,
 ) -> list:
     """Train per-subspace codebooks: split each vector into ``m``
-    contiguous subvectors and KMeans each subspace to ``k`` centroids
-    (on a bounded sample — the quantizer needs representativeness, not
-    the full table). Returns a small driver-side structure
+    contiguous subvectors and k-means each subspace to ``k`` centroids
+    on a bounded sample. The sample is BOUNDED BY DESIGN (the quantizer
+    needs representativeness, not the full table), so the m fits run as
+    seeded vectorized numpy Lloyd's on the collected sample — a few MB —
+    rather than m Spark-ML jobs whose per-fit orchestration dominates at
+    sample scale (measured ~2 s/fit overhead; m=8 codebooks cost more in
+    job launches than in math). Returns a small driver-side structure
     ``[(subspace, [[centroid floats] × k])]`` (m·k·(dim/m) floats) that
     broadcasts into encode/search. Seeded, so retrains are reproducible;
     like the IVF quantizer it is NOT engine-portable — parity for the
@@ -639,8 +694,7 @@ def pq_train(
     ``dim`` must divide evenly by ``m`` (validated on the first row —
     ragged subspaces silently skew the code budget toward the tail
     otherwise)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     if m < 1 or k < 2:
         raise ValueError(f"need m >= 1 and k >= 2, got m={m}, k={k}")
@@ -656,20 +710,13 @@ def pq_train(
         n = emb.count()
         if n > sample_rows:
             fit_on = fit_on.sample(False, sample_rows / n, seed)
-    fit_on = fit_on.cache()
+    # bounded driver collect: the training SAMPLE (≤ sample_rows rows),
+    # never the table — the documented quantizer-fit contract
+    x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
     books = []
     for j in range(m):
-        part = fit_on.select(
-            array_to_vector(F.slice("_v", j * sub + 1, sub)).alias("_s")
-        )
-        model = KMeans(
-            k=k, seed=seed + j, maxIter=max_iter, featuresCol="_s",
-            predictionCol="_c",
-        ).fit(part)
-        books.append(
-            (j, [[float(x) for x in c] for c in model.clusterCenters()])
-        )
-    fit_on.unpersist()
+        cents = _lloyd(x[:, j * sub:(j + 1) * sub], k, seed + j, max_iter)
+        books.append((j, [[float(v) for v in c] for c in cents]))
     return books
 
 
@@ -821,6 +868,10 @@ def ivfpq_build(
             F.zip_with(F.col(vec_col).cast("array<double>"),
                        F.col("_centroid"), lambda x, y: x - y),
         )
+        # cached: the residual chain (assignment UDF + join + zip_with)
+        # feeds the trainer's sample pass AND the encode pass — without
+        # the cache it re-evaluates per consumer
+        .cache()
     )
     books = pq_train(resid, m=m, k=k, vec_col="_resid", seed=seed,
                      max_iter=max_iter, sample_rows=sample_rows)

@@ -2273,13 +2273,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     # L2-normalize so residual-ADC (L2) ordering tracks the cosine
-    # ordering the exact rescore uses — the standard cosine-ANN prep
-    nrm = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x / S.norm_expr(F.col("embedding")),
-        ).alias("embedding"),
+    # ordering the exact rescore uses — the standard cosine-ANN prep.
+    # The norm is let-bound into its own column FIRST: inlining norm_expr
+    # into the per-element lambda would re-evaluate the O(dim) fold per
+    # element (the HOF re-evaluation trap — O(dim²) codegen per row)
+    nrm = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .withColumn("_n", F.greatest(S.norm_expr(F.col("_v")), F.lit(1e-30)))
+        .select(
+            "vec_id",
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("embedding"),
+        )
     )
     enc, cents, books = S.ivfpq_build(nrm, n_centroids=16, m=8, k=64)
     # bounded driver collect: the QUERY set (5 rows), never candidates

@@ -1333,12 +1333,13 @@ def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nrm = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x / S.norm_expr(F.col("embedding")),
-        ).alias("embedding"),
+    # let-bind the norm (HOF re-evaluation trap — see the catalog entry)
+    nrm = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .withColumn("_n", F.greatest(S.norm_expr(F.col("_v")), F.lit(1e-30)))
+        .select("vec_id",
+                F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+                .alias("embedding"))
     ).cache()
     n_cells, nprobe, k = 16, 8, 10
     # 48-bit codes (m=8 × 6 bits): near-uniform synthetic vectors carry
