@@ -277,3 +277,53 @@ def fuzzy_join(
             "dist",
         )
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Numeric band join: pairs where ``|left_val − right_val| <= eps``
+    (optionally also equi-keyed on ``on``) WITHOUT the cartesian/
+    nested-loop plan a raw range predicate produces.
+
+    The bucket trick: the right side lands in ONE bucket
+    ``floor(val / eps)``; the left probes its own bucket and both
+    neighbors (any pair within eps differs by at most one bucket). That
+    turns the range condition into an EQUI-join on (on…, bucket) —
+    hash-partitioned, AQE-skew-splittable, broadcastable — followed by a
+    cheap post-filter; each qualifying pair meets exactly once because
+    the right row has exactly one bucket, so no dedup pass. The classic
+    band/range-join optimization (e.g. proximity joins on event time or
+    numeric near-joins) expressed in three map-side expressions.
+
+    Left rows explode 3x before the shuffle (the bounded price of
+    bucketing); eps must be > 0 and values non-NULL to pair (SQL range
+    semantics). ``how`` supports 'inner' and 'semi'/'left_semi'."""
+    if not eps or eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(f"band_join supports inner/semi, got {how!r}")
+    on = on or []
+    lb = F.floor(F.col(left_val).cast("double") / F.lit(float(eps)))
+    rb = F.floor(F.col(right_val).cast("double") / F.lit(float(eps)))
+    lhs = left.filter(F.col(left_val).isNotNull()).withColumn(
+        "_band", F.explode(F.array(lb - 1, lb, lb + 1)))
+    rhs = right.filter(F.col(right_val).isNotNull()).withColumn("_band", rb)
+    keys = [*on, "_band"]
+    close = (
+        F.abs(F.col(left_val).cast("double")
+              - F.col(right_val).cast("double")) <= F.lit(float(eps))
+    )
+    if how != "inner":
+        return (
+            left.join(
+                lhs.join(rhs, keys).filter(close).select(*on, left_val).distinct(),
+                [*on, left_val], "left_semi")
+        )
+    return lhs.join(rhs, keys).filter(close).drop("_band")

@@ -297,6 +297,44 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_band_proximity_join",
+    oracle="""
+    -- floor each epoch BEFORE subtracting: Spark's unix_timestamp
+    -- truncates per-timestamp, so the fractional seconds must drop on
+    -- each side, not on the difference
+    SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(e.ts)) AS BIGINT) AS gap_sec
+    FROM events e JOIN events p ON e.user_id = p.user_id
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      AND abs(floor(epoch(e.ts)) - floor(epoch(p.ts))) <= 300
+    """,
+    survey="ext/scale (band join: |a−b| <= eps as an EQUI-join — the "
+           "right side lands in one floor(val/eps) bucket, the left "
+           "probes its bucket ± 1, each qualifying pair meets exactly "
+           "once, then a cheap post-filter; hash-partitioned and "
+           "skew-splittable where a raw range predicate nested-loops. "
+           "Result identical to the naive range join — the oracle IS the "
+           "naive join. operators/joins.py::band_join)",
+)
+def j_band_proximity_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.unix_timestamp("ts").alias("_le"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_ru"), F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("_re"))
+    j = band_join(
+        err, pur.withColumnRenamed("_ru", "user_id"),
+        "_le", "_re", 300, on=["user_id"])
+    return j.select(
+        "user_id", "error_id", "purchase_id",
+        (F.col("_re") - F.col("_le")).alias("gap_sec"))
+
+
+@register(
     "t_sequence_match",
     oracle="""
     WITH mapped AS (

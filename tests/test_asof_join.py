@@ -111,3 +111,55 @@ def test_hot_keys_exact_heavy_hitters(spark):
     again = hot_keys(df.repartition(7), ["k"], k=3).collect()
     assert [(r["k"], r["n"], r["rank"]) for r in again] == \
         [(r["k"], r["n"], r["rank"]) for r in out]
+
+
+class TestBandJoin:
+    def test_matches_naive_range_join_exactly(self, spark):
+        from rdw_spark.operators.joins import band_join
+
+        import numpy as np
+        rng = np.random.default_rng(5)
+        a = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in
+             enumerate(rng.uniform(0, 100, 300))], "aid int, av double")
+        b = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in
+             enumerate(rng.uniform(0, 100, 300))], "bid int, bv double")
+        got = sorted(map(tuple, band_join(a, b, "av", "bv", 2.5)
+                         .select("aid", "bid").collect()))
+        want = sorted(map(tuple, a.crossJoin(b).filter(
+            "abs(av - bv) <= 2.5").select("aid", "bid").collect()))
+        assert got == want  # exact, each pair once, boundary inclusive
+
+    def test_boundary_negatives_and_nulls(self, spark):
+        from rdw_spark.operators.joins import band_join
+
+        a = spark.createDataFrame(
+            [(1, -5.0), (2, 0.0), (3, None)], "aid int, av double")
+        b = spark.createDataFrame(
+            [(10, -7.0), (11, 2.0), (12, None)], "bid int, bv double")
+        got = sorted(map(tuple, band_join(a, b, "av", "bv", 2.0)
+                         .select("aid", "bid").collect()))
+        # |-5 - -7| = 2 (boundary, kept), |0 - 2| = 2 (kept); NULLs never pair
+        assert got == [(1, 10), (2, 11)]
+
+        semi = band_join(a, b, "av", "bv", 2.0, how="semi")
+        assert sorted(r["aid"] for r in semi.collect()) == [1, 2]
+
+        import pytest
+
+        with pytest.raises(ValueError, match="eps must be"):
+            band_join(a, b, "av", "bv", 0)
+
+    def test_equi_key_and_plan_shape(self, spark):
+        from rdw_spark.operators.joins import band_join
+
+        a = spark.createDataFrame(
+            [(1, "u1", 10.0), (2, "u2", 10.0)], "aid int, u string, av double")
+        b = spark.createDataFrame(
+            [(10, "u1", 11.0), (11, "u2", 50.0)], "bid int, u string, bv double")
+        j = band_join(a, b, "av", "bv", 5.0, on=["u"])
+        rows = sorted(map(tuple, j.select("aid", "bid").collect()))
+        assert rows == [(1, 10)]  # u2's values are 40 apart
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
