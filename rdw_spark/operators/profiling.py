@@ -595,3 +595,43 @@ def concentration_stats(
         (F.max("_w").cast("double") / total.cast("double"))
         .alias("top1_share"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy-governance check before a data release: group by the
+    quasi-identifier combination and flag equivalence classes smaller
+    than ``k`` — rows in those classes are re-identifiable by joining
+    the QI columns against outside data (Sweeney's k-anonymity). Returns
+    one row per class: ``(qi…, n, is_k_anonymous)``; feed the flags to
+    :func:`suppress_small_classes` to enforce the property.
+
+    One partial-agg shuffle at the QI grain; NULL QI values form their
+    own class (SQL GROUP BY semantics — a NULL birthdate is itself a
+    linkable signal)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "is_k_anonymous", F.col("n") >= k)
+
+
+def suppress_small_classes(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: drop every row whose QI
+    equivalence class has fewer than ``k`` members. The classic
+    generalize-or-suppress tradeoff's suppression arm — lossless for the
+    surviving rows. One aggregate + one broadcastable semi-join on the
+    (usually tiny relative to the fact) class table."""
+    ok = k_anonymity_report(df, qi_cols, k).filter(
+        F.col("is_k_anonymous")).select(*qi_cols)
+    cond = None
+    for c in qi_cols:
+        eq = df[c].eqNullSafe(ok[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(F.broadcast(ok), cond, "left_semi")

@@ -442,6 +442,27 @@ def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) >= 15 AS is_k_anonymous
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    survey="ext/governance: k-anonymity release check (Sweeney) — "
+           "equivalence-class sizes over the quasi-identifier grain with "
+           "below-k flags, one partial-agg shuffle; suppression arm "
+           "(suppress_small_classes) enforces the property via one "
+           "broadcast semi-join on the class table. "
+           "operators/profiling.py::k_anonymity_report",
+)
+def zz_k_anonymity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=15)
+
+
+@register(
     "zz_table_cdc",
     oracle="""
     WITH base AS (

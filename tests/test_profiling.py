@@ -557,3 +557,30 @@ def test_concentration_stats_known_distributions(spark):
     assert r["total_weight"] == 100
     assert r["top1_share"] == 0.7
     assert r["hhi"] == (30 * 30 + 70 * 70) / 10000
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from rdw_spark.operators.profiling import (
+        k_anonymity_report, suppress_small_classes,
+    )
+
+    rows = ([("1980", "10001", i) for i in range(5)]     # big class
+            + [("1990", "10002", 100)]                   # singleton
+            + [(None, "10003", 200), (None, "10003", 201)])  # NULL QI class
+    df = spark.createDataFrame(rows, "yob string, zip string, id int")
+    rep = {(r["yob"], r["zip"]): r for r in
+           k_anonymity_report(df, ["yob", "zip"], k=2).collect()}
+    assert rep[("1980", "10001")]["n"] == 5
+    assert rep[("1980", "10001")]["is_k_anonymous"]
+    assert not rep[("1990", "10002")]["is_k_anonymous"]
+    # NULL QI values form their own (linkable) class
+    assert rep[(None, "10003")]["n"] == 2 and rep[(None, "10003")]["is_k_anonymous"]
+
+    kept = suppress_small_classes(df, ["yob", "zip"], k=2)
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [0, 1, 2, 3, 4, 200, 201]  # singleton suppressed
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_report(df, ["yob"], k=0)
