@@ -248,3 +248,60 @@ def kcore(
     # the returned frame stays cached (it was just materialized by the
     # fixpoint count); callers re-reading it pay nothing extra
     return deg
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) →
+    ``(node, label)`` community assignments after ``iters`` rounds from
+    a label = node-id start. Each round every node adopts the most
+    frequent label among its in-neighbors, ties to the SMALLEST label —
+    the deterministic variant: synchronous updates + total tie order
+    make the result independent of partitioning AND engine (integer
+    argmax, no randomness), so fixed-round runs are chained-CTE
+    oracle-checkable like :func:`pagerank`.
+
+    Scale shape per round: one equi-join moving the O(nodes) label
+    frame against the cached hash-partitioned edge frame, one
+    partial-agg (node, label) count, one argmax AGGREGATE
+    (``max(struct(cnt, −label))`` — no window, full map-side combine).
+    Labels must be > Long.MIN_VALUE (the negation tie-break); node ids
+    qualify. Known LPA caveat, unchanged here: synchronous updates can
+    oscillate on bipartite structure — fixed ``iters`` reports the
+    round-``iters`` state, which is exactly what the oracle pins."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    e = e.distinct()
+    ed = e.repartition("_s").cache()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select("node", F.col("node").cast("long").alias("label"))
+    for i in range(iters):
+        counts = (
+            ed.join(labels, ed["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        newl = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("_cnt").alias("_c"),
+                                (-F.col("label")).alias("_nl"))).alias("_m"))
+            .select("node", (-F.col("_m._nl")).alias("_new"))
+        )
+        # nodes with no in-edges this round keep their label (only
+        # possible on directed input; the mirrored default covers all)
+        labels = labels.join(newl, "node", "left").select(
+            "node", F.coalesce("_new", "label").alias("label"))
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -1758,6 +1758,78 @@ def zz_graph_pagerank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_graph_communities",
+    # Three synchronous rounds in chained CTEs; min-label tie-break makes
+    # every round an integer argmax — bit-exact across engines, the same
+    # parity trick as graph_pagerank.
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000000 AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT s, d FROM raw UNION SELECT d, s FROM raw
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), l0 AS (
+        SELECT node, CAST(node AS BIGINT) AS label FROM nodes
+    ), c1 AS (
+        SELECT e.d AS node, l0.label, COUNT(*) AS cnt
+        FROM e JOIN l0 ON e.s = l0.node GROUP BY 1, 2
+    ), l1 AS (
+        SELECT node, label FROM c1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+    ), c2 AS (
+        SELECT e.d AS node, l1.label, COUNT(*) AS cnt
+        FROM e JOIN l1 ON e.s = l1.node GROUP BY 1, 2
+    ), l2 AS (
+        SELECT node, label FROM c2
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+    ), c3 AS (
+        SELECT e.d AS node, l2.label, COUNT(*) AS cnt
+        FROM e JOIN l2 ON e.s = l2.node GROUP BY 1, 2
+    ), l3 AS (
+        SELECT node, label FROM c3
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+    )
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l3 GROUP BY label
+    ORDER BY size DESC, community LIMIT 20
+    """,
+    survey="ext: label-propagation community detection (Raghavan et al.) "
+           "— synchronous rounds with min-label tie-break: per round one "
+           "equi-join moving the O(nodes) label frame against the cached "
+           "hash-partitioned edges, one partial-agg (node,label) count, "
+           "one argmax AGGREGATE (max(struct(cnt,−label)) — no window); "
+           "integer argmax is bit-exact across partitionings AND engines, "
+           "proven by a 3-round chained-CTE oracle — the 4th member of "
+           "the graph tier (pagerank/triangles/k-core/LPA)",
+)
+def zz_graph_communities_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+    )
+    lp = label_propagation(edges, iters=3, undirected=True)
+    return (
+        lp.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )
+
+
+@register(
     "zz_incremental_agg",
     # the oracle is ONE direct GROUP BY over all rows — the entry builds
     # the same answer from two per-batch partial states merged together,

@@ -141,3 +141,69 @@ def test_kcore_matches_peeling_model(spark):
 
     with pytest.raises(ValueError, match="k must"):
         kcore(df, k=0)
+
+
+def _py_lpa(edges, iters, undirected=True):
+    es = set(edges)
+    if undirected:
+        es |= {(d, s) for s, d in es}
+    nodes = {s for s, _ in es} | {d for _, d in es}
+    ins: dict = {}
+    for s, d in es:
+        ins.setdefault(d, []).append(s)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            srcs = ins.get(n)
+            if not srcs:
+                new[n] = lab[n]
+                continue
+            counts: dict = {}
+            for s in srcs:
+                counts[lab[s]] = counts.get(lab[s], 0) + 1
+            # max count, ties to the SMALLEST label
+            new[n] = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_sync_model(spark):
+    """Random sparse graphs: Spark LPA equals the pure-Python synchronous
+    model exactly (integer argmax, min-label ties), any partitioning."""
+    import random
+
+    from rdw_spark.operators.graph import label_propagation
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 40
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(
+            [Row(src=s, dst=d) for s, d in edges]).repartition(5 + trial)
+        got = {r["node"]: r["label"] for r in
+               label_propagation(df, iters=3).collect()}
+        want = _py_lpa(edges, iters=3)
+        assert got == want, trial
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: each clique converges to
+    its own minimum id; directed isolated-in nodes keep their label."""
+    from rdw_spark.operators.graph import label_propagation
+
+    a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in a + b + [(4, 10)]])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=5).collect()}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[i] == 10 for i in range(11, 15))
+
+    # directed: node 99 has no in-edges and must keep its own label
+    d2 = spark.createDataFrame([Row(src=99, dst=1), Row(src=1, dst=2)])
+    got2 = {r["node"]: r["label"] for r in
+            label_propagation(d2, iters=2, undirected=False).collect()}
+    assert got2[99] == 99
