@@ -204,3 +204,55 @@ def mixture_sample(
         "source string, available long, target double, keep_fraction double",
     )
     return plan, stratified_sample(df, source_col, fracs, key_col, seed)
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    tau: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM data
+    balancing rule: ``weight ∝ share^(1/τ)``) — τ > 1 flattens the
+    natural mix toward uniform so low-resource sources are upsampled,
+    τ = 1 keeps natural proportions. Returns one row per source:
+    ``(source, available, share, weight)`` with weights summing to 1;
+    feed ``dict`` of (source → weight) into :func:`mixture_sample` to
+    draw the rebalanced corpus.
+
+    Scale shape: ONE partial-agg pass sizes the sources; everything
+    after operates on the O(sources) frame (broadcast total, sorted-fold
+    normalizer — a deterministic sequential double sum, the chi-square
+    pattern, valid because sources are few). At τ = 2.0 the exponent is
+    computed as ``sqrt`` (IEEE-exact in every engine), so the whole plan
+    is bit-reproducible and oracle-checkable; other τ use ``pow`` (1-ulp
+    envelope, still deterministic per engine)."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    sizes = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(size_col).cast("long").alias("available"))
+    total = sizes.agg(F.sum("available").alias("_total"))
+    shared = sizes.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("available").cast("double") / F.col("_total"))
+    if tau == 2.0:
+        scaled = F.sqrt(F.col("share"))
+    else:
+        scaled = F.pow(F.col("share"), F.lit(1.0 / float(tau)))
+    shared = shared.withColumn("_scaled", scaled)
+    # normalizer: fold the per-source terms in sorted source order — the
+    # deterministic sequential double sum (sources are few by definition)
+    norm = shared.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "_scaled"))),
+                lambda s: s["_scaled"],
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("_norm"))
+    return (
+        shared.crossJoin(F.broadcast(norm))
+        .select(
+            "source", "available", "share",
+            (F.col("_scaled") / F.col("_norm")).alias("weight"),
+        )
+    )

@@ -381,6 +381,44 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_sample_temperature",
+    # τ=2 ⇒ the exponent is sqrt (IEEE-exact in both engines) and the
+    # normalizer folds per-source terms in sorted order — deterministic
+    # sequential double sum, so weights hash-match bit-exactly
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available
+        FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(available) AS BIGINT) AS total FROM s
+    ), sh AS (
+        SELECT source, available,
+               CAST(available AS DOUBLE) / total AS share,
+               sqrt(CAST(available AS DOUBLE) / total) AS scaled
+        FROM s, t
+    ), nrm AS (
+        SELECT list_reduce(list_transform(list_sort(
+                   list(struct_pack(source := source, scaled := scaled))),
+                   x -> x['scaled']), (acc, x) -> acc + x) AS norm
+        FROM sh
+    )
+    SELECT source, available, share, scaled / norm AS weight
+    FROM sh, nrm ORDER BY source
+    """,
+    survey="ext: temperature-scaled mixture weights (weight ∝ "
+           "share^(1/τ), the multilingual-LM rebalance rule — τ>1 "
+           "upsamples low-resource sources): one partial-agg sizing "
+           "pass, O(sources) plan math, sorted-fold normalizer; at τ=2 "
+           "the exponent is sqrt so the plan is bit-exact across "
+           "engines; composes with mixture_sample for the draw. "
+           "operators/sampling.py::temperature_weights",
+)
+def zz_sample_temperature_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return SA.temperature_weights(d, "source", "n_chars", tau=2.0).orderBy(
+        "source")
+
+
+@register(
     "zz_sample_mixture",
     # keep_fraction is emitted UNROUNDED: both engines derive it through
     # the same exact-integer sums and double divide, so the doubles are

@@ -464,3 +464,43 @@ def test_fraction_one_keeps_everything_exactly(spark):
     assert "md5" not in buf.getvalue()
     with _pytest.raises(ValueError):
         hash_sample(df, 1.5, "id")
+
+
+def test_temperature_weights_flatten_and_compose(spark):
+    from rdw_spark.operators.sampling import mixture_sample, temperature_weights
+
+    rows = ([("big", i, 100) for i in range(90)]
+            + [("small", 1000 + i, 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+
+    # tau=1: natural proportions exactly
+    w1 = {r["source"]: r for r in
+          temperature_weights(df, "source", "n_chars", tau=1.0).collect()}
+    assert abs(w1["big"]["weight"] - 0.9) < 1e-12
+    assert abs(w1["small"]["weight"] - 0.1) < 1e-12
+
+    # tau=2: flattened toward uniform — small upsampled, big downsampled,
+    # exact closed form sqrt(share)/sum
+    import math
+
+    w2 = {r["source"]: r for r in
+          temperature_weights(df, "source", "n_chars", tau=2.0).collect()}
+    denom = math.sqrt(0.9) + math.sqrt(0.1)
+    assert w2["small"]["weight"] == math.sqrt(0.1) / denom
+    assert w2["big"]["weight"] == math.sqrt(0.9) / denom
+    assert w2["small"]["weight"] > 0.1 and w2["big"]["weight"] < 0.9
+    s = sum(r["weight"] for r in w2.values())
+    assert abs(s - 1.0) < 1e-12
+
+    # composes with mixture_sample: the rebalanced draw honors the plan
+    weights = {k: r["weight"] for k, r in w2.items()}
+    plan, sample = mixture_sample(
+        df, "source", weights, 5000.0, "n_chars", "doc_id")
+    got = {r["source"]: r["keep_fraction"] for r in plan.collect()}
+    assert got["small"] == 1.0  # 0.25 * 5000 > 1000 available -> capped
+    assert 0 < got["big"] < 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tau must be"):
+        temperature_weights(df, "source", "n_chars", tau=0)
