@@ -442,6 +442,59 @@ def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_expectations_report",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+            CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+            CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0.0 OR o_totalprice > 400000.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+            CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+            CAST(SUM(CASE WHEN NOT COALESCE(o_custkey > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_ex
+        FROM orders
+    ), uq AS (
+        SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v_uq FROM (
+            SELECT COUNT(*) AS c FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+    )
+    SELECT rule, kind, "column", n_violations, n_violations = 0 AS passed
+    FROM (
+        SELECT 'r_key_not_null' AS rule, 'not_null' AS kind,
+               'o_orderkey' AS "column", v_nn AS n_violations FROM agg
+        UNION ALL SELECT 'r_key_unique', 'unique', 'o_orderkey', v_uq FROM uq
+        UNION ALL SELECT 'r_price_range', 'between', 'o_totalprice', v_rng FROM agg
+        UNION ALL SELECT 'r_priority_shape', 'matches', 'o_orderpriority', v_re FROM agg
+        UNION ALL SELECT 'r_status_set', 'in_set', 'o_orderstatus', v_set FROM agg
+        UNION ALL SELECT 'r_custkey_pos', 'expr', '', v_ex FROM agg
+    ) ORDER BY rule
+    """,
+    survey="ext/governance: declarative data-quality expectations "
+           "(admission gate for any table) — not_null / unique / in_set "
+           "/ between / matches / expr rules evaluated as conditional "
+           "counts in ONE aggregate pass over the fact (plan-gated: one "
+           "scan, one partial agg; unique adds one value-grain groupBy), "
+           "plus a map-only quarantine tagger (violating_rows). "
+           "operators/expectations.py",
+)
+def zz_expectations_report_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        ("r_key_not_null", "not_null", "o_orderkey", None),
+        ("r_key_unique", "unique", "o_orderkey", None),
+        ("r_price_range", "between", "o_totalprice", (0.0, 400000.0)),
+        ("r_priority_shape", "matches", "o_orderpriority", r"^[1-5]-"),
+        ("r_status_set", "in_set", "o_orderstatus", ["O", "F"]),
+        ("r_custkey_pos", "expr", None, "o_custkey > 0"),
+    ]
+    return check_expectations(o, rules)
+
+
+@register(
     "zz_k_anonymity",
     oracle="""
     SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
