@@ -88,3 +88,89 @@ def table_diff(
             ).otherwise(F.lit("")).alias("changed_cols"),
         )
     )
+
+
+def population_stability_index(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    cuts: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline ("expected" — the
+    training/reference snapshot) and a current ("actual") distribution
+    of ``value_col`` — the standard model/data drift gate
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    ``cuts`` are EXPLICIT interior bin edges (derive them once from the
+    baseline with ``approx_percentile`` and pin them — recomputing cuts
+    per run hides drift in the bins themselves). Bins are
+    ``(-inf, c1], (c1, c2], …, (ck, inf)``; NULLs are excluded (they are
+    a schema-quality signal, not a distribution one — route them to
+    ``expectations``). Shares are floored at ``eps`` so empty bins don't
+    produce infinities (the standard PSI regularization).
+
+    Returns one row per bin ``(bin, lo, hi, n_expected, n_actual,
+    share_expected, share_actual, psi_term)`` plus the folded total on
+    every row (``psi``) — terms folded in bin order, a deterministic
+    sequential double sum (bins are few by construction).
+
+    Scale shape: bin assignment is a map-side ``aggregate`` over the
+    broadcast-tiny cut array (count of cuts below the value); each side
+    pays ONE partial-agg shuffle at the bin grain; everything after is
+    O(bins)."""
+    if not cuts or sorted(cuts) != list(cuts):
+        raise ValueError("cuts must be a non-empty ascending list")
+    k = len(cuts)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(value_col).cast("double")
+    bin_of = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)))
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(v.isNotNull())
+            .select(bin_of.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+
+    spark = expected.sparkSession
+    bins = spark.createDataFrame(
+        [(i,
+          float("-inf") if i == 0 else float(cuts[i - 1]),
+          float("inf") if i == k else float(cuts[i]))
+         for i in range(k + 1)],
+        "bin int, lo double, hi double")
+    j = (
+        bins.join(side(expected, "expected"), "bin", "left")
+        .join(side(actual, "actual"), "bin", "left")
+        .na.fill({"n_expected": 0, "n_actual": 0})
+    )
+    tot = j.agg(F.sum("n_expected").alias("_te"),
+                F.sum("n_actual").alias("_ta"))
+    j = (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn("share_expected", F.greatest(
+            F.col("n_expected") / F.col("_te"), F.lit(float(eps))))
+        .withColumn("share_actual", F.greatest(
+            F.col("n_actual") / F.col("_ta"), F.lit(float(eps))))
+        .withColumn(
+            "psi_term",
+            (F.col("share_actual") - F.col("share_expected"))
+            * F.log(F.col("share_actual") / F.col("share_expected")))
+    )
+    total = j.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", "psi_term"))),
+                lambda s: s["psi_term"],
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("psi"))
+    return (
+        j.crossJoin(F.broadcast(total))
+        .select("bin", "lo", "hi", "n_expected", "n_actual",
+                "share_expected", "share_actual", "psi_term", "psi")
+        .orderBy("bin")
+    )

@@ -442,6 +442,80 @@ def j_bloom_pruned_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_drift_psi",
+    # psi terms carry ln(): libm vs JVM log can differ in the last ulp,
+    # so the logged terms/total are ROUNDed to 10 decimals on both sides
+    # (the shares themselves are exact integer/total divisions)
+    oracle="""
+    WITH e AS (
+        SELECT CAST((o_totalprice > 100000.0)::INT
+                  + (o_totalprice > 200000.0)::INT
+                  + (o_totalprice > 300000.0)::INT AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL AND year(o_orderdate) < 1996
+    ), a AS (
+        SELECT CAST((o_totalprice > 100000.0)::INT
+                  + (o_totalprice > 200000.0)::INT
+                  + (o_totalprice > 300000.0)::INT AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL AND year(o_orderdate) >= 1996
+    ), bins(bin, lo, hi) AS (
+        VALUES (0, CAST('-infinity' AS DOUBLE), 100000.0),
+               (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
+               (3, 300000.0, CAST('infinity' AS DOUBLE))
+    ), ec AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_expected FROM e GROUP BY bin
+    ), ac AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_actual FROM a GROUP BY bin
+    ), g AS (
+        SELECT b.bin, b.lo, b.hi,
+               COALESCE(ec.n_expected, 0) AS n_expected,
+               COALESCE(ac.n_actual, 0) AS n_actual
+        FROM bins b LEFT JOIN ec ON b.bin = ec.bin
+                    LEFT JOIN ac ON b.bin = ac.bin
+    ), t AS (
+        SELECT CAST(SUM(n_expected) AS DOUBLE) AS te,
+               CAST(SUM(n_actual) AS DOUBLE) AS ta FROM g
+    ), s AS (
+        SELECT g.*, GREATEST(n_expected / te, 1e-6) AS share_expected,
+               GREATEST(n_actual / ta, 1e-6) AS share_actual
+        FROM g, t
+    ), terms AS (
+        SELECT *, (share_actual - share_expected)
+                  * ln(share_actual / share_expected) AS term
+        FROM s
+    ), tot AS (
+        SELECT list_reduce(list_transform(list_sort(
+                   list(struct_pack(bin := bin, term := term))),
+                   x -> x['term']), (acc, x) -> acc + x) AS psi
+        FROM terms
+    )
+    SELECT bin, lo, hi, n_expected, n_actual, share_expected, share_actual,
+           ROUND(term, 10) AS psi_term, ROUND(psi, 10) AS psi
+    FROM terms, tot ORDER BY bin
+    """,
+    survey="ext/governance: Population Stability Index drift gate "
+           "between a baseline and a current snapshot — EXPLICIT pinned "
+           "bin cuts (recomputed cuts hide drift in the bins), map-side "
+           "bin assignment over the broadcast cut array, one partial-agg "
+           "shuffle per side at the bin grain, eps-floored shares, "
+           "sorted-fold total. operators/diff.py::population_stability_index",
+)
+def zz_drift_psi_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import population_stability_index
+
+    o = _t(spark, sf_dir, "orders")
+    # one synthetic-but-pinned drift question: early vs late order years
+    expected = o.filter(F.year("o_orderdate") < 1996)
+    actual = o.filter(F.year("o_orderdate") >= 1996)
+    r = population_stability_index(
+        expected, actual, "o_totalprice",
+        cuts=[100_000.0, 200_000.0, 300_000.0])
+    return r.select(
+        "bin", "lo", "hi", "n_expected", "n_actual",
+        "share_expected", "share_actual",
+        F.round("psi_term", 10).alias("psi_term"),
+        F.round("psi", 10).alias("psi"),
+    )
+
+
+@register(
     "zz_expectations_report",
     oracle="""
     WITH agg AS (

@@ -54,3 +54,45 @@ def test_diff_validates_inputs(spark):
         table_diff(df, df, [])
     with pytest.raises(ValueError):
         table_diff(df, df.drop("s"), ["k"], ["s"])
+
+
+def test_psi_known_distributions(spark):
+    """PSI against a hand-computed model: identical distributions give
+    ~0, a hard shift gives a large value, empty bins hit the eps floor,
+    and the folded total equals the sum of terms."""
+    import math
+
+    from rdw_spark.operators.diff import population_stability_index
+
+    base = spark.createDataFrame(
+        [(float(v),) for v in ([5.0] * 50 + [15.0] * 30 + [25.0] * 20)],
+        "v double")
+    cuts = [10.0, 20.0]
+
+    same = population_stability_index(base, base, "v", cuts).collect()
+    assert all(abs(r["psi"]) < 1e-12 for r in same)
+
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in ([5.0] * 10 + [15.0] * 30 + [25.0] * 60)],
+        "v double")
+    rows = {r["bin"]: r for r in
+            population_stability_index(base, shifted, "v", cuts).collect()}
+    # hand model
+    pe, pa = [0.5, 0.3, 0.2], [0.1, 0.3, 0.6]
+    want = sum((a - e) * math.log(a / e) for e, a in zip(pe, pa))
+    assert abs(rows[0]["psi"] - want) < 1e-12
+    assert rows[0]["n_expected"] == 50 and rows[0]["n_actual"] == 10
+    assert abs(sum(r["psi_term"] for r in rows.values()) - want) < 1e-12
+    assert rows[0]["lo"] == float("-inf") and rows[2]["hi"] == float("inf")
+
+    # a bin empty on one side floors at eps instead of blowing up
+    empty_side = spark.createDataFrame(
+        [(5.0,)] * 10, "v double")
+    r2 = population_stability_index(base, empty_side, "v", cuts).collect()
+    assert all(math.isfinite(r["psi"]) for r in r2)
+    assert {r["bin"] for r in r2} == {0, 1, 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ascending"):
+        population_stability_index(base, base, "v", [20.0, 10.0])
