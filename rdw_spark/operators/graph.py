@@ -305,3 +305,74 @@ def label_propagation(
         if (i + 1) % 5 == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+    undirected: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass restarts at the ``seeds``
+    instead of everywhere, so ranks measure proximity TO the seed set —
+    the similar-entities / recommendation variant (same integer
+    micro-unit arithmetic as :func:`pagerank`, so fixed-round runs are
+    bit-exact across partitionings and engines). Seeds start at ``unit``
+    each, every other node at 0; per round
+    ``rank(v) = [v ∈ S]·base + (damping·insum(v)) // 100``.
+
+    ``seeds`` is a driver-side list (query-sized by definition — the
+    seed set is WHAT you are asking about). Scale shape identical to
+    pagerank: edges cached hash-partitioned once, only the O(nodes)
+    rank frame moves per round."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    e = e.distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    ed = e.join(deg, "_s").repartition("_s").cache()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    if 100 * n_nodes * unit >= 2**63:
+        raise ValueError(
+            f"integer overflow risk: 100 * {n_nodes} nodes * unit {unit} "
+            f">= 2^63 — lower `unit`")
+    base = (unit * (100 - damping_pct)) // 100
+    is_seed = F.col("node").isin(list(seeds))
+    seed_base = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(unit)).otherwise(F.lit(0))
+        .cast("long").alias("rank_units"))
+    for i in range(iters):
+        insum = (
+            ed.join(ranks, ed["_s"] == ranks["node"])
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rank_units DIV _outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_insum"))
+        )
+        ranks = nodes.join(insum, "node", "left").select(
+            "node",
+            (seed_base
+             + F.expr(f"({damping_pct} * coalesce(_insum, 0L)) DIV 100")
+             ).alias("rank_units"),
+        )
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -1885,6 +1885,89 @@ def zz_graph_pagerank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_graph_ppr",
+    # Personalized PageRank: teleport mass restarts at the two smallest
+    # customer nodes; integer micro-unit floor arithmetic keeps every
+    # round bit-exact across engines (the graph_pagerank parity trick)
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000000 AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT s, d FROM raw UNION SELECT d, s FROM raw
+    ), deg AS (
+        SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), seeds AS (
+        SELECT DISTINCT s AS node FROM raw ORDER BY s LIMIT 2
+    ), r0 AS (
+        SELECT n.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN CAST(1000000000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS r
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+    ), i1 AS (
+        SELECT e.d AS node, SUM(r0.r // deg.outdeg) AS insum
+        FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r1 AS (
+        SELECT n.node,
+               (CASE WHEN sd.node IS NOT NULL THEN 150000000000 ELSE 0 END)
+               + (85 * COALESCE(i1.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+                     LEFT JOIN i1 ON n.node = i1.node
+    ), i2 AS (
+        SELECT e.d AS node, SUM(r1.r // deg.outdeg) AS insum
+        FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r2 AS (
+        SELECT n.node,
+               (CASE WHEN sd.node IS NOT NULL THEN 150000000000 ELSE 0 END)
+               + (85 * COALESCE(i2.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+                     LEFT JOIN i2 ON n.node = i2.node
+    ), i3 AS (
+        SELECT e.d AS node, SUM(r2.r // deg.outdeg) AS insum
+        FROM e JOIN r2 ON e.s = r2.node JOIN deg ON e.s = deg.s GROUP BY e.d
+    ), r3 AS (
+        SELECT n.node,
+               (CASE WHEN sd.node IS NOT NULL THEN 150000000000 ELSE 0 END)
+               + (85 * COALESCE(i3.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+                     LEFT JOIN i3 ON n.node = i3.node
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3
+    WHERE r > 0 ORDER BY rank_units DESC, node LIMIT 20
+    """,
+    survey="ext: personalized PageRank — teleport mass restarts at the "
+           "seed set, so ranks measure proximity TO the seeds (the "
+           "recommendation / similar-entities variant); same per-round "
+           "shape as pagerank (cached hash-partitioned edges, O(nodes) "
+           "rank frame moves) and the same integer micro-unit parity, "
+           "proven by a 3-round chained-CTE oracle with dynamic seeds",
+)
+def zz_graph_ppr_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+    )
+    # bounded driver collect: the 2-node seed set (the query input)
+    seeds = [r["src"] for r in
+             raw.select("src").distinct().orderBy("src").limit(2).collect()]
+    pr = personalized_pagerank(raw, seeds, iters=3, undirected=True)
+    return (
+        pr.filter(F.col("rank_units") > 0)
+        .orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
+    )
+
+
+@register(
     "zz_graph_communities",
     # Three synchronous rounds in chained CTEs; min-label tie-break makes
     # every round an integer argmax — bit-exact across engines, the same

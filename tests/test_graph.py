@@ -207,3 +207,44 @@ def test_label_propagation_two_cliques(spark):
     got2 = {r["node"]: r["label"] for r in
             label_propagation(d2, iters=2, undirected=False).collect()}
     assert got2[99] == 99
+
+
+def test_personalized_pagerank_model_and_locality(spark):
+    """PPR equals a pure-Python integer model exactly, mass concentrates
+    near the seeds, and non-seed-reachable nodes stay at 0."""
+    from rdw_spark.operators.graph import personalized_pagerank
+
+    # two components: a path 0-1-2 and an isolated pair 10-11
+    edges = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["node"]: r["rank_units"] for r in
+           personalized_pagerank(df, [0], iters=3, undirected=True,
+                                 unit=10**6).collect()}
+
+    def model(edges, seeds, iters, unit=10**6, d=85):
+        es = set(edges) | {(b, a) for a, b in edges}
+        nodes = {x for e in es for x in e}
+        outs: dict = {}
+        for s, t in es:
+            outs.setdefault(s, []).append(t)
+        base = (unit * (100 - d)) // 100
+        r = {n: (unit if n in seeds else 0) for n in nodes}
+        for _ in range(iters):
+            ins = {n: 0 for n in nodes}
+            for s, ts in outs.items():
+                c = r[s] // len(ts)
+                for t in ts:
+                    ins[t] += c
+            r = {n: (base if n in seeds else 0) + (d * ins[n]) // 100
+                 for n in nodes}
+        return r
+
+    assert got == model(edges, {0}, 3)
+    # the other component never receives mass
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > got[2] > 0  # proximity ordering to the seed
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seeds"):
+        personalized_pagerank(df, [], iters=1)
