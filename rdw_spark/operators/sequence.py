@@ -45,12 +45,38 @@ def sequence_match(
     left-to-right (regexp_count semantics in both Spark and DuckDB);
     ``first_match`` is the first matched substring ('' when none).
     Entities none of whose events are mapped do not appear."""
+    # one grouped build + the shared matching tail — the streaming state
+    # reader (streaming.aggstate.read_sequence_state) runs the SAME tail
+    # over merged deltas, so batch and streaming answers are identical
+    # by construction
+    seqs = sequence_delta(events, symbols, group_cols, ts_col, event_col,
+                          id_col)
+    return match_event_arrays(seqs, pattern, group_cols, max_events)
+
+
+def sequence_delta(
+    events: DataFrame,
+    symbols: dict[str, str],
+    group_cols: list[str],
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One MERGEABLE summary row per entity for a batch of events:
+    ``(group…, events)`` where ``events`` is the sorted array of
+    ``(ts, sym, id)`` structs for the batch's mapped events. Merging =
+    concatenate arrays and re-sort — deterministic (total struct order),
+    so per-batch deltas fold to exactly the one-shot array: the
+    streaming-state delta for :func:`read`-time sequence matching.
+    State is O(mapped events per entity) by nature — sequence questions
+    need the history; bound it upstream (symbol filter drops unmapped
+    events map-side) or with a retention horizon at compaction."""
     for ev, sym in symbols.items():
         if len(sym) != 1:
             raise ValueError(f"symbol for {ev!r} must be one char, got {sym!r}")
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(symbols.items()) for x in kv])
-    mapped = (
+    return (
         events.filter(F.col(event_col).isin(list(symbols)))
         .select(
             *group_cols,
@@ -60,14 +86,36 @@ def sequence_match(
                 F.col(id_col).alias("id"),
             ).alias("_e"),
         )
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_e")).alias("events"))
     )
-    arr = F.array_sort(F.collect_list("_e"))
+
+
+def merge_sequence_deltas(
+    deltas: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold per-batch deltas to the one-shot array per entity."""
+    return deltas.groupBy(*group_cols).agg(
+        F.array_sort(F.flatten(F.collect_list("events"))).alias("events"))
+
+
+def match_event_arrays(
+    seqs: DataFrame,
+    pattern: str,
+    group_cols: list[str],
+    max_events: int | None = None,
+) -> DataFrame:
+    """The matching tail of :func:`sequence_match` over pre-built
+    ``(group…, events)`` arrays — shared by the batch operator and the
+    streaming state reader, so both paths give identical answers."""
+    arr = F.col("events")
     if max_events is not None:
         arr = F.slice(arr, 1, max_events)
-    seqs = mapped.groupBy(*group_cols).agg(
-        F.concat_ws("", F.transform(arr, lambda e: e["sym"])).alias("seq"))
     pat = F.lit(pattern)
-    return seqs.select(
+    out = seqs.select(
+        *group_cols,
+        F.concat_ws("", F.transform(arr, lambda e: e["sym"])).alias("seq"))
+    return out.select(
         *group_cols,
         F.length("seq").alias("seq_len"),
         F.regexp_count(F.col("seq"), pat).alias("n_matches"),

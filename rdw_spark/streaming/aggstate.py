@@ -288,3 +288,43 @@ def read_kmv_state(
         spark, out_root, group_cols,
         lambda rows: kmv_merge(rows, group_cols, k),
     )
+
+
+def stream_sequence_state(
+    spark: SparkSession, landing_dir: str, read_schema, out_root: str,
+    checkpoint: str, group_cols: list[str], symbols: dict,
+    ts_col: str = "ts", event_col: str = "event_type",
+    id_col: str = "event_id",
+    max_files_per_trigger: int = 100, available_now: bool = True,
+):
+    """Continuously maintain per-entity event-sequence state
+    (``operators.sequence``): per micro-batch one mergeable
+    (group, sorted (ts,sym,id) array) delta — unmapped events drop
+    map-side, so state is O(mapped events), and the merged array is
+    bit-identical to the one-shot build (total struct order)."""
+    from rdw_spark.operators.sequence import sequence_delta
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, group_cols,
+        lambda b: sequence_delta(b, symbols, group_cols, ts_col, event_col,
+                                 id_col),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_sequence_state(
+    spark: SparkSession, out_root: str, group_cols: list[str],
+    pattern: str, max_events: int | None = None,
+) -> DataFrame:
+    """The live answer: merged per-entity arrays run through the SAME
+    matching tail as the batch operator, so streaming and batch answers
+    are identical by construction."""
+    from rdw_spark.operators.sequence import (
+        match_event_arrays, merge_sequence_deltas,
+    )
+
+    merged = read_mergeable_state(
+        spark, out_root, group_cols,
+        lambda rows: merge_sequence_deltas(rows, group_cols),
+    )
+    return match_event_arrays(merged, pattern, group_cols, max_events)

@@ -85,3 +85,43 @@ def test_symbol_validation(spark):
     df = spark.createDataFrame([(1, _ts(1), 1, "view")], SCHEMA)
     with pytest.raises(ValueError, match="one char"):
         sequence_match(df, "v", {"view": "vw"}, ["user_id"])
+
+
+def test_stream_sequence_state_equals_batch(spark, tmp_path):
+    """Drained sequence state answers identically to the batch operator
+    over the union of all drops — including a pattern that only matches
+    ACROSS batch boundaries (the case per-batch matching cannot see)."""
+    from rdw_spark.streaming.aggstate import (
+        read_sequence_state, stream_sequence_state,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    syms = {"view": "v", "click": "c", "purchase": "p"}
+    batches = [
+        [(1, _ts(1), 1, "view"), (2, _ts(2), 1, "view")],
+        [(3, _ts(3), 1, "click"), (4, _ts(4), 2, "view")],
+        [(5, _ts(5), 1, "purchase"), (6, _ts(6), 2, "other")],
+    ]
+    all_rows = []
+    for rows in batches:
+        all_rows += rows
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(str(landing))
+
+    q = stream_sequence_state(
+        spark, str(landing), SCHEMA, str(tmp_path / "state"),
+        str(tmp_path / "ckpt"), ["user_id"], syms, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    streamed = {r["user_id"]: r for r in read_sequence_state(
+        spark, str(tmp_path / "state"), ["user_id"], "v+c+p").collect()}
+    batch = {r["user_id"]: r for r in sequence_match(
+        spark.createDataFrame(all_rows, SCHEMA), "v+c+p", syms,
+        ["user_id"]).collect()}
+    assert set(streamed) == set(batch) == {1, 2}
+    for u in batch:
+        for col in ("seq_len", "n_matches", "matched", "first_match"):
+            assert streamed[u][col] == batch[u][col], (u, col)
+    # the v+c+p match spans all three drops — only cross-batch state sees it
+    assert streamed[1]["matched"] and streamed[1]["first_match"] == "vvcp"
