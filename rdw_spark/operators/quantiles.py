@@ -188,3 +188,52 @@ def sketch_quantiles(
         name = f"{prefix}{str(q).replace('0.', '').replace('.', '_')}"
         out = out.withColumn(name, F.element_at("_est", i + 1))
     return out.drop("_est")
+
+
+def sketch_percentile_of(
+    sketches: DataFrame,
+    values: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "pct_est",
+) -> DataFrame:
+    """Inverse quantile lookup: estimate each row's percentile WITHIN
+    ITS GROUP's stored digest — scoring incoming values against a
+    historical distribution without rescanning the history (the digest
+    cube is the history). The estimator mirrors
+    :func:`sketch_quantiles` exactly (midpoint interpolation with the
+    exact min/max as endpoints), so ``sketch_percentile_of`` and
+    ``sketch_quantiles`` are inverse maps of the same curve.
+
+    Scale shape: the digest table is O(groups) and broadcasts into the
+    join; estimation is one vectorized Arrow pass over the joined rows
+    — the scored frame never shuffles. Values outside [vmin, vmax] clamp
+    to 0/1; rows whose group has no digest (or an empty one) estimate
+    NULL."""
+    joined = values.join(
+        F.broadcast(sketches.select(
+            *group_cols, "means", "weights", "vmin", "vmax")),
+        group_cols, "left")
+
+    @F.pandas_udf("double")
+    def est(v: pd.Series, means: pd.Series, weights: pd.Series,
+            vmin: pd.Series, vmax: pd.Series) -> pd.Series:
+        out = []
+        for x, m, w, lo, hi in zip(v, means, weights, vmin, vmax):
+            if x is None or m is None or len(m) == 0:
+                out.append(None)
+                continue
+            m = np.asarray(m, float)
+            w = np.asarray(w, float)
+            total = w.sum()
+            mid = np.cumsum(w) - w / 2.0
+            xs = np.concatenate(([lo], m, [hi]))
+            ys = np.concatenate(([0.0], mid, [total]))
+            out.append(float(np.interp(float(x), xs, ys) / total))
+        return pd.Series(out)
+
+    return joined.withColumn(
+        out_col,
+        est(F.col(value_col).cast("double"), "means", "weights",
+            "vmin", "vmax"),
+    ).drop("means", "weights", "vmin", "vmax")

@@ -2159,6 +2159,32 @@ def zz_summary_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_sketch_percentile_of",
+    oracle=None,  # digest estimates have no SQL twin; the inverse-map,
+                  # envelope, and clamp contracts are pytest-locked
+                  # (tests/test_profiling.py::test_sketch_percentile_of_*)
+    survey="ext: inverse quantile lookup off the t-digest cube — score "
+           "incoming values' percentile within their group's STORED "
+           "digest (no history rescan): the O(groups) digest table "
+           "broadcasts into the join, estimation is one vectorized "
+           "Arrow pass, the scored frame never shuffles; exact inverse "
+           "of sketch_quantiles on the same interpolation curve. "
+           "operators/quantiles.py::sketch_percentile_of",
+)
+def zz_sketch_percentile_of_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import quantile_sketch_rollup, sketch_percentile_of
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus",
+                                           "o_totalprice")
+    cube = quantile_sketch_rollup(o, ["o_orderstatus"], "o_totalprice")
+    probes = o.filter(F.col("o_orderkey") % 100 == 0)
+    return sketch_percentile_of(
+        cube, probes, ["o_orderstatus"], "o_totalprice"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice",
+             F.round("pct_est", 6).alias("pct_est"))
+
+
+@register(
     "stat_rank_statistics",
     oracle="""
     SELECT c_mktsegment AS segment, c_acctbal, c_custkey,

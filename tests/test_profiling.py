@@ -584,3 +584,44 @@ def test_k_anonymity_report_and_suppression(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_report(df, ["yob"], k=0)
+
+
+def test_sketch_percentile_of_inverse_and_envelope(spark):
+    """Inverse quantile lookup: scoring values against the stored digest
+    tracks exact per-group percentiles within the rank envelope, is the
+    inverse of sketch_quantiles on the same curve, clamps outside
+    [min, max], and NULLs out for unknown groups."""
+    import numpy as np
+
+    from rdw_spark.operators.quantiles import (
+        quantile_sketch_rollup, sketch_percentile_of, sketch_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = {"a": rng.normal(50, 10, 4000), "b": rng.uniform(0, 1, 3000)}
+    rows = [(g, float(v)) for g, arr in vals.items() for v in arr]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    cube = quantile_sketch_rollup(df, ["g"], "v", delta=200).cache()
+
+    probes = spark.createDataFrame(
+        [("a", 50.0), ("a", 70.0), ("b", 0.25), ("b", 2.0), ("b", -1.0),
+         ("missing", 5.0)],
+        "g string, v double")
+    got = {(r["g"], r["v"]): r["pct_est"] for r in
+           sketch_percentile_of(cube, probes, ["g"], "v").collect()}
+    for g, x in (("a", 50.0), ("a", 70.0), ("b", 0.25)):
+        exact = float((vals[g] <= x).mean())
+        assert abs(got[(g, x)] - exact) < 0.02, (g, x, got[(g, x)], exact)
+    assert got[("b", 2.0)] == 1.0 and got[("b", -1.0)] == 0.0  # clamped
+    assert got[("missing", 5.0)] is None
+
+    # inverse-map property: percentile_of(quantile(q)) ~= q on the SAME
+    # digest curve (both use midpoint interpolation with exact endpoints)
+    q = {r["g"]: r["q_5"] for r in sketch_quantiles(cube, [0.5]).collect()}
+    back = spark.createDataFrame(
+        [(g, float(v)) for g, v in q.items()], "g string, v double")
+    rt = {r["g"]: r["pct_est"] for r in
+          sketch_percentile_of(cube, back, ["g"], "v").collect()}
+    for g in q:
+        assert abs(rt[g] - 0.5) < 1e-9, (g, rt[g])
+    cube.unpersist()
