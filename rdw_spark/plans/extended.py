@@ -1885,6 +1885,58 @@ def zz_graph_pagerank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_graph_khop",
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000000 AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT s, d FROM raw UNION SELECT d, s FROM raw
+    ), seed AS (
+        SELECT DISTINCT s AS node FROM raw ORDER BY s LIMIT 1
+    ), h1 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN seed ON e.s = seed.node
+        WHERE e.d NOT IN (SELECT node FROM seed)
+    ), h2 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN h1 ON e.s = h1.node
+        WHERE e.d NOT IN (SELECT node FROM seed)
+          AND e.d NOT IN (SELECT node FROM h1)
+    ), h3 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN h2 ON e.s = h2.node
+        WHERE e.d NOT IN (SELECT node FROM seed)
+          AND e.d NOT IN (SELECT node FROM h1)
+          AND e.d NOT IN (SELECT node FROM h2)
+    )
+    SELECT node, CAST(0 AS INT) AS hop FROM seed
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3
+    """,
+    survey="ext: k-hop BFS neighborhoods (blast radius / reachability — "
+           "what does this node's outage touch within k tiers): per hop "
+           "one equi-join expanding the frontier rim against the cached "
+           "hash-partitioned edges + one anti-join against the reached "
+           "set; pure set algebra, so the entry is chained-CTE "
+           "oracle-EXACT. operators/graph.py::k_hop_neighbors",
+)
+def zz_graph_khop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_hop_neighbors
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+    )
+    seeds = [r["src"] for r in
+             raw.select("src").distinct().orderBy("src").limit(1).collect()]
+    return k_hop_neighbors(raw, seeds, k=3, undirected=True)
+
+
+@register(
     "zz_graph_ppr",
     # Personalized PageRank: teleport mass restarts at the two smallest
     # customer nodes; integer micro-unit floor arithmetic keeps every

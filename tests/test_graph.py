@@ -248,3 +248,33 @@ def test_personalized_pagerank_model_and_locality(spark):
 
     with pytest.raises(ValueError, match="seeds"):
         personalized_pagerank(df, [], iters=1)
+
+
+def test_k_hop_neighbors_model(spark):
+    """BFS labels equal a pure-Python BFS: minimum hop wins, early exit
+    on an exhausted frontier, directed vs undirected semantics."""
+    from rdw_spark.operators.graph import k_hop_neighbors
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3), (7, 8)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["node"]: r["hop"] for r in
+           k_hop_neighbors(df, [0], k=3, undirected=True).collect()}
+    # BFS from 0 over the mirrored graph: 1@1, 2@2, 3@2 (via 1-3), 4@3
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3}
+    # 7/8 unreachable; hop k cap respected
+    capped = {r["node"]: r["hop"] for r in
+              k_hop_neighbors(df, [0], k=1, undirected=True).collect()}
+    assert capped == {0: 0, 1: 1}
+    # directed: edges only flow src->dst
+    directed = {r["node"]: r["hop"] for r in
+                k_hop_neighbors(df, [2], k=3).collect()}
+    assert directed == {2: 0, 3: 1, 4: 2}
+    # early exit past graph exhaustion (k larger than the diameter)
+    big_k = {r["node"]: r["hop"] for r in
+             k_hop_neighbors(df, [7], k=10, undirected=True).collect()}
+    assert big_k == {7: 0, 8: 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seeds"):
+        k_hop_neighbors(df, [], k=2)
