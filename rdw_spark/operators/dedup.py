@@ -834,3 +834,53 @@ def remove_duplicated_spans(
         .withColumn("n_tokens_dropped", F.col("n_tokens") - F.size(kept))
         .drop("_starts")
     )
+
+
+def survivorship(
+    df: DataFrame,
+    cluster_col: str,
+    rules: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Golden-record selection: after clustering (exact digests, CC over
+    near-dup pairs, fuzzy-join components), pick ONE survivor per
+    cluster by an ordered rule list instead of the min-id default —
+    "keep the longest text, then the highest quality, then the newest".
+
+    ``rules`` is ``[(direction, column)]`` with direction ``"max"`` or
+    ``"min"``, applied lexicographically; ``id_col`` ascending is the
+    final implicit tiebreak, so selection is total and deterministic.
+    NULL rule values lose to non-NULL under ``max`` and win under
+    ``min``'s absence — i.e. NULLs sort LAST for both directions (a
+    record missing the field never beats one that has it).
+
+    Returns ``df`` + ``is_survivor`` + ``survivor_id`` (every cluster
+    member points at its golden record — the rewrite map for
+    re-pointing references). One aggregate per cluster via
+    ``max(struct(...))`` — partial-agg combines map-side, no window, no
+    sort of the fact."""
+    for d, _c in rules:
+        if d not in ("max", "min"):
+            raise ValueError(f"rule direction must be max|min, got {d!r}")
+
+    def key_cols():
+        cols = []
+        for i, (d, c) in enumerate(rules):
+            v = F.col(c)
+            # two-part key per rule: non-NULL beats NULL in BOTH
+            # directions, then the value (negated via desc trick for min)
+            cols.append(v.isNotNull().cast("int").alias(f"_nn{i}"))
+            cols.append((v if d == "max" else -v.cast("double"))
+                        .alias(f"_k{i}"))
+        # unambiguous total order: LOWEST id wins the final tie, and
+        # max(struct) picks the largest key — so negate the id
+        cols.append((-F.col(id_col).cast("long")).alias("_tid"))
+        cols.append(F.col(id_col).alias("_sid"))
+        return cols
+
+    best = df.groupBy(cluster_col).agg(
+        F.max(F.struct(*key_cols())).alias("_best"))
+    winners = best.select(
+        cluster_col, F.col("_best._sid").alias("survivor_id"))
+    return df.join(winners, cluster_col).withColumn(
+        "is_survivor", F.col(id_col) == F.col("survivor_id"))

@@ -60,6 +60,48 @@ def dedup_fingerprint_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_dedup_survivorship",
+    # survivor = argmax (has n_chars, n_chars, -doc_id) per fingerprint
+    # cluster — a total deterministic order, so the golden-record map is
+    # engine-exact
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    ), w AS (
+        SELECT doc_id, fp, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY fp
+                   ORDER BY (n_chars IS NOT NULL) DESC, n_chars DESC,
+                            doc_id ASC) AS rn
+        FROM d
+    ), win AS (
+        SELECT fp, doc_id AS survivor_id FROM w WHERE rn = 1
+    )
+    SELECT d.doc_id, d.fp AS cluster, win.survivor_id,
+           d.doc_id = win.survivor_id AS is_survivor
+    FROM d JOIN win ON d.fp = win.fp
+    """,
+    survey="ext: golden-record survivorship — after any clustering "
+           "(digests, CC components, fuzzy-join groups) pick ONE "
+           "survivor per cluster by an ordered max/min rule list with "
+           "NULLs-lose semantics and id tiebreak; one max(struct) "
+           "aggregate per cluster (partial-agg combines map-side, no "
+           "window over the fact), every member mapped to its survivor "
+           "for reference re-pointing. operators/dedup.py::survivorship",
+)
+def zz_dedup_survivorship_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = D.exact_duplicates(d, normalized=True).select("doc_id", "digest")
+    base = d.select("doc_id", "n_chars").join(fp, "doc_id")
+    out = D.survivorship(base, "digest", [("max", "n_chars")])
+    return out.select(
+        "doc_id", F.col("digest").alias("cluster"), "survivor_id",
+        "is_survivor")
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (

@@ -1402,3 +1402,33 @@ def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
     r_ivfpq, r_ivf = recall(ivfpq), recall(ivf)
     assert r_ivfpq >= r_ivf, (r_ivfpq, r_ivf)
     nrm.unpersist(); enc.unpersist(); pool.unpersist()
+
+
+def test_survivorship_rules_and_null_semantics(spark):
+    from rdw_spark.operators.dedup import survivorship
+
+    rows = [
+        # cluster A: longest text wins; quality breaks the length tie
+        (1, "A", 10, 0.9), (2, "A", 20, 0.1), (3, "A", 20, 0.8),
+        # cluster B: NULL length loses to non-NULL even under max
+        (4, "B", None, 0.99), (5, "B", 5, 0.0),
+        # cluster C: full tie -> lowest id survives
+        (6, "C", 7, 0.5), (7, "C", 7, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cl string, ln int, q double")
+    got = {r["doc_id"]: r for r in survivorship(
+        df, "cl", [("max", "ln"), ("max", "q")]).collect()}
+    assert got[1]["survivor_id"] == 3 and not got[1]["is_survivor"]
+    assert got[3]["is_survivor"]          # len 20 tie, q 0.8 > 0.1
+    assert got[4]["survivor_id"] == 5     # NULL ln loses
+    assert got[6]["is_survivor"] and got[7]["survivor_id"] == 6
+
+    # min direction (numeric): smallest quality survives
+    got2 = {r["doc_id"]: r["survivor_id"] for r in survivorship(
+        df.filter("cl = 'A'"), "cl", [("min", "q")]).collect()}
+    assert got2[1] == 2  # q 0.1 is the minimum
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max|min"):
+        survivorship(df, "cl", [("best", "ln")])
