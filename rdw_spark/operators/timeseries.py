@@ -437,3 +437,55 @@ def event_transitions(
         "from_state", "to_state", "n_transitions",
         (F.col("n_transitions").cast("double") / row_total).alias("prob"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Sweep-line maximum overlap: given per-row [start, end) intervals
+    (sessions, rentals, connections), the peak number simultaneously
+    active per group and when it is first reached — capacity planning's
+    "how many concurrent at worst".
+
+    The classic rewrite: explode each interval into a +1 event at start
+    and a −1 at end, order by (ts, delta) within the group — the −1
+    sorts FIRST on ties, so back-to-back intervals (one ends exactly
+    when the next starts) do NOT double-count — take the running sum,
+    and the peak is its max (earliest timestamp wins ties,
+    deterministic). NULL-started rows are dropped; a NULL end means
+    still-active (sorts after every real timestamp).
+
+    Scale shape: one map-side explode (2 rows per interval), ONE shuffle
+    to the group grain, one ordered window per group — O(intervals per
+    group) window state, the honest cost of an inherently ordered
+    question (same contract as the sessionizer)."""
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col), F.col(end_col)
+    ev = intervals.filter(s.isNotNull()).select(
+        *group_cols,
+        F.explode(F.array(
+            F.struct(s.alias("ts"), F.lit(1).alias("delta")),
+            F.struct(F.coalesce(e, F.lit(None)).alias("ts"),
+                     F.lit(-1).alias("delta")),
+        )).alias("_e"),
+    ).select(*group_cols, F.col("_e.ts").alias("ts"),
+             F.col("_e.delta").alias("delta"))
+    # NULL end = still active: drop its -1 (never decrements)
+    ev = ev.filter(~((F.col("delta") == -1) & F.col("ts").isNull()))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("ts").asc(), F.col("delta").asc())
+    running = ev.withColumn(
+        "concurrent",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.col("concurrent").desc(), F.col("ts").asc())
+    return (
+        running.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(*group_cols, F.col("concurrent").alias("peak_concurrent"),
+                F.col("ts").alias("peak_at"))
+    )

@@ -335,6 +335,54 @@ def j_band_proximity_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_peak_concurrency",
+    # the sweep-line running sum's intermediate values depend on
+    # within-tie order, but the MAX and its first timestamp are
+    # permutation-invariant (−1 sorts before +1, so ties resolve to the
+    # same extremes) — hence hash-exact across engines
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   + CAST(floor(value) AS BIGINT) AS e
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), ev AS (
+        SELECT event_type, s AS ts, 1 AS delta FROM iv
+        UNION ALL SELECT event_type, e, -1 FROM iv
+    ), run AS (
+        SELECT event_type, ts,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY ts ASC, delta ASC
+                                ROWS UNBOUNDED PRECEDING) AS c
+        FROM ev
+    )
+    SELECT event_type, CAST(c AS BIGINT) AS peak_concurrent,
+           ts AS peak_at
+    FROM run
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY c DESC, ts ASC) = 1
+    """,
+    survey="ext: sweep-line peak concurrency (capacity planning: max "
+           "simultaneously-active intervals per group, and when) — "
+           "map-side ±1 event explode, ONE shuffle to the group grain, "
+           "one ordered running-sum window; −1 sorts before +1 so "
+           "back-to-back intervals never double-count, and the peak is "
+           "tie-permutation-invariant, so the entry is oracle-EXACT. "
+           "operators/timeseries.py::peak_concurrency",
+)
+def t_peak_concurrency_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.floor("value").cast("long")).alias("e"),
+    )
+    return peak_concurrency(iv, "s", "e", ["event_type"])
+
+
+@register(
     "t_sequence_match",
     oracle="""
     WITH mapped AS (

@@ -298,3 +298,24 @@ def test_ewma_and_holt_skip_null_values(spark):
     h = {r["k"]: r for r in
          holt_smoothing(df, ["k"], "day", "v", alpha=0.5).collect()}
     assert set(h) == {"a"} and h[("a")]["n_points"] == 2
+
+
+def test_peak_concurrency_sweep_line(spark):
+    """Hand-built intervals: overlapping triple, back-to-back pair that
+    must NOT double-count, NULL end = still active, per-group isolation."""
+    from rdw_spark.operators.timeseries import peak_concurrency
+
+    rows = [
+        # group a: [0,10) [5,15) [8,12) -> 3 concurrent first at t=8
+        ("a", 0, 10), ("a", 5, 15), ("a", 8, 12),
+        # b: back-to-back [0,5) [5,10): -1 sorts before +1 -> peak 1 at 0
+        ("b", 0, 5), ("b", 5, 10),
+        # c: open-ended (NULL end) stacks forever -> 2 at t=3
+        ("c", 1, None), ("c", 3, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {r["g"]: (r["peak_concurrent"], r["peak_at"]) for r in
+           peak_concurrency(df, "s", "e", ["g"]).collect()}
+    assert got["a"] == (3, 8)
+    assert got["b"] == (1, 0)
+    assert got["c"] == (2, 3)
