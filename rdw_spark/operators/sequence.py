@@ -122,3 +122,47 @@ def match_event_arrays(
         (F.regexp_count(F.col("seq"), pat) > 0).alias("matched"),
         F.regexp_extract(F.col("seq"), pattern, 0).alias("first_match"),
     )
+
+
+def top_sequences(
+    events: DataFrame,
+    symbols: dict[str, str],
+    group_cols: list[str],
+    n: int = 10,
+    max_events: int | None = 8,
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top user journeys: the ``n`` most common symbol paths (each
+    entity's first ``max_events`` mapped events in deterministic order)
+    with entity counts — the product-analytics "what do users actually
+    do" question. Returns ``(rank, path, n_entities, pct)``; ties break
+    by path string, so the ranking is total and engine-exact.
+
+    Scale shape: the per-entity build is :func:`sequence_delta` (one
+    shuffle); paths are O(max_events) strings, so the path count is a
+    partial-agg shuffle over at most Σ|alphabet|^max_events distinct
+    keys, and only n heads survive the bounded top-k."""
+    from pyspark.sql import Window
+
+    seqs = sequence_delta(events, symbols, group_cols, ts_col, event_col,
+                          id_col)
+    arr = F.col("events")
+    if max_events is not None:
+        arr = F.slice(arr, 1, max_events)
+    paths = seqs.select(
+        F.concat_ws("", F.transform(arr, lambda e: e["sym"])).alias("path"))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_entities"))
+    total = counts.agg(F.sum("n_entities").alias("_t"))
+    w = Window.orderBy(F.col("n_entities").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "path", "n_entities",
+            (F.col("n_entities").cast("double") / F.col("_t")).alias("pct"),
+        )
+        .orderBy("rank")
+    )

@@ -335,6 +335,54 @@ def j_band_proximity_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_top_journeys",
+    oracle="""
+    WITH mapped AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    WHEN 'error' THEN 'e' END AS sym
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+    ), ranked AS (
+        SELECT user_id, sym,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, sym, event_id) AS rn
+        FROM mapped
+    ), paths AS (
+        SELECT user_id, string_agg(sym, '' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 8 GROUP BY user_id
+    ), counts AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_entities
+        FROM paths GROUP BY path
+    ), t AS (SELECT CAST(SUM(n_entities) AS BIGINT) AS tot FROM counts)
+    SELECT CAST(rnk AS INT) AS rank, path, n_entities,
+           CAST(n_entities AS DOUBLE) / tot AS pct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_entities DESC, path ASC) AS rnk
+        FROM counts
+    ), t WHERE rnk <= 10 ORDER BY rnk
+    """,
+    survey="ext: top user journeys (path mining) — each entity's first 8 "
+           "mapped events as a deterministic symbol path, counted and "
+           "ranked (ties by path string, so engine-exact); built on the "
+           "sequence_delta machinery, path counts are a partial-agg "
+           "shuffle over bounded-length strings, only n heads survive. "
+           "operators/sequence.py::top_sequences",
+)
+def zz_top_journeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import top_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    return top_sequences(
+        ev,
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+         "error": "e"},
+        ["user_id"], n=10, max_events=8)
+
+
+@register(
     "t_peak_concurrency",
     # the sweep-line running sum's intermediate values depend on
     # within-tie order, but the MAX and its first timestamp are

@@ -125,3 +125,27 @@ def test_stream_sequence_state_equals_batch(spark, tmp_path):
             assert streamed[u][col] == batch[u][col], (u, col)
     # the v+c+p match spans all three drops — only cross-batch state sees it
     assert streamed[1]["matched"] and streamed[1]["first_match"] == "vvcp"
+
+
+def test_top_sequences_ranking_and_cap(spark):
+    from rdw_spark.operators.sequence import top_sequences
+
+    rows = []
+    eid = 0
+    # 3 users do v,c ; 2 users do v,p ; 1 user does v,c,x(unmapped),p
+    for u, seq in [(1, "vc"), (2, "vc"), (3, "vc"), (4, "vp"), (5, "vp"),
+                   (6, "vcp")]:
+        for i, ch in enumerate(seq):
+            et = {"v": "view", "c": "click", "p": "purchase"}[ch]
+            rows.append((eid, _ts(i + 1), u, et))
+            eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    syms = {"view": "v", "click": "c", "purchase": "p"}
+    got = [(r["rank"], r["path"], r["n_entities"], r["pct"]) for r in
+           top_sequences(df, syms, ["user_id"], n=2).collect()]
+    assert got == [(1, "vc", 3, 0.5), (2, "vp", 2, 2 / 6)]
+
+    # max_events truncation changes the path identity
+    capped = {r["path"]: r["n_entities"] for r in top_sequences(
+        df, syms, ["user_id"], n=10, max_events=1).collect()}
+    assert capped == {"v": 6}
