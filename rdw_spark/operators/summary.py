@@ -13,7 +13,10 @@ exactly one Exchange over the fact, pytest-locked.
 
 Spec: ``[(out_name, kind, col, param)]`` with kinds
 ``"quantile"`` (param = t-digest delta), ``"topk"`` (param = kept
-items m), ``"distinct"`` (param = lgk; 2**lgk one-byte registers).
+items m), ``"distinct"`` (param = lgk; 2**lgk one-byte registers), and
+``"kmv"`` (param = k; the k smallest distinct hashes — the
+set-operation sketch, EXACT merges and interoperable with
+``operators.kmv``'s sign-flipped hash order).
 Output: group cols + flat ``<name>__*`` sketch-state columns; read
 human numbers off with :func:`summary_readout`, roll up to coarser
 grains (or merge streaming per-batch deltas) with
@@ -48,7 +51,7 @@ from rdw_spark.operators.quantiles import _compress
 
 SummarySpec = "list[tuple[str, str, str, int]]"  # (name, kind, col, param)
 
-_KINDS = ("quantile", "topk", "distinct")
+_KINDS = ("quantile", "topk", "distinct", "kmv")
 
 
 def _validate(spec) -> None:
@@ -63,6 +66,8 @@ def _validate(spec) -> None:
         seen.add(name)
         if kind == "distinct" and not (4 <= param <= 18):
             raise ValueError(f"lgk {param} out of range [4, 18]")
+        if kind == "kmv" and param < 2:
+            raise ValueError(f"kmv k {param} must be >= 2")
         if kind == "quantile" and param < 8:
             raise ValueError(f"delta {param} too small")
         if kind == "topk" and param < 1:
@@ -87,8 +92,11 @@ def _sketch_fields(spec) -> list[T.StructField]:
                 T.StructField(f"{name}__dropped", T.LongType()),
                 T.StructField(f"{name}__ntotal", T.LongType()),
             ]
-        else:  # distinct
+        elif kind == "distinct":
             fields += [T.StructField(f"{name}__regs", T.BinaryType())]
+        else:  # kmv
+            fields += [T.StructField(
+                f"{name}__kmv", T.ArrayType(T.LongType(), False))]
     return fields
 
 
@@ -153,6 +161,14 @@ def summary_cube(
             sel.append(
                 F.when(F.col(col).isNotNull(),
                        F.xxhash64(F.col(col))).alias(f"_in_{name}"))
+        elif kind == "kmv":
+            # sign-flipped so SIGNED int64 order == UNSIGNED hash order
+            # (operators.kmv's convention — sketches interoperate)
+            sel.append(
+                F.when(F.col(col).isNotNull(),
+                       F.xxhash64(F.col(col))
+                       .bitwiseXOR(F.lit(-9223372036854775808)))
+                .alias(f"_in_{name}"))
         elif kind == "quantile":
             sel.append(F.col(col).cast("double").alias(f"_in_{name}"))
         else:
@@ -166,6 +182,7 @@ def summary_cube(
         tacc: dict[tuple, dict[str, dict]] = {}
         ttot: dict[tuple, dict[str, int]] = {}
         hacc: dict[tuple, dict[str, np.ndarray]] = {}
+        kacc: dict[tuple, dict[str, np.ndarray]] = {}
         keys_seen: dict[tuple, None] = {}
         for pdf in batches:
             for key, g in pdf.groupby(group_cols, dropna=False, sort=False):
@@ -185,12 +202,18 @@ def summary_cube(
                             c[item] = c.get(item, 0) + int(n)
                         t = ttot.setdefault(k, {})
                         t[name] = t.get(name, 0) + int(len(v))
-                    else:
+                    elif kind == "distinct":
                         h = v.dropna().to_numpy(dtype=np.int64)
                         regs = hacc.setdefault(k, {}).setdefault(
                             name, np.zeros(1 << param, dtype=np.uint8))
                         if h.size:
                             _hll_update(regs, h, param)
+                    else:  # kmv
+                        h = v.dropna().to_numpy(dtype=np.int64)
+                        cur = kacc.setdefault(k, {}).setdefault(name, h[:0])
+                        if h.size:
+                            kacc[k][name] = np.unique(
+                                np.concatenate([cur, h]))[:param]
         rows = []
         for k in keys_seen:
             row: list = list(k)
@@ -209,10 +232,13 @@ def summary_cube(
                     items, counts, dropped = _truncate(counter, param)
                     row += [items, counts, dropped,
                             ttot.get(k, {}).get(name, 0)]
-                else:
+                elif kind == "distinct":
                     regs = hacc.get(k, {}).get(
                         name, np.zeros(1 << param, dtype=np.uint8))
                     row += [bytes(regs)]
+                else:  # kmv
+                    arr = kacc.get(k, {}).get(name, np.empty(0, np.int64))
+                    row += [[int(x) for x in arr]]
             rows.append(tuple(row))
         yield pd.DataFrame(rows, columns=names)
 
@@ -263,13 +289,21 @@ def merge_summary_cubes(
                 items, counts, d2 = _truncate(counter, param)
                 row += [items, counts, dropped + d2,
                         int(pdf[f"{name}__ntotal"].sum())]
-            else:
+            elif kind == "distinct":
                 regs = np.zeros(1 << param, dtype=np.uint8)
                 for b in pdf[f"{name}__regs"]:
                     if b is not None:
                         np.maximum(regs, np.frombuffer(b, dtype=np.uint8),
                                    out=regs)
                 row += [bytes(regs)]
+            else:  # kmv: k smallest of the union — EXACT merge
+                parts = [np.asarray(x, dtype=np.int64)
+                         for x in pdf[f"{name}__kmv"] if len(x)]
+                if parts:
+                    merged = np.unique(np.concatenate(parts))[:param]
+                    row += [[int(x) for x in merged]]
+                else:
+                    row += [[]]
         return pd.DataFrame([tuple(row)], columns=names)
 
     return cubes.groupBy(*group_cols).applyInPandas(merge, out_schema)
@@ -325,6 +359,17 @@ def summary_readout(
             out = out.withColumn(
                 f"{name}_top", F.slice(F.col(f"{name}__items"), 1, topk)
             ).withColumn(f"{name}_ntotal", F.col(f"{name}__ntotal"))
+        elif kind == "kmv":
+            # (k-1)/u_k when full, exact size when not — operators.kmv's
+            # estimator over the sign-flipped hash order
+            kc = F.col(f"{name}__kmv")
+            est_col = F.when(
+                F.size(kc) < param, F.size(kc).cast("double")
+            ).otherwise(
+                F.lit(float(param - 1))
+                / (F.element_at(kc, param).cast("double")
+                   / F.lit(float(2**64)) + F.lit(0.5)))
+            out = out.withColumn(f"{name}_distinct", est_col)
         else:
             @F.pandas_udf("double")
             def dest(regs: pd.Series) -> pd.Series:

@@ -2289,6 +2289,7 @@ def zz_summary_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("chars", "quantile", "n_chars", 200),
         ("src", "topk", "source", 16),
         ("docs", "distinct", "doc_id", 12),
+        ("docset", "kmv", "doc_id", 1024),
     ]
     d = load_table(spark, sf_dir, "documents")
     fine = summary_cube(d, ["lang", "source"], spec)
@@ -2303,6 +2304,7 @@ def zz_summary_cube_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_top").alias("top_sources"),
         F.col("src_ntotal").alias("n_docs"),
         F.round("docs_distinct", 0).alias("approx_distinct_docs"),
+        F.round("docset_distinct", 0).alias("kmv_distinct_docs"),
     ).orderBy("lang")
 
 

@@ -17,6 +17,7 @@ SPEC = [
     ("val", "quantile", "v", 100),
     ("cat", "topk", "c", 16),
     ("uid", "distinct", "u", 10),
+    ("uidk", "kmv", "u", 256),
 ]
 
 SCHEMA = T.StructType([
@@ -67,6 +68,9 @@ def test_summary_cube_contracts_per_family(spark):
         exact = sub["u"].nunique()
         assert abs(r["uid_distinct"] - exact) / exact < 0.05, (
             g, r["uid_distinct"], exact)
+        # kmv: within the 1/sqrt(k) envelope (k=256 -> ~6.25%; 4 sigma)
+        assert abs(r["uidk_distinct"] - exact) / exact < 0.25, (
+            g, r["uidk_distinct"], exact)
     cube.unpersist()
 
 
@@ -100,6 +104,8 @@ def test_merge_equals_rebuild_and_registers_bit_identical(spark):
     for g in fr:
         # register max-merge is partitioning-invariant: BIT-identical
         assert bytes(fr[g]["uid__regs"]) == bytes(mr[g]["uid__regs"])
+        # kmv merge is EXACT: the k smallest of the union, any split
+        assert list(fr[g]["uidk__kmv"]) == list(mr[g]["uidk__kmv"])
         # exact counters agree exactly; digest totals agree exactly
         assert fr[g]["cat__ntotal"] == mr[g]["cat__ntotal"]
         assert fr[g]["val__n"] == mr[g]["val__n"]
