@@ -543,11 +543,17 @@ def _bpe_safe_batch(
     count ≤ the stop count < every kept pair's count. Merging disjoint
     pairs leaves other batch pairs' counts unchanged (a merge fuses two
     symbols, never creates or removes an adjacency of symbols it does
-    not touch), old interacting pairs can only lose occurrences, and
-    any NEW pair (x, ab) is bounded by the old count of the interacting
-    (x, a) ≤ stop count. So at sequential round k the argmax (with the
-    count-desc/lex tiebreak) is exactly batch pair k. Ties at the
-    boundary are truncated away rather than reasoned about; if
+    not touch), and old interacting pairs can only lose occurrences.
+    NEW pairs need two bounds: (x, ab) with x outside the trio is
+    bounded by the old interacting (x, a) ≤ stop count, but pairs
+    minted from the merged pair's OWN occurrences — (ab, ab) from runs
+    like x^L or (ab)^k, (a, ab) leftovers — can reach count n−1 (e.g.
+    merging (x, x) at count 29 over x^30 mints (xx, xx) at 14; over
+    (ab)^k, (ab, ab) reaches k−1). n−1 < n is the only safe margin, so
+    the batch is restricted to pairs of EQUAL count: every batch
+    member's count n strictly exceeds every minted pair's ≤ n−1 and
+    every non-batch old pair's ≤ stop count, hence at sequential round
+    k the (count desc, lex) argmax is exactly batch pair k. If
     truncation would empty the batch, the top-1 pair alone is kept
     (plain sequential step, always safe)."""
     acc: list[tuple[str, str, int]] = []
@@ -556,7 +562,8 @@ def _bpe_safe_batch(
     for r in rows:
         a, b, n = r["tok_a"], r["tok_b"], int(r["n_pairs"])
         trio = {a, b, a + b}
-        if len(acc) >= max_batch or (trio & syms):
+        if (len(acc) >= max_batch or (trio & syms)
+                or (acc and n != acc[0][2])):
             stop_count = n
             break
         acc.append((a, b, n))
@@ -591,11 +598,13 @@ def train_bpe(
 
     ``batch_merges > 1`` applies up to that many PROVABLY NON-INTERACTING
     merges per counting round (``_bpe_safe_batch`` — disjoint symbol
-    sets including concatenations, boundary ties truncated), folding
-    them in sequence inside ONE projection. The merge list is
-    bit-identical to the sequential trainer's; the counting-round count
-    (the scale ceiling — a 32k vocabulary is 32k shuffles at batch 1)
-    drops roughly ``batch_merges``-fold on natural corpora. Returned as
+    sets including concatenations, EQUAL counts only: pairs minted from
+    a count-n merge's own occurrences can reach n−1, so only equal
+    counts are sequential-safe — boundary ties truncated), folding them
+    in sequence inside ONE projection. The merge list is bit-identical
+    to the sequential trainer's; the counting-round count (the scale
+    ceiling — a 32k vocabulary is 32k shuffles at batch 1) drops on the
+    heavily-tied Zipf tail where most merge rounds live. Returned as
     ``rounds`` for observability.
 
     Stops early when no pair reaches ``min_count`` (or none is left).

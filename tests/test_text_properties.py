@@ -302,28 +302,34 @@ def test_bpe_safe_batch_rules():
     def rows(*triples):
         return [{"tok_a": a, "tok_b": b, "n_pairs": n} for a, b, n in triples]
 
-    # plain disjoint prefix, strict count gap at the stop row
-    assert _bpe_safe_batch(rows(("a", "b", 9), ("c", "d", 7), ("a", "x", 5)), 8) \
-        == [("a", "b", 9), ("c", "d", 7)]
+    # disjoint EQUAL counts batch; a lower-count row stops the prefix
+    # (minted pairs from a count-n merge can reach n-1, so only equal
+    # counts are provably sequential — the hypothesis-found x^30 case)
+    assert _bpe_safe_batch(
+        rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 5)), 8
+    ) == [("a", "b", 9), ("c", "d", 9)]
+    # differing counts never batch
+    assert _bpe_safe_batch(rows(("a", "b", 9), ("c", "d", 7)), 8) \
+        == [("a", "b", 9)]
     # concatenation interaction: merging (a,b) mints "ab", so ("ab","c")
-    # must stop the prefix even though string sets {a,b} vs {ab,c} are
-    # disjoint
-    assert _bpe_safe_batch(rows(("a", "b", 9), ("ab", "c", 7)), 8) \
+    # must stop the prefix even at equal count
+    assert _bpe_safe_batch(rows(("a", "b", 9), ("ab", "c", 9)), 8) \
         == [("a", "b", 9)]
     # reverse direction: candidate whose concat equals an accepted symbol
-    assert _bpe_safe_batch(rows(("xy", "z", 9), ("x", "y", 7)), 8) \
+    assert _bpe_safe_batch(rows(("xy", "z", 9), ("x", "y", 9)), 8) \
         == [("xy", "z", 9)]
-    # boundary tie with an interacting pair truncates the equal-count tail
+    # an interacting EQUAL-count stop row truncates the whole tail
+    # (sequential could pick the interacting pair at the tie) -> top-1
     assert _bpe_safe_batch(
-        rows(("a", "b", 9), ("c", "d", 7), ("a", "e", 7)), 8
+        rows(("a", "b", 9), ("c", "d", 9), ("a", "e", 9)), 8
     ) == [("a", "b", 9)]
     # truncation that would empty the batch falls back to top-1
     assert _bpe_safe_batch(rows(("a", "b", 7), ("a", "c", 7)), 8) \
         == [("a", "b", 7)]
-    # cap stops the prefix and the next row's count truncates ties
+    # the cap stops the prefix; a lower stop row keeps the equal batch
     assert _bpe_safe_batch(
-        rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 7)), 2
-    ) == [("a", "b", 9)]
+        rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 7)), 2
+    ) == [("a", "b", 9), ("c", "d", 9)]
 
 
 def test_train_bpe_batched_known_corpus(spark):
@@ -342,9 +348,9 @@ def test_train_bpe_batched_known_corpus(spark):
     assert bat["vocab"] == seq["vocab"]
     assert seq["rounds"] >= len(seq["merges"])
 
-    # independent frequent pairs with distinct counts: (a,b):10 (c,d):8
-    # (e,f):6 are mutually disjoint, so round 1 applies all three at once
-    texts2 = ["abab"] * 5 + ["cdcd"] * 4 + ["efef"] * 3
+    # independent frequent pairs with EQUAL counts: (a,b) (c,d) (e,f)
+    # all at 10 and mutually disjoint, so round 1 applies all three
+    texts2 = ["abab"] * 5 + ["cdcd"] * 5 + ["efef"] * 5
     rows2 = [Row(doc_id=i, text=t) for i, t in enumerate(texts2)]
     df2 = spark.createDataFrame(rows2, "doc_id long, text string")
     seq2 = X.train_bpe(df2, num_merges=6)
@@ -354,7 +360,7 @@ def test_train_bpe_batched_known_corpus(spark):
     assert seq2["rounds"] == 6
     assert bat2["rounds"] <= 4
     assert bat2["merges"][:3] == [
-        ("a", "b", "ab", 10), ("c", "d", "cd", 8), ("e", "f", "ef", 6)]
+        ("a", "b", "ab", 10), ("c", "d", "cd", 10), ("e", "f", "ef", 10)]
 
 
 @given(texts=_docs)
