@@ -489,3 +489,87 @@ def peak_concurrency(
         .select(*group_cols, F.col("concurrent").alias("peak_concurrent"),
                 F.col("ts").alias("peak_at"))
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) per key — the
+    classic drift alarm the EWMA/zscore pair doesn't give: cumulative
+    deviations from a ``target`` mean,
+
+        s_hi_t = max(0, s_hi_{t-1} + x_t − target − slack)
+        s_lo_t = max(0, s_lo_{t-1} + target − x_t − slack)
+
+    with an alarm whenever either side exceeds ``threshold`` (the side
+    resets to 0 after alarming — restart monitoring). Returns one row
+    per key: ``(key…, n_points, n_alarms, first_alarm_<order_col>,
+    max_cusum)``.
+
+    Engine-parity contract (the EWMA pattern): the recursion folds
+    left-to-right over the key's series in ``order_col`` order with a
+    STRUCT accumulator — identical operation sequence in any engine's
+    fold, so results are bit-exact across runs, partitionings, and
+    engines. One shuffle (groupBy key); O(rows-per-key) in one task is
+    the honest cost of a sequential recursion; ``order_col`` must be
+    unique per key (aggregate to the series grain first). NULL values
+    are excluded before folding."""
+    if slack < 0 or threshold <= 0:
+        raise ValueError("need slack >= 0 and threshold > 0")
+    k = list(key_cols)
+    series = (
+        df.select(*k, F.col(order_col).alias("_o"),
+                  F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy(*k)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),
+            F.count("_v").alias("n_points"),
+        )
+    )
+    tgt, sl, h = F.lit(float(target)), F.lit(float(slack)), F.lit(float(threshold))
+    zero = F.lit(0.0)
+    init = F.struct(
+        zero.alias("hi"), zero.alias("lo"),
+        F.lit(0).cast("long").alias("n_alarms"),
+        F.lit(None).cast("long").alias("first_idx"),
+        zero.alias("mx"),
+    )
+
+    def step(acc, e):
+        x = e["_v"]
+        hi = F.greatest(zero, acc["hi"] + x - tgt - sl)
+        lo = F.greatest(zero, acc["lo"] + tgt - x - sl)
+        fired = (hi > h) | (lo > h)
+        idx = e["_i"]
+        return F.struct(
+            F.when(hi > h, zero).otherwise(hi).alias("hi"),
+            F.when(lo > h, zero).otherwise(lo).alias("lo"),
+            (acc["n_alarms"] + fired.cast("long")).alias("n_alarms"),
+            F.coalesce(acc["first_idx"],
+                       F.when(fired, idx)).alias("first_idx"),
+            F.greatest(acc["mx"], hi, lo).alias("mx"),
+        )
+
+    # zip each element with its 1-based index so the alarm position is
+    # part of the fold state
+    indexed = F.zip_with(
+        F.col("_s"),
+        F.sequence(F.lit(1), F.size("_s")),
+        lambda s, i: F.struct(s["_v"].alias("_v"), i.cast("long").alias("_i")),
+    )
+    folded = F.aggregate(indexed, init, step)
+    orders = F.transform("_s", lambda s: s["_o"])
+    return series.select(
+        *k, "n_points",
+        folded["n_alarms"].alias("n_alarms"),
+        F.element_at(orders, folded["first_idx"].cast("int"))
+        .alias(f"first_alarm_{order_col}"),
+        folded["mx"].alias("max_cusum"),
+    )

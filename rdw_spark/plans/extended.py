@@ -2635,6 +2635,80 @@ def zz_ts_anomaly_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_ts_cusum",
+    # the CUSUM fold unrolled as a RECURSIVE CTE (the holt_smoothing
+    # pattern — every double op explicit, identical left-to-right
+    # sequence, so the five-field state hash-matches bit-exactly)
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT user_id % 50 AS u, event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS dval
+        FROM events GROUP BY 1, 2, 3
+    ), s AS (
+        SELECT u, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               list(dval ORDER BY day) AS arr,
+               list(day ORDER BY day) AS days
+        FROM d GROUP BY u, event_type
+    ), r AS (
+        SELECT u, event_type, 0 AS i,
+               CAST(0 AS DOUBLE) AS hi, CAST(0 AS DOUBLE) AS lo,
+               CAST(0 AS BIGINT) AS na, CAST(NULL AS BIGINT) AS fi,
+               CAST(0 AS DOUBLE) AS mx, len(arr) AS n, arr
+        FROM s
+        UNION ALL
+        SELECT u, event_type, i + 1,
+               CASE WHEN GREATEST(CAST(0 AS DOUBLE), hi + arr[i + 1] - 100.0 - 10.0) > 300.0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE GREATEST(CAST(0 AS DOUBLE), hi + arr[i + 1] - 100.0 - 10.0) END,
+               CASE WHEN GREATEST(CAST(0 AS DOUBLE), lo + 100.0 - arr[i + 1] - 10.0) > 300.0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE GREATEST(CAST(0 AS DOUBLE), lo + 100.0 - arr[i + 1] - 10.0) END,
+               na + CAST(GREATEST(CAST(0 AS DOUBLE), hi + arr[i + 1] - 100.0 - 10.0) > 300.0
+                         OR GREATEST(CAST(0 AS DOUBLE), lo + 100.0 - arr[i + 1] - 10.0) > 300.0
+                         AS BIGINT),
+               COALESCE(fi, CASE WHEN
+                   GREATEST(CAST(0 AS DOUBLE), hi + arr[i + 1] - 100.0 - 10.0) > 300.0
+                   OR GREATEST(CAST(0 AS DOUBLE), lo + 100.0 - arr[i + 1] - 10.0) > 300.0
+                   THEN CAST(i + 1 AS BIGINT) END),
+               GREATEST(mx,
+                        GREATEST(CAST(0 AS DOUBLE), hi + arr[i + 1] - 100.0 - 10.0),
+                        GREATEST(CAST(0 AS DOUBLE), lo + 100.0 - arr[i + 1] - 10.0)),
+               n, arr
+        FROM r WHERE i < n
+    )
+    SELECT s.u, s.event_type, s.n_points, r.na AS n_alarms,
+           COALESCE(CAST(s.days[CAST(r.fi AS INT)] AS VARCHAR), '')
+               AS first_alarm_day,
+           r.mx AS max_cusum
+    FROM s JOIN r ON s.u = r.u AND s.event_type = r.event_type
+                 AND r.i = r.n
+    """,
+    survey="ext: two-sided CUSUM change detection (Page 1954) — the "
+           "drift alarm EWMA/zscore don't give: cumulative deviations "
+           "from a target with slack, alarm + reset past the threshold; "
+           "struct-state left fold per key (one shuffle, the ewma/holt "
+           "engine-parity pattern), proven bit-exact vs a recursive-CTE "
+           "oracle. operators/timeseries.py::cusum_alarms",
+)
+def zz_ts_cusum_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("user_id") % 50).alias("u"), "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(_dsum(F.col("value")).alias("dval"))
+    r = cusum_alarms(d, ["u", "event_type"], "day", "dval",
+                     target=100.0, slack=10.0, threshold=300.0)
+    # no-alarm keys carry NULL first_alarm_day; '' keeps the report
+    # frame total-orderable (the expectations-report convention)
+    return r.withColumn(
+        "first_alarm_day",
+        F.coalesce(F.col("first_alarm_day").cast("string"), F.lit("")))
+
+
+@register(
     "holt_smoothing",
     # the two-state extension of the zz_ts_ewma fold parity: both
     # engines run the identical left-to-right double sequence. The

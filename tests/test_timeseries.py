@@ -319,3 +319,45 @@ def test_peak_concurrency_sweep_line(spark):
     assert got["a"] == (3, 8)
     assert got["b"] == (1, 0)
     assert got["c"] == (2, 3)
+
+
+def test_cusum_alarms_hand_model(spark):
+    """CUSUM vs a pure-Python fold: alarm counts, first-alarm position,
+    reset-after-alarm, two-sided detection, NULL exclusion."""
+    from rdw_spark.operators.timeseries import cusum_alarms
+
+    # target 10, slack 1, threshold 5: upward drift fires at the 3rd
+    # high point, then resets; a low dip fires the lo side
+    vals = [10.0, 13.0, 13.0, 13.0, 10.0, 4.0, 4.0, 10.0, None]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+
+    def model(xs, tgt, sl, h):
+        hi = lo = mx = 0.0
+        na = 0
+        fi = None
+        for i, x in enumerate(xs, start=1):
+            hi = max(0.0, hi + x - tgt - sl)
+            lo = max(0.0, lo + tgt - x - sl)
+            mx = max(mx, hi, lo)
+            if hi > h or lo > h:
+                na += 1
+                fi = fi or i
+                if hi > h:
+                    hi = 0.0
+                if lo > h:
+                    lo = 0.0
+        return na, fi, mx
+
+    xs = [v for v in vals if v is not None]
+    na, fi, mx = model(xs, 10.0, 1.0, 5.0)
+    r = cusum_alarms(df, ["g"], "o", "v", 10.0, 1.0, 5.0).collect()[0]
+    assert r["n_points"] == len(xs)
+    assert r["n_alarms"] == na and na >= 2      # both sides fired
+    assert r["first_alarm_o"] == fi - 1          # order values are 0-based
+    assert r["max_cusum"] == mx
+
+    import pytest
+
+    with pytest.raises(ValueError, match="slack"):
+        cusum_alarms(df, ["g"], "o", "v", 10.0, -1.0, 5.0)
