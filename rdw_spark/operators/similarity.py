@@ -1034,3 +1034,51 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_index(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_rows: int | None = 8192,
+):
+    """Build-once / probe-many IVFADC: materialize the encoded table
+    (``id, cell, pq_code`` — m bytes + a cell id per vector, no
+    full-precision vectors) as parquet PARTITIONED BY cell, plus a
+    single JSON sidecar holding both quantizers. The first call builds
+    (one coarse+PQ training pass + one encode pass); every later call
+    just reads, and a probe against the cell-partitioned layout is a
+    partition-pruned scan — the same publish contract as
+    :func:`ivf_index` (sidecar written last via atomic rename: the
+    index is valid iff the sidecar exists).
+
+    Returns ``(encoded, centroids, codebooks)`` exactly like
+    :func:`ivfpq_build`."""
+    import json
+    import os
+
+    sidecar = os.path.join(index_path, "quantizers.json")
+    vdir = os.path.join(index_path, "codes")
+    if not os.path.exists(sidecar):
+        encoded, centroids, books = ivfpq_build(
+            emb, n_centroids, m, k, id_col, vec_col, seed, max_iter,
+            sample_rows)
+        encoded.write.mode("overwrite").partitionBy("cell").parquet(vdir)
+        os.makedirs(index_path, exist_ok=True)
+        tmp = os.path.join(index_path, ".quantizers.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"centroids": centroids, "codebooks": books}, fh)
+        os.replace(tmp, sidecar)  # atomic publish
+    with open(sidecar) as fh:
+        q = json.load(fh)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in q["centroids"]]
+    books = [(int(j), [[float(x) for x in c] for c in b])
+             for j, b in q["codebooks"]]
+    return spark.read.parquet(vdir), centroids, books

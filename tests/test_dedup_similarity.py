@@ -1432,3 +1432,53 @@ def test_survivorship_rules_and_null_semantics(spark):
 
     with pytest.raises(ValueError, match="max|min"):
         survivorship(df, "cl", [("best", "ln")])
+
+
+def test_ivfpq_index_build_once_probe_many(spark, sf_dir, tmp_path):
+    """Persisted IVFADC: first call builds (encoded table partitioned by
+    cell + atomic quantizer sidecar), later calls just read; probes off
+    the stored index match a fresh build exactly (same seeds); a missing
+    sidecar means rebuild."""
+    import os
+
+    from rdw_spark.operators.similarity import (
+        ivfpq_build, ivfpq_index, ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    enc1, cents1, books1 = ivfpq_index(spark, emb, path, n_centroids=8,
+                                       m=8, k=16)
+    assert os.path.exists(os.path.join(path, "quantizers.json"))
+    # cell-partitioned layout on disk
+    cells = [d for d in os.listdir(os.path.join(path, "codes"))
+             if d.startswith("cell=")]
+    assert len(cells) > 1
+
+    # second call: pure read, same quantizers
+    enc2, cents2, books2 = ivfpq_index(spark, emb, path, n_centroids=8,
+                                       m=8, k=16)
+    assert cents2 == cents1 and books2 == books1
+    assert enc2.count() == emb.count()
+
+    # probes off the stored index == fresh in-memory build (seeded)
+    enc3, cents3, books3 = ivfpq_build(emb, n_centroids=8, m=8, k=16)
+    assert cents3 == cents1 and books3 == books1
+    q = emb.filter(F.col("vec_id") < 3).select(
+        "vec_id", F.col("embedding").cast("array<double>")).collect()
+    queries = [(int(r[0]), list(r[1])) for r in q]
+    stored = sorted(map(tuple, ivfpq_topk(
+        enc2, cents1, books1, queries, k=5, nprobe=4).collect()))
+    fresh = sorted(map(tuple, ivfpq_topk(
+        enc3, cents3, books3, queries, k=5, nprobe=4).collect()))
+    assert stored == fresh
+
+    # partition pruning: the cell IN (...) predicate lands in the scan's
+    # PartitionFilters (inputFiles() lists the relation pre-pruning, so
+    # inspect the physical plan instead)
+    probed = ivfpq_topk(enc2, cents1, books1, queries[:1], k=5, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1) and " IN " in pf.group(1), plan
