@@ -573,3 +573,93 @@ def cusum_alarms(
         .alias(f"first_alarm_{order_col}"),
         folded["mx"].alias("max_cusum"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int = 1,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per key —
+    level + trend + a ``period``-length seasonal profile:
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    seeded the standard way from the first season: ``l_m = mean(x_1..m)``,
+    ``b_m = 0``, ``s_i = x_i − l_m``; smoothing starts at t = m+1. Keys
+    with fewer than ``period + 1`` points emit no row (no season to
+    seed). Returns ``(key…, n_points, level, trend, seasonal,
+    forecast_h)`` where ``forecast_h = l + h·b + s_{t−m+((h−1) mod m)}``.
+
+    Engine-parity contract (the ewma/holt/cusum pattern): one shuffle to
+    the key grain, the recursion folds left-to-right via a struct
+    accumulator carrying (level, trend, seasonal array, position) —
+    fixed operation order, bit-reproducible across runs and
+    partitionings (cross-engine parity is pinned by the pure-Python
+    model test rather than a SQL oracle — the seasonal-array state is
+    beyond a sane recursive CTE)."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{nm} must be in (0, 1], got {v}")
+    k = list(key_cols)
+    m = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    series = (
+        df.select(*k, F.col(order_col).alias("_o"),
+                  F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy(*k)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_o", "_v"))).alias("_s"),
+            F.count("_v").alias("n_points"),
+        )
+        .filter(F.col("n_points") > m)
+    )
+    vals = F.transform("_s", lambda s: s["_v"])
+    first = F.slice(vals, 1, m)
+    # seed: l = mean of the first season (sequential fold / m), b = 0,
+    # seasonal = deviations of the first season from l
+    l0 = F.aggregate(first, F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(m))
+    init = F.struct(
+        l0.alias("l"), F.lit(0.0).alias("b"),
+        F.transform(first, lambda x: x - l0).alias("s"),
+        F.lit(0).alias("pos"),  # next seasonal slot to consume (0-based)
+    )
+
+    def step(acc, x):
+        sm = F.element_at(acc["s"], acc["pos"] + 1)  # s_{t-m}
+        l_new = F.lit(a) * (x - sm) + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        b_new = F.lit(b) * (l_new - acc["l"]) + F.lit(1.0 - b) * acc["b"]
+        s_new = F.lit(g) * (x - l_new) + F.lit(1.0 - g) * sm
+        upd = F.concat(
+            F.slice(acc["s"], 1, acc["pos"]),
+            F.array(s_new),
+            F.slice(acc["s"], acc["pos"] + 2, F.lit(m) - acc["pos"] - 1),
+        )
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), upd.alias("s"),
+            (F.pmod(acc["pos"] + 1, F.lit(m))).alias("pos"),
+        )
+
+    rest = F.slice(vals, m + 1, F.greatest(F.size(vals) - m, F.lit(0)))
+    st = F.aggregate(rest, init, step)
+    h = int(horizon)
+    fc_idx = F.pmod(st["pos"] + F.lit((h - 1) % m), F.lit(m)) + 1
+    return series.select(
+        *k, "n_points",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        st["s"].alias("seasonal"),
+        (st["l"] + F.lit(float(h)) * st["b"]
+         + F.element_at(st["s"], fc_idx.cast("int"))).alias("forecast_h"),
+    )

@@ -2635,6 +2635,35 @@ def zz_ts_anomaly_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zz_ts_holt_winters",
+    oracle=None,  # the seasonal-array fold state is beyond a sane
+                  # recursive CTE; exact-float parity vs a pure-Python
+                  # model (incl. horizon slot selection) is pytest-locked
+                  # (tests/test_timeseries.py::test_holt_winters_*)
+    survey="ext: additive Holt-Winters triple smoothing — level + trend "
+           "+ period-m seasonal profile folded per key via a struct "
+           "accumulator carrying the seasonal array (one shuffle, the "
+           "ewma/holt/cusum sequential-fold pattern), standard "
+           "first-season seeding, h-step forecast off the right seasonal "
+           "slot. operators/timeseries.py::holt_winters_additive",
+)
+def zz_ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("user_id") % 10).alias("u"), F.to_date("ts").alias("day"),
+    ).agg(_dsum(F.col("value")).alias("dval"))
+    r = holt_winters_additive(d, ["u"], "day", "dval", period=7)
+    return r.select(
+        "u", "n_points",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_h", 6).alias("forecast_1"),
+    ).orderBy("u")
+
+
+@register(
     "zz_ts_cusum",
     # the CUSUM fold unrolled as a RECURSIVE CTE (the holt_smoothing
     # pattern — every double op explicit, identical left-to-right

@@ -361,3 +361,60 @@ def test_cusum_alarms_hand_model(spark):
 
     with pytest.raises(ValueError, match="slack"):
         cusum_alarms(df, ["g"], "o", "v", 10.0, -1.0, 5.0)
+
+
+def test_holt_winters_matches_python_model(spark):
+    """Triple smoothing vs a pure-Python fold (exact float parity), the
+    seasonal profile is actually used (forecast picks the right slot),
+    short series emit nothing, and param validation."""
+    import math
+
+    from rdw_spark.operators.timeseries import holt_winters_additive
+
+    def model(xs, m, a, b, g, h):
+        l = sum(xs[:m]) / m
+        t = 0.0
+        s = [x - l for x in xs[:m]]
+        pos = 0
+        for x in xs[m:]:
+            sm = s[pos]
+            l_new = a * (x - sm) + (1 - a) * (l + t)
+            t = b * (l_new - l) + (1 - b) * t
+            s[pos] = g * (x - l_new) + (1 - g) * sm
+            l = l_new
+            pos = (pos + 1) % m
+        fc = l + h * t + s[(pos + (h - 1) % m) % m]
+        return l, t, s, fc
+
+    # seasonal + trend signal, period 4
+    xs = [10 + 0.5 * i + [3, -1, -2, 0][i % 4] for i in range(20)]
+    rows = [("a", i, float(v)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, o int, v double").repartition(4)
+    r = holt_winters_additive(df, ["g"], "o", "v", period=4).collect()[0]
+    l, t, s, fc = model(xs, 4, 0.5, 0.3, 0.3, 1)
+    assert r["n_points"] == 20
+    assert math.isclose(r["level"], l, rel_tol=0, abs_tol=0)
+    assert math.isclose(r["trend"], t, rel_tol=0, abs_tol=0)
+    assert list(r["seasonal"]) == s
+    assert r["forecast_h"] == fc
+    # the forecast tracks the next point decently on this clean signal
+    nxt = 10 + 0.5 * 20 + 3  # i=20 -> slot 0
+    assert abs(r["forecast_h"] - nxt) < 1.5
+
+    # horizon 3 uses the right seasonal slot
+    r3 = holt_winters_additive(df, ["g"], "o", "v", period=4,
+                               horizon=3).collect()[0]
+    _, _, _, fc3 = model(xs, 4, 0.5, 0.3, 0.3, 3)
+    assert r3["forecast_h"] == fc3
+
+    # too-short series: no row
+    short = spark.createDataFrame(
+        [("b", i, 1.0) for i in range(4)], "g string, o int, v double")
+    assert holt_winters_additive(short, ["g"], "o", "v", period=4).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_additive(df, ["g"], "o", "v", period=1)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters_additive(df, ["g"], "o", "v", period=4, alpha=0.0)
