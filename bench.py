@@ -178,7 +178,10 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
                 ingest_by_trigger[str(fpt)] = round(
                     n_stream / (time.perf_counter() - t0), 1)
             out["stream_ingest_by_trigger"] = ingest_by_trigger
-            out["stream_ingest_exams_per_sec"] = ingest_by_trigger["2000"]
+            # headline stays pinned to the ORIGINAL fpt=500/n=500 point so
+            # the number is comparable round-over-round; the trigger-2000
+            # amortization point lives in stream_ingest_by_trigger only
+            out["stream_ingest_exams_per_sec"] = ingest_by_trigger["500"]
         except Exception as e:  # noqa: BLE001
             out["stream_ingest_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 

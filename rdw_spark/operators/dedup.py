@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import normalize_text, tokens
 
@@ -863,14 +864,42 @@ def survivorship(
         if d not in ("max", "min"):
             raise ValueError(f"rule direction must be max|min, got {d!r}")
 
+    def _descending_key(v, dtype):
+        """An EXACTLY order-reversing key for ``min`` rules, per type.
+        ``-v.cast("double")`` would silently NULL out strings/dates
+        (turning the rule into a no-op) and lose precision on longs
+        beyond 2^53 — so invert losslessly per type and REJECT types
+        with no lossless inversion."""
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)):
+            # ~x = -x-1: a strictly order-reversing bijection over the
+            # FULL int64 range (unlike -x, which overflows at MIN_VALUE)
+            return F.bitwise_not(v.cast("long"))
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return -v  # IEEE negation is exact
+        if isinstance(dtype, T.DecimalType):
+            return -v  # decimal negation is exact (widened by Spark)
+        if isinstance(dtype, T.BooleanType):
+            return F.bitwise_not(v.cast("long"))
+        if isinstance(dtype, T.DateType):
+            return F.bitwise_not(F.unix_date(v))
+        if isinstance(dtype, T.TimestampType):
+            return F.bitwise_not(F.unix_micros(v))
+        raise ValueError(
+            f"survivorship 'min' rule on {dtype.simpleString()} column has "
+            "no lossless descending key; use 'max' or derive a numeric "
+            "sort column first")
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
     def key_cols():
         cols = []
         for i, (d, c) in enumerate(rules):
             v = F.col(c)
             # two-part key per rule: non-NULL beats NULL in BOTH
-            # directions, then the value (negated via desc trick for min)
+            # directions, then the value (losslessly inverted for min)
             cols.append(v.isNotNull().cast("int").alias(f"_nn{i}"))
-            cols.append((v if d == "max" else -v.cast("double"))
+            cols.append((v if d == "max" else _descending_key(v, schema[c]))
                         .alias(f"_k{i}"))
         # unambiguous total order: LOWEST id wins the final tie, and
         # max(struct) picks the largest key — so negate the id

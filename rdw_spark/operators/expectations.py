@@ -76,8 +76,11 @@ def check_expectations(df: DataFrame, rules) -> DataFrame:
     for name, kind, col, param in rules:
         if kind == "unique":
             continue
-        aggs.append(
-            F.sum(_violation_expr(kind, col, param).cast("long")).alias(name))
+        # coalesce: SUM over an EMPTY frame is NULL — an empty table must
+        # report 0 violations / passed, not NULL-fail the gate
+        aggs.append(F.coalesce(
+            F.sum(_violation_expr(kind, col, param).cast("long")),
+            F.lit(0)).alias(name))
         names.append((name, kind, col))
     spark = df.sparkSession
     parts = []

@@ -157,18 +157,23 @@ def summary_cube(
     sel: list = [F.col(c) for c in group_cols]
     for name, kind, col, _param in spec:
         if kind == "distinct":
-            # hash JVM-side: engine-stable, and Python only ever sees int64
-            sel.append(
-                F.when(F.col(col).isNotNull(),
-                       F.xxhash64(F.col(col))).alias(f"_in_{name}"))
+            # Hash JVM-side (engine-stable). The hash column must stay
+            # NON-nullable: a nullable int64 with any NULL in the batch
+            # becomes float64 in pandas and every hash round-trips
+            # through a 53-bit mantissa, silently corrupting the low
+            # bits. xxhash64 is never null (NULL input yields the seed),
+            # so keep it unconditional and carry a validity flag.
+            sel.append(F.xxhash64(F.col(col)).alias(f"_in_{name}"))
+            sel.append(F.col(col).isNotNull().alias(f"_nn_{name}"))
         elif kind == "kmv":
             # sign-flipped so SIGNED int64 order == UNSIGNED hash order
-            # (operators.kmv's convention — sketches interoperate)
+            # (operators.kmv's convention — sketches interoperate);
+            # same non-nullable + flag shape as "distinct" above
             sel.append(
-                F.when(F.col(col).isNotNull(),
-                       F.xxhash64(F.col(col))
-                       .bitwiseXOR(F.lit(-9223372036854775808)))
+                F.xxhash64(F.col(col))
+                .bitwiseXOR(F.lit(-9223372036854775808))
                 .alias(f"_in_{name}"))
+            sel.append(F.col(col).isNotNull().alias(f"_nn_{name}"))
         elif kind == "quantile":
             sel.append(F.col(col).cast("double").alias(f"_in_{name}"))
         else:
@@ -203,13 +208,18 @@ def summary_cube(
                         t = ttot.setdefault(k, {})
                         t[name] = t.get(name, 0) + int(len(v))
                     elif kind == "distinct":
-                        h = v.dropna().to_numpy(dtype=np.int64)
+                        # non-nullable int64 masked by the validity flag
+                        # (see the projection note: dropna on a nullable
+                        # long would have gone through float64)
+                        h = v.to_numpy(dtype=np.int64)[
+                            g[f"_nn_{name}"].to_numpy(dtype=bool)]
                         regs = hacc.setdefault(k, {}).setdefault(
                             name, np.zeros(1 << param, dtype=np.uint8))
                         if h.size:
                             _hll_update(regs, h, param)
                     else:  # kmv
-                        h = v.dropna().to_numpy(dtype=np.int64)
+                        h = v.to_numpy(dtype=np.int64)[
+                            g[f"_nn_{name}"].to_numpy(dtype=bool)]
                         cur = kacc.setdefault(k, {}).setdefault(name, h[:0])
                         if h.size:
                             kacc[k][name] = np.unique(

@@ -1434,6 +1434,42 @@ def test_survivorship_rules_and_null_semantics(spark):
         survivorship(df, "cl", [("best", "ln")])
 
 
+def test_survivorship_min_typing_is_lossless(spark):
+    """'min' must not silently degrade: longs beyond 2^53 order exactly
+    (no double round-trip), dates/timestamps invert losslessly, and a
+    'min' rule on a string column RAISES instead of becoming a no-op."""
+    import datetime
+
+    import pytest
+
+    from rdw_spark.operators.dedup import survivorship
+
+    big = (1 << 60) + 1          # adjacent under double rounding...
+    bigger = (1 << 60) + 2       # ...distinct as longs
+    rows = [
+        (1, "A", bigger, datetime.date(2024, 1, 2), "zz"),
+        (2, "A", big, datetime.date(2024, 1, 1), "aa"),
+        (3, "B", -(1 << 62), datetime.date(2023, 6, 1), "mm"),
+        (4, "B", (1 << 62), datetime.date(2023, 5, 1), "nn"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cl string, n long, d date, s string")
+
+    # min over huge longs: 2^60+1 < 2^60+2 must be seen (double can't)
+    got = {r["cl"]: r["survivor_id"] for r in survivorship(
+        df, "cl", [("min", "n")]).dropDuplicates(["cl"]).collect()}
+    assert got["A"] == 2 and got["B"] == 3
+
+    # min over dates: earliest date survives
+    gd = {r["cl"]: r["survivor_id"] for r in survivorship(
+        df, "cl", [("min", "d")]).dropDuplicates(["cl"]).collect()}
+    assert gd["A"] == 2 and gd["B"] == 4
+
+    # min over a string column: raise, never a silent no-op
+    with pytest.raises(ValueError, match="lossless"):
+        survivorship(df, "cl", [("min", "s")]).collect()
+
+
 def test_ivfpq_index_build_once_probe_many(spark, sf_dir, tmp_path):
     """Persisted IVFADC: first call builds (encoded table partitioned by
     cell + atomic quantizer sidecar), later calls just read; probes off

@@ -64,6 +64,17 @@ def test_violating_rows_quarantine(spark):
     assert 1 not in bad
 
 
+def test_empty_frame_passes_cleanly(spark):
+    """An empty table has zero violations for every rule — NULL sums
+    must not fail the gate."""
+    df = _df(spark).limit(0)
+    rep = {r["rule"]: r for r in check_expectations(df, RULES).collect()}
+    assert set(rep) == {name for name, *_ in RULES}
+    for r in rep.values():
+        assert r["n_violations"] == 0, r
+        assert r["passed"] is True, r
+
+
 def test_validation_errors(spark):
     import pytest
 

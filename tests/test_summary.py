@@ -124,6 +124,52 @@ def test_merge_equals_rebuild_and_registers_bit_identical(spark):
     assert r["cat_ntotal"] == len(pdf)
 
 
+def test_null_values_keep_hashes_bit_exact(spark):
+    """A batch containing NULLs must not corrupt the int64 hashes: a
+    nullable long column turns float64 in pandas and round-trips every
+    xxhash64 through a 53-bit mantissa. Build with NULLs interleaved and
+    assert the sketches are BIT-identical to a NULL-free build, the KMV
+    arrays interoperate with operators.kmv, and merge==rebuild holds."""
+    rows = []
+    for i in range(3000):
+        # xxhash64 values are full-width 64-bit (low bits ~always set)
+        rows.append(("g0" if i % 2 else "g1", None, None,
+                     None if i % 5 == 0 else i % 700))
+    schema = SCHEMA
+    spec = [("uid", "distinct", "u", 10), ("uidk", "kmv", "u", 256)]
+    df = spark.createDataFrame(rows, schema)
+    with_nulls = {r["g"]: r for r in
+                  summary_cube(df.repartition(6), ["g"], spec).collect()}
+    no_nulls = {r["g"]: r for r in summary_cube(
+        df.filter(F.col("u").isNotNull()).repartition(3), ["g"],
+        spec).collect()}
+    for g in ("g0", "g1"):
+        assert bytes(with_nulls[g]["uid__regs"]) == bytes(
+            no_nulls[g]["uid__regs"])
+        assert list(with_nulls[g]["uidk__kmv"]) == list(
+            no_nulls[g]["uidk__kmv"])
+
+    # interop: the cube's kmv arrays ARE operators.kmv sketches
+    from rdw_spark.operators.kmv import kmv_sketch
+
+    ks = {r["g"]: list(r["kmv"])
+          for r in kmv_sketch(df, ["g"], "u", k=256).collect()}
+    for g in ("g0", "g1"):
+        assert list(with_nulls[g]["uidk__kmv"]) == ks[g]
+
+    # merge == rebuild with NULLs present in both halves
+    h1 = spark.createDataFrame(rows[:1500], schema).repartition(5)
+    h2 = spark.createDataFrame(rows[1500:], schema).repartition(2)
+    merged = {r["g"]: r for r in merge_summary_cubes(
+        summary_cube(h1, ["g"], spec).unionByName(
+            summary_cube(h2, ["g"], spec)), ["g"], spec).collect()}
+    for g in ("g0", "g1"):
+        assert bytes(merged[g]["uid__regs"]) == bytes(
+            with_nulls[g]["uid__regs"])
+        assert list(merged[g]["uidk__kmv"]) == list(
+            with_nulls[g]["uidk__kmv"])
+
+
 def test_hll_estimate_ranges():
     # empty -> 0 via linear counting (m*ln(m/m) = 0)
     assert hll_estimate(np.zeros(1 << 10, dtype=np.uint8)) == 0.0
