@@ -194,7 +194,7 @@ def p9_embargo_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p10_column_visibility",
+    "zz_p10_column_visibility",
     oracle="""
     SELECT c_custkey, c_name,
            CAST(NULL AS INTEGER) AS c_nationkey,
@@ -335,7 +335,7 @@ def j_band_proximity_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_top_journeys",
+    "seq_top_journeys",
     oracle="""
     WITH mapped AS (
         SELECT user_id, ts, event_id,
@@ -371,7 +371,7 @@ def j_band_proximity_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "shuffle over bounded-length strings, only n heads survive. "
            "operators/sequence.py::top_sequences",
 )
-def zz_top_journeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seq_top_journeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sequence import top_sequences
 
     ev = _t(spark, sf_dir, "events")
@@ -612,7 +612,7 @@ def zz_drift_psi_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_expectations_report",
+    "gate_expectations",
     oracle="""
     WITH agg AS (
         SELECT
@@ -649,7 +649,7 @@ def zz_drift_psi_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "plus a map-only quarantine tagger (violating_rows). "
            "operators/expectations.py",
 )
-def zz_expectations_report_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gate_expectations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.expectations import check_expectations
 
     o = _t(spark, sf_dir, "orders")
@@ -686,7 +686,7 @@ def zz_k_anonymity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_table_cdc",
+    "cdc_table_feed",
     oracle="""
     WITH base AS (
         SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
@@ -712,7 +712,7 @@ def zz_k_anonymity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "oracle-EXACT from the known upsert batch. The CDC window is "
            "the time-travel window (gc keep_manifests)",
 )
-def zz_table_cdc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_table_feed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import tempfile
@@ -2033,7 +2033,7 @@ def zz_graph_khop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_graph_ppr",
+    "graph_ppr",
     # Personalized PageRank: teleport mass restarts at the two smallest
     # customer nodes; integer micro-unit floor arithmetic keeps every
     # round bit-exact across engines (the graph_pagerank parity trick)
@@ -2093,7 +2093,7 @@ def zz_graph_khop_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "rank frame moves) and the same integer micro-unit parity, "
            "proven by a 3-round chained-CTE oracle with dynamic seeds",
 )
-def zz_graph_ppr_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_ppr_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2116,7 +2116,7 @@ def zz_graph_ppr_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_graph_communities",
+    "graph_communities",
     # Three synchronous rounds in chained CTEs; min-label tie-break makes
     # every round an integer argmax — bit-exact across engines, the same
     # parity trick as graph_pagerank.
@@ -2166,7 +2166,7 @@ def zz_graph_ppr_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "proven by a 3-round chained-CTE oracle — the 4th member of "
            "the graph tier (pagerank/triangles/k-core/LPA)",
 )
-def zz_graph_communities_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_communities_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2664,7 +2664,7 @@ def zz_ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_cusum",
+    "stat_cusum",
     # the CUSUM fold unrolled as a RECURSIVE CTE (the holt_smoothing
     # pattern — every double op explicit, identical left-to-right
     # sequence, so the five-field state hash-matches bit-exactly)
@@ -2720,7 +2720,7 @@ def zz_ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "engine-parity pattern), proven bit-exact vs a recursive-CTE "
            "oracle. operators/timeseries.py::cusum_alarms",
 )
-def zz_ts_cusum_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stat_cusum_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import cusum_alarms
 
     ev = _t(spark, sf_dir, "events")

@@ -49,7 +49,7 @@ def _davg(col) -> F.Column:
 # --------------------------------------------------------------------------
 
 @register(
-    "a1_pricing_summary",
+    "zz_a1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)      AS sum_qty,
@@ -173,7 +173,7 @@ def p5_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p8_relative_interval",
+    "zz_p8_relative_interval",
     oracle="""
     SELECT event_id, user_id, event_type, ts
     FROM events
@@ -259,7 +259,7 @@ def j2_left_join_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "j4_semi_join",
+    "zz_j4_semi_join",
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
@@ -297,7 +297,7 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j6_expression_self_join",
+    "zz_j6_expression_self_join",
     oracle="""
     SELECT a.p_brand AS brand, COUNT(*) AS n_same_size_pairs
     FROM part a
@@ -549,7 +549,7 @@ def a9_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a12_distribution_report",
+    "zz_a12_distribution_report",
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -570,7 +570,7 @@ def a12_distribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a13_expression_groupby",
+    "zz_a13_expression_groupby",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
            event_type,

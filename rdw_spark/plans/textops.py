@@ -423,7 +423,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_sample_temperature",
+    "sample_temperature",
     # τ=2 ⇒ the exponent is sqrt (IEEE-exact in both engines) and the
     # normalizer folds per-source terms in sorted order — deterministic
     # sequential double sum, so weights hash-match bit-exactly
@@ -454,7 +454,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
            "engines; composes with mixture_sample for the draw. "
            "operators/sampling.py::temperature_weights",
 )
-def zz_sample_temperature_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_temperature_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return SA.temperature_weights(d, "source", "n_chars", tau=2.0).orderBy(
         "source")

@@ -42,7 +42,7 @@ class TestJoinStrategies:
             assert "SortMergeJoin" not in plan, f"{q}: unexpected shuffle join"
 
     def test_semi_and_anti_joins_broadcast(self, spark, catalog):
-        plan = _plan(spark, catalog, "j4_semi_join")
+        plan = _plan(spark, catalog, "zz_j4_semi_join")
         assert "LeftSemi" in plan and "Broadcast" in plan
         plan = _plan(spark, catalog, "zz_j5_anti_join")
         assert "LeftAnti" in plan and "Broadcast" in plan
@@ -65,7 +65,7 @@ class TestPushdownAndPruning:
         assert "EqualTo(event_type,purchase)" in plan
 
     def test_column_pruning_pricing_summary(self, spark, catalog):
-        plan = _plan(spark, catalog, "a1_pricing_summary")
+        plan = _plan(spark, catalog, "zz_a1_pricing_summary")
         scan = plan[plan.index("ReadSchema"):].splitlines()[0]
         # only the 7 needed lineitem columns — no keys, no linestatus noise
         for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -78,7 +78,7 @@ class TestPushdownAndPruning:
         # partial_sum before the exchange = map-side combine: the shuffle
         # carries one row per group per partition, not per input row
         plan = explain_str(
-            catalog["a1_pricing_summary"].fn(spark, SF), "simple"
+            catalog["zz_a1_pricing_summary"].fn(spark, SF), "simple"
         )
         assert "partial_sum" in plan
         assert plan.index("partial_sum") > plan.index("Exchange")  # below it
