@@ -109,6 +109,16 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
         build_corpus(docs, minhash_threshold=0.5)
         corpus_s = time.perf_counter() - t0
 
+        # tokenizer training at vocabulary scale: 1k merges via the
+        # collect-then-heap trainer (one Spark corpus pass + in-memory
+        # merge loop) — the distributed per-round loop would need
+        # hundreds of counting shuffles for the same list
+        from rdw_spark.operators.text import train_bpe_heap
+
+        t0 = time.perf_counter()
+        bpe = train_bpe_heap(docs, num_merges=1000)
+        bpe_s = time.perf_counter() - t0
+
         out = {
             "n_exams": n_exams,
             "ingest_sec": round(ingest_s, 2),
@@ -116,6 +126,8 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
             "migrate_reporting_per_sec": round(n_exams / rep_s, 1),
             "migrate_olap_per_sec": round(n_exams / olap_s, 1),
             "corpus_build_docs_per_sec": round(n_docs / corpus_s, 1),
+            "bpe_train_1k_merges_sec": round(bpe_s, 2),
+            "bpe_train_merges_done": len(bpe["merges"]),
         }
 
         # streaming twins (availableNow drain over the same inputs) — the

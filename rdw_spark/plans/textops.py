@@ -2023,16 +2023,15 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_pair_counts(_docs(spark, sf_dir), k=50)
 
 
-@register(
-    "zz_bpe_train_rounds",
-    # Three full induction rounds in chained CTEs. The merge-application
-    # trick: a symbol sequence rendered as '|s1||s2||...|' (tokens are
-    # [a-z0-9</w>]+, never '|') makes one BPE merge a plain replace() of
-    # '|a||b|' with '|ab|' — left-to-right non-overlapping replacement IS
-    # the leftmost-greedy merge scan (a replaced occurrence consumes one
-    # bar of each flanking '||', leaving the string well-formed), the same
-    # argument that makes the Spark side's array fold exact.
-    oracle="""
+# Three full induction rounds in chained CTEs. The merge-application
+# trick: a symbol sequence rendered as '|s1||s2||...|' (tokens are
+# [a-z0-9</w>]+, never '|') makes one BPE merge a plain replace() of
+# '|a||b|' with '|ab|' — left-to-right non-overlapping replacement IS
+# the leftmost-greedy merge scan (a replaced occurrence consumes one
+# bar of each flanking '||', leaving the string well-formed), the same
+# argument that makes the Spark side's array fold exact. Shared by the
+# distributed-loop entry AND the heap-trainer entry (same contract).
+_BPE_3ROUND_ORACLE = """
     WITH words AS (
         SELECT w AS word, COUNT(*) AS freq FROM (
             SELECT unnest(string_split_regex(
@@ -2079,7 +2078,22 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT CAST(3 AS INT), a, b, a || b, CAST(n AS BIGINT) FROM m3
     ) ORDER BY merge_round
-    """,
+    """
+
+
+def _merge_rows_frame(spark: SparkSession, out: dict) -> DataFrame:
+    rows = [
+        (i + 1, a, b, m, n) for i, (a, b, m, n) in enumerate(out["merges"])
+    ]
+    return spark.createDataFrame(
+        rows, "merge_round int, tok_a string, tok_b string, "
+              "merged string, n_pairs long",
+    ).orderBy("merge_round")
+
+
+@register(
+    "zz_bpe_train_rounds",
+    oracle=_BPE_3ROUND_ORACLE,
     survey="ext: full BPE vocabulary induction (Sennrich et al. 2016) — "
            "iterative merge training over the cached word-frequency symbol "
            "frame: per round ONE partial-agg shuffle (pair count), an O(1) "
@@ -2088,14 +2102,25 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            "(pair, product, frequency-weighted count).",
 )
 def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = X.train_bpe(_docs(spark, sf_dir), num_merges=3)
-    rows = [
-        (i + 1, a, b, m, n) for i, (a, b, m, n) in enumerate(out["merges"])
-    ]
-    return spark.createDataFrame(
-        rows, "merge_round int, tok_a string, tok_b string, "
-              "merged string, n_pairs long",
-    ).orderBy("merge_round")
+    return _merge_rows_frame(
+        spark, X.train_bpe(_docs(spark, sf_dir), num_merges=3))
+
+
+@register(
+    "zz_bpe_train_heap",
+    oracle=_BPE_3ROUND_ORACLE,
+    survey="ext: BPE induction, collect-then-heap path — Spark does the "
+           "ONE corpus-sized pass (word-frequency symbol frame, "
+           "O(vocabulary)), then the classic lazy-max-heap trainer with "
+           "incremental pair-count deltas runs the merge loop driver-side "
+           "(32k merges in seconds vs one counting shuffle per round); "
+           "bounded by max_driver_words with distributed fallback. Merge "
+           "list bit-identical to the distributed loop (pytest property) "
+           "and to the DuckDB chained-CTE recurrence (this oracle).",
+)
+def bpe_train_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merge_rows_frame(
+        spark, X.train_bpe_heap(_docs(spark, sf_dir), num_merges=3))
 
 
 def _bpe_encode_oracle(rounds: int, top_k: int) -> str:

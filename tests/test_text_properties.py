@@ -375,3 +375,50 @@ def test_train_bpe_batched_matches_sequential(spark, texts):
     want_merges, want_vocab = _py_bpe(texts, 5)
     assert bat["merges"] == want_merges
     assert bat["vocab"] == want_vocab
+
+
+def _words_from_texts(texts, eow="</w>"):
+    wf = Counter()
+    for t in texts:
+        wf.update(_norm_tokens(t))
+    return [(list(w) + [eow], c) for w, c in wf.items()]
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_heap_bpe_matches_recount_reference(texts):
+    """Property (pure Python, no Spark): the incremental heap trainer
+    produces exactly the naive recount-from-scratch reference's merge
+    list and vocabulary — every count delta, heap invalidation, and
+    tie-break agrees with the from-first-principles algorithm."""
+    want_merges, want_vocab = _py_bpe(texts, 12)
+    got = X._heap_bpe(_words_from_texts(texts), 12)
+    assert got["merges"] == want_merges
+    assert got["vocab"] == want_vocab
+    assert got["rounds"] == len(got["merges"])
+
+
+@given(texts=_docs)
+@settings(**_SETTINGS)
+def test_train_bpe_heap_matches_distributed(spark, texts):
+    """Property: the collect-then-heap path returns the distributed
+    trainer's exact merges/vocab for any corpus (Spark corpus pass +
+    in-memory merge loop == per-round counting shuffles)."""
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    heap = X.train_bpe_heap(df, num_merges=6)
+    seq = X.train_bpe(df, num_merges=6)
+    assert heap["merges"] == seq["merges"]
+    assert heap["vocab"] == seq["vocab"]
+
+
+def test_train_bpe_heap_fallback_guard(spark):
+    """A vocabulary over max_driver_words falls back to the distributed
+    loop (same results; never an unbounded collect)."""
+    texts = ["low lower newest widest", "low low newest"]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fb = X.train_bpe_heap(df, num_merges=4, max_driver_words=2)
+    seq = X.train_bpe(df, num_merges=4)
+    assert fb["merges"] == seq["merges"]
+    assert fb["vocab"] == seq["vocab"]
