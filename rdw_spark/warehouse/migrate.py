@@ -43,6 +43,7 @@ snapshot versions after a drain.
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
@@ -135,9 +136,19 @@ class MigrateEngine:
         "olap_exam_target_score": ["exam_id", "claim_code", "target_code"],
     }
 
-    def __init__(self, warehouse: TableStore, mart_root: str, batch_size: int = 2000):
+    def __init__(self, warehouse: TableStore, mart_root: str,
+                 batch_size: int = 2000, expectations: list | None = None):
+        """``expectations``: optional declarative data-quality rules
+        (``operators.expectations`` ``(name, kind, column, param)``
+        tuples) evaluated against every admitted exam batch BEFORE it
+        migrates. A violating batch records its full report under the
+        mart's ``gate_report/`` and fails the run — the same
+        halt-until-manually-enabled protocol as any migrate failure
+        (T4), extended to data quality."""
         self.wh = warehouse
         self.batch_size = batch_size
+        self.expectations = expectations
+        self._gate_root = os.path.join(mart_root, "gate_report")
         # control table: one row per run, bucketed by (job, id range) so a
         # status transition rewrites one small bucket, never the whole
         # run history
@@ -285,6 +296,7 @@ class MigrateEngine:
             created=now, updated=now, message=None,
         ))
         try:
+            self._gate_batch(spark, job, run_id, first, last)
             n = self._migrate_batch(spark, job, first, last)
             status, msg = MigrateStatus.COMPLETED, None
         except Exception as exc:  # noqa: BLE001 — recorded + job halted (T4)
@@ -304,6 +316,46 @@ class MigrateEngine:
                 break
             total += res["migrated"]
         return total
+
+    # ---------- data-quality admission gate ----------
+
+    def _gate_batch(self, spark: SparkSession, job: str, run_id: int,
+                    first: int, last: int) -> None:
+        """Evaluate the configured expectations against the exam rows the
+        batch is about to admit. The report (O(rules) rows) is persisted
+        whether it passes or not — a clean audit trail per run; a failing
+        rule raises, which the run_once handler records as FAILED and the
+        job halts until ``enable()`` (the reference's halt-on-failure
+        protocol, docs/Troubleshooting.md:241-253, applied to quality)."""
+        if not self.expectations:
+            return
+        from rdw_spark.operators.expectations import check_expectations
+
+        batch = self._batch_filter(self.wh.read(spark, "exam"), first, last)
+        rows = check_expectations(batch, self.expectations).collect()
+        report = spark.createDataFrame(rows).withColumns({
+            "job": F.lit(job), "run_id": F.lit(run_id).cast("long"),
+            "first_import_id": F.lit(first).cast("long"),
+            "last_import_id": F.lit(last).cast("long"),
+        })
+        report.coalesce(1).write.mode("append").parquet(self._gate_root)
+        failed = sorted(r["rule"] for r in rows if not r["passed"])
+        if failed:
+            raise RuntimeError(
+                "expectations gate failed: " + ", ".join(failed))
+
+    def gate_reports(self, spark: SparkSession) -> DataFrame:
+        """Every persisted admission-gate report row, one per rule per
+        gated run."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self._gate_root)
+        except AnalysisException:
+            return spark.createDataFrame(
+                [], "rule string, kind string, column string, "
+                    "n_violations long, passed boolean, job string, "
+                    "run_id long, first_import_id long, last_import_id long")
 
     # ---------- per-job transforms ----------
 
