@@ -246,6 +246,54 @@ class TestMigrate:
         assert MigrateStatus.FAILED in statuses or MigrateStatus.ABANDONED in statuses
 
 
+class TestMigrateGate:
+    """Data-quality admission gate composed into the migrate path: a
+    violating batch halts the job with the report persisted (the T4
+    halt-on-failure protocol extended to quality); a clean batch
+    migrates and still leaves its passing report."""
+
+    def test_violating_batch_halts_with_report(self, spark, wh, log, tmp_path):
+        TestMigrate()._seed_warehouse(spark, wh, log)
+        rules = [
+            ("r_score_range", "between", "scale_score", (0, 2450)),  # OPP1=2500 violates
+            ("r_grade_set", "in_set", "grade_code", ["06", "07", "08"]),
+        ]
+        eng = MigrateEngine(wh, str(tmp_path / "mart"), expectations=rules)
+        res = eng.run_once(spark, "reporting")
+        assert res["state"] == "failed"
+        assert eng.run_once(spark, "reporting")["state"] == "disabled"
+        failed = eng.failed_runs(spark).collect()
+        assert len(failed) == 1
+        assert "r_score_range" in failed[0]["message"]
+        # report persisted: one row per rule, tagged with the run
+        rep = {r["rule"]: r for r in eng.gate_reports(spark).collect()}
+        assert rep["r_score_range"]["passed"] is False
+        assert rep["r_score_range"]["n_violations"] == 1
+        assert rep["r_grade_set"]["passed"] is True
+        assert rep["r_score_range"]["job"] == "reporting"
+        # nothing migrated — the mart never published a snapshot
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="no published snapshot"):
+            eng.read_mart(spark, "reporting_exam")
+
+    def test_clean_batch_migrates_with_passing_report(self, spark, wh, log, tmp_path):
+        TestMigrate()._seed_warehouse(spark, wh, log)
+        rules = [
+            ("r_score_range", "between", "scale_score", (0, 9999)),
+            ("r_opp_not_null", "not_null", "opp_id", None),
+        ]
+        eng = MigrateEngine(wh, str(tmp_path / "mart"), expectations=rules)
+        res = eng.run_once(spark, "reporting")
+        assert res["state"] == "completed" and res["migrated"] == 2
+        rep = eng.gate_reports(spark).collect()
+        assert len(rep) == 2 and all(r["passed"] for r in rep)
+        # no gate configured -> no reports, plain migrate
+        eng2 = MigrateEngine(wh, str(tmp_path / "mart2"))
+        assert eng2.run_once(spark, "olap")["state"] == "completed"
+        assert eng2.gate_reports(spark).count() == 0
+
+
 class TestAuditSetting:
     """Runtime audit toggle via the ``setting`` table
     (docs/Runbook.Audit.md:83-101): only value TRUE writes audit rows;
