@@ -218,6 +218,43 @@ def pipeline_bench(spark, n_exams: int = 2000, with_streaming: bool = True) -> d
         except Exception as e:  # noqa: BLE001
             out["stream_agg_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
 
+        try:
+            # round-9 state families get the same fixed-cost-per-trigger
+            # evidence as the ingest/corpus paths: the unified summary
+            # cube maintained per micro-batch at two trigger sizes, plus
+            # one KMV point (its delta build is all JVM expressions)
+            from rdw_spark.streaming.aggstate import (
+                stream_kmv_state, stream_summary_state,
+            )
+
+            spec = [("chars", "quantile", "n_chars", 100),
+                    ("src", "topk", "source", 16),
+                    ("docs", "kmv", "doc_id", 256)]
+            by_trigger = {}
+            for fpt in (8, 32):
+                t0 = time.perf_counter()
+                q = stream_summary_state(
+                    spark, landing, docs.schema,
+                    os.path.join(root, f"sumstate_{fpt}"),
+                    os.path.join(root, f"ckpt_sum_{fpt}"),
+                    ["lang"], spec, max_files_per_trigger=fpt,
+                )
+                q.awaitTermination()
+                by_trigger[str(fpt)] = round(
+                    n_docs / (time.perf_counter() - t0), 1)
+            out["stream_summary_by_trigger"] = by_trigger
+            t0 = time.perf_counter()
+            q = stream_kmv_state(
+                spark, landing, docs.schema, os.path.join(root, "kmvstate"),
+                os.path.join(root, "ckpt_kmv"), ["lang"], "doc_id", 512,
+                max_files_per_trigger=8,
+            )
+            q.awaitTermination()
+            out["stream_kmv_docs_per_sec"] = round(
+                n_docs / (time.perf_counter() - t0), 1)
+        except Exception as e:  # noqa: BLE001
+            out["stream_state_err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
