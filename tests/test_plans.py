@@ -426,3 +426,42 @@ class TestRound9Plans:
         assert re.search(
             r"\(\d+\) HashAggregate\nInput \[1\]: \[word#", plan
         ), "distinct-word aggregate must feed the Python stage"
+
+
+class TestRound10Plans:
+    def test_bloom_pruned_join_fact_never_shuffles(self, spark, catalog):
+        # the bloom shape's whole point: the fact is filtered map-side by
+        # the broadcast bitmap and the residual join builds on the dim —
+        # ZERO shuffle Exchanges anywhere, one BroadcastHashJoin, and the
+        # Python stage is the Arrow-vectorized probe only
+        import re
+
+        plan = _plan(spark, catalog, "j_bloom_pruned_join")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+        assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0
+
+    def test_sequence_match_single_shuffle_and_symbol_pushdown(
+            self, spark, catalog):
+        # one ObjectHashAggregate pair around ONE Exchange on the entity
+        # key (partial collect map-side), and the symbol-map filter
+        # reaches the scan so unmapped events never shuffle
+        import re
+
+        plan = _plan(spark, catalog, "t_sequence_match")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "PushedFilters: [In(event_type" in plan
+
+    def test_bpe_heap_corpus_pass_is_one_wordcount(self, spark):
+        # the collect-then-heap trainer's only Spark job is the word-
+        # frequency pass: one Exchange (the wordcount), no Python nodes
+        import re
+
+        from rdw_spark.io import load_table
+        from rdw_spark.operators.text import bpe_word_symbols
+
+        docs = load_table(spark, SF, "documents")
+        plan = explain_str(bpe_word_symbols(docs))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert not re.search(r"MapInPandas|BatchEvalPython|ArrowEvalPython",
+                             plan)
