@@ -237,3 +237,64 @@ def sketch_percentile_of(
         est(F.col(value_col).cast("double"), "means", "weights",
             "vmin", "vmax"),
     ).drop("means", "weights", "vmin", "vmax")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the score-equating /
+    batch-effect-removal transform): replace each row's value with the
+    GLOBAL order statistic at the row's within-group quantile, so every
+    group's marginal distribution becomes the pooled one while rank
+    order inside each group is preserved. The cross-cohort equating
+    shape behind "compare scores from different test forms" — and the
+    microarray-normalization classic (Bolstad et al. 2003).
+
+    Semantics (all integer arithmetic — bit-exact across engines):
+    within-group rank ``rg`` by (value, id); group size ``ng``; global
+    target rank ``t = (rg−1)·(N−1) DIV (ng−1) + 1`` (a singleton group
+    maps to the pooled median ``(N−1) DIV 2 + 1``); ``normalized`` =
+    the value whose global (value, id) rank equals ``t``.
+
+    Scale shape: the within-group rank is a window PARTITIONED by
+    group; the global rank table comes from the two-phase distributed
+    prefix scan (``packing.with_global_offset`` — range partitions +
+    per-partition windows + an O(partitions) offset collect, never a
+    single-task global sort); the final lookup is a plain integer
+    equi-join. No driver-side data beyond the partition offsets."""
+    from pyspark.sql import Window
+
+    from rdw_spark.operators.packing import with_global_offset
+
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    ranked_src = (
+        df.select(value_col, id_col)
+        .withColumn("_one", F.lit(1))
+        .withColumn("_k", F.struct(F.col(value_col), F.col(id_col)))
+    )
+    ref = (
+        with_global_offset(ranked_src, "_one", "_k", out_col="_off")
+        .select((F.col("_off") + 1).alias("_t"),
+                F.col(value_col).alias("normalized"))
+    )
+    tagged = (
+        df.withColumn("_rg", F.row_number().over(wg).cast("long"))
+        .join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_t",
+            F.when(F.col("_ng") == 1,
+                   F.expr("(_n - 1) DIV 2") + F.lit(1))
+            .otherwise(
+                F.expr("((_rg - 1) * (_n - 1)) DIV (_ng - 1)") + F.lit(1)),
+        )
+    )
+    return (
+        tagged.join(ref, "_t")
+        .select(id_col, group_col, value_col, "normalized")
+    )

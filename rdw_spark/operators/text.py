@@ -457,6 +457,81 @@ def bpe_pair_counts(
     ).limit(k)
 
 
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information — the
+    statistically-surprising adjacent pairs (Church & Hanks 1990), the
+    phrase detector raw counts can't be: ``bpe_pair_counts`` surfaces
+    "of the"; PMI surfaces "los angeles".
+
+    The score is ``exp(PMI) = n_pairs · N / (c_a · c_b)`` (N = total
+    adjacent-pair occurrences, c_x = token occurrence counts), a
+    strictly monotone transform of PMI kept in exact arithmetic: the
+    two products are computed in DECIMAL (never overflow, never round)
+    and the single division is one correctly-rounded double op — bit
+    identical across engines, where ``log`` would inherit libm. Rare
+    pairs below ``min_count`` are dropped first (PMI's classic failure
+    mode: a 1-occurrence pair of two hapaxes scores N).
+
+    Scale shape: one adjacent-pair explode + partial-agg shuffle
+    (reusing the ``bpe_pair_counts`` counting plan), one token
+    wordcount shuffle, two vocabulary-sized joins (AQE broadcasts
+    them), a 1-row N broadcast, TakeOrdered top-k. Tie-break
+    (score desc, tok_a, tok_b) is total."""
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    pairs_arr = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+            ),
+        ),
+        1,
+    )
+    bi = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(pairs_arr).alias("_p"))
+        .select(F.col("_p.ta").alias("tok_a"), F.col("_p.tb").alias("tok_b"))
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    uni = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(toks).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = bi.agg(F.sum("n_pairs").alias("_n"))
+    ca = uni.select(F.col("_tok").alias("tok_a"), F.col("_c").alias("c_a"))
+    cb = uni.select(F.col("_tok").alias("tok_b"), F.col("_c").alias("c_b"))
+    scored = (
+        bi.join(ca, "tok_a").join(cb, "tok_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("n_pairs").cast("decimal(19,0)")
+             * F.col("_n").cast("decimal(19,0)")).cast("double")
+            / (F.col("c_a").cast("decimal(19,0)")
+               * F.col("c_b").cast("decimal(19,0)")).cast("double"),
+        )
+    )
+    return (
+        scored.select("tok_a", "tok_b", "n_pairs",
+                      F.col("c_a").cast("long").alias("c_a"),
+                      F.col("c_b").cast("long").alias("c_b"), "pmi_ratio")
+        .orderBy(F.desc("pmi_ratio"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+    )
+
+
 def bpe_word_symbols(
     df: DataFrame, text_col: str = "text", end_of_word: str = "</w>"
 ) -> DataFrame:

@@ -3039,3 +3039,104 @@ def zz_mix_concentration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return concentration_stats(
         _t(spark, sf_dir, "documents"), ["source"])
+
+
+@register(
+    "zz_graph_wcc",
+    # Exact component minima via a recursive reachability CTE (node
+    # carries every label that can reach it; MIN per node is the
+    # component id) — tractable because the bipartite graph's giant
+    # component bounds the reach table at |C|^2 label pairs at this SF.
+    # The Spark side is the large/small-star algorithm (Kiveris et al.),
+    # O(log^2 n) rounds — the two converge to the SAME (node, min) map.
+    oracle="""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000000 AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT s, d FROM raw UNION SELECT d, s FROM raw
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), reach(node, lbl) AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT e.d AS node, r.lbl FROM reach r JOIN e ON e.s = r.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM comp GROUP BY cluster_id
+    ORDER BY n_nodes DESC, cluster_id LIMIT 20
+    """,
+    survey="ext: weakly-connected components over the customer↔supplier "
+           "interaction graph — alternating large/small-star with "
+           "pointer jumping (Kiveris et al. SoCC 2014), O(log² n) "
+           "rounds independent of diameter, per-round lineage cut; "
+           "entry reports the 20 largest components (id = component-min "
+           "node), proven equal to a DuckDB recursive-reachability "
+           "oracle",
+)
+def zz_graph_wcc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + F.lit(1000000000)).alias("b"),
+        )
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+             F.max("node").cast("long").alias("max_node"))
+        .orderBy(F.desc("n_nodes"), F.asc("cluster_id"))
+        .limit(20)
+        .select(F.col("cluster_id").cast("long"), "n_nodes", "max_node")
+    )
+
+
+@register(
+    "zz_quantile_normalize",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars FROM documents
+    ), g AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rg,
+               COUNT(*) OVER (PARTITION BY lang) AS ng
+        FROM base
+    ), n AS (SELECT COUNT(*) AS total FROM base
+    ), ranked AS (
+        SELECT n_chars AS ref_v,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+        FROM base
+    ), t AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN ng = 1 THEN (n.total - 1) // 2 + 1
+                    ELSE ((rg - 1) * (n.total - 1)) // (ng - 1) + 1
+               END AS target
+        FROM g, n
+    )
+    SELECT t.doc_id, t.lang, t.n_chars,
+           CAST(r.ref_v AS BIGINT) AS normalized
+    FROM t JOIN ranked r ON t.target = r.rnk
+    """,
+    survey="ext: quantile normalization across groups (Bolstad et al. "
+           "2003; the score-equating transform) — within-group rank via "
+           "a group-partitioned window, global order statistics via the "
+           "two-phase distributed prefix scan (range partitions + "
+           "O(partitions) offset collect, no single-task sort), integer "
+           "target-rank arithmetic (DIV) bit-exact across engines, one "
+           "integer equi-join lookup",
+)
+def zz_quantile_normalize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_normalize(docs, "lang", "n_chars", "doc_id")

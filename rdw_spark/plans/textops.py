@@ -2487,3 +2487,40 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return S.rrf_fuse([("sparse", sparse), ("dense", dense)], k=10)
+
+
+@register(
+    "zz_text_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), bi AS (
+        SELECT l[i] AS tok_a, l[i+1] AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM toks, unnest(range(1, len(l))) AS u(i)
+        WHERE l[i] <> '' AND l[i+1] <> ''
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    ), uni AS (
+        SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(l) AS t FROM toks) WHERE t <> '' GROUP BY 1
+    ), n AS (SELECT SUM(n_pairs) AS total FROM bi)
+    SELECT tok_a, tok_b, n_pairs,
+           ca.c AS c_a, cb.c AS c_b,
+           CAST(CAST(n_pairs AS DECIMAL(19,0)) * CAST(n.total AS DECIMAL(19,0)) AS DOUBLE)
+           / CAST(CAST(ca.c AS DECIMAL(19,0)) * CAST(cb.c AS DECIMAL(19,0)) AS DOUBLE)
+               AS pmi_ratio
+    FROM bi JOIN uni ca ON bi.tok_a = ca.tok
+            JOIN uni cb ON bi.tok_b = cb.tok, n
+    ORDER BY pmi_ratio DESC, tok_a, tok_b LIMIT 50
+    """,
+    survey="ext: PMI collocation extraction (Church & Hanks 1990) — "
+           "exp(PMI) as an exact-rational score (decimal products, one "
+           "correctly-rounded double division; no libm log), min-count "
+           "floor against the hapax-pair failure mode; one bigram "
+           "partial-agg shuffle + one wordcount shuffle + two "
+           "vocabulary-sized joins + TakeOrdered top-k",
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.pmi_collocations(_docs(spark, sf_dir), k=50, min_count=5)
