@@ -832,6 +832,55 @@ def train_bpe_heap(
     return _heap_bpe(words, num_merges, min_count)
 
 
+def bpe_index(
+    df: DataFrame,
+    index_path: str,
+    num_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+    min_count: int = 1,
+    max_driver_words: int = 5_000_000,
+) -> dict:
+    """Build-once / encode-many tokenizer artifact: train with
+    :func:`train_bpe_heap` on the first call and publish the merge list
+    + vocabulary as a single JSON sidecar (written last via atomic
+    rename — the artifact is valid iff the sidecar exists, the
+    ``ivfpq_index`` publish contract); every later call just loads.
+    Hand the returned ``merges`` to :func:`bpe_encode` — a training
+    corpus pass per encode job is exactly what a persisted tokenizer
+    exists to avoid.
+
+    Returns the ``train_bpe`` dict (``merges`` re-tupled, ``vocab``,
+    ``rounds``) plus ``"loaded": True`` when served from the sidecar."""
+    import json
+    import os
+
+    sidecar = os.path.join(index_path, "tokenizer.json")
+    if not os.path.exists(sidecar):
+        out = train_bpe_heap(df, num_merges, text_col, end_of_word,
+                             min_count, max_driver_words)
+        os.makedirs(index_path, exist_ok=True)
+        tmp = os.path.join(index_path, ".tokenizer.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({
+                "end_of_word": end_of_word,
+                "num_merges": num_merges,
+                "merges": [list(m) for m in out["merges"]],
+                "vocab": out["vocab"],
+                "rounds": out["rounds"],
+            }, fh)
+        os.replace(tmp, sidecar)  # atomic publish
+        return {**out, "loaded": False}
+    with open(sidecar) as fh:
+        art = json.load(fh)
+    return {
+        "merges": [(a, b, m, int(n)) for a, b, m, n in art["merges"]],
+        "vocab": list(art["vocab"]),
+        "rounds": int(art["rounds"]),
+        "loaded": True,
+    }
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list,

@@ -422,3 +422,33 @@ def test_train_bpe_heap_fallback_guard(spark):
     seq = X.train_bpe(df, num_merges=4)
     assert fb["merges"] == seq["merges"]
     assert fb["vocab"] == seq["vocab"]
+
+
+def test_bpe_index_build_once_encode_many(spark, tmp_path):
+    """Persisted tokenizer artifact: first call trains + atomically
+    publishes the sidecar, later calls load without touching the corpus,
+    and encoding with the loaded merges equals encoding with fresh ones."""
+    import os
+
+    texts = ["low lower newest widest", "low low newest", "widest newest"]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tok")
+
+    built = X.bpe_index(df, path, num_merges=6)
+    assert built["loaded"] is False
+    assert os.path.exists(os.path.join(path, "tokenizer.json"))
+
+    # second call: pure load, identical artifact — even with a corpus
+    # that would train differently (proves the corpus is not re-read)
+    other = spark.createDataFrame(
+        [Row(doc_id=0, text="zzz zz z")], "doc_id long, text string")
+    loaded = X.bpe_index(other, path, num_merges=6)
+    assert loaded["loaded"] is True
+    assert loaded["merges"] == built["merges"]
+    assert loaded["vocab"] == built["vocab"]
+
+    # loaded merges drive bpe_encode identically to fresh ones
+    enc_fresh = sorted(map(tuple, X.bpe_encode(df, built["merges"]).collect()))
+    enc_loaded = sorted(map(tuple, X.bpe_encode(df, loaded["merges"]).collect()))
+    assert enc_fresh == enc_loaded
