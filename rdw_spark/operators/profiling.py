@@ -635,3 +635,66 @@ def suppress_small_classes(
         eq = df[c].eqNullSafe(ok[c])
         cond = eq if cond is None else cond & eq
     return df.join(F.broadcast(ok), cond, "left_semi")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric "did the distribution shift" check that needs no
+    normality assumption (A/B quality scores, pre/post-filter length
+    distributions), with the standard midrank tie handling and the
+    tie-corrected normal approximation.
+
+    Exactness: midranks are half-integers, so the rank-sum is carried
+    DOUBLED as an exact integer (``r2_a = Σ c_a·(2·c_lt + c_eq + 1)``),
+    ``u2_a = r2_a − n_a(n_a+1)`` likewise; the only float ops are the
+    final fixed-order sigma/z expressions (one sqrt, correctly rounded
+    everywhere). Bit-identical across engines and partitionings.
+
+    Scale shape: one partial-agg shuffle onto the DISTINCT value frame
+    (per-value group-a/total counts), one running-sum window over that
+    bounded distinct-value frame (the measure's support, not the
+    fact), one global aggregate. The fact never sorts."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
+    ).filter(F.col("_v").isNotNull())
+    per_val = d.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"), F.count(F.lit(1)).alias("_ct"))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pv = per_val.withColumn(
+        "_clt", F.coalesce(F.sum("_ct").over(w), F.lit(0)))
+    agg = pv.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum(F.col("_ct") - F.col("_ca")).alias("n_b"),
+        F.sum(F.col("_ca") * (F.lit(2) * F.col("_clt") + F.col("_ct")
+                              + F.lit(1))).alias("r2_a"),
+        F.sum(F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct"))
+        .alias("_ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    var = (
+        (F.col("n_a").cast("double") * F.col("n_b").cast("double") / F.lit(12.0))
+        * ((n.cast("double") + F.lit(1.0))
+           - F.col("_ties").cast("double")
+           / (n.cast("double") * (n.cast("double") - F.lit(1.0))))
+    )
+    sigma = F.sqrt(var)
+    z = (u2a.cast("double") - F.col("n_a").cast("double")
+         * F.col("n_b").cast("double")) / (F.lit(2.0) * sigma)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        sigma.alias("sigma"),
+        z.alias("z"),
+    )

@@ -1082,3 +1082,43 @@ def ivfpq_index(
     books = [(int(j), [[float(x) for x in c] for c in b])
              for j, b in q["codebooks"]]
     return spark.read.parquet(vdir), centroids, books
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-
+    negatives upgrade): per anchor, the ``k`` candidates MOST similar by
+    cosine whose label differs — the near-miss examples that actually
+    move an embedding model, vs random negatives that are trivially
+    far. Same scale shape as :func:`cosine_topk_brute`: anchors
+    broadcast, candidates never shuffle, per-anchor top-k heads via
+    WindowGroupLimit; the label-mismatch predicate filters map-side
+    BEFORE scoring. Ties break by candidate id."""
+    from pyspark.sql import Window
+
+    j = emb.withColumn("_nc", norm_expr(F.col(vec_col))).crossJoin(
+        F.broadcast(anchors.withColumn("_nq", norm_expr(F.col(query_vec_col))))
+    ).filter(F.col(label_col) != F.col(query_label_col))
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col),
+        (dot_expr(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("_nc") * F.col("_nq"))).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, label_col, "cosine", "rank")
+    )

@@ -1471,3 +1471,36 @@ def bm25_rank(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index — the search-engine sink: one posting
+    row per (token, document) with the term frequency, the sorted
+    0-based token positions, and the token's document frequency (what
+    BM25 computes transiently, materialized as an artifact other
+    systems can consume).
+
+    Scale shape: one posexplode + ONE partial-agg shuffle building the
+    per-(token, doc) posting (collect_list over in-doc positions is
+    bounded by document length), a vocabulary-sized doc-frequency
+    rollup joined back (AQE broadcasts it). Write the result
+    partitioned/bucketed by token for pruned term lookups."""
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    pos = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+        .filter(F.col("_tok") != "")
+    )
+    postings = pos.groupBy("_tok", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.array_sort(F.collect_list("_pos")).alias("positions"),
+    )
+    docfreq = postings.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    return (
+        postings.join(docfreq, "_tok")
+        .select(F.col("_tok").alias("token"), id_col, "tf", "positions",
+                "doc_freq")
+    )

@@ -3140,3 +3140,56 @@ def zz_quantile_normalize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return quantile_normalize(docs, "lang", "n_chars", "doc_id")
+
+
+@register(
+    "zz_stat_mann_whitney",
+    # Doubled-rank integer arithmetic: midranks are half-integers, so
+    # the rank-sum and U are carried x2 as exact integers; sigma/z are
+    # the only float ops, in a pinned evaluation order with one
+    # correctly-rounded sqrt — bit-identical across engines.
+    oracle="""
+    WITH d AS (
+        SELECT n_chars AS v, CAST(lang = 'en' AS BIGINT) AS ia
+        FROM documents WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+    ), per_val AS (
+        SELECT v, SUM(ia) AS ca, COUNT(*) AS ct FROM d GROUP BY v
+    ), pv AS (
+        SELECT *, COALESCE(SUM(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+        FROM per_val
+    ), agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * clt + ct + 1)) AS BIGINT) AS r2_a,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ties
+        FROM pv
+    )
+    SELECT n_a, n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                   - CAST(ties AS DOUBLE)
+                     / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+               AS sigma,
+           (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                   - CAST(ties AS DOUBLE)
+                     / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))
+               AS z
+    FROM agg
+    """,
+    survey="ext: Mann–Whitney U / Wilcoxon rank-sum with midrank ties "
+           "and tie-corrected normal approximation — doubled-rank exact "
+           "integer arithmetic, one partial-agg shuffle onto the "
+           "distinct-value frame + a running-sum window over that "
+           "bounded support (the fact never sorts); the A/B "
+           "distribution-shift test for quality scores",
+)
+def zz_stat_mann_whitney_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang", "en", "de")

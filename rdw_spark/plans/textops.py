@@ -2524,3 +2524,76 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pmi_collocations(_docs(spark, sf_dir), k=50, min_count=5)
+
+
+@register(
+    "zz_sim_hard_negatives",
+    oracle="""
+    WITH anchors AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT a.query_id, e.vec_id, e.label,
+               list_dot_product(e.embedding::DOUBLE[], a.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(a.qv, a.qv))) AS cosine
+        FROM embeddings e, anchors a
+        WHERE e.label <> a.ql
+    )
+    SELECT query_id, vec_id, label, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey="ext: hard-negative mining for contrastive training — per "
+           "anchor the top-k most-cosine-similar DIFFERENT-label "
+           "candidates (the near-misses that train embedding models); "
+           "anchors broadcast, label-mismatch filtered map-side before "
+           "scoring, WindowGroupLimit per-anchor top-k — candidates "
+           "never shuffle",
+)
+def zz_sim_hard_negatives_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negatives(e, anchors, k=5)
+
+
+@register(
+    "zz_text_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), pos AS (
+        SELECT doc_id, l[i] AS token, CAST(i - 1 AS INT) AS p
+        FROM toks, unnest(range(1, len(l) + 1)) AS u(i)
+        WHERE l[i] <> ''
+    ), postings AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+               list_sort(list(p)) AS positions
+        FROM pos GROUP BY token, doc_id
+    ), dfq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM postings GROUP BY token
+    )
+    SELECT p.token, p.doc_id, p.tf, p.positions, d.doc_freq
+    FROM postings p JOIN dfq d ON p.token = d.token
+    """,
+    survey="ext: positional inverted index (search-index export) — one "
+           "posexplode + one partial-agg shuffle per (token, doc) "
+           "posting with sorted 0-based positions, vocabulary-sized "
+           "doc-frequency rollup joined back; the persisted artifact "
+           "behind the BM25 ranker",
+)
+def zz_text_inverted_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.inverted_index(_docs(spark, sf_dir))
