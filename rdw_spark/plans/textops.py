@@ -2174,14 +2174,16 @@ def _bpe_encode_oracle(rounds: int, top_k: int) -> str:
            "symbols); JVM-side normalization/splitting, Arrow-batched "
            "mapInPandas replay over the GLOBAL distinct-word frame then "
            "a join back to word positions + posexplode (O(vocabulary) "
-           "Python rows, not O(tokens)); the entry trains 10 merges, "
-           "encodes the corpus, and reports the top-20 token "
-           "frequencies — oracle re-derives the merges AND the encoding "
-           "in pure SQL",
+           "Python rows, not O(tokens)); the entry trains 10 merges via "
+           "the heap trainer (ONE corpus pass instead of 10 counting "
+           "shuffles; merges bit-identical to the distributed loop, "
+           "Hypothesis-proven), encodes the corpus, and reports the "
+           "top-20 token frequencies — oracle re-derives the merges AND "
+           "the encoding in pure SQL",
 )
 def zz_bpe_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    merges = X.train_bpe(d, num_merges=10, batch_merges=4)["merges"]
+    merges = X.train_bpe_heap(d, num_merges=10)["merges"]
     enc = X.bpe_encode(d, merges)
     return (
         enc.groupBy("token")
