@@ -131,3 +131,69 @@ def sketch_topk(sketches: DataFrame, k: int) -> DataFrame:
         (F.col("_e.c") + F.col("dropped_mass")).alias("count_hi"),
         "n_total",
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules over baskets (Agrawal et al. 1993,
+    restricted to 2-itemsets — the scale-sane tier: k-itemset lattices
+    explode combinatorially, while item PAIRS bound the work at
+    O(Σ basket_size²) with small baskets): for each ordered pair
+    (antecedent, consequent) of distinct items co-occurring in at least
+    ``min_support`` baskets, ``support_pair``/``support_a`` counts,
+    ``confidence`` = s_ab/s_a and ``lift`` = s_ab·N/(s_a·s_b) — both as
+    single divisions of exact integers (decimal product for the lift
+    numerator), bit-identical across engines.
+
+    Scale shape: one distinct (basket, item) shuffle, pair generation
+    as a map-only self zip over each basket's sorted item array (never
+    a basket×basket join), one pair partial-agg shuffle, two
+    item-support joins (item vocabulary — AQE broadcasts), a 1-row N
+    broadcast."""
+    basket = F.struct(*[F.col(c) for c in basket_cols])
+    bi = (
+        df.select(basket.alias("_b"), F.col(item_col).alias("_i"))
+        .filter(F.col("_i").isNotNull())
+        .distinct()
+    )
+    items = bi.groupBy("_b").agg(F.array_sort(F.collect_set("_i")).alias("_is"))
+    n = items.agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        items.select(
+            F.explode(F.flatten(F.transform(
+                F.col("_is"),
+                lambda a: F.filter(
+                    F.transform(F.col("_is"),
+                                lambda b: F.struct(a.alias("ia"), b.alias("ib"))),
+                    lambda s: s["ia"] != s["ib"],
+                ),
+            ))).alias("_p"))
+        .groupBy(F.col("_p.ia").alias("antecedent"),
+                 F.col("_p.ib").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("support_pair"))
+        .filter(F.col("support_pair") >= min_support)
+    )
+    sup = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_s"))
+    sa = sup.select(F.col("_i").alias("antecedent"), F.col("_s").alias("support_a"))
+    sb = sup.select(F.col("_i").alias("consequent"), F.col("_s").alias("support_b"))
+    return (
+        pairs.join(sa, "antecedent").join(sb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent", "consequent",
+            F.col("support_pair").cast("long").alias("support_pair"),
+            F.col("support_a").cast("long").alias("support_a"),
+            F.col("support_b").cast("long").alias("support_b"),
+            (F.col("support_pair").cast("double") / F.col("support_a"))
+            .alias("confidence"),
+            ((F.col("support_pair").cast("decimal(19,0)")
+              * F.col("_n").cast("decimal(19,0)")).cast("double")
+             / (F.col("support_a").cast("decimal(19,0)")
+                * F.col("support_b").cast("decimal(19,0)")).cast("double"))
+            .alias("lift"),
+        )
+    )

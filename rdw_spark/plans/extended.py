@@ -3193,3 +3193,51 @@ def zz_stat_mann_whitney_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mann_whitney_u(
         _t(spark, sf_dir, "documents"), "n_chars", "lang", "en", "de")
+
+
+@register(
+    "zz_assoc_rules",
+    # baskets = (user, day); items = event types. Confidence and lift
+    # are single divisions of exact integers (decimal product for the
+    # lift numerator) — bit-identical across engines.
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type AS i
+        FROM events
+    ), n AS (
+        SELECT COUNT(*) AS total FROM (
+            SELECT DISTINCT user_id, day FROM bi)
+    ), pairs AS (
+        SELECT a.i AS antecedent, b.i AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS support_pair
+        FROM bi a JOIN bi b
+          ON a.user_id = b.user_id AND a.day = b.day AND a.i <> b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), sup AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS s FROM bi GROUP BY i
+    )
+    SELECT p.antecedent, p.consequent, p.support_pair,
+           sa.s AS support_a, sb.s AS support_b,
+           CAST(p.support_pair AS DOUBLE) / sa.s AS confidence,
+           CAST(CAST(p.support_pair AS DECIMAL(19,0))
+                * CAST(n.total AS DECIMAL(19,0)) AS DOUBLE)
+           / CAST(CAST(sa.s AS DECIMAL(19,0))
+                  * CAST(sb.s AS DECIMAL(19,0)) AS DOUBLE) AS lift
+    FROM pairs p JOIN sup sa ON p.antecedent = sa.i
+                 JOIN sup sb ON p.consequent = sb.i, n
+    """,
+    survey="ext: pairwise association rules (Agrawal et al. 1993, "
+           "2-itemset tier) over (user, day) event baskets — map-only "
+           "pair generation from each basket's sorted item array (never "
+           "a basket self-join shuffle), one pair partial-agg shuffle, "
+           "vocabulary-sized support joins, exact-integer confidence/"
+           "lift arithmetic",
+)
+def zz_assoc_rules_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.freqitems import association_rules
+
+    evs = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type")
+    return association_rules(evs, ["user_id", "day"], "event_type",
+                             min_support=2)
