@@ -663,3 +663,51 @@ def holt_winters_additive(
         (st["l"] + F.lit(float(h)) * st["b"]
          + F.element_at(st["s"], fc_idx.cast("int"))).alias("forecast_h"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Forecast-baseline backtest per series: one-step errors of the
+    naive forecast (``v̂_t = v_{t−1}``) and the seasonal-naive forecast
+    (``v̂_t = v_{t−m}``), reported as MAEs plus their ratio — the MASE
+    denominator pair (Hyndman & Koehler 2006). Any model's MAE divided
+    by ``mae_naive`` is its MASE; the shipped ratio
+    ``mae_snaive / mae_naive`` < 1 is itself the classic "is there
+    seasonality worth modeling" screen.
+
+    Determinism: each |error| is one exact IEEE subtraction; the MAE
+    accumulates in DECIMAL (order-invariant) with a single final
+    double division — bit-identical across engines/partitionings.
+
+    Scale shape: two lags over one window partitioned by the series
+    key, one partial-agg groupBy. The series frame is already
+    aggregated (points per key per tick), tiny next to the fact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    d = (
+        df.withColumn("_l1", F.lag(value_col, 1).over(w))
+        .withColumn("_lm", F.lag(value_col, season).over(w))
+    )
+    e1 = F.abs(F.col(value_col) - F.col("_l1"))
+    em = F.abs(F.col(value_col) - F.col("_lm"))
+    dec = "decimal(27,10)"
+    agg = d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.count("_l1").cast("long").alias("n_eval_naive"),
+        F.count("_lm").cast("long").alias("n_eval_snaive"),
+        (F.sum(e1.cast(dec)).cast("double") / F.count("_l1"))
+        .alias("mae_naive"),
+        (F.sum(em.cast(dec)).cast("double") / F.count("_lm"))
+        .alias("mae_snaive"),
+    )
+    return agg.withColumn(
+        "snaive_vs_naive",
+        F.when(F.col("mae_naive") > 0,
+               F.col("mae_snaive") / F.col("mae_naive")),
+    )

@@ -3241,3 +3241,46 @@ def zz_assoc_rules_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day"), "event_type")
     return association_rules(evs, ["user_id", "day"], "event_type",
                              min_support=2)
+
+
+@register(
+    "zz_ts_forecast_backtest",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+               LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS lm
+        FROM series
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(l1) AS BIGINT) AS n_eval_naive,
+               CAST(COUNT(lm) AS BIGINT) AS n_eval_snaive,
+               CAST(SUM(CAST(abs(v - l1) AS DECIMAL(27,10))) AS DOUBLE)
+                   / COUNT(l1) AS mae_naive,
+               CAST(SUM(CAST(abs(v - lm) AS DECIMAL(27,10))) AS DOUBLE)
+                   / COUNT(lm) AS mae_snaive
+        FROM lagged GROUP BY event_type
+    )
+    SELECT *, CASE WHEN mae_naive > 0 THEN mae_snaive / mae_naive END
+              AS snaive_vs_naive
+    FROM agg
+    """,
+    survey="ext: forecast-baseline backtest (Hyndman & Koehler MASE "
+           "denominators) — naive and seasonal-naive one-step MAEs per "
+           "series with decimal-exact accumulation; two lags over one "
+           "key-partitioned window + one partial-agg groupBy over the "
+           "already-aggregated series frame",
+)
+def zz_ts_forecast_backtest_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import forecast_backtest
+
+    evs = _t(spark, sf_dir, "events")
+    series = evs.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v"))
+    return forecast_backtest(series, ["event_type"], "day", "v", season=7)
