@@ -137,17 +137,24 @@ class MigrateEngine:
     }
 
     def __init__(self, warehouse: TableStore, mart_root: str,
-                 batch_size: int = 2000, expectations: list | None = None):
+                 batch_size: int = 2000, expectations: list | None = None,
+                 psi_gate: tuple | None = None):
         """``expectations``: optional declarative data-quality rules
         (``operators.expectations`` ``(name, kind, column, param)``
         tuples) evaluated against every admitted exam batch BEFORE it
-        migrates. A violating batch records its full report under the
-        mart's ``gate_report/`` and fails the run — the same
+        migrates. ``psi_gate``: optional ``(column, cuts, threshold)``
+        drift check — the batch's distribution of ``column`` is compared
+        (PSI over the pinned ``cuts``) against everything ALREADY
+        admitted below the batch range; a PSI above ``threshold`` halts.
+        The first batch has no baseline and passes vacuously. Either
+        gate failing records its full report under the mart's
+        ``gate_report/`` and fails the run — the same
         halt-until-manually-enabled protocol as any migrate failure
         (T4), extended to data quality."""
         self.wh = warehouse
         self.batch_size = batch_size
         self.expectations = expectations
+        self.psi_gate = psi_gate
         self._gate_root = os.path.join(mart_root, "gate_report")
         # control table: one row per run, bucketed by (job, id range) so a
         # status transition rewrites one small bucket, never the whole
@@ -327,13 +334,40 @@ class MigrateEngine:
         rule raises, which the run_once handler records as FAILED and the
         job halts until ``enable()`` (the reference's halt-on-failure
         protocol, docs/Troubleshooting.md:241-253, applied to quality)."""
-        if not self.expectations:
+        if not (self.expectations or self.psi_gate):
             return
-        from rdw_spark.operators.expectations import check_expectations
+        rows: list = []
+        exam = self.wh.read(spark, "exam")
+        batch = self._batch_filter(exam, first, last)
+        if self.expectations:
+            from rdw_spark.operators.expectations import check_expectations
 
-        batch = self._batch_filter(self.wh.read(spark, "exam"), first, last)
-        rows = check_expectations(batch, self.expectations).collect()
-        report = spark.createDataFrame(rows).withColumns({
+            rows += [r.asDict() for r in
+                     check_expectations(batch, self.expectations).collect()]
+        if self.psi_gate:
+            from rdw_spark.operators.diff import population_stability_index
+
+            col, cuts, threshold = self.psi_gate
+            baseline = exam.filter(F.col("update_import_id") < first)
+            if baseline.limit(1).count() > 0:
+                psi = float(population_stability_index(
+                    baseline, batch, col, list(cuts)
+                ).select("psi").limit(1).collect()[0]["psi"])
+                rows.append({
+                    "rule": "psi_drift", "kind": "psi", "column": col,
+                    # the report frame is per-rule counts; encode the PSI
+                    # in micro-units so the schema stays integral
+                    "n_violations": int(psi * 1_000_000),
+                    "passed": psi <= threshold,
+                })
+        if not rows:
+            return
+        report = spark.createDataFrame(
+            [(r["rule"], r["kind"], r["column"], int(r["n_violations"]),
+              bool(r["passed"])) for r in rows],
+            "rule string, kind string, column string, n_violations long, "
+            "passed boolean",
+        ).withColumns({
             "job": F.lit(job), "run_id": F.lit(run_id).cast("long"),
             "first_import_id": F.lit(first).cast("long"),
             "last_import_id": F.lit(last).cast("long"),

@@ -277,6 +277,40 @@ class TestMigrateGate:
         with pytest.raises(FileNotFoundError, match="no published snapshot"):
             eng.read_mart(spark, "reporting_exam")
 
+    def test_psi_drift_gate_halts_shifted_batch(self, spark, wh, log, tmp_path):
+        ids = TestMigrate()._seed_warehouse(spark, wh, log)
+        eng = MigrateEngine(
+            wh, str(tmp_path / "mart"),
+            psi_gate=("scale_score", [2300.0, 2450.0, 2600.0], 0.25))
+        # first batch: no baseline below it -> vacuous pass, migrates
+        res = eng.run_once(spark, "reporting")
+        assert res["state"] == "completed" and res["migrated"] == 2
+
+        # second batch: scores shifted way out of the baseline bins
+        rec = log.accept(spark, ImportContent.EXAM, b"exam-batch-drift")
+        wh.merge_upsert(spark, "exam", spark.createDataFrame([
+            Row(opp_id=f"DRIFT{i}", asmt_id=ids["asmt_sum"], type_code="sum",
+                school_year=2018, student_id=ids["student"],
+                school_id=ids["school"], grade_code="06",
+                completed_at="2018-05-01 10:00:00", scale_score=9000.0 + i,
+                performance_level=4)
+            for i in range(3)
+        ]).withColumn("completed_at", F.to_timestamp("completed_at")), rec.id)
+        log.set_status(spark, rec.id, ImportStatus.PROCESSED)
+
+        res = eng.run_once(spark, "reporting")
+        assert res["state"] == "failed"
+        assert eng.run_once(spark, "reporting")["state"] == "disabled"
+        rep = {(r["rule"], r["run_id"]): r
+               for r in eng.gate_reports(spark).collect()}
+        runs = sorted(rid for rule, rid in rep if rule == "psi_drift")
+        assert len(runs) == 1  # first batch had no baseline -> no PSI row
+        drift = rep[("psi_drift", runs[0])]
+        assert drift["passed"] is False
+        assert drift["n_violations"] > 250_000  # PSI > 0.25 in micro-units
+        # the shifted rows never reached the mart
+        assert eng.read_mart(spark, "reporting_exam").count() == 2
+
     def test_clean_batch_migrates_with_passing_report(self, spark, wh, log, tmp_path):
         TestMigrate()._seed_warehouse(spark, wh, log)
         rules = [
