@@ -698,3 +698,58 @@ def mann_whitney_u(
         sigma.alias("sigma"),
         z.alias("z"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screen via the median absolute deviation
+    (Hampel's rule): a point is flagged when ``|v − median| > k · MAD``.
+    Unlike the z-score screen the estimator itself cannot be dragged by
+    the outliers it is hunting (50% breakdown point).
+
+    Exactness: both medians are the LOWER median (nearest-rank
+    ``ceil(n/2)`` order statistic) — a VALUE FROM THE DATA selected by
+    integer rank arithmetic, no interpolation, no floats — so results
+    are bit-identical across engines; the final comparison is one
+    exact-IEEE subtraction per row against ``k·MAD`` (one multiply).
+
+    Output per group: ``(group, n, median, mad, n_outliers)``.
+
+    Scale shape: two ranking windows partitioned BY GROUP (never
+    global) + two joins of the O(groups) median frames back; one final
+    partial-agg groupBy. Groups bound window state."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(value_col).isNotNull())
+    wg = Window.partitionBy(group_col).orderBy(value_col)
+    sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    med = (
+        d.withColumn("_r", F.row_number().over(wg))
+        .join(F.broadcast(sizes), group_col)
+        .filter(F.col("_r") == F.expr("(_n + 1) DIV 2"))
+        .select(group_col, F.col(value_col).alias("median"))
+    )
+    dev = d.join(F.broadcast(med), group_col).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("median")))
+    wd = Window.partitionBy(group_col).orderBy("_ad")
+    mad = (
+        dev.withColumn("_r", F.row_number().over(wd))
+        .join(F.broadcast(sizes), group_col)
+        .filter(F.col("_r") == F.expr("(_n + 1) DIV 2"))
+        .select(group_col, F.col("_ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("_ad") > F.lit(float(k)) * F.col("mad"))
+                  .cast("long")).alias("n_outliers"),
+        )
+    )

@@ -3284,3 +3284,90 @@ def zz_ts_forecast_backtest_entry(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v"))
     return forecast_backtest(series, ["event_type"], "day", "v", season=7)
+
+
+@register(
+    "zz_stat_mad_outliers",
+    # Both medians are the LOWER median (nearest-rank (n+1)//2 order
+    # statistic) — a data value selected by integer rank arithmetic, so
+    # the report is bit-identical across engines with no interpolation.
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+    ), sz AS (
+        SELECT g, COUNT(*) AS n FROM d GROUP BY g
+    ), med AS (
+        SELECT g, v AS median FROM (
+            SELECT d.g, d.v,
+                   ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY d.v) AS r,
+                   sz.n
+            FROM d JOIN sz USING (g)
+        ) WHERE r = (n + 1) // 2
+    ), dev AS (
+        SELECT d.g, d.v, med.median, abs(d.v - med.median) AS ad
+        FROM d JOIN med USING (g)
+    ), mad AS (
+        SELECT g, ad AS mad FROM (
+            SELECT dev.g, dev.ad,
+                   ROW_NUMBER() OVER (PARTITION BY dev.g ORDER BY dev.ad) AS r,
+                   sz.n
+            FROM dev JOIN sz USING (g)
+        ) WHERE r = (n + 1) // 2
+    )
+    SELECT dev.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(dev.median) AS median,
+           ANY_VALUE(mad.mad) AS mad,
+           CAST(SUM(CAST(dev.ad > 3.0 * mad.mad AS BIGINT)) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (g)
+    GROUP BY dev.g
+    """,
+    survey="ext: MAD robust outlier screen (Hampel's rule, 50% breakdown "
+           "point) — lower-median order statistics by integer rank "
+           "arithmetic (bit-exact, no interpolation), two group-"
+           "partitioned ranking windows + O(groups) median joins + one "
+           "partial-agg groupBy",
+)
+def zz_stat_mad_outliers_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events").select(
+            F.col("event_type"), F.col("value")),
+        "event_type", "value", k=3.0)
+
+
+@register(
+    "zz_pivot_daily_events",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1
+    """,
+    survey="ext: pivoted daily activity report — groupBy().pivot() with "
+           "PINNED values (no extra distinct-values pass, a single "
+           "partial-agg shuffle exactly like the CASE-sum formulation "
+           "Catalyst rewrites it to); the wide-report shape",
+)
+def zz_pivot_daily_events_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    evs = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type")
+    wide = (
+        evs.groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(f"`{k}`"), F.lit(0)).cast("long")
+            .alias(f"n_{k}") for k in kinds]
+    total = None
+    for k in kinds:
+        c = F.coalesce(F.col(f"`{k}`"), F.lit(0)).cast("long")
+        total = c if total is None else total + c
+    return wide.select("day", *cols, total.alias("n_total"))
