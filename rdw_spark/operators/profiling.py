@@ -688,9 +688,14 @@ def mann_whitney_u(
            - F.col("_ties").cast("double")
            / (n.cast("double") * (n.cast("double") - F.lit(1.0))))
     )
-    sigma = F.sqrt(var)
-    z = (u2a.cast("double") - F.col("n_a").cast("double")
-         * F.col("n_b").cast("double")) / (F.lit(2.0) * sigma)
+    # degenerate inputs (a group absent, or every value tied so sigma=0)
+    # report NULL sigma/z rather than engine-specific 0-division values
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1)
+    sigma = F.when(ok, F.sqrt(var))
+    z = F.when(
+        ok & (sigma > 0),
+        (u2a.cast("double") - F.col("n_a").cast("double")
+         * F.col("n_b").cast("double")) / (F.lit(2.0) * sigma))
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
