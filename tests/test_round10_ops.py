@@ -1,0 +1,208 @@
+"""Round-10 operators: hand-checkable semantics and edge cases beyond
+the DuckDB oracle entries (which pin engine parity on the synthetic
+corpus — these pin the MATH on shapes the corpus never produces)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+class TestQuantileNormalize:
+    def test_single_group_is_identity(self, spark):
+        # one group: within-group rank == global rank, so every row maps
+        # to its own value
+        from rdw_spark.operators.quantiles import quantile_normalize
+
+        rows = [Row(id=i, g="a", v=(i * 37) % 11) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        out = quantile_normalize(df, "g", "v", "id").collect()
+        assert len(out) == 20
+        for r in out:
+            assert r["normalized"] == r["v"], r
+
+    def test_groups_map_onto_pooled_distribution(self, spark):
+        # two groups with disjoint ranges: after normalization each
+        # group's values span the POOLED range, rank order preserved
+        from rdw_spark.operators.quantiles import quantile_normalize
+
+        rows = [Row(id=i, g="lo", v=i) for i in range(10)] + [
+            Row(id=100 + i, g="hi", v=1000 + i) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        out = {r["id"]: r for r in
+               quantile_normalize(df, "g", "v", "id").collect()}
+        # both group minima map to the pooled minimum (rank 1)
+        assert out[0]["normalized"] == 0
+        assert out[100]["normalized"] == 0
+        # both maxima map to the pooled maximum
+        assert out[9]["normalized"] == 1009
+        assert out[109]["normalized"] == 1009
+        # rank order preserved within each group
+        lo = [out[i]["normalized"] for i in range(10)]
+        assert lo == sorted(lo)
+
+    def test_singleton_group_maps_to_pooled_median(self, spark):
+        from rdw_spark.operators.quantiles import quantile_normalize
+
+        rows = [Row(id=i, g="big", v=i) for i in range(9)] + [
+            Row(id=99, g="solo", v=12345)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        out = {r["id"]: r["normalized"] for r in
+               quantile_normalize(df, "g", "v", "id").collect()}
+        # N=10 -> target (10-1) DIV 2 + 1 = 5 -> 5th smallest = 4
+        assert out[99] == 4
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        from rdw_spark.operators.profiling import mann_whitney_u
+
+        # a: [1, 2, 2]; b: [2, 3]  (midranks: 1=1, 2s=(2+3+4)/3=3, 3=5)
+        # R_a = 1 + 3 + 3 = 7 -> 2R=14; U_a = 7 - 3*4/2 = 1 -> 2U=2
+        rows = ([Row(g="a", v=1), Row(g="a", v=2), Row(g="a", v=2),
+                 Row(g="b", v=2), Row(g="b", v=3)])
+        df = spark.createDataFrame(rows, "g string, v int")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["n_a"] == 3 and r["n_b"] == 2
+        assert r["u2_a"] == 2
+        # tie term: three 2s -> 3^3-3 = 24; sigma^2 = (6/12)*(6 - 24/20)
+        want_sigma = math.sqrt(0.5 * (6.0 - 24.0 / 20.0))
+        assert abs(r["sigma"] - want_sigma) < 1e-12
+        assert abs(r["z"] - (2.0 - 6.0) / (2.0 * want_sigma)) < 1e-12
+
+    def test_degenerate_group_reports_null(self, spark):
+        from rdw_spark.operators.profiling import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [Row(g="a", v=1), Row(g="a", v=2)], "g string, v int")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["n_b"] == 0 and r["sigma"] is None and r["z"] is None
+
+
+class TestAssociationRules:
+    def test_hand_checked_counts(self, spark):
+        from rdw_spark.operators.freqitems import association_rules
+
+        rows = [
+            (1, "milk"), (1, "bread"), (1, "milk"),   # dup collapses
+            (2, "milk"), (2, "bread"),
+            (3, "milk"),
+            (4, "beer"),
+        ]
+        df = spark.createDataFrame(rows, "basket int, item string")
+        out = {(r["antecedent"], r["consequent"]): r
+               for r in association_rules(df, ["basket"], "item").collect()}
+        r = out[("bread", "milk")]
+        assert r["support_pair"] == 2 and r["support_a"] == 2
+        assert r["confidence"] == 1.0
+        # lift = 2*4/(2*3)
+        assert abs(r["lift"] - 8.0 / 6.0) < 1e-12
+        assert ("milk", "beer") not in out  # never co-occur
+
+    def test_min_support_filters(self, spark):
+        from rdw_spark.operators.freqitems import association_rules
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "basket int, item string")
+        assert association_rules(df, ["basket"], "item",
+                                 min_support=2).count() == 0
+
+
+class TestMadOutliers:
+    def test_known_outlier_flagged(self, spark):
+        from rdw_spark.operators.profiling import mad_outliers
+
+        vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+        df = spark.createDataFrame(
+            [Row(g="x", v=v) for v in vals], "g string, v double")
+        r = mad_outliers(df, "g", "v", k=3.0).collect()[0]
+        # lower median of 6 values (rank 3) = 12; |dev| = [2,1,0,1,2,988]
+        # lower median of devs (rank 3) = 1 -> MAD=1 -> outliers: |d|>3
+        assert r["median"] == 12.0 and r["mad"] == 1.0
+        assert r["n_outliers"] == 1
+
+    def test_constant_group_no_outliers(self, spark):
+        from rdw_spark.operators.profiling import mad_outliers
+
+        df = spark.createDataFrame(
+            [Row(g="c", v=5.0)] * 4, "g string, v double")
+        r = mad_outliers(df, "g", "v").collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 0
+
+
+class TestForecastBacktest:
+    def test_seasonal_series_snaive_wins(self, spark):
+        from rdw_spark.operators.timeseries import forecast_backtest
+
+        # perfect period-3 seasonality: snaive MAE 0, naive MAE > 0
+        season = [10.0, 50.0, 30.0]
+        rows = [Row(k="s", t=i, v=season[i % 3]) for i in range(12)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        r = forecast_backtest(df, ["k"], "t", "v", season=3).collect()[0]
+        assert r["mae_snaive"] == 0.0 and r["mae_naive"] > 0
+        assert r["snaive_vs_naive"] == 0.0
+        assert r["n_eval_snaive"] == 9 and r["n_eval_naive"] == 11
+
+    def test_constant_series_ratio_null(self, spark):
+        from rdw_spark.operators.timeseries import forecast_backtest
+
+        rows = [Row(k="c", t=i, v=7.0) for i in range(8)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        r = forecast_backtest(df, ["k"], "t", "v", season=2).collect()[0]
+        assert r["mae_naive"] == 0.0 and r["snaive_vs_naive"] is None
+
+
+class TestHardNegatives:
+    def test_same_label_never_returned_and_nearest_wins(self, spark):
+        from rdw_spark.operators.similarity import hard_negatives
+
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0], label="a"),   # anchor
+            Row(vec_id=1, embedding=[0.99, 0.1], label="a"),  # same label
+            Row(vec_id=2, embedding=[0.9, 0.2], label="b"),   # near, other
+            Row(vec_id=3, embedding=[-1.0, 0.0], label="b"),  # far, other
+        ]
+        df = spark.createDataFrame(rows)
+        anchors = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"))
+        out = hard_negatives(df, anchors, k=2).collect()
+        assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+            == [2, 3]
+        assert all(r["label"] != "a" for r in out)
+
+
+class TestPmiAndIndex:
+    def test_pmi_surprising_pair_beats_frequent_pair(self, spark):
+        from rdw_spark.operators.text import pmi_collocations
+
+        # "los angeles" is the only EXCLUSIVE pair; the/cat/sat all
+        # occur in two different contexts so their pairs dilute
+        texts = (["los angeles"] * 5
+                 + ["the cat sat"] * 5 + ["sat the cat"] * 5)
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        out = pmi_collocations(df, k=10, min_count=5).collect()
+        top = out[0]
+        assert (top["tok_a"], top["tok_b"]) == ("los", "angeles")
+        best = {(r["tok_a"], r["tok_b"]): r["pmi_ratio"] for r in out}
+        assert best[("los", "angeles")] > best[("the", "cat")]
+
+    def test_inverted_index_positions(self, spark):
+        from rdw_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="to be or not to be"),
+             Row(doc_id=2, text="be quick")],
+            "doc_id long, text string")
+        out = {(r["token"], r["doc_id"]): r
+               for r in inverted_index(df).collect()}
+        r = out[("be", 1)]
+        assert r["tf"] == 2 and list(r["positions"]) == [1, 5]
+        assert r["doc_freq"] == 2
+        assert out[("to", 1)]["positions"] == [0, 4]
+        assert out[("quick", 2)]["doc_freq"] == 1
