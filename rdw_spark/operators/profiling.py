@@ -758,3 +758,33 @@ def mad_outliers(
                   .cast("long")).alias("n_outliers"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 — the literature's own letter
+) -> DataFrame:
+    """The companion check k-anonymity misses (Machanavajjhala et al.
+    2007): an equivalence class can be large yet still leak when every
+    member shares the SAME sensitive value — group size protects
+    identity, not the attribute. One row per QI class:
+    ``(qi…, n, n_sensitive_distinct, is_l_diverse)`` with distinct
+    sensitive values counted NULL-exclusive (an absent attribute
+    discloses nothing).
+
+    Same scale shape as ``k_anonymity_report``: ONE partial-agg shuffle
+    at the QI grain (count + count_distinct together); release gate =
+    both reports pass."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(sensitive_col))
+            .alias("n_sensitive_distinct"),
+        )
+        .withColumn("is_l_diverse", F.col("n_sensitive_distinct") >= l)
+    )

@@ -3371,3 +3371,37 @@ def zz_pivot_daily_events_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.coalesce(F.col(f"`{k}`"), F.lit(0)).cast("long")
         total = c if total is None else total + c
     return wide.select("day", *cols, total.alias("n_total"))
+
+
+@register(
+    "zz_l_diversity",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT quality_tier) AS BIGINT) AS n_sensitive_distinct,
+           COUNT(DISTINCT quality_tier) >= 2 AS is_l_diverse
+    FROM (
+        SELECT lang, source,
+               CASE WHEN n_chars >= 900 THEN 'long'
+                    WHEN n_chars >= 400 THEN 'mid'
+                    ELSE 'short' END AS quality_tier
+        FROM documents
+    )
+    GROUP BY lang, source
+    """,
+    survey="ext: l-diversity release check (Machanavajjhala et al.) — "
+           "the leak k-anonymity misses: a large QI class whose members "
+           "all share one sensitive value; one partial-agg shuffle at "
+           "the QI grain (count + count_distinct together), composes "
+           "with k_anonymity_report as the release gate pair",
+)
+def zz_l_diversity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import l_diversity_report
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "quality_tier",
+        F.when(F.col("n_chars") >= 900, "long")
+        .when(F.col("n_chars") >= 400, "mid")
+        .otherwise("short"),
+    )
+    return l_diversity_report(d, ["lang", "source"], "quality_tier", l=2)
