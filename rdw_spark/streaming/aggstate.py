@@ -328,3 +328,44 @@ def read_sequence_state(
         lambda rows: merge_sequence_deltas(rows, group_cols),
     )
     return match_event_arrays(merged, pattern, group_cols, max_events)
+
+
+def stream_postings_state(
+    spark: SparkSession,
+    landing_dir: str,
+    read_schema,
+    out_root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Continuously maintain the positional inverted index
+    (``operators.text.inverted_index``'s posting rows) as documents
+    land: each micro-batch appends its own (token, doc) postings —
+    documents arrive whole, so a batch's postings are final and merge
+    by plain union. ``doc_freq`` is a per-token rollup of the merged
+    state, so it is computed on READ (carrying it in the delta would go
+    stale as later batches add documents)."""
+    from rdw_spark.operators.text import inverted_index
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint,
+        ["token", id_col],
+        lambda b: inverted_index(b, text_col, id_col).drop("doc_freq"),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_postings_state(
+    spark: SparkSession, out_root: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The live index: merged postings + the doc_freq rollup — matches
+    a batch ``inverted_index`` over everything ingested exactly (a
+    (token, doc) posting is written once and never revised)."""
+    merged = read_mergeable_state(
+        spark, out_root, ["token", id_col], lambda rows: rows)
+    docfreq = merged.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    return merged.join(docfreq, "token")

@@ -206,3 +206,32 @@ class TestPmiAndIndex:
         assert r["doc_freq"] == 2
         assert out[("to", 1)]["positions"] == [0, 4]
         assert out[("quick", 2)]["doc_freq"] == 1
+
+
+class TestStreamingPostings:
+    def test_streaming_index_equals_batch(self, spark, tmp_path):
+        from rdw_spark.operators.text import inverted_index
+        from rdw_spark.streaming.aggstate import (
+            read_postings_state, stream_postings_state,
+        )
+
+        rows = [Row(doc_id=i, text=f"alpha beta doc{i} alpha")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        landing = str(tmp_path / "landing")
+        df.repartition(8).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        q = stream_postings_state(
+            spark, landing, df.schema, out, ckpt, max_files_per_trigger=2)
+        q.awaitTermination()
+
+        got = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in read_postings_state(spark, out).collect())
+        want = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in inverted_index(df).collect())
+        assert got == want
