@@ -17,6 +17,12 @@ SCHEMA = T.StructType([
 ])
 
 
+def _drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes (awaitTermination(t)
+    returns False SILENTLY when t expires — the r10 shard flake)."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
+
 def _drop(spark, landing, name, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
         "append").parquet(str(landing))
@@ -44,7 +50,7 @@ def test_stream_agg_equals_one_shot_and_survives_restart(spark, tmp_path):
     q = stream_incremental_agg(
         spark, str(landing), SCHEMA, out, ckpt, ["g"], "v",
         max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
 
     full = agg_readout(agg_delta(
         spark.createDataFrame(all_rows, SCHEMA), ["g"], "v"))
@@ -54,7 +60,7 @@ def test_stream_agg_equals_one_shot_and_survives_restart(spark, tmp_path):
     q = stream_incremental_agg(
         spark, str(landing), SCHEMA, out, ckpt, ["g"], "v",
         max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
     assert _canon(read_agg_state(spark, out, ["g"])) == _canon(full)
 
     # new drop after restart folds in
@@ -63,7 +69,7 @@ def test_stream_agg_equals_one_shot_and_survives_restart(spark, tmp_path):
     q = stream_incremental_agg(
         spark, str(landing), SCHEMA, out, ckpt, ["g"], "v",
         max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
     full2 = agg_readout(agg_delta(
         spark.createDataFrame(all_rows, SCHEMA), ["g"], "v"))
     assert _canon(read_agg_state(spark, out, ["g"])) == _canon(full2)
@@ -125,7 +131,7 @@ def test_stream_sketch_states_quantile_and_topk(spark, tmp_path):
     q = stream_quantile_state(
         spark, str(landing), sdf.schema, str(tmp_path / "qs"),
         str(tmp_path / "qck"), ["g"], "v", max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
     est = sketch_quantiles(
         read_quantile_state(spark, str(tmp_path / "qs"), ["g"]),
         [0.5, 0.9]).collect()[0]
@@ -137,7 +143,7 @@ def test_stream_sketch_states_quantile_and_topk(spark, tmp_path):
     q = stream_topk_state(
         spark, str(landing), sdf.schema, str(tmp_path / "ts"),
         str(tmp_path / "tck"), ["g"], "item", m=32, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
     from collections import Counter
 
     truth = Counter(items)

@@ -9,6 +9,12 @@ from pyspark.sql import functions as F
 from rdw_spark.operators.kmv import kmv_merge, kmv_overlap, kmv_sketch
 
 
+def _drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes (awaitTermination(t)
+    returns False SILENTLY when t expires — the r10 shard flake)."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
+
 def _ids(spark, lo, hi, g="g0"):
     return spark.range(lo, hi).select(
         F.lit(g).alias("g"), F.col("id").alias("v"))
@@ -115,7 +121,7 @@ def test_stream_kmv_state_bit_identical_to_batch(spark, tmp_path):
     q = stream_kmv_state(
         spark, str(landing), schema, str(tmp_path / "state"),
         str(tmp_path / "ckpt"), ["g"], "v", k=256, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
 
     batch = kmv_sketch(
         spark.createDataFrame(all_rows, schema), ["g"], "v", k=256

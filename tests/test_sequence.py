@@ -18,6 +18,12 @@ SCHEMA = T.StructType([
 ])
 
 
+def _drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes (awaitTermination(t)
+    returns False SILENTLY when t expires — the r10 shard flake)."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
+
 def _ts(s):
     return datetime(2024, 1, 1, 0, 0, s)
 
@@ -112,7 +118,7 @@ def test_stream_sequence_state_equals_batch(spark, tmp_path):
     q = stream_sequence_state(
         spark, str(landing), SCHEMA, str(tmp_path / "state"),
         str(tmp_path / "ckpt"), ["user_id"], syms, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
 
     streamed = {r["user_id"]: r for r in read_sequence_state(
         spark, str(tmp_path / "state"), ["user_id"], "v+c+p").collect()}

@@ -13,6 +13,14 @@ from rdw_spark.streaming.events import (
     read_events_stream, sessionize, sessionize_batch, windowed_event_counts,
 )
 
+
+def _drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes. awaitTermination(t)
+    returns False (silently!) when t expires first — under a loaded box
+    a 120 s bound let tests read state mid-drain (r10 shard flake), so
+    completion is asserted with a bound only a genuine hang can hit."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
 EVENTS_PATH = "/root/testdata/sf0.001/events.parquet"
 
 
@@ -37,7 +45,7 @@ class TestWindowedCounts:
             .writeStream.format("memory").queryName("win_counts")
             .outputMode("complete").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        _drain(q)
         got = {
             (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
             for r in spark.sql("SELECT * FROM win_counts").collect()
@@ -80,7 +88,7 @@ class TestDedupEvents:
             .writeStream.format("memory").queryName("dedup_ev")
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        _drain(q)
         got = spark.sql("SELECT event_id FROM dedup_ev").collect()
         ids = sorted(r.event_id for r in got)
         assert ids == [1, 2, 3]
@@ -116,10 +124,15 @@ class TestSessionize:
             .writeStream.format("memory").queryName("sessions")
             .outputMode("append").trigger(availableNow=True).start()
         )
+        # BOUNDED wait on purpose (not _drain): the stateful query's
+        # processing-time timeouts make termination timing variable, and
+        # the containment assertion below is valid on a PARTIAL read —
+        # every emitted closed session must exist in the batch result.
         q.awaitTermination(120)
         got = spark.sql(
             "SELECT user_id, session_start, n_events FROM sessions"
         ).collect()
+        q.stop()
         batch = sessionize_batch(_batch_events(spark), gap_minutes=30)
         want = {(r["user_id"], r["session_start"], r["n_events"])
                 for r in batch.collect()}
@@ -141,7 +154,7 @@ class TestStreamToMart:
         mart_root = str(tmp_path / "mart")
         ckpt = str(tmp_path / "ckpt")
         q = stream_events_to_mart(spark, events_dir, mart_root, ckpt)
-        q.awaitTermination(120)
+        _drain(q)
 
         pt = PartitionedTable(
             mart_root, "event_counts", "CAST(window_start AS DATE)",
@@ -160,7 +173,7 @@ class TestStreamToMart:
         # replay over the same checkpoint: no new data -> snapshot unchanged
         ver_before, _ = pt.latest()
         q2 = stream_events_to_mart(spark, events_dir, mart_root, ckpt)
-        q2.awaitTermination(120)
+        _drain(q2)
         ver_after, _ = pt.latest()
         assert ver_after == ver_before
 
@@ -208,7 +221,7 @@ def test_stream_exam_ingest_end_to_end(spark, tmp_path):
     (landing / "b.xml").write_bytes(make_trt(opp_id="S-2", ssid="STU002"))
 
     q = stream_exam_ingest(spark, wh, log, str(landing), ckpt)
-    q.awaitTermination(120)
+    _drain(q)
     assert sorted(
         r["opp_id"] for r in wh.read(spark, "exam").select("opp_id").collect()
     ) == ["S-1", "S-2"]
@@ -217,7 +230,7 @@ def test_stream_exam_ingest_end_to_end(spark, tmp_path):
     (landing / "c.xml").write_bytes(make_trt(opp_id="S-3", ssid="STU001"))
     (landing / "a_again.xml").write_bytes(make_trt(opp_id="S-1", ssid="STU001"))
     q = stream_exam_ingest(spark, wh, log, str(landing), ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     exams = sorted(
         r["opp_id"] for r in wh.read(spark, "exam").select("opp_id").collect()
@@ -273,7 +286,7 @@ def test_stream_exam_ingest_payloads_stay_distributed(spark, tmp_path, monkeypat
     payload = make_trt(opp_id="S-9", ssid="STU001")
     (landing / "a.xml").write_bytes(payload)
     q = SI.stream_exam_ingest(spark, wh, log, str(landing), str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    _drain(q)
 
     assert seen_types and all(issubclass(t, SparkDataFrame) for t in seen_types)
     assert [r["opp_id"] for r in wh.read(spark, "exam").collect()] == ["S-9"]
@@ -318,7 +331,7 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
         (3, "the quick brown fox", "en", "src1", 19),  # in-batch dup of 1
     ])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     corpus, index = t["corpus"], t["fpindex"]
@@ -331,7 +344,7 @@ def test_stream_corpus_build_dedups_across_batches(spark, tmp_path):
         (5, "a genuinely new document", "en", "src2", 24),
     ])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     assert sorted(r["doc_id"] for r in corpus.read(spark).collect()) == [1, 2, 5]
     idx = {r["canonical_id"] for r in index.read(spark).collect()}
@@ -361,7 +374,7 @@ def test_stream_corpus_repetition_stage(spark, tmp_path):
         str(tmp_path / "ckpt"), near_dup=False,
         repetition_thresholds={},
     )
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(str(tmp_path / "corpus_store"))
     assert [r["doc_id"] for r in t["corpus"].read(spark).collect()] == [1]
@@ -406,12 +419,12 @@ def test_stream_corpus_near_dup_across_batches_matches_batch_build(spark, tmp_pa
 
     _drop_docs(spark, tmp_path, landing, "b1", [rows[1], rows[2]])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     # restart; a near-dup of corpus doc 1 plus a genuinely new doc land
     _drop_docs(spark, tmp_path, landing, "b2", [rows[3], rows[4]])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2, 4]
@@ -423,7 +436,7 @@ def test_stream_corpus_near_dup_across_batches_matches_batch_build(spark, tmp_pa
     # (5 ~ dropped 3 ~ kept 1) must still resolve to canonical 1
     _drop_docs(spark, tmp_path, landing, "b3", [rows[5]])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2, 4]
     cmap = {r["doc_id"]: r["canonical_id"]
@@ -473,11 +486,11 @@ def test_stream_corpus_bridge_doc_merges_canonicals(spark, tmp_path):
     _drop_docs(spark, tmp_path, landing, "b1",
                [(10, doc_a, "en", "srcA", len(doc_a))])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
-    q.awaitTermination(120)
+    _drain(q)
     _drop_docs(spark, tmp_path, landing, "b2",
                [(20, doc_b, "en", "srcB", len(doc_b))])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [10, 20]
@@ -485,7 +498,7 @@ def test_stream_corpus_bridge_doc_merges_canonicals(spark, tmp_path):
     _drop_docs(spark, tmp_path, landing, "b3",
                [(30, bridge, "en", "srcC", len(bridge))])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt, **kw)
-    q.awaitTermination(120)
+    _drain(q)
 
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [10]
     cmap = {r["doc_id"]: r["canonical_id"]
@@ -527,7 +540,7 @@ def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeyp
         (101, _wordy("small101word", 30), "en", "src0", 100),
     ])
     q = stream_corpus_build(spark, str(landing), out_root, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
 
     probes = [(n, p) for n, p in calls
               if n in ("fpindex", "bandindex", "sigindex", "clusters")]
@@ -559,7 +572,7 @@ def test_maintain_corpus_compacts_and_preserves_state(spark, tmp_path):
         ])
         q = stream_corpus_build(spark, str(landing), out_root,
                                 str(tmp_path / "ckpt"), near_dup=False)
-        q.awaitTermination(120)
+        _drain(q)
 
     t = corpus_tables(out_root)
     before = {n: sorted(map(tuple, pt.read(spark).collect()))
@@ -591,7 +604,7 @@ def test_stream_corpus_csv_input_with_reject_quarantine(spark, tmp_path):
     q = stream_corpus_build(spark, str(landing), str(tmp_path / "store"),
                             str(tmp_path / "ckpt"), input_format="csv",
                             near_dup=False)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(str(tmp_path / "store"))
     rows = {r["doc_id"]: r for r in t["corpus"].read(spark).collect()}
@@ -623,7 +636,7 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     docs1.coalesce(1).write.parquet(str(landing / "b1"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False, with_stats=True)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     stats = {(r["batch_id"], r["stage"]): r["n"]
@@ -643,7 +656,7 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     docs2.coalesce(1).write.parquet(str(landing / "b2"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False, with_stats=True)
-    q.awaitTermination(120)
+    _drain(q)
     stats = {(r["batch_id"], r["stage"]): r["n"]
              for r in t["stats"].read(spark).collect()}
     batches = {k[0] for k in stats}
@@ -671,7 +684,7 @@ def test_stream_corpus_normalize_unicode_cross_batch_dedup(spark, tmp_path):
         .coalesce(1).write.parquet(str(landing / "b1"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False, normalize_unicode="NFC")
-    q.awaitTermination(120)
+    _drain(q)
 
     decomposed = body.replace("\u00e9", "e\u0301")
     assert decomposed != body
@@ -679,7 +692,7 @@ def test_stream_corpus_normalize_unicode_cross_batch_dedup(spark, tmp_path):
                           schema).coalesce(1).write.parquet(str(landing / "b2"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False, normalize_unicode="NFC")
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1]
@@ -707,7 +720,7 @@ def test_corpus_drift_between_store_versions(spark, tmp_path):
         .coalesce(1).write.parquet(str(landing / "b1"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False)
-    q.awaitTermination(120)
+    _drain(q)
     corpus = corpus_tables(out_root)["corpus"]
     v_before = corpus.latest()[0]
 
@@ -715,7 +728,7 @@ def test_corpus_drift_between_store_versions(spark, tmp_path):
         .coalesce(1).write.parquet(str(landing / "b2"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root, ckpt,
                             near_dup=False)
-    q.awaitTermination(120)
+    _drain(q)
 
     drift = {r["lang"]: r for r in corpus_drift(
         corpus.read(spark, version=v_before), corpus.read(spark)
@@ -751,7 +764,7 @@ def test_validate_corpus_store_clean_and_corrupted(spark, tmp_path):
     docs.coalesce(1).write.parquet(str(landing / "b1"))
     q = stream_corpus_build(spark, str(landing) + "/*", out_root,
                             str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    _drain(q)
 
     rep = validate_corpus_store(spark, out_root)
     assert rep["ok"], rep
@@ -900,7 +913,7 @@ def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     )
     q = stream_corpus_build(spark, str(landing), out_root, ckpt,
                             input_format="jsonl", near_dup=False)
-    q.awaitTermination(120)
+    _drain(q)
 
     t = corpus_tables(out_root)
     rows = {r["doc_id"]: r for r in t["corpus"].read(spark).collect()}
@@ -922,7 +935,7 @@ def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     )
     q = stream_corpus_build(spark, str(landing), out_root, ckpt,
                             input_format="jsonl", near_dup=False)
-    q.awaitTermination(120)
+    _drain(q)
     assert sorted(r["doc_id"] for r in t["corpus"].read(spark).collect()) == [1, 2]
     dmap = {r["doc_id"]: (r["stage"], r["detail"])
             for r in t["drops"].read(spark).collect() if r["doc_id"] == 9}
@@ -967,7 +980,7 @@ def test_stream_ann_index_maintenance(spark, tmp_path, sf_dir):
         (100002, [float(x) - 0.001 for x in twin["embedding"]]),
     ])
     q = stream_ann_index(spark, str(landing), path, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
     idx = spark.read.parquet(path + "/vectors")
     assert idx.count() == n0 + 2
 
@@ -980,7 +993,7 @@ def test_stream_ann_index_maintenance(spark, tmp_path, sf_dir):
 
     # restart with no new files: checkpoint replays nothing, count holds
     q = stream_ann_index(spark, str(landing), path, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
     assert spark.read.parquet(path + "/vectors").count() == n0 + 2
 
     # next shard carries one replayed id + one new: only the new id lands
@@ -989,7 +1002,7 @@ def test_stream_ann_index_maintenance(spark, tmp_path, sf_dir):
         (100003, [float(x) + 0.002 for x in twin["embedding"]]),
     ])
     q = stream_ann_index(spark, str(landing), path, ckpt)
-    q.awaitTermination(120)
+    _drain(q)
     final = spark.read.parquet(path + "/vectors")
     assert final.count() == n0 + 3
     assert final.filter(F.col("vec_id") == 100001).count() == 1
@@ -1028,7 +1041,7 @@ class TestStreamAttribution:
         q = stream_attribution(
             spark, str(src), out, str(tmp_path / "ckpt"), window_minutes=60
         )
-        q.awaitTermination(120)
+        _drain(q)
 
         got = {
             (r.view_id, r.purchase_id)
@@ -1167,7 +1180,7 @@ class TestSessionizeWindowed:
             .writeStream.format("memory").queryName("native_sessions")
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        _drain(q)
         got = {
             (r["user_id"], r["session_start"], r["n_events"])
             for r in spark.sql(
@@ -1207,7 +1220,7 @@ def test_maintain_corpus_crash_then_maintain_then_replay(spark, tmp_path):
         ])
         q = stream_corpus_build(spark, str(landing), out_root,
                                 str(tmp_path / "ckpt"), near_dup=False)
-        q.awaitTermination(120)
+        _drain(q)
 
     t = corpus_tables(out_root)
     top = t["corpus"].newest_append_tag()

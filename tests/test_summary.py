@@ -28,6 +28,12 @@ SCHEMA = T.StructType([
 ])
 
 
+def _drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes (awaitTermination(t)
+    returns False SILENTLY when t expires — the r10 shard flake)."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
+
 def _rows(n, seed):
     rng = np.random.default_rng(seed)
     vals = rng.normal(100.0, 15.0, n)
@@ -210,7 +216,7 @@ def test_stream_summary_state_twin(spark, tmp_path):
     q = stream_summary_state(
         spark, str(landing), SCHEMA, out, ckpt, ["g"], SPEC,
         max_files_per_trigger=1)
-    q.awaitTermination(120)
+    _drain(q)
 
     batch = {r["g"]: r for r in summary_cube(
         spark.createDataFrame(all_rows, SCHEMA), ["g"], SPEC).collect()}

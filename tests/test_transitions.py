@@ -25,6 +25,12 @@ SCHEMA = T.StructType([
 T0 = dt.datetime(2024, 1, 1)
 
 
+def _await_drain(q, timeout: int = 600) -> None:
+    """Block until an availableNow query finishes (awaitTermination(t)
+    returns False SILENTLY when t expires — the r10 shard flake)."""
+    assert q.awaitTermination(timeout), f"stream drain exceeded {timeout}s"
+
+
 def _rows():
     s = lambda sec: T0 + dt.timedelta(seconds=sec)
     # three event-time windows; u1 and u2 span windows (boundary pairs),
@@ -57,7 +63,7 @@ def _drain(spark, tmp_path, name, drops, per_trigger=1):
         "user_id", "ts", "state", "event_id",
         max_files_per_trigger=per_trigger,
     )
-    q.awaitTermination(120)
+    _await_drain(q)
     return out
 
 
