@@ -327,3 +327,43 @@ def band_join(
                 [*on, left_val], "left_semi")
         )
     return lhs.join(rhs, keys).filter(close).drop("_band")
+
+
+def match_score(
+    pairs: DataFrame,
+    rules: "list[tuple[str, object, float, float]]",
+    prior_odds: float = 1.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring over candidate
+    pairs (Fellegi & Sunter 1969): each rule ``(name, agree_expr, m, u)``
+    contributes likelihood ratio ``m/u`` when the pair AGREES on the
+    attribute and ``(1−m)/(1−u)`` when it disagrees (m = P(agree | true
+    match), u = P(agree | non-match)); the pair's ``match_odds`` is the
+    prior times the product of its per-rule ratios, and per-rule
+    ``lr_<name>`` columns expose the evidence decomposition. Downstream
+    picks the accept/review/reject thresholds on the odds.
+
+    ``agree_expr`` is a boolean Column (or SQL string) over the pair
+    frame — equality, banded numeric closeness, edit-distance caps, any
+    predicate. A NULL agreement is treated as DISAGREEMENT (missing
+    evidence can't support a match claim).
+
+    Determinism: the ratios are constants; the product is a PINNED-ORDER
+    chain of double multiplications (rule list order), bit-identical
+    across engines — no groupBy-product whose partial order could vary.
+
+    Scale: map-only over the candidate-pair frame (blocking —
+    ``fuzzy_join``, LSH, band join — already bounded it); no shuffle."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    out = pairs
+    odds = F.lit(float(prior_odds))
+    for name, agree, m, u in rules:
+        if not (0.0 < u < 1.0 and 0.0 < m < 1.0):
+            raise ValueError(f"rule {name!r}: m/u must be in (0, 1)")
+        cond = F.expr(agree) if isinstance(agree, str) else agree
+        lr = F.when(F.coalesce(cond, F.lit(False)),
+                    F.lit(m / u)).otherwise(F.lit((1.0 - m) / (1.0 - u)))
+        out = out.withColumn(f"lr_{name}", lr)
+        odds = odds * F.col(f"lr_{name}")
+    return out.withColumn("match_odds", odds)

@@ -3405,3 +3405,104 @@ def zz_l_diversity_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("short"),
     )
     return l_diversity_report(d, ["lang", "source"], "quality_tier", l=2)
+
+
+_FS_RULES = [
+    # (name, m = P(agree|match), u = P(agree|non-match))
+    ("exact_name", 0.95, 0.001),
+    ("same_nation", 0.9, 0.04),
+    ("same_segment", 0.85, 0.2),
+]
+
+
+def _fs_oracle() -> str:
+    lrs = []
+    for name, m, u in _FS_RULES:
+        agree, disagree = repr(m / u), repr((1.0 - m) / (1.0 - u))
+        cond = {
+            "exact_name": "levenshtein(a.c_name, b.c_name) = 0",
+            "same_nation": "a.c_nationkey = b.c_nationkey",
+            "same_segment": "a.c_mktsegment = b.c_mktsegment",
+        }[name]
+        # CAST: DuckDB parses bare decimal literals as DECIMAL and the
+        # chained product overflows scale 38 — force double like Spark
+        lrs.append((name, f"CASE WHEN {cond} THEN CAST({agree} AS DOUBLE) "
+                          f"ELSE CAST({disagree} AS DOUBLE) END"))
+    prod = "1.0"
+    for name, _ in lrs:
+        prod = f"({prod} * lr_{name})"
+    cols = ",\n           ".join(f"{expr} AS lr_{name}" for name, expr in lrs)
+    return f"""
+    WITH cand AS (
+        SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+           {cols}
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT left_id, right_id, dist,
+           lr_exact_name, lr_same_nation, lr_same_segment,
+           {prod} AS match_odds
+    FROM cand
+    """
+
+
+@register(
+    "zz_match_scores",
+    oracle=_fs_oracle(),
+    survey="ext: Fellegi–Sunter probabilistic record linkage — candidate "
+           "pairs from the FastSS fuzzy join scored by pinned-order "
+           "products of per-attribute likelihood ratios (m/u on "
+           "agreement, (1-m)/(1-u) on disagreement, NULL = disagree); "
+           "map-only over the blocked pairs, per-rule lr_ columns expose "
+           "the evidence decomposition; oracle recomputes the same "
+           "ratios over the brute-force pair set",
+)
+def zz_match_scores_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import fuzzy_join, match_score
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    pairs = fuzzy_join(
+        cust, None, "c_name", left_id_col="c_custkey", max_dist=1)
+    la = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        F.col("c_nationkey").alias("_ln"), F.col("c_mktsegment").alias("_ls"))
+    rb = cust.select(
+        F.col("c_custkey").alias("right_id"),
+        F.col("c_nationkey").alias("_rn"), F.col("c_mktsegment").alias("_rs"))
+    enriched = pairs.join(la, "left_id").join(rb, "right_id")
+    rules = [
+        ("exact_name", F.col("dist") == 0,
+         _FS_RULES[0][1], _FS_RULES[0][2]),
+        ("same_nation", F.col("_ln") == F.col("_rn"),
+         _FS_RULES[1][1], _FS_RULES[1][2]),
+        ("same_segment", F.col("_ls") == F.col("_rs"),
+         _FS_RULES[2][1], _FS_RULES[2][2]),
+    ]
+    return match_score(enriched, rules).select(
+        "left_id", "right_id", "dist",
+        "lr_exact_name", "lr_same_nation", "lr_same_segment", "match_odds")
+
+
+@register(
+    "zz_attr_markov",
+    # rows-only: the absorbing-chain solve is LAPACK float linear
+    # algebra — no cross-engine bit contract; the math is pinned by
+    # hand-solvable pytest chains (tests/test_round10_ops.py)
+    oracle=None,
+    survey="ext: Markov removal-effect attribution (Anderl et al. 2014) "
+           "— journeys truncate at first conversion, transition counts "
+           "via one journey-partitioned window + one partial-agg "
+           "shuffle, the O(channels²) absorbing-chain solve and "
+           "per-channel removal re-solves run driver-side (the "
+           "collect-the-tiny-summary split); data-driven attribution "
+           "over the funnel/journey tier",
+)
+def zz_attr_markov_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import markov_attribution
+
+    evs = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return markov_attribution(
+        evs, ["user_id", "day"], conversion="purchase"
+    ).orderBy("channel")

@@ -235,3 +235,64 @@ class TestStreamingPostings:
              r["doc_freq"])
             for r in inverted_index(df).collect())
         assert got == want
+
+
+class TestMarkovAttribution:
+    def test_two_path_chain_hand_solved(self, spark):
+        """START->A->CONV (always) and START->B->NULL (always):
+        p(conv)=n_A/(n_A+n_B); removing A kills every conversion
+        (effect 1), removing B changes nothing (effect 0)."""
+        from rdw_spark.operators.attribution import markov_attribution
+
+        rows = []
+        eid = 0
+        for j in range(6):      # six A->purchase journeys
+            rows += [(j, 1, eid, "ad"), (j, 2, eid + 1, "purchase")]
+            eid += 2
+        for j in range(10, 14):  # four B->nothing journeys
+            rows += [(j, 1, eid, "email")]
+            eid += 1
+        df = spark.createDataFrame(
+            rows, "jid long, t long, event_id long, event_type string")
+        out = {r["channel"]: r for r in markov_attribution(
+            df, ["jid"], ts_col="t").collect()}
+        assert abs(out["ad"]["p_conversion"] - 0.6) < 1e-12
+        assert abs(out["ad"]["removal_effect"] - 1.0) < 1e-12
+        assert abs(out["email"]["removal_effect"] - 0.0) < 1e-12
+        assert abs(out["ad"]["attribution_share"] - 1.0) < 1e-12
+        assert abs(out["ad"]["attributed_conversions"] - 6.0) < 1e-12
+
+    def test_two_step_path_solves_through_matrix(self, spark):
+        """START->A->B->CONV: both channels are essential — removing
+        either zeroes conversion, so effects tie and credit splits."""
+        from rdw_spark.operators.attribution import markov_attribution
+
+        rows = []
+        for j in range(5):
+            rows += [(j, 1, 3 * j, "ad"), (j, 2, 3 * j + 1, "search"),
+                     (j, 3, 3 * j + 2, "purchase")]
+        df = spark.createDataFrame(
+            rows, "jid long, t long, event_id long, event_type string")
+        out = {r["channel"]: r for r in markov_attribution(
+            df, ["jid"], ts_col="t").collect()}
+        assert abs(out["ad"]["p_conversion"] - 1.0) < 1e-12
+        for c in ("ad", "search"):
+            assert abs(out[c]["removal_effect"] - 1.0) < 1e-12
+            assert abs(out[c]["attribution_share"] - 0.5) < 1e-12
+            assert abs(out[c]["attributed_conversions"] - 2.5) < 1e-12
+
+    def test_immediate_conversion_journey(self, spark):
+        """A journey whose first event IS the conversion contributes
+        START->CONV (no touchpoints) and no channel credit."""
+        from rdw_spark.operators.attribution import markov_attribution
+
+        rows = [(1, 1, 0, "purchase"),
+                (2, 1, 1, "ad"), (2, 2, 2, "purchase")]
+        df = spark.createDataFrame(
+            rows, "jid long, t long, event_id long, event_type string")
+        out = {r["channel"]: r for r in markov_attribution(
+            df, ["jid"], ts_col="t").collect()}
+        # p = P(START->CONV) + P(START->ad)*1 = 0.5 + 0.5 = 1
+        assert abs(out["ad"]["p_conversion"] - 1.0) < 1e-12
+        # removing ad still leaves the direct conversion: effect = 0.5
+        assert abs(out["ad"]["removal_effect"] - 0.5) < 1e-12
