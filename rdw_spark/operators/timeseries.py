@@ -711,3 +711,81 @@ def forecast_backtest(
         F.when(F.col("mae_naive") > 0,
                F.col("mae_snaive") / F.col("mae_naive")),
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL refines; Hyndman & Athanasopoulos FPP §3.4): per series
+    ``value = trend + seasonal + remainder`` with
+    trend = centered moving average over ``period`` points (defined only
+    where the full window exists), seasonal = per-phase mean of the
+    detrended values re-centered to sum to zero over one cycle, and
+    remainder the leftover. ``period`` must be odd (the even case needs
+    the 2×m double smoothing — out of scope by design, documented).
+
+    Determinism: decimal-sum doubles can't round-trip BACK to decimal
+    (shortest-repr vs exact-binary rounding diverges in the last digit
+    across engines), so no messy double is ever re-cast: the phase mean
+    is computed from the EXACT decimal numerator
+    ``Σ(period·value − window_sum)`` divided once, and the re-centering
+    mean is a pinned-order fold of the (few) phase means. Every output
+    is then a fixed-order chain of double ops on bit-identical inputs —
+    bit-exact across engines and partitionings.
+
+    Scale shape: one key-partitioned ROWS window (state bounded by
+    ``period``), one phase-grain partial-agg shuffle (O(keys·period)
+    rows), broadcast joins back. The series frame is pre-aggregated —
+    tiny next to the fact."""
+    from pyspark.sql import Window
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd >= 3, got {period}")
+    half = period // 2
+    dec = "decimal(27,6)"
+    wo = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ww = wo.rowsBetween(-half, half)
+    vdec = F.col(value_col).cast(dec)
+    d = (
+        df.withColumn("_i", F.row_number().over(wo))
+        .withColumn("_phase", (F.col("_i") - 1) % period)
+        .withColumn("_wn", F.count(F.lit(1)).over(ww))
+        .withColumn("_wsum", F.sum(vdec).over(ww))
+        .withColumn(
+            "trend",
+            F.when(F.col("_wn") == period,
+                   F.col("_wsum").cast("double") / period))
+    )
+    phase = d.filter(F.col("trend").isNotNull()).groupBy(
+        *key_cols, "_phase"
+    ).agg(
+        # EXACT decimal numerator of Σ(v − wsum/P): Σ(P·v − wsum)
+        F.sum(vdec * period - F.col("_wsum")).alias("_num"),
+        F.count(F.lit(1)).alias("_nj"),
+    ).withColumn(
+        "_praw",
+        F.col("_num").cast("double") / (F.col("_nj") * period))
+    center = phase.groupBy(*key_cols).agg(
+        (F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_phase", "_praw"))),
+                lambda x: x["_praw"]),
+            F.lit(0.0), lambda acc, x: acc + x)
+         / F.count(F.lit(1))).alias("_pmean"))
+    seas = phase.join(center, key_cols).select(
+        *key_cols, "_phase",
+        (F.col("_praw") - F.col("_pmean")).alias("seasonal"))
+    return (
+        d.join(seas, [*key_cols, "_phase"], "left")
+        .select(
+            *key_cols, ts_col, F.col(value_col).alias("value"),
+            "trend", "seasonal",
+            (F.col(value_col) - F.col("trend") - F.col("seasonal"))
+            .alias("remainder"),
+        )
+    )

@@ -3438,7 +3438,8 @@ def _fs_oracle() -> str:
                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
            {cols}
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        WHERE a.c_nationkey < 13 AND b.c_nationkey < 13
+          AND levenshtein(a.c_name, b.c_name) <= 1
     )
     SELECT left_id, right_id, dist,
            lr_exact_name, lr_same_nation, lr_same_segment,
@@ -3461,7 +3462,10 @@ def _fs_oracle() -> str:
 def zz_match_scores_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import fuzzy_join, match_score
 
-    cust = _t(spark, sf_dir, "customer").select(
+    # scoped to half the nations: the entry demonstrates the scoring
+    # shape; the full-corpus fuzzy join already has its own entry
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < 13).select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     pairs = fuzzy_join(
         cust, None, "c_name", left_id_col="c_custkey", max_dist=1)
@@ -3506,3 +3510,62 @@ def zz_attr_markov_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(
         evs, ["user_id", "day"], conversion="purchase"
     ).orderBy("channel")
+
+
+@register(
+    "zz_ts_decompose",
+    oracle="""
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, day, v,
+               ROW_NUMBER() OVER w AS i,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+               SUM(CAST(v AS DECIMAL(27,6))) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum
+        FROM series WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), t AS (
+        SELECT *, (i - 1) % 7 AS phase,
+               CASE WHEN wn = 7 THEN CAST(wsum AS DOUBLE) / 7 END AS trend
+        FROM idx
+    ), praw AS (
+        SELECT event_type, phase,
+               CAST(SUM(CAST(v AS DECIMAL(27,6)) * 7 - wsum) AS DOUBLE)
+                   / (COUNT(*) * 7) AS praw
+        FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+    ), pm AS (
+        SELECT event_type,
+               list_reduce(list_transform(list_sort(
+                   list(struct_pack(p := phase, v := praw))),
+                   x -> x['v']), (acc, x) -> acc + x)
+                   / COUNT(*) AS pmean
+        FROM praw GROUP BY 1
+    ), seas AS (
+        SELECT praw.event_type, phase, praw - pmean AS seasonal
+        FROM praw JOIN pm ON praw.event_type = pm.event_type
+    )
+    SELECT t.event_type, t.day, t.v AS value, t.trend, s.seasonal,
+           t.v - t.trend - s.seasonal AS remainder
+    FROM t LEFT JOIN seas s
+      ON t.event_type = s.event_type AND t.phase = s.phase
+    """,
+    survey="ext: classical additive seasonal decomposition (centered "
+           "moving average trend, re-centered per-phase seasonal means "
+           "— the method STL refines) — no messy double ever re-casts "
+           "to decimal: phase means use the exact decimal numerator "
+           "sum(P*v - wsum), re-centering is a pinned-order fold of the "
+           "few phase means; one bounded ROWS window per series + one "
+           "phase-grain partial-agg; odd periods only (documented)",
+)
+def zz_ts_decompose_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import classical_decompose
+
+    evs = _t(spark, sf_dir, "events")
+    series = evs.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v"))
+    return classical_decompose(series, ["event_type"], "day", "v", period=7)
