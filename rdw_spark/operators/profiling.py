@@ -788,3 +788,71 @@ def l_diversity_report(
         )
         .withColumn("is_l_diverse", F.col("n_sensitive_distinct") >= l)
     )
+
+
+# log10(1 + 1/d), d = 1..9 — pinned literals so Spark and any oracle
+# engine compare against the IDENTICAL doubles (no runtime libm)
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fabricated-numbers
+    / data-entry-anomaly detector for naturally-occurring positive
+    amounts (Benford 1938; Nigrini's audit use): one row per leading
+    digit with observed count/share, the Benford expectation, the
+    digit's chi-square term, and the folded chi-square statistic on
+    every row (8 df; > 20.09 rejects at α=0.01).
+
+    Exactness: the first digit comes from the value's STRING form (a
+    decimal column renders identically everywhere — never floor/log10,
+    whose libm rounding differs); the expected shares are pinned
+    literals; chi terms are fixed-order double expressions and the
+    statistic is a pinned digit-order fold — bit-identical across
+    engines and partitionings.
+
+    Scale: one map-side digit projection + ONE partial-agg shuffle at
+    the 9-row digit grain; everything after is O(9)."""
+    first = F.substring(
+        F.regexp_replace(F.col(value_col).cast("string"), r"^[-0.]+", ""),
+        1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(first.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()],
+        "digit int, expected_share double")
+    g = expected.join(counts, "digit", "left").na.fill({"n_obs": 0})
+    tot = g.agg(F.sum("n_obs").alias("_n"))
+    terms = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_obs").cast("double") / F.col("_n"))
+        .withColumn(
+            "chi_term",
+            (F.col("n_obs").cast("double")
+             - F.col("_n") * F.col("expected_share"))
+            * (F.col("n_obs").cast("double")
+               - F.col("_n") * F.col("expected_share"))
+            / (F.col("_n") * F.col("expected_share")))
+    )
+    chi = terms.agg(F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("digit", "chi_term"))),
+            lambda x: x["chi_term"]),
+        F.lit(0.0), lambda acc, x: acc + x).alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select("digit", F.col("n_obs").cast("long").alias("n_obs"),
+                "share", "expected_share", "chi_term", "chi2")
+        .orderBy("digit")
+    )

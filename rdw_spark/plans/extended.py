@@ -3569,3 +3569,53 @@ def zz_ts_decompose_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v"))
     return classical_decompose(series, ["event_type"], "day", "v", period=7)
+
+
+@register(
+    "zz_benford_screen",
+    oracle="""
+    WITH exp_p AS (
+        SELECT digit, CAST(p AS DOUBLE) AS expected_share FROM (VALUES
+            (1, 0.3010299956639812), (2, 0.17609125905568124),
+            (3, 0.12493873660829992), (4, 0.09691001300805642),
+            (5, 0.07918124604762482), (6, 0.06694678963061322),
+            (7, 0.05799194697768673), (8, 0.05115252244738129),
+            (9, 0.04575749056067514)) AS v(digit, p)
+    ), c AS (
+        SELECT CAST(substring(regexp_replace(
+                   CAST(l_extendedprice AS VARCHAR), '^[-0.]+', ''),
+                   1, 1) AS INT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1 HAVING digit BETWEEN 1 AND 9
+    ), g AS (
+        SELECT e.digit, e.expected_share, COALESCE(c.n_obs, 0) AS n_obs
+        FROM exp_p e LEFT JOIN c ON e.digit = c.digit
+    ), t AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM g
+    ), terms AS (
+        SELECT g.digit, g.n_obs,
+               CAST(g.n_obs AS DOUBLE) / t.n AS share,
+               g.expected_share,
+               (CAST(g.n_obs AS DOUBLE) - t.n * g.expected_share)
+               * (CAST(g.n_obs AS DOUBLE) - t.n * g.expected_share)
+               / (t.n * g.expected_share) AS chi_term
+        FROM g, t
+    ), tot AS (
+        SELECT list_reduce(list_transform(list_sort(
+                   list(struct_pack(d := digit, v := chi_term))),
+                   x -> x['v']), (acc, x) -> acc + x) AS chi2
+        FROM terms
+    )
+    SELECT digit, n_obs, share, expected_share, chi_term, chi2
+    FROM terms, tot ORDER BY digit
+    """,
+    survey="ext/governance: Benford's-law first-digit screen (Nigrini "
+           "audit shape) — first digit read from the decimal's STRING "
+           "form (never floor/log10 libm), pinned expected-share "
+           "literals, fixed-order chi terms + sorted-fold statistic; "
+           "one map-side projection + one 9-row partial-agg shuffle",
+)
+def zz_benford_screen_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import benford_report
+
+    return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
