@@ -296,3 +296,88 @@ class TestMarkovAttribution:
         assert abs(out["ad"]["p_conversion"] - 1.0) < 1e-12
         # removing ad still leaves the direct conversion: effect = 0.5
         assert abs(out["ad"]["removal_effect"] - 0.5) < 1e-12
+
+
+class TestMatchScore:
+    def test_hand_computed_odds_and_null_disagrees(self, spark):
+        from rdw_spark.operators.joins import match_score
+
+        pairs = spark.createDataFrame(
+            [(1, 2, True, True), (3, 4, False, None)],
+            "left_id long, right_id long, same_a boolean, same_b boolean")
+        rules = [("a", F.col("same_a"), 0.8, 0.2),
+                 ("b", F.col("same_b"), 0.9, 0.1)]
+        out = {r["left_id"]: r for r in
+               match_score(pairs, rules, prior_odds=2.0).collect()}
+        # agree/agree: 2 * (0.8/0.2) * (0.9/0.1) = 2*4*9 = 72
+        assert abs(out[1]["match_odds"] - 72.0) < 1e-12
+        # disagree + NULL(=disagree): 2 * (0.2/0.8) * (0.1/0.9)
+        want = 2.0 * (0.2 / 0.8) * (0.1 / 0.9)
+        assert abs(out[3]["match_odds"] - want) < 1e-12
+        assert abs(out[3]["lr_b"] - 0.1 / 0.9) < 1e-12
+
+    def test_rejects_degenerate_params(self, spark):
+        import pytest
+
+        from rdw_spark.operators.joins import match_score
+
+        pairs = spark.createDataFrame([(1, 2)], "l long, r long")
+        with pytest.raises(ValueError, match="non-empty"):
+            match_score(pairs, [])
+        with pytest.raises(ValueError, match="m/u"):
+            match_score(pairs, [("x", F.lit(True), 1.0, 0.5)])
+
+
+class TestClassicalDecompose:
+    def test_pure_seasonal_series_recovers_pattern(self, spark):
+        from rdw_spark.operators.timeseries import classical_decompose
+
+        pattern = [10.0, 40.0, 10.0]  # period 3, mean 20
+        rows = [Row(k="s", t=i, v=pattern[i % 3]) for i in range(15)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = {r["t"]: r for r in classical_decompose(
+            df, ["k"], "t", "v", period=3).collect()}
+        # trend undefined at the edges (half-window = 1)
+        assert out[0]["trend"] is None and out[14]["trend"] is None
+        # interior: trend = cycle mean, seasonal = pattern - mean,
+        # remainder = 0 (exact — the series IS trend+seasonal)
+        for t in range(1, 14):
+            assert abs(out[t]["trend"] - 20.0) < 1e-12
+            assert abs(out[t]["seasonal"]
+                       - (pattern[t % 3] - 20.0)) < 1e-9
+            assert abs(out[t]["remainder"]) < 1e-9
+
+    def test_even_period_rejected(self, spark):
+        import pytest
+
+        from rdw_spark.operators.timeseries import classical_decompose
+
+        df = spark.createDataFrame(
+            [Row(k="s", t=1, v=1.0)], "k string, t int, v double")
+        with pytest.raises(ValueError, match="odd"):
+            classical_decompose(df, ["k"], "t", "v", period=4)
+
+
+class TestBenford:
+    def test_hand_counts_and_chi2(self, spark):
+        import math
+
+        from rdw_spark.operators.profiling import BENFORD_P, benford_report
+
+        # 10 values: first digits 1 x5, 2 x3, 9 x2 (strings avoid any
+        # float-format ambiguity: decimals render exactly)
+        vals = [1.5, 19.0, 100.0, 0.12, 0.0015,  # digit 1 (incl <1 values)
+                2.0, 25.0, 0.29,                 # digit 2
+                9.9, 0.9]                        # digit 9
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double")
+        out = {r["digit"]: r for r in benford_report(df, "v").collect()}
+        assert len(out) == 9
+        assert out[1]["n_obs"] == 5 and out[2]["n_obs"] == 3
+        assert out[9]["n_obs"] == 2 and out[5]["n_obs"] == 0
+        want_chi = sum(
+            (c - 10 * BENFORD_P[d]) ** 2 / (10 * BENFORD_P[d])
+            for d, c in ((1, 5), (2, 3), (9, 2), (3, 0), (4, 0), (5, 0),
+                         (6, 0), (7, 0), (8, 0)))
+        assert abs(out[1]["chi2"] - want_chi) < 1e-9
+        assert math.isclose(sum(r["share"] for r in out.values()), 1.0)
