@@ -259,6 +259,11 @@ def quantile_normalize(
     maps to the pooled median ``(N−1) DIV 2 + 1``); ``normalized`` =
     the value whose global (value, id) rank equals ``t``.
 
+    NULL values carry no rank information and are dropped up front
+    (the same contract as ``mann_whitney_u`` / ``mad_outliers``) —
+    otherwise Spark's NULLS FIRST window order and an oracle's NULLS
+    LAST would silently disagree on every rank.
+
     Scale shape: the within-group rank is a window PARTITIONED by
     group; the global rank table comes from the two-phase distributed
     prefix scan (``packing.with_global_offset`` — range partitions +
@@ -269,6 +274,7 @@ def quantile_normalize(
 
     from rdw_spark.operators.packing import with_global_offset
 
+    df = df.filter(F.col(value_col).isNotNull())
     wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
     n = df.select(F.count(F.lit(1)).alias("_n"))

@@ -495,21 +495,21 @@ def pmi_collocations(
         ),
         1,
     )
-    bi = (
+    bi_all = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.explode(pairs_arr).alias("_p"))
         .select(F.col("_p.ta").alias("tok_a"), F.col("_p.tb").alias("tok_b"))
         .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
         .groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_pairs"))
-        .filter(F.col("n_pairs") >= min_count)
     )
+    bi = bi_all.filter(F.col("n_pairs") >= min_count)
     uni = (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(F.explode(toks).alias("_tok"))
         .filter(F.col("_tok") != "")
         .groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
     )
-    n = bi.agg(F.sum("n_pairs").alias("_n"))
+    n = bi_all.agg(F.sum("n_pairs").alias("_n"))
     ca = uni.select(F.col("_tok").alias("tok_a"), F.col("_c").alias("c_a"))
     cb = uni.select(F.col("_tok").alias("tok_b"), F.col("_c").alias("c_b"))
     scored = (
@@ -851,7 +851,12 @@ def bpe_index(
     exists to avoid.
 
     Returns the ``train_bpe`` dict (``merges`` re-tupled, ``vocab``,
-    ``rounds``) plus ``"loaded": True`` when served from the sidecar."""
+    ``rounds``) plus ``"loaded": True`` when served from the sidecar.
+    A stored artifact only serves calls with the SAME training
+    parameters — a mismatched ``num_merges``/``end_of_word``/
+    ``min_count`` raises rather than silently handing back a tokenizer
+    trained to a different spec (point the caller at a fresh
+    ``index_path`` to retrain)."""
     import json
     import os
 
@@ -865,6 +870,7 @@ def bpe_index(
             json.dump({
                 "end_of_word": end_of_word,
                 "num_merges": num_merges,
+                "min_count": min_count,
                 "merges": [list(m) for m in out["merges"]],
                 "vocab": out["vocab"],
                 "rounds": out["rounds"],
@@ -873,6 +879,15 @@ def bpe_index(
         return {**out, "loaded": False}
     with open(sidecar) as fh:
         art = json.load(fh)
+    stored = (int(art["num_merges"]), art["end_of_word"],
+              int(art.get("min_count", min_count)))
+    if stored != (num_merges, end_of_word, min_count):
+        raise ValueError(
+            f"bpe_index artifact at {sidecar} was trained with "
+            f"(num_merges, end_of_word, min_count)={stored}, call asked "
+            f"for {(num_merges, end_of_word, min_count)}; use a fresh "
+            "index_path to retrain"
+        )
     return {
         "merges": [(a, b, m, int(n)) for a, b, m, n in art["merges"]],
         "vocab": list(art["vocab"]),

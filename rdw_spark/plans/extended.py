@@ -3105,6 +3105,7 @@ def zz_graph_wcc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars IS NOT NULL
     ), g AS (
         SELECT doc_id, lang, n_chars,
                ROW_NUMBER() OVER (PARTITION BY lang
@@ -3348,17 +3349,22 @@ def zz_stat_mad_outliers_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CAST(COUNT(*) AS BIGINT) AS n_total
-    FROM events GROUP BY 1
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+    GROUP BY 1
     """,
     survey="ext: pivoted daily activity report — groupBy().pivot() with "
            "PINNED values (no extra distinct-values pass, a single "
            "partial-agg shuffle exactly like the CASE-sum formulation "
-           "Catalyst rewrites it to); the wide-report shape",
+           "Catalyst rewrites it to); both sides filter to the pinned "
+           "kinds so n_total is honestly the pivoted-kind total even if "
+           "new event types appear; the wide-report shape",
 )
 def zz_pivot_daily_events_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds = ["view", "click", "purchase", "signup", "error"]
-    evs = _t(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"), "event_type")
+    evs = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(kinds)
+    ).select(F.to_date("ts").alias("day"), "event_type")
     wide = (
         evs.groupBy("day")
         .pivot("event_type", kinds)

@@ -2498,16 +2498,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT string_split_regex(trim(regexp_replace(lower(text),
                    '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
         FROM documents WHERE trim(text) <> ''
-    ), bi AS (
+    ), bi_all AS (
         SELECT l[i] AS tok_a, l[i+1] AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM toks, unnest(range(1, len(l))) AS u(i)
         WHERE l[i] <> '' AND l[i+1] <> ''
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 5
+    ), bi AS (
+        SELECT * FROM bi_all WHERE n_pairs >= 5
     ), uni AS (
         SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
         FROM (SELECT unnest(l) AS t FROM toks) WHERE t <> '' GROUP BY 1
-    ), n AS (SELECT SUM(n_pairs) AS total FROM bi)
+    ), n AS (SELECT SUM(n_pairs) AS total FROM bi_all)
     SELECT tok_a, tok_b, n_pairs,
            ca.c AS c_a, cb.c AS c_b,
            CAST(CAST(n_pairs AS DECIMAL(19,0)) * CAST(n.total AS DECIMAL(19,0)) AS DOUBLE)

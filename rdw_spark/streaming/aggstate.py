@@ -344,10 +344,14 @@ def stream_postings_state(
     """Continuously maintain the positional inverted index
     (``operators.text.inverted_index``'s posting rows) as documents
     land: each micro-batch appends its own (token, doc) postings —
-    documents arrive whole, so a batch's postings are final and merge
-    by plain union. ``doc_freq`` is a per-token rollup of the merged
-    state, so it is computed on READ (carrying it in the delta would go
-    stale as later batches add documents)."""
+    documents arrive whole, so a batch's postings are final within the
+    batch and merge by union + a last-writer-wins dedupe on read: a
+    doc_id re-ingested in a later micro-batch fully supersedes its
+    earlier postings (``read_postings_state`` keeps only rows from the
+    doc's newest batch, so tokens DROPPED by the new version disappear
+    too). ``doc_freq`` is a per-token rollup of the merged state, so it
+    is computed on READ (carrying it in the delta would go stale as
+    later batches add documents)."""
     from rdw_spark.operators.text import inverted_index
 
     return stream_mergeable_state(
@@ -362,10 +366,22 @@ def read_postings_state(
     spark: SparkSession, out_root: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """The live index: merged postings + the doc_freq rollup — matches
-    a batch ``inverted_index`` over everything ingested exactly (a
-    (token, doc) posting is written once and never revised)."""
-    merged = read_mergeable_state(
-        spark, out_root, ["token", id_col], lambda rows: rows)
+    a batch ``inverted_index`` over the LATEST version of every
+    ingested document exactly. Last-writer-wins per document: only
+    postings from each doc's newest batch survive (partitioned max over
+    ``batch_id``, one doc-keyed window over O(state) rows), so a
+    re-ingest both revises changed tokens and retires dropped ones —
+    no write-once precondition on the landing stream."""
+    from pyspark.sql import Window
+
+    pt = agg_state_table(out_root, ["token", id_col])
+    rows = pt.read(spark)
+    latest = Window.partitionBy(id_col)
+    merged = (
+        rows.withColumn("_mb", F.max("batch_id").over(latest))
+        .filter(F.col("batch_id") == F.col("_mb"))
+        .drop("_mb", "batch_id")
+    )
     docfreq = merged.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"))
     return merged.join(docfreq, "token")

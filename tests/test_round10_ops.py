@@ -236,6 +236,50 @@ class TestStreamingPostings:
             for r in inverted_index(df).collect())
         assert got == want
 
+    def test_reingest_last_writer_wins(self, spark, tmp_path):
+        """A doc_id landing again in a LATER micro-batch supersedes its
+        earlier postings entirely: changed tokens revise, dropped tokens
+        retire, doc_freq reflects only latest versions — the live index
+        equals a batch build over the final corpus."""
+        from rdw_spark.operators.text import inverted_index
+        from rdw_spark.streaming.aggstate import (
+            read_postings_state, stream_postings_state,
+        )
+
+        schema = "doc_id long, text string"
+        v1 = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta gamma"),
+             Row(doc_id=2, text="alpha delta")], schema)
+        landing = str(tmp_path / "landing")
+        v1.coalesce(1).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        q = stream_postings_state(spark, landing, v1.schema, out, ckpt)
+        assert q.awaitTermination(120)
+
+        # re-ingest doc 1: beta kept, alpha/gamma dropped, omega added
+        v2 = spark.createDataFrame(
+            [Row(doc_id=1, text="beta omega")], schema)
+        v2.coalesce(1).write.mode("append").parquet(landing)
+        q = stream_postings_state(spark, landing, v1.schema, out, ckpt)
+        assert q.awaitTermination(120)
+
+        final = spark.createDataFrame(
+            [Row(doc_id=1, text="beta omega"),
+             Row(doc_id=2, text="alpha delta")], schema)
+        got = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in read_postings_state(spark, out).collect())
+        want = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in inverted_index(final).collect())
+        assert got == want
+        # the retired (gamma,1) and (alpha,1) postings are truly gone
+        toks = {(t, d) for t, d, *_ in got}
+        assert ("gamma", 1) not in toks and ("alpha", 1) not in toks
+
 
 class TestMarkovAttribution:
     def test_two_path_chain_hand_solved(self, spark):

@@ -452,3 +452,40 @@ def test_bpe_index_build_once_encode_many(spark, tmp_path):
     enc_fresh = sorted(map(tuple, X.bpe_encode(df, built["merges"]).collect()))
     enc_loaded = sorted(map(tuple, X.bpe_encode(df, loaded["merges"]).collect()))
     assert enc_fresh == enc_loaded
+
+
+def test_bpe_index_rejects_mismatched_training_params(spark, tmp_path):
+    """A stored tokenizer only serves calls with the SAME training spec:
+    asking the artifact for a different num_merges / end_of_word /
+    min_count raises instead of silently returning the stale merges."""
+    import pytest
+
+    rows = [Row(doc_id=0, text="low lower newest widest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tok")
+    X.bpe_index(df, path, num_merges=6)
+
+    with pytest.raises(ValueError, match="num_merges"):
+        X.bpe_index(df, path, num_merges=8)
+    with pytest.raises(ValueError):
+        X.bpe_index(df, path, num_merges=6, end_of_word="##")
+    with pytest.raises(ValueError):
+        X.bpe_index(df, path, num_merges=6, min_count=2)
+    # matching spec still loads
+    assert X.bpe_index(df, path, num_merges=6)["loaded"] is True
+
+
+def test_pmi_n_counts_all_pairs_not_just_retained(spark):
+    """N in exp(PMI) = n_pairs*N/(c_a*c_b) is totaled over ALL adjacent
+    pairs, including ones dropped by min_count. Corpus: 5x "a b" plus
+    one "c d" (below min_count=5). N must be 6, not 5:
+    score(a,b) = 5*6/(5*5) = 1.2."""
+    texts = ["a b"] * 5 + ["c d"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    out = X.pmi_collocations(df, k=10, min_count=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tok_a"], r["tok_b"]) == ("a", "b")
+    assert r["pmi_ratio"] == 5 * 6 / (5 * 5)
