@@ -383,7 +383,7 @@ def seq_top_journeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_peak_concurrency",
+    "zz_t_peak_concurrency",
     # the sweep-line running sum's intermediate values depend on
     # within-tie order, but the MAX and its first timestamp are
     # permutation-invariant (−1 sorts before +1, so ties resolve to the
@@ -431,7 +431,7 @@ def t_peak_concurrency_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_sequence_match",
+    "zz_t_sequence_match",
     oracle="""
     WITH mapped AS (
         SELECT user_id, ts, event_id,
@@ -1299,7 +1299,7 @@ def zz_stream_attribution_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stat_corr_matrix",
+    "zz_stat_corr_matrix",
     oracle="""
     WITH m AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1809,7 +1809,7 @@ def zz_distinct_sketch_rollup_entry(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "stat_chi_square",
+    "zz_stat_chi_square",
     # both engines fold the R×C cell terms in sorted (a, b) order — a
     # deterministic sequential double sum (the float analog of the
     # decimal-accumulate pattern, valid because cells are few), so chi2
@@ -2363,7 +2363,7 @@ def zz_rank_statistics_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_gap_interpolate",
+    "zz_t_gap_interpolate",
     oracle="""
     WITH d AS (
         SELECT user_id % 100 AS u, CAST(ts AS DATE) AS day,
@@ -2635,19 +2635,62 @@ def zz_ts_anomaly_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_holt_winters",
-    oracle=None,  # the seasonal-array fold state is beyond a sane
-                  # recursive CTE; exact-float parity vs a pure-Python
-                  # model (incl. horizon slot selection) is pytest-locked
-                  # (tests/test_timeseries.py::test_holt_winters_*)
+    "ts_holt_winters",
+    # The triple-smoothing fold unrolled as a RECURSIVE CTE carrying the
+    # period-7 seasonal profile as a DOUBLE[] state column (the CUSUM
+    # pattern extended with list state). Every double op is written in
+    # the exact tree Spark's struct-fold evaluates — a*(x−sm)+(1−a)(l+b)
+    # etc. with (1−β)=(1−γ)=0.7 bit-exact as a literal — so level,
+    # trend, and the h=1 forecast hash-match with NO rounding.
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT user_id % 10 AS u, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS dval
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n_points,
+               list(dval ORDER BY day) AS arr
+        FROM d GROUP BY u HAVING COUNT(*) > 7
+    ), seed AS (
+        SELECT u, n_points, arr,
+               (arr[1] + arr[2] + arr[3] + arr[4] + arr[5] + arr[6]
+                + arr[7]) / 7.0 AS l0
+        FROM s
+    ), r AS (
+        SELECT u, n_points, arr, 7 AS i, l0 AS l,
+               CAST(0 AS DOUBLE) AS b,
+               list_transform(generate_series(1, 7), j -> arr[j] - l0) AS se,
+               0 AS pos
+        FROM seed
+        UNION ALL
+        SELECT u, n_points, arr, i2 AS i, l_new AS l,
+               0.3 * (l_new - l_old) + 0.7 * b_old AS b,
+               list_transform(generate_series(1, 7),
+                   j -> CASE WHEN j = pos_old + 1
+                        THEN 0.3 * (x - l_new) + 0.7 * sm
+                        ELSE se_old[j] END) AS se,
+               (pos_old + 1) % 7 AS pos
+        FROM (
+            SELECT u, n_points, arr, i + 1 AS i2,
+                   arr[i + 1] AS x, se[pos + 1] AS sm,
+                   0.5 * (arr[i + 1] - se[pos + 1]) + 0.5 * (l + b) AS l_new,
+                   l AS l_old, b AS b_old, se AS se_old, pos AS pos_old
+            FROM r WHERE i < n_points
+        )
+    )
+    SELECT u, n_points, l AS level, b AS trend,
+           l + 1.0 * b + se[pos + 1] AS forecast_1
+    FROM r WHERE i = n_points
+    """,
     survey="ext: additive Holt-Winters triple smoothing — level + trend "
            "+ period-m seasonal profile folded per key via a struct "
            "accumulator carrying the seasonal array (one shuffle, the "
            "ewma/holt/cusum sequential-fold pattern), standard "
            "first-season seeding, h-step forecast off the right seasonal "
-           "slot. operators/timeseries.py::holt_winters_additive",
+           "slot; bit-exact recursive-CTE oracle with DOUBLE[] seasonal "
+           "state. operators/timeseries.py::holt_winters_additive",
 )
-def zz_ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import holt_winters_additive
 
     ev = _t(spark, sf_dir, "events")
@@ -2656,10 +2699,8 @@ def zz_ts_holt_winters_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(_dsum(F.col("value")).alias("dval"))
     r = holt_winters_additive(d, ["u"], "day", "dval", period=7)
     return r.select(
-        "u", "n_points",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("forecast_h", 6).alias("forecast_1"),
+        "u", "n_points", "level", "trend",
+        F.col("forecast_h").alias("forecast_1"),
     ).orderBy("u")
 
 
@@ -2738,7 +2779,7 @@ def stat_cusum_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "holt_smoothing",
+    "zz_holt_smoothing",
     # the two-state extension of the zz_ts_ewma fold parity: both
     # engines run the identical left-to-right double sequence. The
     # oracle unrolls the fold as a RECURSIVE CTE rather than a
@@ -3042,7 +3083,7 @@ def zz_mix_concentration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_graph_wcc",
+    "graph_wcc",
     # Exact component minima via a recursive reachability CTE (node
     # carries every label that can reach it; MIN per node is the
     # component id) — tractable because the bipartite graph's giant
@@ -3101,7 +3142,7 @@ def zz_graph_wcc_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_quantile_normalize",
+    "quantile_normalize",
     oracle="""
     WITH base AS (
         SELECT doc_id, lang, n_chars FROM documents
@@ -3144,7 +3185,7 @@ def zz_quantile_normalize_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_stat_mann_whitney",
+    "stat_mann_whitney",
     # Doubled-rank integer arithmetic: midranks are half-integers, so
     # the rank-sum and U are carried x2 as exact integers; sigma/z are
     # the only float ops, in a pinned evaluation order with one
@@ -3455,7 +3496,7 @@ def _fs_oracle() -> str:
 
 
 @register(
-    "zz_match_scores",
+    "match_scores",
     oracle=_fs_oracle(),
     survey="ext: Fellegi–Sunter probabilistic record linkage — candidate "
            "pairs from the FastSS fuzzy join scored by pinned-order "
@@ -3519,7 +3560,7 @@ def zz_attr_markov_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_decompose",
+    "ts_decompose",
     oracle="""
     WITH series AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -3578,7 +3619,7 @@ def zz_ts_decompose_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_benford_screen",
+    "benford_screen",
     oracle="""
     WITH exp_p AS (
         SELECT digit, CAST(p AS DOUBLE) AS expected_share FROM (VALUES

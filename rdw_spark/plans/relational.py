@@ -593,7 +593,7 @@ def a13_expression_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "w1_latest_per_entity",
+    "zz_w1_latest_per_entity",
     oracle="""
     SELECT c_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate,
            o_totalprice AS latest_totalprice
@@ -626,7 +626,7 @@ def w1_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w2_ordered_history_lag",
+    "zz_w2_ordered_history_lag",
     oracle="""
     SELECT event_id, user_id, value,
            LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
@@ -648,7 +648,7 @@ def w2_ordered_history_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w3_first_row_metadata",
+    "zz_w3_first_row_metadata",
     oracle="""
     SELECT DISTINCT user_id,
            FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event_type,
@@ -671,7 +671,7 @@ def w3_first_row_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w4_year_over_year",
+    "zz_w4_year_over_year",
     oracle="""
     WITH yearly AS (
         SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS order_year,
@@ -700,7 +700,7 @@ def w4_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w5_bounded_batches",
+    "zz_w5_bounded_batches",
     oracle="""
     SELECT user_id, event_id, ts
     FROM (
@@ -741,7 +741,7 @@ def o1_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u1_union_all_tagged",
+    "zz_u1_union_all_tagged",
     oracle="""
     SELECT src, o_orderpriority, COUNT(*) AS n
     FROM (
@@ -765,7 +765,7 @@ def u1_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u2_union_distinct",
+    "zz_u2_union_distinct",
     oracle="""
     SELECT n_name FROM (
         SELECT c_nationkey AS nk FROM customer
@@ -788,7 +788,7 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "u3_date_dim_densify",
+    "zz_u3_date_dim_densify",
     oracle="""
     WITH bounds AS (
         SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders
@@ -824,7 +824,7 @@ def u3_date_dim_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "f_scalar_functions",
+    "zz_f_scalar_functions",
     oracle="""
     SELECT c_custkey,
            concat(c_name, ' [', c_mktsegment, ']')        AS display_name,

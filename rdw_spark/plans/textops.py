@@ -324,7 +324,7 @@ def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_winnowing",
+    "zz_text_winnowing",
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
@@ -352,7 +352,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_quality_filter",
+    "zz_text_quality_filter",
     oracle="""
     WITH f AS (
         SELECT doc_id,
@@ -397,7 +397,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "sample_stratified",
+    "zz_sample_stratified",
     oracle="""
     SELECT doc_id, lang, source
     FROM documents
@@ -526,7 +526,7 @@ def zz_sample_mixture_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sample_k_per_stratum",
+    "zz_sample_k_per_stratum",
     oracle="""
     SELECT doc_id, source
     FROM (
@@ -603,7 +603,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_language_id",
+    "zz_text_language_id",
     oracle="""
     WITH scored AS (
         SELECT lang,
@@ -862,7 +862,7 @@ def sim_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "mm_binary_features",
+    "zz_mm_binary_features",
     oracle="""
     SELECT doc_id,
            'image/fake' AS media_type,
@@ -2107,7 +2107,7 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_bpe_train_heap",
+    "bpe_train_heap",
     oracle=_BPE_3ROUND_ORACLE,
     survey="ext: BPE induction, collect-then-heap path — Spark does the "
            "ONE corpus-sized pass (word-frequency symbol frame, "
@@ -2254,7 +2254,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_hash_embed",
+    "zz_text_hash_embed",
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -2492,7 +2492,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_pmi",
+    "text_pmi",
     oracle="""
     WITH toks AS (
         SELECT string_split_regex(trim(regexp_replace(lower(text),
@@ -2570,7 +2570,7 @@ def zz_sim_hard_negatives_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_inverted_index",
+    "text_inverted_index",
     oracle="""
     WITH toks AS (
         SELECT doc_id,

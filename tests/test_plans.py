@@ -105,12 +105,12 @@ class TestTrainingOpPlans:
     def test_sampling_is_map_only(self, spark, catalog):
         # Bernoulli/stratified sampling must be a pure scan+filter: no
         # Exchange anywhere in the plan at any scale
-        for name in ("sample_stratified", "zz_sample_train_eval_split"):
+        for name in ("zz_sample_stratified", "zz_sample_train_eval_split"):
             plan = _plan(spark, catalog, name)
             assert "Exchange" not in plan, f"{name} shuffles"
 
     def test_winnowing_is_map_only(self, spark, catalog):
-        plan = _plan(spark, catalog, "text_winnowing")
+        plan = _plan(spark, catalog, "zz_text_winnowing")
         assert "Exchange" not in plan  # fingerprints = scan + generate only
 
     def test_k_per_stratum_single_shuffle_with_map_side_topk(self, spark, catalog):
@@ -120,7 +120,7 @@ class TestTrainingOpPlans:
         # per mapper ever shuffle, the true reservoir-sampling behavior
         import re
 
-        plan = _plan(spark, catalog, "sample_k_per_stratum")
+        plan = _plan(spark, catalog, "zz_sample_k_per_stratum")
         # formatted explain numbers nodes bottom-up: "(N) <Node>" headers
         # with the node's Arguments below — smaller id = earlier in
         # execution. Split into per-node detail blocks and classify.
@@ -358,7 +358,7 @@ class TestRound8LatePlans:
     def test_holt_single_operator_shuffle(self, spark, catalog):
         import re
 
-        plan = _plan(spark, catalog, "holt_smoothing")
+        plan = _plan(spark, catalog, "zz_holt_smoothing")
         assert "Window" not in plan and "Join" not in plan
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
 
@@ -448,7 +448,7 @@ class TestRound10Plans:
         # reaches the scan so unmapped events never shuffle
         import re
 
-        plan = _plan(spark, catalog, "t_sequence_match")
+        plan = _plan(spark, catalog, "zz_t_sequence_match")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
         assert "PushedFilters: [In(event_type" in plan
 
