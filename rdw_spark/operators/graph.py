@@ -270,6 +270,10 @@ def label_propagation(
     frame against the cached hash-partitioned edge frame, one
     partial-agg (node, label) count, one argmax AGGREGATE
     (``max(struct(cnt, −label))`` — no window, full map-side combine).
+    On undirected input the mirror guarantees every node has an
+    in-neighbor, so the argmax output IS the next label frame — no
+    per-round keep-old-label left join (that join exists only on the
+    directed path, where in-degree-0 nodes must carry their label).
     Labels must be > Long.MIN_VALUE (the negation tie-break); node ids
     qualify. Known LPA caveat, unchanged here: synchronous updates can
     oscillate on bipartite structure — fixed ``iters`` reports the
@@ -298,10 +302,14 @@ def label_propagation(
                                 (-F.col("label")).alias("_nl"))).alias("_m"))
             .select("node", (-F.col("_m._nl")).alias("_new"))
         )
-        # nodes with no in-edges this round keep their label (only
-        # possible on directed input; the mirrored default covers all)
-        labels = labels.join(newl, "node", "left").select(
-            "node", F.coalesce("_new", "label").alias("label"))
+        if undirected:
+            # mirrored edges ⇒ every node has in-neighbors ⇒ newl is
+            # total; adopting it directly drops one O(nodes) join/round
+            labels = newl.select("node", F.col("_new").alias("label"))
+        else:
+            # nodes with no in-edges this round keep their label
+            labels = labels.join(newl, "node", "left").select(
+                "node", F.coalesce("_new", "label").alias("label"))
         if (i + 1) % 5 == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=False)
     return labels

@@ -28,86 +28,115 @@ from rdw_spark.warehouse.store import TableStore
 
 def resubmit_exams_by_status(
     spark: SparkSession, wh: TableStore, log: ImportLog, status: int,
-    limit: int | None = None,
+    limit: int | None = None, page_size: int = 10_000,
 ) -> dict[str, int]:
     """Replay failed exam imports from the archive (resubmit endpoint).
-    ``limit`` mirrors the endpoint's batching param (docs/API.md:434)."""
+    ``limit`` mirrors the endpoint's batching param (docs/API.md:434).
+    The unlimited path pages the backlog in import-id order,
+    ``page_size`` metadata rows (id + digest, never payload bytes) per
+    driver round-trip — an unbounded negative-status backlog at 100×
+    never materializes as one driver list."""
     backlog = log.by_status(spark, status).filter(
         F.col("content") == ImportContent.EXAM
     )
-    if limit:
-        backlog = backlog.limit(limit)
-    # O(rows) metadata only — ids and digests, never payload bytes
-    rows = backlog.select("id", "digest").collect()
-    if not rows:
-        return {"resubmitted": 0, "processed": 0, "failed": 0}
-
     # replay keeps the original import ids; only their status advances
     from rdw_spark.sources.exam_ingest import process_accepted
 
     if limit:
         # endpoint-batched replay (docs/API.md:434, default <= 100/call):
         # bounded driver-side reads are fine
-        accepted: list[tuple[int, str]] | DataFrame = [
+        rows = backlog.limit(limit).select("id", "digest").collect()
+        if not rows:
+            return {"resubmitted": 0, "processed": 0, "failed": 0}
+        accepted: list[tuple[int, str]] = [
             (r["id"],
              log.read_archived_payload(
                  ImportContent.EXAM, r["digest"]).decode("utf-8"))
             for r in rows
         ]
         res = process_accepted(spark, wh, log, accepted)
-    else:
-        # mass replay (no limit): payload XML must never funnel through
-        # the driver. Read the archive files distributed (wholetext), then
-        # recover the import-id mapping by recomputing the digest from the
-        # bytes — the streaming-ingest shape (streaming/ingest.py).
-        paths = [
-            log.archived_payload_path(ImportContent.EXAM, r["digest"])
-            for r in rows
-        ]
-        id_map = spark.createDataFrame(
-            [(r["id"], r["digest"]) for r in rows],
-            "import_id long, digest string",
+        return {"resubmitted": len(rows), **res}
+
+    # mass replay (no limit): payload XML must never funnel through the
+    # driver, and neither must the backlog's metadata — page by id range
+    # (the log is id-ordered), one distributed replay per page.
+    totals: dict[str, int] = {"resubmitted": 0, "payload_mismatches": 0}
+    last_id = -1
+    while True:
+        rows = (
+            backlog.filter(F.col("id") > last_id)
+            .orderBy("id").limit(page_size)
+            .select("id", "digest").collect()
         )
-        # Join by FILE NAME — the archive basename IS the logged digest
-        # (digest-pair layout above), so every scanned file matches its
-        # log row unconditionally (a missing file fails the load itself).
-        # Then compare the RECOMPUTED digest against the logged one: an
-        # archived file whose bytes no longer re-digest to the logged
-        # value (corruption, non-UTF-8 mangling by the text reader)
-        # SURFACES with its import id instead of silently dropping out of
-        # the replay while still being counted. Name keys keep the id_map
-        # broadcastable (a left-outer preserving the small side cannot).
-        joined = (
-            spark.read.format("text").option("wholetext", "true")
-            .load(paths)
-            .select(
-                F.col("value").alias("payload"),
-                F.upper(F.md5(F.col("value").cast("binary")))
-                .alias("replay_digest"),
-                F.col("_metadata.file_name").alias("digest"),
-            )
-            .join(F.broadcast(id_map), "digest")
+        if not rows:
+            break
+        last_id = int(rows[-1]["id"])
+        res = _replay_page_distributed(spark, wh, log, rows,
+                                       process_accepted)
+        n_mismatched = res.pop("payload_mismatches_page")
+        totals["resubmitted"] += len(rows) - n_mismatched
+        totals["payload_mismatches"] += n_mismatched
+        for k, v in res.items():
+            totals[k] = totals.get(k, 0) + int(v)
+    if "processed" not in totals:
+        totals.update({"processed": 0, "failed": 0})
+    return totals
+
+
+def _replay_page_distributed(
+    spark: SparkSession, wh: TableStore, log: ImportLog, rows,
+    process_accepted,
+) -> dict[str, int]:
+    """One page of mass replay: read the page's archive files distributed
+    (wholetext), then recover the import-id mapping by recomputing the
+    digest from the bytes — the streaming-ingest shape
+    (streaming/ingest.py)."""
+    paths = [
+        log.archived_payload_path(ImportContent.EXAM, r["digest"])
+        for r in rows
+    ]
+    id_map = spark.createDataFrame(
+        [(r["id"], r["digest"]) for r in rows],
+        "import_id long, digest string",
+    )
+    # Join by FILE NAME — the archive basename IS the logged digest
+    # (digest-pair layout above), so every scanned file matches its
+    # log row unconditionally (a missing file fails the load itself).
+    # Then compare the RECOMPUTED digest against the logged one: an
+    # archived file whose bytes no longer re-digest to the logged
+    # value (corruption, non-UTF-8 mangling by the text reader)
+    # SURFACES with its import id instead of silently dropping out of
+    # the replay while still being counted. Name keys keep the id_map
+    # broadcastable (a left-outer preserving the small side cannot).
+    joined = (
+        spark.read.format("text").option("wholetext", "true")
+        .load(paths)
+        .select(
+            F.col("value").alias("payload"),
+            F.upper(F.md5(F.col("value").cast("binary")))
+            .alias("replay_digest"),
+            F.col("_metadata.file_name").alias("digest"),
         )
-        # O(rows) metadata: ids only, never payload bytes
-        mismatched_ids = sorted(
-            r["import_id"]
-            for r in joined.filter(F.col("replay_digest") != F.col("digest"))
-            .select("import_id").collect()
+        .join(F.broadcast(id_map), "digest")
+    )
+    # O(page) metadata: ids only, never payload bytes
+    mismatched_ids = sorted(
+        r["import_id"]
+        for r in joined.filter(F.col("replay_digest") != F.col("digest"))
+        .select("import_id").collect()
+    )
+    payloads = (
+        joined.filter(F.col("replay_digest") == F.col("digest"))
+        .select("import_id", "payload")
+    )
+    res = process_accepted(spark, wh, log, payloads)
+    for iid in mismatched_ids:
+        log.set_status(
+            spark, int(iid), ImportStatus.BAD_FORMAT,
+            message="resubmit: archived payload digest mismatch on replay",
         )
-        payloads = (
-            joined.filter(F.col("replay_digest") == F.col("digest"))
-            .select("import_id", "payload")
-        )
-        res = process_accepted(spark, wh, log, payloads)
-        res["payload_mismatches"] = len(mismatched_ids)
-        for iid in mismatched_ids:
-            log.set_status(
-                spark, int(iid), ImportStatus.BAD_FORMAT,
-                message="resubmit: archived payload digest mismatch on "
-                        "replay",
-            )
-        return {"resubmitted": len(rows) - len(mismatched_ids), **res}
-    return {"resubmitted": len(rows), **res}
+    res["payload_mismatches_page"] = len(mismatched_ids)
+    return res
 
 
 def bulk_delete_exams(

@@ -97,6 +97,43 @@ def test_resubmit_unbounded_backlog_payloads_stay_distributed(
     assert wh.read(spark, "exam").filter("NOT deleted").count() == 110
 
 
+def test_resubmit_unlimited_pages_backlog_by_id(spark, env, monkeypatch):
+    """Mass replay pages the backlog in import-id order: with
+    page_size=10 a 23-import backlog collects at most 10 metadata rows
+    per driver round-trip across 3 pages, every page reaches
+    process_accepted as a DataFrame, and the aggregate result equals the
+    one-shot replay (all processed, statuses advanced)."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    wh, log = env
+    payloads = [
+        make_trt(opp_id=f"P-{i}", ssid=f"STU{i:03d}") for i in range(23)
+    ]
+    res = ingest_exams(spark, wh, log, payloads)
+    assert res["failed"] == 23
+
+    calls = []
+    from rdw_spark.sources import exam_ingest as EI
+
+    real = EI.process_accepted
+
+    def spy(s, w, lg, accepted):
+        calls.append(type(accepted))
+        return real(s, w, lg, accepted)
+
+    monkeypatch.setattr(EI, "process_accepted", spy)
+
+    _load_orgs(spark, wh, log)
+    res = resubmit_exams_by_status(
+        spark, wh, log, ImportStatus.UNKNOWN_SCHOOL, page_size=10)
+    assert res["resubmitted"] == 23 and res["processed"] == 23
+    assert res["payload_mismatches"] == 0
+    assert len(calls) == 3  # 10 + 10 + 3
+    assert all(issubclass(t, SparkDataFrame) for t in calls)
+    assert log.by_status(spark, ImportStatus.UNKNOWN_SCHOOL).count() == 0
+    assert wh.read(spark, "exam").filter("NOT deleted").count() == 23
+
+
 def test_resubmit_corrupt_archive_payload_surfaces(spark, env):
     """Mass replay: an archived file whose bytes no longer re-digest to
     the logged value must SURFACE (counted in payload_mismatches, import
