@@ -1519,3 +1519,58 @@ def inverted_index(
         .select(F.col("_tok").alias("token"), id_col, "tf", "positions",
                 "doc_freq")
     )
+
+
+def skipgram_counts(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram context-pair counts (the word2vec/GloVe co-occurrence
+    prep): for every token position, the forward pairs
+    ``(t_i, t_{i+d})`` for ``d = 1..window``, counted at the
+    (tok_a, tok_b, dist) grain — distance kept exact so any decay
+    weighting (1/d, harmonic) is a cheap downstream map instead of an
+    order-dependent float sum baked into the engine. ``min_count``
+    drops the hapax tail (the same floor word2vec applies before
+    training).
+
+    Scale shape: pair generation is MAP-ONLY per document — ``window``
+    shifted ``zip_with`` slices of the token array (no self-join, no
+    posexplode join-back; blowup factor is exactly ``window``), then
+    one partial-agg shuffle at the pair grain. Exact integers
+    throughout — bit-identical across engines."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+
+    def pair_struct(d: int):
+        # closure (not a default arg): pyspark counts lambda params to
+        # bind the higher-order function, and zip_with takes exactly two
+        return lambda a, b: F.struct(
+            a.alias("ta"), b.alias("tb"), F.lit(d).alias("d"))
+
+    arrays = []
+    for dd in range(1, window + 1):
+        ln = F.greatest(F.size("_t") - dd, F.lit(0))
+        arrays.append(
+            F.zip_with(
+                F.slice("_t", 1, ln),
+                F.slice("_t", 1 + dd, ln),
+                pair_struct(dd),
+            )
+        )
+    pairs = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(toks.alias("_t"))
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.ta").alias("tok_a"),
+                F.col("_p.tb").alias("tok_b"),
+                F.col("_p.d").alias("dist"))
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )

@@ -789,3 +789,93 @@ def classical_decompose(
             .alias("remainder"),
         )
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Single best changepoint per series (one round of binary
+    segmentation, Scott & Knott / CUSUM-of-squares family): the split
+    ``k`` that minimizes the two-segment squared-error cost
+
+        cost(k) = SSE(x_1..k) + SSE(x_{k+1}..n),
+        SSE via the prefix identity  Σx² − (Σx)²/len
+
+    reported with its gain over the unsplit cost — the classic "is
+    there a level shift, and where" screen, one fixed round of the
+    recursive changepoint detectors (PELT/binseg) so it stays
+    SQL-oracle-checkable.
+
+    Engine parity: prefix sums Σx, Σx² accumulate in DECIMAL (exact,
+    order-invariant). Values are carried at DECIMAL(16,6) so the square
+    lands at DECIMAL(33,12) — exactly representable in BOTH engines
+    (a (19,6) square needs precision 39 > 38 and silently loses a digit
+    differently per engine — measured 1e-5 drift after the Σx²−(Σx)²/n
+    cancellation — while DuckDB runs an (18,6) square in int64 and
+    overflows). |x| must fit ~1e10, the documented envelope. Every
+    division
+    happens in DOUBLE with one pinned expression tree
+    ``S2 − (S1·S1)/len`` per segment, so cost/gain are bit-identical
+    across engines. NULL values are dropped up front (the
+    quantile_normalize/mann_whitney contract). Ties on cost break to
+    the SMALLEST k. Keys with n < 2·min_seg emit no row.
+
+    Scale shape: one shuffle to the key grain for the ordered window
+    prefix sums (per-key state only), a map-side candidate filter
+    (min_seg ≤ k ≤ n−min_seg), one argmin partial-agg groupBy, and a
+    broadcastable O(keys) totals join. No collect, no cross join —
+    candidates live on the same rows as the prefix sums."""
+    k = list(key_cols)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*k, F.col(order_col).alias("_o"),
+                F.col(value_col).cast("decimal(16,6)").alias("_v"))
+    )
+    w = Window.partitionBy(*k).orderBy("_o")
+    pre = (
+        d.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn("_s1", F.sum("_v").over(w).cast("decimal(38,12)"))
+        .withColumn("_s2", F.sum(
+            (F.col("_v") * F.col("_v")).cast("decimal(38,12)")).over(w))
+    )
+    totals = pre.groupBy(*k).agg(
+        F.max("_rn").alias("_n"),
+        F.max_by("_s1", "_rn").alias("_t1"),
+        F.max_by("_s2", "_rn").alias("_t2"),
+    )
+    cand = (
+        pre.join(F.broadcast(totals), k)
+        .filter((F.col("_rn") >= min_seg)
+                & (F.col("_rn") <= F.col("_n") - min_seg))
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    r1 = (F.col("_t1") - F.col("_s1")).cast("double")  # exact decimal sub
+    r2 = (F.col("_t2") - F.col("_s2")).cast("double")
+    kk = F.col("_rn").cast("double")
+    rk = (F.col("_n") - F.col("_rn")).cast("double")
+    cost = (s2 - (s1 * s1) / kk) + (r2 - (r1 * r1) / rk)
+    best = (
+        cand.withColumn("_cost", cost)
+        .groupBy(*k)
+        .agg(F.min(F.struct(
+            F.col("_cost").alias("_c"), F.col("_rn").alias("_k"),
+            F.col("_o").alias("_ord"))).alias("_m"),
+            F.max("_n").alias("n_points"),
+            F.max("_t1").alias("_ft1"), F.max("_t2").alias("_ft2"))
+    )
+    t1 = F.col("_ft1").cast("double")
+    t2 = F.col("_ft2").cast("double")
+    nn = F.col("n_points").cast("double")
+    total_sse = t2 - (t1 * t1) / nn
+    return best.select(
+        *k, "n_points",
+        F.col("_m._k").alias("cp_index"),
+        F.col("_m._ord").alias("cp_order"),
+        F.col("_m._c").alias("cost"),
+        (total_sse - F.col("_m._c")).alias("gain"),
+    )

@@ -3666,3 +3666,71 @@ def zz_benford_screen_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import benford_report
 
     return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "zz_ts_changepoint",
+    # Prefix sums Σx, Σx² accumulate in DECIMAL on both sides (exact,
+    # order-invariant); every division runs in DOUBLE through the same
+    # pinned tree  S2 − (S1·S1)/len  per segment, so cost and gain are
+    # bit-identical. Ties on cost break to the smallest split index.
+    oracle="""
+    WITH d AS (
+        SELECT user_id % 10 AS u, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(16,6))
+                   AS dval
+        FROM events GROUP BY 1, 2
+    ), pre AS (
+        SELECT u, day,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(dval) OVER w AS DECIMAL(38,12)) AS s1,
+               SUM(CAST(CAST(dval AS DECIMAL(19,6)) * dval AS DECIMAL(38,12))) OVER w AS s2
+        FROM d WINDOW w AS (PARTITION BY u ORDER BY day)
+    ), tot AS (
+        SELECT u, MAX(rn) AS n,
+               max_by(s1, rn) AS t1, max_by(s2, rn) AS t2
+        FROM pre GROUP BY u
+    ), cand AS (
+        -- decimal->double goes through VARCHAR: DuckDB's direct
+        -- DECIMAL(38,12)->DOUBLE cast double-rounds (int128 then /1e12)
+        -- while Spark's BigDecimal.doubleValue is correctly rounded;
+        -- the string parse is correctly rounded in both
+        SELECT p.u, p.day, p.rn, t.n, t.t1, t.t2,
+               (CAST(CAST(p.s2 AS VARCHAR) AS DOUBLE)
+                - (CAST(CAST(p.s1 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(p.s1 AS VARCHAR) AS DOUBLE))
+                  / CAST(p.rn AS DOUBLE))
+               + (CAST(CAST(t.t2 - p.s2 AS VARCHAR) AS DOUBLE)
+                  - (CAST(CAST(t.t1 - p.s1 AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(t.t1 - p.s1 AS VARCHAR) AS DOUBLE))
+                    / CAST(t.n - p.rn AS DOUBLE)) AS cost
+        FROM pre p JOIN tot t ON p.u = t.u
+        WHERE p.rn >= 3 AND p.rn <= t.n - 3
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY u ORDER BY cost, rn) AS pick
+        FROM cand
+    )
+    SELECT u, n AS n_points, rn AS cp_index, day AS cp_order, cost,
+           (CAST(CAST(t2 AS VARCHAR) AS DOUBLE)
+            - (CAST(CAST(t1 AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(t1 AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE))
+           - cost AS gain
+    FROM best WHERE pick = 1
+    """,
+    survey="ext: single best changepoint per series (one round of binary "
+           "segmentation / CUSUM-of-squares) — argmin over two-segment "
+           "SSE via decimal prefix sums + one pinned double tree per "
+           "candidate; one key-grain window pass, map-side candidate "
+           "filter, argmin partial-agg, broadcastable O(keys) totals "
+           "join. operators/timeseries.py::changepoint_single",
+)
+def zz_ts_changepoint_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import changepoint_single
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("user_id") % 10).alias("u"), F.to_date("ts").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)"))
+          .cast("decimal(16,6)").alias("dval"))
+    return changepoint_single(d, ["u"], "day", "dval", min_seg=3)

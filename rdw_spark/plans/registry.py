@@ -9,6 +9,18 @@ value: float aggregates are made exactly reproducible by summing as
 DECIMAL(27,6) then casting to DOUBLE on both sides (never rounded), and
 integer aggregates are CAST to BIGINT in the oracle (DuckDB widens
 untyped SUMs to HUGEINT, which flips the driver's typed value hash).
+
+DuckDB pitfall (found round 11): its direct DECIMAL→DOUBLE cast
+double-rounds when the scaled integer exceeds 2^53 (int128 → double,
+then /10^scale — e.g. DECIMAL(38,12) '69150577.6905' casts to
+…6.69049999), while Spark's BigDecimal.doubleValue is correctly
+rounded. When a wide-decimal→double conversion feeds a
+cancellation-amplifying expression, route the oracle's cast through
+VARCHAR: CAST(CAST(x AS VARCHAR) AS DOUBLE) is correctly rounded.
+Also: DuckDB multiplies decimals in the NARROW physical type (an
+(18,6)×(18,6) square overflows int64 instead of promoting) — keep
+multiplicands at ≤(16,6) and widen one side to (19,6) to force the
+int128 path.
 """
 
 from __future__ import annotations

@@ -2600,3 +2600,33 @@ def zz_sim_hard_negatives_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zz_text_inverted_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.inverted_index(_docs(spark, sf_dir))
+
+
+@register(
+    "zz_text_skipgrams",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), p AS (
+        SELECT l[i] AS tok_a, l[i + d] AS tok_b, d
+        FROM toks,
+             unnest(range(1, len(l))) AS u(i),
+             unnest([1, 2]) AS dd(d)
+        WHERE i + d <= len(l) AND l[i] <> '' AND l[i + d] <> ''
+    )
+    SELECT tok_a, tok_b, CAST(d AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 5
+    """,
+    survey="ext: skip-gram context-pair counts (word2vec/GloVe co-"
+           "occurrence prep) — forward (t_i, t_{i+d}) pairs for d=1..w "
+           "at the (pair, distance) grain; map-only shifted zip_with "
+           "slices (no self-join, blowup exactly w), one partial-agg "
+           "shuffle, exact integers. "
+           "operators/text.py::skipgram_counts",
+)
+def zz_text_skipgrams_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.skipgram_counts(_docs(spark, sf_dir), window=2, min_count=5)

@@ -1,0 +1,111 @@
+"""Round-11 operators: single-changepoint binary segmentation and
+skip-gram context-pair counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+
+class TestChangepointSingle:
+    def test_obvious_level_shift_hand_solved(self, spark):
+        """Series 0,0,0,0,10,10,10,10: the best split is k=4 (cost 0 —
+        both segments constant), gain = total SSE = 8·25 = 200
+        (mean 5, every deviation ±5)."""
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        rows = [Row(k="a", t=i, v=float(0 if i < 4 else 10))
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = changepoint_single(df, ["k"], "t", "v", min_seg=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["cp_index"] == 4 and r["cp_order"] == 3
+        assert r["cost"] == 0.0
+        assert r["gain"] == 200.0
+        assert r["n_points"] == 8
+
+    def test_tie_breaks_to_smallest_index(self, spark):
+        """A constant series costs 0 at every split — the reported
+        changepoint must be the smallest admissible k."""
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        rows = [Row(k="c", t=i, v=7.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        r = changepoint_single(df, ["k"], "t", "v", min_seg=2).collect()[0]
+        assert r["cp_index"] == 2
+        assert r["cost"] == 0.0 and r["gain"] == 0.0
+
+    def test_short_series_and_nulls_dropped(self, spark):
+        """Keys with fewer than 2*min_seg non-null points emit no row;
+        NULL values are dropped before ranking."""
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        rows = (
+            [Row(k="short", t=i, v=1.0) for i in range(3)]
+            + [Row(k="padded", t=i,
+                   v=None if i % 2 else float(i)) for i in range(6)]
+            + [Row(k="ok", t=i, v=float(i >= 5)) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = {r["k"]: r for r in changepoint_single(
+            df, ["k"], "t", "v", min_seg=2).collect()}
+        assert "short" not in out          # 3 < 4 points
+        assert "padded" not in out         # 3 non-null < 4
+        assert out["ok"]["cp_index"] == 5  # split before the step
+
+    def test_partitioning_invariance(self, spark):
+        """Decimal prefix sums + pinned double tree: the result is
+        bit-identical under repartitioning."""
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        rows = [Row(k=f"g{i % 3}", t=j, v=float((i * 7 + j * j) % 13))
+                for i in range(3) for j in range(20)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        a = sorted(map(tuple, changepoint_single(
+            df, ["k"], "t", "v").collect()))
+        b = sorted(map(tuple, changepoint_single(
+            df.repartition(17), ["k"], "t", "v").collect()))
+        assert a == b
+
+
+class TestSkipgramCounts:
+    def test_hand_counted_pairs(self, spark):
+        """'a b c a b': window=2 forward pairs —
+        d=1: (a,b)x2 (b,c) (c,a); d=2: (a,c) (b,a) (c,b)."""
+        from rdw_spark.operators.text import skipgram_counts
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c a b")], "doc_id long, text string")
+        got = {(r["tok_a"], r["tok_b"], r["dist"]): r["n_pairs"]
+               for r in skipgram_counts(df, window=2, min_count=1).collect()}
+        assert got == {
+            ("a", "b", 1): 2, ("b", "c", 1): 1, ("c", "a", 1): 1,
+            ("a", "c", 2): 1, ("b", "a", 2): 1, ("c", "b", 2): 1,
+        }
+
+    def test_min_count_floor_and_window_1(self, spark):
+        from rdw_spark.operators.text import skipgram_counts
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="x y z") for i in range(3)],
+            "doc_id long, text string")
+        out = skipgram_counts(df, window=1, min_count=3).collect()
+        got = {(r["tok_a"], r["tok_b"], r["dist"]): r["n_pairs"]
+               for r in out}
+        assert got == {("x", "y", 1): 3, ("y", "z", 1): 3}
+        with pytest.raises(ValueError, match="window"):
+            skipgram_counts(df, window=0)
+
+    def test_pairs_never_cross_documents(self, spark):
+        """The last token of doc 1 and the first of doc 2 must not pair."""
+        from rdw_spark.operators.text import skipgram_counts
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta"),
+             Row(doc_id=2, text="gamma delta")],
+            "doc_id long, text string")
+        got = {(r["tok_a"], r["tok_b"]) for r in
+               skipgram_counts(df, window=2, min_count=1).collect()}
+        assert ("beta", "gamma") not in got
+        assert got == {("alpha", "beta"), ("gamma", "delta")}
