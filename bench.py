@@ -286,6 +286,20 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — catalog numbers still count
         pipeline = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
 
+    # solo mode (SPARK_GRAFT_BENCH_PIPELINE_ONLY=1): stop after the
+    # pipeline/streaming phase — the drift-bisect arm (VERDICT r10 #4):
+    # identical warmup + measurement code, no catalog loop, so a quiet-box
+    # run isolates environmental load from code regression
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):
+        print(json.dumps({
+            "metric": "pipeline_only",
+            "pipeline": pipeline,
+            "sf": sf,
+            "load_avg_1m": round(os.getloadavg()[0], 2),
+        }))
+        spark.stop()
+        return
+
     catalog = get_catalog()
     timings: dict[str, object] = {}
     # warm the JVM + parquet footer caches with the flagship before timing
