@@ -879,3 +879,107 @@ def changepoint_single(
         F.col("_m._c").alias("cost"),
         (total_sse - F.col("_m._c")).alias("gain"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 7,
+) -> DataFrame:
+    """Exact trailing-window LOWER median per series — the robust
+    rolling baseline next to :func:`rolling_zscore`'s mean/std (a single
+    spike moves a 7-point mean by spike/7 but leaves the median
+    untouched). Window = the last ``lookback`` rows INCLUDING the
+    current one; rows before a full window report the median of what
+    exists (n_window < lookback flags the ramp-up rows).
+
+    Bit-exactness by construction: the lower median PICKS an actual
+    value (sorted window, element ``(n+1) DIV 2``) — zero float
+    arithmetic, so engines agree for free (the same order-statistic
+    contract as ``mad_outliers``). NULL values are dropped up front.
+
+    Scale shape: one shuffle to the key grain, one ordered ROWS window
+    whose state is O(lookback) per row — collect_list over a bounded
+    frame, never a per-key global sort beyond the window's own."""
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    k = list(key_cols)
+    w = (
+        Window.partitionBy(*k)
+        .orderBy(order_col)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(value_col).over(w))
+    n = F.size(arr)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_arr", arr)
+        .select(
+            *k, order_col, value_col,
+            F.size("_arr").cast("long").alias("n_window"),
+            F.element_at(
+                "_arr", F.expr("(size(_arr) + 1) DIV 2").cast("int")
+            ).alias("rolling_median"),
+        )
+    )
+
+
+def burstiness_report(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    min_events: int = 3,
+) -> DataFrame:
+    """Inter-arrival burstiness per key (Goh & Barabási 2008): gap
+    statistics over consecutive event timestamps —
+    ``B = (σ − μ)/(σ + μ)`` of the gap distribution, −1 for a perfect
+    clock, →0 Poisson, →1 bursty — plus the coefficient of variation.
+    The "is this entity a human or a cron job" screen.
+
+    Engine parity: gaps are exact integer MICROSECONDS (unix_micros
+    subtraction — the test timestamps carry sub-second parts, and a
+    seconds floor would round differently per engine); moments
+    accumulate as exact integers (gaps at DECIMAL(18,0), sums widened
+    to DECIMAL(38,0)); variance uses the pinned tree
+    ``(n·Σg² − Σg·Σg)/(n·n)`` evaluated in DOUBLE, then one
+    correctly-rounded sqrt, then the B and CV divisions —
+    bit-identical across engines (the mann_whitney sigma pattern).
+    Keys with fewer than ``min_events`` events (< 2 gaps) emit no
+    row.
+
+    Scale shape: one shuffle to the key grain for the ordered lag
+    window, one partial-agg groupBy of the integer moments."""
+    k = list(key_cols)
+    w = Window.partitionBy(*k).orderBy("_ts")
+    gaps = (
+        df.select(*k, F.col(ts_col).cast("timestamp").alias("_ts"))
+        .withColumn("_prev", F.lag("_ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            *k,
+            (F.unix_micros("_ts") - F.unix_micros("_prev"))
+            .cast("decimal(18,0)").alias("_g"),
+        )
+    )
+    agg = gaps.groupBy(*k).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_g").cast("decimal(38,0)").alias("_s1"),
+        F.sum((F.col("_g") * F.col("_g")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_s2"),
+    ).filter(F.col("n_gaps") >= min_events - 1)
+    nd = F.col("n_gaps").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / nd
+    var = (nd * s2 - s1 * s1) / (nd * nd)
+    sigma = F.sqrt(var)
+    return agg.select(
+        *k, "n_gaps",
+        mean.alias("mean_gap_us"),
+        sigma.alias("sigma_gap_us"),
+        F.when(mean != 0.0, sigma / mean).alias("cv"),
+        F.when((sigma + mean) != 0.0,
+               (sigma - mean) / (sigma + mean)).alias("burstiness"),
+    )

@@ -2598,7 +2598,7 @@ def zz_funnel_stages_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v AS (
         SELECT u, day, n_events, n,
                CAST(s AS DOUBLE) / n AS mean,
-               (CAST(s2 AS DOUBLE)
+               (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)
                    AS var
         FROM w
@@ -3734,3 +3734,108 @@ def zz_ts_changepoint_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.col("value").cast("decimal(27,6)"))
           .cast("decimal(16,6)").alias("dval"))
     return changepoint_single(d, ["u"], "day", "dval", min_seg=3)
+
+
+@register(
+    "zz_ts_rolling_median",
+    # zero float arithmetic — the lower median PICKS a value, so parity
+    # is free: both engines sort the same bounded frame and index
+    # (n+1) DIV 2
+    oracle="""
+    WITH d AS (
+        SELECT user_id % 10 AS u, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT u, day, n_events,
+               list_sort(list(n_events) OVER (
+                   PARTITION BY u ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        FROM d
+    )
+    SELECT u, day, n_events,
+           CAST(len(arr) AS BIGINT) AS n_window,
+           arr[(len(arr) + 1) // 2] AS rolling_median
+    FROM r
+    """,
+    survey="ext: exact trailing-window LOWER median per series (robust "
+           "rolling baseline vs rolling_zscore's spike-sensitive mean) — "
+           "order-statistic pick over a bounded ROWS frame, O(lookback) "
+           "state per row, one key-grain shuffle, zero float ops. "
+           "operators/timeseries.py::rolling_median",
+)
+def zz_ts_rolling_median_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("user_id") % 10).alias("u"), F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return rolling_median(d, ["u"], "day", "n_events", lookback=7)
+
+
+@register(
+    "zz_ts_burstiness",
+    # exact integer gap moments; variance through the pinned tree
+    # (n·Σg² − Σg·Σg)/(n·n) in DOUBLE, one correctly-rounded sqrt, then
+    # the CV and B divisions — the mann_whitney sigma pattern
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 50 AS u, ts,
+               LAG(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts)
+                   AS prev_ts
+        FROM events
+    ), g AS (
+        SELECT u,
+               CAST(epoch_us(ts) - epoch_us(prev_ts) AS DECIMAL(18,0))
+                   AS gap
+        FROM e WHERE prev_ts IS NOT NULL
+    ), agg AS (
+        -- widen one multiplicand to force DuckDB's int128 multiply (a
+        -- µs gap squared can pass int64); Σ casts to double go through
+        -- VARCHAR (s2 can pass 2^53 — the registry's DuckDB pitfalls)
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap)
+                    AS DECIMAL(38,0)) AS s2
+        FROM g GROUP BY u HAVING COUNT(*) >= 2
+    )
+    SELECT u, n_gaps,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+           sqrt((CAST(n_gaps AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+               AS sigma_gap_us,
+           CASE WHEN CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE) <> 0.0
+                THEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                          / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                     / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                END AS cv,
+           CASE WHEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                          / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                     + CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE) <> 0.0
+                THEN (sqrt((CAST(n_gaps AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                           / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                     / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                              - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                             / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+                        + CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                END AS burstiness
+    FROM agg
+    """,
+    survey="ext: inter-arrival burstiness screen (Goh & Barabási 2008) — "
+           "B=(σ−μ)/(σ+μ) + CV of integer-second gap moments per key; "
+           "the human-vs-cron detector. One ordered lag window + one "
+           "integer-moment partial-agg groupBy. "
+           "operators/timeseries.py::burstiness_report",
+)
+def zz_ts_burstiness_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import burstiness_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("u"), "ts")
+    return burstiness_report(ev, ["u"], "ts", min_events=3)

@@ -109,3 +109,82 @@ class TestSkipgramCounts:
                skipgram_counts(df, window=2, min_count=1).collect()}
         assert ("beta", "gamma") not in got
         assert got == {("alpha", "beta"), ("gamma", "delta")}
+
+
+class TestRollingMedian:
+    def test_hand_solved_window(self, spark):
+        """Series 1..5, lookback 3: windows [1],[1,2],[1,2,3],[2,3,4],
+        [3,4,5] -> lower medians 1,1,2,3,4."""
+        from rdw_spark.operators.timeseries import rolling_median
+
+        rows = [Row(k="a", t=i, v=i) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "k string, t int, v long")
+        out = sorted(rolling_median(df, ["k"], "t", "v", lookback=3)
+                     .collect(), key=lambda r: r["t"])
+        assert [r["rolling_median"] for r in out] == [1, 1, 2, 3, 4]
+        assert [r["n_window"] for r in out] == [1, 2, 3, 3, 3]
+
+    def test_spike_immune_vs_mean(self, spark):
+        """A single 1000-spike leaves the trailing median at the baseline."""
+        from rdw_spark.operators.timeseries import rolling_median
+
+        vals = [10, 10, 10, 1000, 10, 10, 10]
+        rows = [Row(k="a", t=i, v=v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k string, t int, v long")
+        out = {r["t"]: r["rolling_median"] for r in rolling_median(
+            df, ["k"], "t", "v", lookback=3).collect()}
+        assert all(out[t] == 10 for t in (4, 5, 6))
+
+    def test_lookback_validation(self, spark):
+        import pytest
+        from rdw_spark.operators.timeseries import rolling_median
+
+        df = spark.createDataFrame([Row(k="a", t=1, v=1)],
+                                   "k string, t int, v long")
+        with pytest.raises(ValueError, match="lookback"):
+            rolling_median(df, ["k"], "t", "v", lookback=0)
+
+
+class TestBurstiness:
+    def test_perfect_clock_is_minus_one(self, spark):
+        """Equal gaps: sigma=0 -> B=(0-mu)/(0+mu) = -1, CV=0."""
+        from datetime import datetime, timezone
+
+        from rdw_spark.operators.timeseries import burstiness_report
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [Row(k="clock", ts=base.replace(minute=i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        r = burstiness_report(df, ["k"], "ts").collect()[0]
+        assert r["n_gaps"] == 4
+        assert r["mean_gap_us"] == 60_000_000.0
+        assert r["sigma_gap_us"] == 0.0
+        assert r["cv"] == 0.0 and r["burstiness"] == -1.0
+
+    def test_hand_solved_two_gaps(self, spark):
+        """Gaps 1s and 3s: mu=2e6, var=((2*10e12)-(4e6)^2)/4=1e12,
+        sigma=1e6, CV=0.5, B=(1-2)/(1+2)=-1/3."""
+        from datetime import datetime, timezone
+
+        from rdw_spark.operators.timeseries import burstiness_report
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        ts = [base, base.replace(second=1), base.replace(second=4)]
+        df = spark.createDataFrame([Row(k="x", ts=t) for t in ts],
+                                   "k string, ts timestamp")
+        r = burstiness_report(df, ["k"], "ts").collect()[0]
+        assert r["mean_gap_us"] == 2_000_000.0
+        assert r["sigma_gap_us"] == 1_000_000.0
+        assert r["cv"] == 0.5
+        assert r["burstiness"] == (1_000_000.0 - 2_000_000.0) / (
+            1_000_000.0 + 2_000_000.0)
+
+    def test_min_events_floor(self, spark):
+        from datetime import datetime, timezone
+
+        from rdw_spark.operators.timeseries import burstiness_report
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [Row(k="two", ts=base), Row(k="two", ts=base.replace(second=9))]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        assert burstiness_report(df, ["k"], "ts", min_events=3).count() == 0
