@@ -856,3 +856,56 @@ def benford_report(
                 "share", "expected_share", "chi_term", "chi2")
         .orderBy("digit")
     )
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from (truth, prediction) pairs —
+    the eval tail for any labeling operator (language-ID vs the labeled
+    lang, quality-tier predictions vs audits): one row per class seen on
+    EITHER side, with support counts kept alongside the rates so a
+    99%-precision class with support 3 reads as what it is.
+
+    Engine parity: counts are exact integers; precision = correct/pred,
+    recall = correct/truth, F1 = (2·p·r)/(p+r) — each a pinned double
+    tree over exact ints, NULL where the denominator is 0 (a class never
+    predicted has no precision, not a fake 0).
+
+    Scale shape: one partial-agg shuffle to the confusion grain
+    (truth, pred) — O(classes²) rows from there, driver-free; the class
+    rollups are O(classes) joins."""
+    t, p = F.col(truth_col), F.col(pred_col)
+    conf = df.groupBy(t.alias("_t"), p.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_n"))
+    truth_tot = conf.groupBy(F.col("_t").alias("cls")).agg(
+        F.sum("_n").cast("long").alias("n_true"))
+    pred_tot = conf.groupBy(F.col("_p").alias("cls")).agg(
+        F.sum("_n").cast("long").alias("n_pred"))
+    diag = conf.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("cls"), F.col("_n").cast("long").alias("n_correct"))
+    base = (
+        truth_tot.join(pred_tot, "cls", "full_outer")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("n_correct").cast("double")
+                  / F.col("n_pred").cast("double"))
+    rec = F.when(F.col("n_true") > 0,
+                 F.col("n_correct").cast("double")
+                 / F.col("n_true").cast("double"))
+    out = base.withColumn("precision", prec).withColumn("recall", rec)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0.0,
+        (F.lit(2.0) * F.col("precision") * F.col("recall"))
+        / (F.col("precision") + F.col("recall")),
+    )
+    return out.withColumn("f1", f1)

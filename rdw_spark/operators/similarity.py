@@ -1122,3 +1122,50 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, label_col, "cosine", "rank")
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR metrics against a relevance table (TREC qrels
+    shape): reciprocal rank of the first relevant hit (0.0 when none
+    retrieved), hits@k, recall@k — the eval tail for the BM25 / ANN /
+    RRF retrieval stack. Every query in ``qrels`` appears in the
+    output, including ones the system returned nothing for (the
+    failure you most need to see).
+
+    Engine parity: ranks and hit counts are exact integers;
+    ``rr = 1/first_rel_rank`` and ``recall = hits/n_relevant`` are each
+    one correctly-rounded double division.
+
+    Scale shape: one equi-join of results to the (deduplicated) qrels
+    on (query, doc), one partial-agg groupBy per side — the results
+    frame shuffles once at the query grain; no window, no collect."""
+    q, d, r = query_col, doc_col, rank_col
+    rel = qrels.select(q, d).distinct().withColumn("_rel", F.lit(1))
+    joined = results.select(q, d, r).join(rel, [q, d], "left")
+    per_q = joined.groupBy(q).agg(
+        F.count(F.lit(1)).cast("long").alias("n_returned"),
+        F.min(F.when(F.col("_rel") == 1, F.col(r))).alias("first_rel_rank"),
+        F.sum(F.when((F.col("_rel") == 1) & (F.col(r) <= k), 1)
+              .otherwise(0)).cast("long").alias(f"hits_at_{k}"),
+    )
+    n_rel = qrels.groupBy(q).agg(
+        F.countDistinct(d).cast("long").alias("n_relevant"))
+    out = n_rel.join(per_q, q, "left")
+    return out.select(
+        q, "n_relevant",
+        F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNotNull(),
+               F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+        .otherwise(F.lit(0.0)).alias("rr"),
+        F.coalesce(f"hits_at_{k}", F.lit(0)).alias(f"hits_at_{k}"),
+        (F.coalesce(f"hits_at_{k}", F.lit(0)).cast("double")
+         / F.col("n_relevant").cast("double")).alias(f"recall_at_{k}"),
+    )

@@ -2630,3 +2630,159 @@ def zz_text_inverted_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zz_text_skipgrams_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.skipgram_counts(_docs(spark, sf_dir), window=2, min_count=5)
+
+
+@register(
+    "zz_eval_langid",
+    # the language_id confusion SQL extended with the per-class metric
+    # rollup; precision/recall/F1 are pinned double trees over exact
+    # integer counts (NULL where the denominator is 0)
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|una)\\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est)\\b')) AS s_fr
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                    ELSE 'fr' END AS p
+        FROM scored
+    ), conf AS (
+        SELECT lang AS t, p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM guessed GROUP BY 1, 2
+    ), tt AS (
+        SELECT t AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY t
+    ), pt AS (
+        SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY p
+    ), dg AS (
+        SELECT t AS cls, n AS n_correct FROM conf WHERE t = p
+    ), base AS (
+        SELECT COALESCE(tt.cls, pt.cls) AS cls,
+               COALESCE(n_true, 0) AS n_true,
+               COALESCE(n_pred, 0) AS n_pred
+        FROM tt FULL OUTER JOIN pt ON tt.cls = pt.cls
+    ), b2 AS (
+        SELECT base.cls, n_true, n_pred,
+               COALESCE(dg.n_correct, 0) AS n_correct
+        FROM base LEFT JOIN dg ON base.cls = dg.cls
+    ), m AS (
+        SELECT cls, n_true, n_pred, n_correct,
+               CASE WHEN n_pred > 0
+                    THEN CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+               END AS "precision",
+               CASE WHEN n_true > 0
+                    THEN CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)
+               END AS recall
+        FROM b2
+    )
+    SELECT cls, n_true, n_pred, n_correct, "precision", recall,
+           CASE WHEN "precision" + recall > 0.0
+                THEN (2.0 * "precision" * recall) / ("precision" + recall)
+           END AS f1
+    FROM m
+    """,
+    survey="ext: per-class classification report (precision/recall/F1 + "
+           "supports) evaluating the language-ID heuristic against the "
+           "labeled lang — one confusion-grain partial-agg shuffle, "
+           "O(classes) rollup joins, pinned double metric trees. "
+           "operators/profiling.py::classification_report",
+)
+def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import classification_report
+
+    d = _docs(spark, sf_dir).select(
+        "lang", X.language_guess(F.col("text")).alias("guessed"))
+    return classification_report(d, "lang", "guessed")
+
+
+@register(
+    "zz_eval_retrieval",
+    # system under eval: the naive "longest doc containing the term"
+    # contains-ranker (top 20 per query); qrels: docs where the term
+    # occurs >= 2 times. MRR/hits@10/recall@10 are exact ints + one
+    # correctly-rounded division each.
+    oracle="""
+    WITH q AS (
+        SELECT unnest(['merge', 'stream', 'window']) AS query_id
+    ), norm AS (
+        SELECT doc_id, n_chars,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents
+    ), results AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT q.query_id, n.doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY n.n_chars DESC, n.doc_id) AS BIGINT) AS rank
+            FROM q JOIN norm n ON list_contains(n.l, q.query_id)
+        ) WHERE rank <= 20
+    ), qrels AS (
+        SELECT q.query_id, n.doc_id
+        FROM q JOIN norm n
+          ON len(list_filter(n.l, x -> x = q.query_id)) >= 2
+    ), rel AS (
+        SELECT DISTINCT query_id, doc_id, 1 AS is_rel FROM qrels
+    ), per_q AS (
+        SELECT r.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_returned,
+               MIN(CASE WHEN rel.is_rel = 1 THEN r.rank END)
+                   AS first_rel_rank,
+               CAST(SUM(CASE WHEN rel.is_rel = 1 AND r.rank <= 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10
+        FROM results r LEFT JOIN rel
+          ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        GROUP BY r.query_id
+    ), nr AS (
+        SELECT query_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                   AS n_relevant
+        FROM qrels GROUP BY query_id
+    )
+    SELECT nr.query_id, nr.n_relevant,
+           COALESCE(p.n_returned, 0) AS n_returned,
+           p.first_rel_rank,
+           CASE WHEN p.first_rel_rank IS NOT NULL
+                THEN 1.0 / CAST(p.first_rel_rank AS DOUBLE)
+                ELSE 0.0 END AS rr,
+           COALESCE(p.hits_at_10, 0) AS hits_at_10,
+           CAST(COALESCE(p.hits_at_10, 0) AS DOUBLE)
+               / CAST(nr.n_relevant AS DOUBLE) AS recall_at_10
+    FROM nr LEFT JOIN per_q p ON nr.query_id = p.query_id
+    """,
+    survey="ext: per-query IR eval (MRR / hits@k / recall@k vs a qrels "
+           "table) — the eval tail for the BM25/ANN/RRF stack; one "
+           "(query, doc) equi-join + two partial-agg groupBys, every "
+           "qrels query reported even when the system returns nothing. "
+           "operators/similarity.py::retrieval_eval",
+)
+def zz_eval_retrieval_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import retrieval_eval
+    from ..operators.text import normalize_text
+
+    terms = ["merge", "stream", "window"]
+    qdf = spark.createDataFrame([(t,) for t in terms], "query_id string")
+    norm = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        F.split(normalize_text(F.col("text")), r"\s+").alias("_l"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    results = (
+        qdf.join(norm, F.array_contains(F.col("_l"), F.col("query_id")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = qdf.join(
+        norm,
+        F.size(F.filter(F.col("_l"),
+                        lambda x: x == F.col("query_id"))) >= 2,
+    ).select("query_id", "doc_id")
+    return retrieval_eval(results, qrels, k=10)

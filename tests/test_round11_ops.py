@@ -188,3 +188,70 @@ class TestBurstiness:
         rows = [Row(k="two", ts=base), Row(k="two", ts=base.replace(second=9))]
         df = spark.createDataFrame(rows, "k string, ts timestamp")
         assert burstiness_report(df, ["k"], "ts", min_events=3).count() == 0
+
+
+class TestClassificationReport:
+    def test_hand_solved_two_class(self, spark):
+        """truth a,a,a,b,b ; pred a,a,b,b,b:
+        a: n_true=3 n_pred=2 correct=2 -> p=1.0 r=2/3 f1=0.8
+        b: n_true=2 n_pred=3 correct=2 -> p=2/3 r=1.0 f1=0.8"""
+        from rdw_spark.operators.profiling import classification_report
+
+        rows = list(zip("aaabb", "aabbb"))
+        df = spark.createDataFrame(rows, "t string, p string")
+        out = {r["cls"]: r for r in classification_report(
+            df, "t", "p").collect()}
+        a, b = out["a"], out["b"]
+        assert (a["n_true"], a["n_pred"], a["n_correct"]) == (3, 2, 2)
+        assert a["precision"] == 1.0 and a["recall"] == 2 / 3
+        assert a["f1"] == (2.0 * 1.0 * (2 / 3)) / (1.0 + 2 / 3)
+        assert (b["n_true"], b["n_pred"], b["n_correct"]) == (2, 3, 2)
+        assert b["precision"] == 2 / 3 and b["recall"] == 1.0
+
+    def test_never_predicted_and_phantom_class(self, spark):
+        """A class never predicted has NULL precision (not 0); a class
+        predicted but never true has NULL recall; both get NULL f1."""
+        from rdw_spark.operators.profiling import classification_report
+
+        df = spark.createDataFrame(
+            [("x", "y"), ("x", "y")], "t string, p string")
+        out = {r["cls"]: r for r in classification_report(
+            df, "t", "p").collect()}
+        assert out["x"]["n_pred"] == 0 and out["x"]["precision"] is None
+        assert out["x"]["recall"] == 0.0 and out["x"]["f1"] is None
+        assert out["y"]["n_true"] == 0 and out["y"]["recall"] is None
+        assert out["y"]["precision"] == 0.0 and out["y"]["f1"] is None
+
+
+class TestRetrievalEval:
+    def test_hand_solved_metrics(self, spark):
+        """q1: rel {d1,d3,d9}; returned ranks d2=1,d3=2,d1=3 ->
+        first_rel=2, rr=0.5, hits@2=1, recall@2=1/3.
+        q2 in qrels but no results -> rr 0.0, recall 0.0."""
+        from rdw_spark.operators.similarity import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q1", "d2", 1), ("q1", "d3", 2), ("q1", "d1", 3)],
+            "query_id string, doc_id string, rank long")
+        qrels = spark.createDataFrame(
+            [("q1", "d1"), ("q1", "d3"), ("q1", "d9"), ("q2", "d5")],
+            "query_id string, doc_id string")
+        out = {r["query_id"]: r for r in retrieval_eval(
+            results, qrels, k=2).collect()}
+        q1, q2 = out["q1"], out["q2"]
+        assert q1["n_relevant"] == 3 and q1["n_returned"] == 3
+        assert q1["first_rel_rank"] == 2 and q1["rr"] == 0.5
+        assert q1["hits_at_2"] == 1 and q1["recall_at_2"] == 1 / 3
+        assert q2["n_returned"] == 0 and q2["rr"] == 0.0
+        assert q2["recall_at_2"] == 0.0 and q2["first_rel_rank"] is None
+
+    def test_perfect_ranking(self, spark):
+        from rdw_spark.operators.similarity import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q", "d1", 1), ("q", "d2", 2)],
+            "query_id string, doc_id string, rank long")
+        qrels = spark.createDataFrame(
+            [("q", "d1"), ("q", "d2")], "query_id string, doc_id string")
+        r = retrieval_eval(results, qrels, k=10).collect()[0]
+        assert r["rr"] == 1.0 and r["recall_at_10"] == 1.0
