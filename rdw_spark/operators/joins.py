@@ -367,3 +367,67 @@ def match_score(
         out = out.withColumn(f"lr_{name}", lr)
         odds = odds * F.col(f"lr_{name}")
     return out.withColumn("match_odds", odds)
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    cell,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join at scale: pairs where
+    ``[left_start, left_end]`` and ``[right_start, right_end]``
+    intersect (inclusive ends — SQL ``l.s <= r.e AND r.s <= l.e``),
+    for BIG×BIG interval sets where :func:`interval_join`'s
+    broadcast-the-dim shape doesn't apply and a raw range predicate
+    plans a cartesian.
+
+    The grid trick: both sides explode each interval onto a grid of
+    ``cell``-width buckets (``start DIV cell .. end DIV cell``), the
+    join becomes an EQUI-join on (on…, cell) — hash-partitioned,
+    AQE-skew-splittable — with the true overlap as a post-filter. A
+    pair meets once per SHARED cell, so instead of a distinct pass
+    each pair is kept only in its CANONICAL cell (the first shared
+    one, ``greatest(l.start, r.start) DIV cell``) — exactly-once by
+    arithmetic, no dedup shuffle.
+
+    ``cell`` sets the explode factor: each row lands in
+    ``span/cell + 1`` cells, so pick cell ≈ the median interval length
+    (explode ~2×). Coordinates must be NON-NEGATIVE integers (epoch
+    seconds/µs qualify) — ``DIV`` truncates toward zero, which equals
+    floor only there. NULL bounds drop (no overlap semantics)."""
+    if not cell or cell <= 0:
+        raise ValueError(f"cell must be > 0, got {cell}")
+    on = on or []
+    c = int(cell)
+    lhs = (
+        left.filter(F.col(left_start).isNotNull()
+                    & F.col(left_end).isNotNull())
+        .withColumn("_cell", F.explode(F.sequence(
+            F.expr(f"{left_start} DIV {c}"),
+            F.expr(f"{left_end} DIV {c}"))))
+    )
+    rhs = (
+        right.filter(F.col(right_start).isNotNull()
+                     & F.col(right_end).isNotNull())
+        .withColumn("_cell", F.explode(F.sequence(
+            F.expr(f"{right_start} DIV {c}"),
+            F.expr(f"{right_end} DIV {c}"))))
+    )
+    overlap = (
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )
+    canonical = (
+        F.col("_cell")
+        == F.expr(f"greatest({left_start}, {right_start}) DIV {c}")
+    )
+    return (
+        lhs.join(rhs, [*on, "_cell"])
+        .filter(overlap & canonical)
+        .drop("_cell")
+    )

@@ -297,7 +297,7 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j_band_proximity_join",
+    "zz_j_band_proximity_join",
     oracle="""
     -- floor each epoch BEFORE subtracting: Spark's unix_timestamp
     -- truncates per-timestamp, so the fractional seconds must drop on
@@ -3839,3 +3839,52 @@ def zz_ts_burstiness_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         (F.col("user_id") % 50).alias("u"), "ts")
     return burstiness_report(ev, ["u"], "ts", min_events=3)
+
+
+@register(
+    "j_overlap_intervals",
+    # oracle is the plain range join — the grid-cell plan is internal to
+    # the operator; only the pair set must match. Bounds are exact
+    # integer µs, so parity is free.
+    oracle="""
+    WITH v AS (
+        SELECT user_id % 100 AS u, CAST(ts AS DATE) AS l_day,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS v_start,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS v_end
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), e AS (
+        SELECT user_id % 100 AS u, CAST(ts AS DATE) AS r_day,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS e_start,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS e_end
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT v.u, v.l_day, v.v_start, v.v_end, e.r_day, e.e_start, e.e_end
+    FROM v JOIN e ON v.u = e.u
+     AND v.v_start <= e.e_end AND e.e_start <= v.v_end
+    """,
+    survey="ext: big×big interval-overlap join via grid cells — each "
+           "interval explodes onto cell-width buckets, overlap becomes "
+           "an equi-join on (keys, cell) + post-filter, pairs kept only "
+           "in their canonical first-shared cell (exactly-once by "
+           "arithmetic, no dedup shuffle); the session-overlap / "
+           "concurrency-correlation shape a raw range predicate plans "
+           "as a cartesian. operators/joins.py::overlap_join",
+)
+def j_overlap_intervals_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy(
+        (F.col("user_id") % 100).alias("u"),
+        F.to_date("ts").alias("l_day"),
+    ).agg(F.min(F.unix_micros("ts")).alias("v_start"),
+          F.max(F.unix_micros("ts")).alias("v_end"))
+    e = ev.filter(F.col("event_type") == "error").groupBy(
+        (F.col("user_id") % 100).alias("u"),
+        F.to_date("ts").alias("r_day"),
+    ).agg(F.min(F.unix_micros("ts")).alias("e_start"),
+          F.max(F.unix_micros("ts")).alias("e_end"))
+    return overlap_join(
+        v, e, "v_start", "v_end", "e_start", "e_end",
+        cell=3_600_000_000, on=["u"],
+    ).select("u", "l_day", "v_start", "v_end", "r_day", "e_start", "e_end")

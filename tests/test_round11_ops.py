@@ -255,3 +255,68 @@ class TestRetrievalEval:
             [("q", "d1"), ("q", "d2")], "query_id string, doc_id string")
         r = retrieval_eval(results, qrels, k=10).collect()[0]
         assert r["rr"] == 1.0 and r["recall_at_10"] == 1.0
+
+
+class TestOverlapJoin:
+    def test_hand_solved_pairs_and_inclusive_ends(self, spark):
+        """L=[0,10],[20,30]; R=[10,12],[15,19],[28,40]:
+        ([0,10],[10,12]) touch at 10 (inclusive -> pair),
+        ([20,30],[28,40]) overlap, [15,19] matches nothing."""
+        from rdw_spark.operators.joins import overlap_join
+
+        L = spark.createDataFrame(
+            [(0, 10), (20, 30)], "ls long, le long")
+        R = spark.createDataFrame(
+            [(10, 12), (15, 19), (28, 40)], "rs long, re long")
+        got = sorted((r["ls"], r["le"], r["rs"], r["re"]) for r in
+                     overlap_join(L, R, "ls", "le", "rs", "re",
+                                  cell=4).collect())
+        assert got == [(0, 10, 10, 12), (20, 30, 28, 40)]
+
+    def test_multi_cell_pair_emitted_exactly_once(self, spark):
+        """Two long intervals sharing MANY grid cells must pair once —
+        the canonical-cell filter replaces a dedup shuffle."""
+        from rdw_spark.operators.joins import overlap_join
+
+        L = spark.createDataFrame([(0, 100)], "ls long, le long")
+        R = spark.createDataFrame([(5, 95)], "rs long, re long")
+        out = overlap_join(L, R, "ls", "le", "rs", "re", cell=3).collect()
+        assert len(out) == 1
+
+    def test_matches_naive_range_join(self, spark):
+        """Grid plan == naive range-join result on random intervals,
+        across cell sizes (incl. cell larger than every interval)."""
+        from rdw_spark.operators.joins import overlap_join
+
+        import random
+        rnd = random.Random(7)
+        L = [(rnd.randrange(0, 500), 0) for _ in range(60)]
+        L = [(s, s + rnd.randrange(0, 60)) for s, _ in L]
+        R = [(rnd.randrange(0, 500), 0) for _ in range(60)]
+        R = [(s, s + rnd.randrange(0, 60)) for s, _ in R]
+        ldf = spark.createDataFrame(L, "ls long, le long")
+        rdf = spark.createDataFrame(R, "rs long, re long")
+        naive = sorted(
+            (ls, le, rs, re)
+            for ls, le in L for rs, re in R
+            if ls <= re and rs <= le)
+        for cell in (7, 64, 1000):
+            got = sorted((r["ls"], r["le"], r["rs"], r["re"]) for r in
+                         overlap_join(ldf, rdf, "ls", "le", "rs", "re",
+                                      cell=cell).collect())
+            assert got == naive, f"cell={cell}"
+
+    def test_keyed_and_null_bounds(self, spark):
+        from rdw_spark.operators.joins import overlap_join
+
+        import pytest
+        L = spark.createDataFrame(
+            [("a", 0, 10), ("b", 0, 10), ("a", None, 5)],
+            "k string, ls long, le long")
+        R = spark.createDataFrame(
+            [("a", 5, 15), ("c", 5, 15)], "k string, rs long, re long")
+        out = overlap_join(L, R, "ls", "le", "rs", "re",
+                           cell=4, on=["k"]).collect()
+        assert len(out) == 1 and out[0]["k"] == "a"
+        with pytest.raises(ValueError, match="cell"):
+            overlap_join(L, R, "ls", "le", "rs", "re", cell=0)
