@@ -7,6 +7,7 @@ over the documents table: no shuffle, fully parallel, pushdown-friendly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1573,4 +1574,91 @@ def skipgram_counts(
         .groupBy("tok_a", "tok_b", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .filter(F.col("n_pairs") >= min_count)
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the redundancy quality
+    signal the Gopher/FineWeb-family pipelines use alongside the exact
+    repetition counters: templated/repetitive text compresses far
+    below prose (ratio ≈ bytes_compressed / bytes_raw), while
+    high-entropy noise sits near (or above) 1. A screen the n-gram
+    counters can't fully replace: it catches long-range and
+    approximate redundancy in one pass.
+
+    Python-bound by necessity (zlib), so it runs as an Arrow-batched
+    pandas_udf over UTF-8 bytes — map-only, no shuffle, no driver
+    involvement; rows-only at the correctness gate (no SQL zlib) with
+    the behavioral contract pytest-pinned (repetition compresses
+    below prose below noise; empty text → NULL ratio)."""
+    lv = int(level)
+    if not 1 <= lv <= 9:
+        raise ValueError(f"level must be in 1..9, got {lv}")
+
+    @F.pandas_udf("long")
+    def _clen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lv))
+            if t is not None else None)
+
+    raw_len = F.length(F.col(text_col).cast("binary")).cast("long")
+    return df.select(
+        id_col,
+        raw_len.alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "ratio",
+        F.when(F.col("n_bytes") > 0,
+               F.col("n_compressed").cast("double")
+               / F.col("n_bytes").cast("double")),
+    )
+
+
+# Public-data confusable subset (Unicode TR39 skeleton idea): the
+# Cyrillic and Greek letters most used to clone Latin glyphs. Enough to
+# catch the classic homoglyph-cloaked duplicate; extend the table for a
+# full TR39 skeleton.
+HOMOGLYPH_FROM = "\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0391\u0392\u0395\u0396\u0397\u0399\u039a\u039c\u039d\u039f\u03a1\u03a4\u03a5\u03a7\u03bf\u03bd"
+HOMOGLYPH_TO = "ABEKMHOPCTXaeopcyxABEZHIKMNOPTYXov"
+
+
+def homoglyph_skeleton(text: Column) -> Column:
+    """Map confusable Cyrillic/Greek glyphs onto their Latin skeleton
+    (one JVM-side ``translate`` — no UDF). Two texts that differ raw
+    but collide after skeletonization are homoglyph variants."""
+    return F.translate(text, HOMOGLYPH_FROM, HOMOGLYPH_TO)
+
+
+def homoglyph_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Homoglyph-cloaking screen: per document, how many characters are
+    confusable stand-ins (skeleton differs from raw), plus the skeleton
+    digest — grouping on ``skeleton_digest`` where ``raw_digest``
+    differs surfaces the cloaked-duplicate clusters exact dedup misses
+    (spam that swaps Latin 'o' for Cyrillic 'о' to dodge digests).
+
+    Map-only: two digests + one char-diff fold per row, all JVM-side;
+    compose with ``exact_dedup`` on ``skeleton_digest`` for the actual
+    collapse."""
+    skel = homoglyph_skeleton(F.col(text_col))
+    # confusable count by translate-DELETE (chars in `from` with no `to`
+    # counterpart are removed — SQL translate semantics on both engines)
+    diff = (F.length(F.col(text_col))
+            - F.length(F.translate(F.col(text_col), HOMOGLYPH_FROM, "")))
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("raw_digest"),
+        F.md5(skel).alias("skeleton_digest"),
+        diff.cast("long").alias("n_confusable_chars"),
+        (diff > 0).alias("is_cloaked"),
     )

@@ -2786,3 +2786,48 @@ def zz_eval_retrieval_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda x: x == F.col("query_id"))) >= 2,
     ).select("query_id", "doc_id")
     return retrieval_eval(results, qrels, k=10)
+
+
+@register(
+    "zz_text_compress_ratio",
+    oracle=None,  # zlib has no SQL twin — rows-only at the gate; the
+                  # behavioral contract (repetition < prose < noise,
+                  # empty -> NULL) is pytest-pinned
+    survey="ext: zlib compression-ratio quality signal (Gopher/FineWeb "
+           "redundancy screen — catches long-range and approximate "
+           "repetition the n-gram counters miss); Arrow-batched "
+           "pandas_udf over UTF-8 bytes, map-only. "
+           "operators/text.py::compression_ratio",
+)
+def zz_text_compress_ratio_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.compression_ratio(_docs(spark, sf_dir))
+
+
+@register(
+    "zz_text_homoglyphs",
+    # translate-delete counting + md5 digests — all JVM/SQL built-ins;
+    # the synthetic corpus is pure Latin so every count is exactly 0,
+    # which both engines must agree on row-by-row (the REAL behavior is
+    # pytest-pinned with Cyrillic/Greek cloaked duplicates)
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS raw_digest,
+           md5(translate(text,
+               'АВЕКМНОРСТХаеорсухΑΒΕΖΗΙΚΜΝΟΡΤΥΧον',
+               'ABEKMHOPCTXaeopcyxABEZHIKMNOPTYXov')) AS skeleton_digest,
+           CAST(length(text) - length(translate(text,
+               'АВЕКМНОРСТХаеорсухΑΒΕΖΗΙΚΜΝΟΡΤΥΧον',
+               '')) AS BIGINT) AS n_confusable_chars,
+           (length(text) - length(translate(text,
+               'АВЕКМНОРСТХаеорсухΑΒΕΖΗΙΚΜΝΟΡΤΥΧον',
+               ''))) > 0 AS is_cloaked
+    FROM documents
+    """,
+    survey="ext: homoglyph-cloaking screen (Unicode TR39 skeleton idea) "
+           "— confusable Cyrillic/Greek glyphs mapped to their Latin "
+           "skeleton by one JVM translate; skeleton digests group the "
+           "cloaked duplicates exact dedup misses; map-only. "
+           "operators/text.py::homoglyph_report",
+)
+def zz_text_homoglyphs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.homoglyph_report(_docs(spark, sf_dir))

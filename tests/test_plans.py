@@ -192,6 +192,14 @@ class TestSpanDedupAndLmPlans:
         plan = _plan(spark, catalog, "zz_text_lm_score")
         assert plan.count("HashAggregate") >= 4
 
+    def test_overlap_join_equi_not_cartesian(self, spark, catalog):
+        # the interval-overlap join must plan as the grid-cell EQUI-join
+        # (SortMergeJoin/ShuffledHashJoin on (u, _cell)), never a
+        # cartesian or a nested-loop range join
+        plan = _plan(spark, catalog, "j_overlap_intervals")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
     def test_quantized_cosine_no_python_and_blocked_join(self, spark, catalog):
         # int8 quantization stays JVM-side (no BatchEvalPython / arrow
         # eval in the plan) and the pair join is the blocked equi-join,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 
 class TestChangepointSingle:
@@ -320,3 +321,70 @@ class TestOverlapJoin:
         assert len(out) == 1 and out[0]["k"] == "a"
         with pytest.raises(ValueError, match="cell"):
             overlap_join(L, R, "ls", "le", "rs", "re", cell=0)
+
+
+class TestCompressionRatio:
+    def test_repetition_below_prose_below_noise(self, spark):
+        from rdw_spark.operators.text import compression_ratio
+
+        rep = "spam ham " * 200
+        prose = ("the quick brown fox jumps over the lazy dog and then "
+                 "wanders through nineteen distinct meadows discussing "
+                 "philosophy with surprisingly articulate squirrels ") * 10
+        import random
+        rnd = random.Random(3)
+        noise = "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                        for _ in range(1800))
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=rep), Row(doc_id=2, text=prose),
+             Row(doc_id=3, text=noise), Row(doc_id=4, text="")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        assert out[1]["ratio"] < out[2]["ratio"] < out[3]["ratio"]
+        assert out[1]["ratio"] < 0.05           # repetition crushes
+        assert out[3]["ratio"] > 0.5            # noise barely compresses
+        assert out[4]["ratio"] is None          # empty -> NULL
+        assert out[2]["n_bytes"] == len(
+            "".join(["the quick brown fox jumps over the lazy dog and then "
+                     "wanders through nineteen distinct meadows discussing "
+                     "philosophy with surprisingly articulate squirrels "] * 10))
+
+    def test_level_validation(self, spark):
+        from rdw_spark.operators.text import compression_ratio
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError, match="level"):
+            compression_ratio(df, level=0)
+
+
+class TestHomoglyphs:
+    def test_cloaked_duplicate_collides_on_skeleton(self, spark):
+        """'hello world' with Cyrillic 'о' swapped in differs raw but
+        collides after skeletonization; the honest doc reports zero
+        confusables."""
+        from rdw_spark.operators.text import homoglyph_report
+
+        cloaked = "hellо wоrld"   # Cyrillic о twice
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world"),
+             Row(doc_id=2, text=cloaked),
+             Row(doc_id=3, text="HELLO ХΑ club")],  # Cyr Х, Grk Α
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in homoglyph_report(df).collect()}
+        assert out[1]["n_confusable_chars"] == 0
+        assert out[1]["is_cloaked"] is False
+        assert out[2]["n_confusable_chars"] == 2
+        assert out[2]["is_cloaked"] is True
+        assert out[1]["raw_digest"] != out[2]["raw_digest"]
+        assert out[1]["skeleton_digest"] == out[2]["skeleton_digest"]
+        assert out[3]["n_confusable_chars"] == 2
+
+    def test_skeleton_column_roundtrip(self, spark):
+        from rdw_spark.operators.text import homoglyph_skeleton
+
+        df = spark.createDataFrame(
+            [Row(text="Саsh")], "text string")  # Сash cloaked
+        got = df.select(homoglyph_skeleton(F.col("text")).alias("s")
+                        ).collect()[0]["s"]
+        assert got == "Cash"
