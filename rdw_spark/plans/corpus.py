@@ -40,6 +40,7 @@ def build_corpus(
     decontam_ngram: int = 8,
     decontam_min_common: int = 1,
     repetition_thresholds: dict | None = None,
+    compression_bounds: tuple | None = None,
     pii_mode: str | None = None,
     embeddings: DataFrame | None = None,
     cosine_threshold: float = 0.95,
@@ -63,6 +64,12 @@ def build_corpus(
     ``repetition_thresholds`` (keys ``max_dup_line_frac`` /
     ``max_top_gram_frac``, defaults 0.3 / 0.2) switches on the Gopher-style
     repetition stage after the quality filter (stage ``repetition``).
+    ``compression_bounds`` (lo, hi) switches on the zlib
+    compression-ratio screen after repetition (stage ``compression``):
+    documents whose ratio falls below ``lo`` (templated/machine spam the
+    n-gram counters can miss) or above ``hi`` (binary junk / high-entropy
+    noise) drop; NULL ratios (empty text) drop too.
+
     ``pii_mode`` handles PII before any dedup (so dedup sees the text that
     will actually ship): ``"redact"`` rewrites ``text`` with the pattern
     tokens and drops nothing; ``"drop"`` removes any document with a PII
@@ -122,6 +129,8 @@ def build_corpus(
             "decontam_ngram": decontam_ngram,
             "decontam_min_common": decontam_min_common,
             "repetition_thresholds": repetition_thresholds,
+            "compression_bounds": list(compression_bounds)
+            if compression_bounds is not None else None,
             "pii_mode": pii_mode,
             "has_embeddings": embeddings is not None,
             "cosine_threshold": cosine_threshold,
@@ -235,6 +244,33 @@ def build_corpus(
                 kept_q, drop_rep = fr["kept"], fr["drops"]
             extra_drops.append(drop_rep)
     _tl.append(("repetition", _time.perf_counter()))
+
+    n1c = n1r
+    if compression_bounds is not None:
+        lo, hi = compression_bounds
+        if ck is not None and ck.has("compression"):
+            fr = ck.load("compression", ["kept", "drops"])
+            kept_q = fr["kept"]
+            extra_drops.append(fr["drops"])
+            n1c = ck.stats("compression")["n_kept"]
+        else:
+            cr = X.compression_ratio(kept_q, id_col=id_col).select(
+                id_col, "ratio")
+            bad_c = cr.filter(
+                F.col("ratio").isNull()
+                | (F.col("ratio") < lo) | (F.col("ratio") > hi))
+            drop_c = bad_c.select(
+                F.col(id_col), F.lit("compression").alias("stage"),
+                F.round("ratio", 4).cast("string").alias("detail"),
+            )
+            kept_q = kept_q.join(bad_c.select(id_col), id_col, "left_anti")
+            n1c = kept_q.count()
+            if ck is not None:
+                fr = ck.save("compression", {"kept": kept_q, "drops": drop_c},
+                             {"n_kept": n1c})
+                kept_q, drop_c = fr["kept"], fr["drops"]
+            extra_drops.append(drop_c)
+    _tl.append(("compression", _time.perf_counter()))
 
     n_pii = 0
     if pii_mode is not None:
@@ -424,6 +460,7 @@ def build_corpus(
             "input": n0,
             "after_quality": n1,
             "after_repetition": n1r,
+            "after_compression": n1c,
             "pii_affected": n_pii,
             "after_exact_dedup": n2,
             "after_near_dedup": n3,

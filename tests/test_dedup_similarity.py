@@ -989,9 +989,9 @@ def test_build_corpus_reports_stage_timings(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = build_corpus(docs, minhash_threshold=0.5)
     t = out["timings"]
-    assert set(t) == {"input_count", "quality", "repetition", "pii",
-                      "exact_dedup", "near_dedup", "decontam", "span_dedup",
-                      "split"}
+    assert set(t) == {"input_count", "quality", "repetition",
+                      "compression", "pii", "exact_dedup", "near_dedup",
+                      "decontam", "span_dedup", "split"}
     assert all(v >= 0 for v in t.values())
     # disabled stages cost (almost) nothing; real stages took some time
     assert t["near_dedup"] > 0

@@ -388,3 +388,64 @@ class TestHomoglyphs:
         got = df.select(homoglyph_skeleton(F.col("text")).alias("s")
                         ).collect()[0]["s"]
         assert got == "Cash"
+
+
+class TestCorpusCompressionStage:
+    def test_compression_bounds_drop_spam_and_noise(self, spark):
+        """compression_bounds=(0.1, 0.45): templated spam (ratio ~0.01)
+        drops low, random-word noise (~0.62) drops high, small-vocabulary
+        prose (~0.25) survives to the split — all three pass the quality
+        gates so the stage attribution is unambiguous."""
+        import random
+
+        from rdw_spark.plans.corpus import build_corpus
+
+        rnd = random.Random(11)
+        words = ["alpha", "bridge", "cobalt", "derive", "ember", "fjord",
+                 "glyph", "harbor", "iodine", "jungle", "kernel", "lumen",
+                 "matrix", "nectar", "onyx", "prism", "quartz", "ripple",
+                 "sonnet", "tundra", "umber", "vertex", "willow", "xenon"]
+        prose = " ".join(rnd.choice(words) for _ in range(300))
+        noise = " ".join(
+            "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rnd.randrange(3, 9)))
+            for _ in range(300))
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="spam ham " * 400, lang="en", source="s",
+                 n_chars=3600),
+             Row(doc_id=2, text=prose, lang="en", source="s",
+                 n_chars=len(prose)),
+             Row(doc_id=3, text=noise, lang="en", source="s",
+                 n_chars=len(noise))],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        out = build_corpus(
+            docs, quality_thresholds={"min_chars": 1},
+            compression_bounds=(0.1, 0.45),
+            minhash_threshold=0.99, eval_fraction=0.0)
+        dropped = {(r["doc_id"], r["stage"])
+                   for r in out["drop_report"].collect()}
+        assert (1, "compression") in dropped
+        assert (3, "compression") in dropped
+        kept = {r["doc_id"] for r in out["train"].collect()}
+        assert kept == {2}
+
+    def test_compression_stage_checkpoints_and_resumes(self, spark, tmp_path):
+        from rdw_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"doc {i} body with words {i * 3} and "
+                                f"unique tail {i * i}", lang="en",
+                 source="s", n_chars=60) for i in range(12)]
+            + [Row(doc_id=99, text="x " * 500, lang="en", source="s",
+                   n_chars=1000)],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        kw = dict(quality_thresholds={"min_chars": 1},
+                  compression_bounds=(0.15, 0.95),
+                  minhash_threshold=0.99, eval_fraction=0.0)
+        plain = build_corpus(docs, **kw)
+        ck = build_corpus(docs, checkpoint_root=str(tmp_path / "ck"), **kw)
+        resumed = build_corpus(docs, checkpoint_root=str(tmp_path / "ck"), **kw)
+        want = sorted(r["doc_id"] for r in plain["train"].collect())
+        assert sorted(r["doc_id"] for r in ck["train"].collect()) == want
+        assert sorted(r["doc_id"] for r in resumed["train"].collect()) == want
+        assert 99 not in want  # the templated doc dropped at compression
