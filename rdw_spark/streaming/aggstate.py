@@ -385,3 +385,36 @@ def read_postings_state(
     docfreq = merged.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("doc_freq"))
     return merged.join(docfreq, "token")
+
+
+def compact_postings_state(
+    spark: SparkSession, out_root: str, id_col: str = "doc_id"
+) -> int:
+    """Postings-aware compaction: the generic
+    :func:`compact_mergeable_state` would fold old deltas with an
+    identity merge and ERASE the batch_id that last-writer-wins needs —
+    a doc re-ingested across two old batches would keep both versions
+    forever. This variant applies the per-document max-batch dedupe
+    WHILE folding, so the base holds exactly each doc's newest pre-top
+    postings; the newest batch's delta dirs stay referenced verbatim
+    (the replay-idempotence contract of the generic compactor). Reads
+    after compaction still equal a batch ``inverted_index`` over the
+    latest document versions."""
+    from pyspark.sql import Window
+
+    pt = agg_state_table(out_root, ["token", id_col])
+    rows = pt.read(spark)
+    top = rows.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    if top is None:
+        return 0
+    latest = Window.partitionBy(id_col)
+    base = (
+        rows.filter(F.col("batch_id") != top)
+        .withColumn("_mb", F.max("batch_id").over(latest))
+        .filter(F.col("batch_id") == F.col("_mb"))
+        .drop("_mb", "batch_id")
+        .withColumn("batch_id", F.lit(_BASE_BATCH))
+    )
+    ver = pt.rebase(spark, base, keep_versions={f"a{top}"})
+    pt.gc(keep_manifests=1)
+    return ver

@@ -280,6 +280,63 @@ class TestStreamingPostings:
         toks = {(t, d) for t, d, *_ in got}
         assert ("gamma", 1) not in toks and ("alpha", 1) not in toks
 
+    def test_compaction_preserves_last_writer_wins(self, spark, tmp_path):
+        """compact_postings_state folds old deltas WITH the per-doc
+        max-batch dedupe (the generic identity-merge compactor would
+        erase batch_id and keep both versions of a re-ingested doc
+        forever); reads equal the batch build before and after, across
+        two compaction cycles."""
+        from rdw_spark.operators.text import inverted_index
+        from rdw_spark.streaming.aggstate import (
+            compact_postings_state, read_postings_state,
+            stream_postings_state,
+        )
+
+        schema = "doc_id long, text string"
+        landing = str(tmp_path / "landing")
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        def drop(rows):
+            df = spark.createDataFrame(rows, schema)
+            df.coalesce(1).write.mode("append").parquet(landing)
+            q = stream_postings_state(spark, landing, df.schema, out, ckpt)
+            assert q.awaitTermination(120)
+
+        def snapshot():
+            return sorted(
+                (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+                 r["doc_freq"])
+                for r in read_postings_state(spark, out).collect())
+
+        drop([Row(doc_id=1, text="alpha beta"),
+              Row(doc_id=2, text="gamma")])
+        drop([Row(doc_id=1, text="beta omega")])       # re-ingest v2
+        drop([Row(doc_id=3, text="alpha delta")])      # fresh doc
+        # fold everything but the newest batch
+        assert compact_postings_state(spark, out) > 0
+        final = spark.createDataFrame(
+            [Row(doc_id=1, text="beta omega"),
+             Row(doc_id=2, text="gamma"),
+             Row(doc_id=3, text="alpha delta")], schema)
+        want = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in inverted_index(final).collect())
+        assert snapshot() == want
+
+        # second cycle: another re-ingest + compaction over the base
+        drop([Row(doc_id=2, text="epsilon")])
+        assert compact_postings_state(spark, out) > 0
+        final2 = spark.createDataFrame(
+            [Row(doc_id=1, text="beta omega"),
+             Row(doc_id=2, text="epsilon"),
+             Row(doc_id=3, text="alpha delta")], schema)
+        want2 = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in inverted_index(final2).collect())
+        assert snapshot() == want2
+
 
 class TestMarkovAttribution:
     def test_two_path_chain_hand_solved(self, spark):
