@@ -387,6 +387,50 @@ def read_postings_state(
     return merged.join(docfreq, "token")
 
 
+def stream_skipgram_state(
+    spark: SparkSession,
+    landing_dir: str,
+    read_schema,
+    out_root: str,
+    checkpoint: str,
+    window: int = 2,
+    text_col: str = "text",
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Continuously maintain skip-gram context-pair counts
+    (``operators.text.skipgram_counts``) as documents land: pair counts
+    are PURELY ADDITIVE across documents, so each micro-batch's delta
+    (min_count=1 — the floor applies at READ, a pair rare so far may
+    cross it later) merges by plain summation at the
+    (tok_a, tok_b, dist) grain. Restart-safe via the mergeable-state
+    contract (replayed batch = self-overwrite on its tag dirs)."""
+    from rdw_spark.operators.text import skipgram_counts
+
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint,
+        ["tok_a", "tok_b", "dist"],
+        lambda b: skipgram_counts(b, window=window, min_count=1,
+                                  text_col=text_col),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_skipgram_state(
+    spark: SparkSession, out_root: str, min_count: int = 2
+) -> DataFrame:
+    """The live co-occurrence table: summed deltas with the min_count
+    floor applied AFTER the merge — identical to a batch
+    ``skipgram_counts`` over everything ingested (documents are
+    self-contained for pair generation, so additivity is exact)."""
+    return read_mergeable_state(
+        spark, out_root, ["tok_a", "tok_b", "dist"],
+        lambda rows: rows.groupBy("tok_a", "tok_b", "dist")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count),
+    )
+
+
 def compact_postings_state(
     spark: SparkSession, out_root: str, id_col: str = "doc_id"
 ) -> int:

@@ -449,3 +449,34 @@ class TestCorpusCompressionStage:
         assert sorted(r["doc_id"] for r in ck["train"].collect()) == want
         assert sorted(r["doc_id"] for r in resumed["train"].collect()) == want
         assert 99 not in want  # the templated doc dropped at compression
+
+
+class TestStreamingSkipgrams:
+    def test_streaming_equals_batch(self, spark, tmp_path):
+        """Additive merge: drained micro-batches + read-side min_count
+        floor == one-shot skipgram_counts over the full corpus — pairs
+        below the floor in one batch still count once peers arrive."""
+        from rdw_spark.operators.text import skipgram_counts
+        from rdw_spark.streaming.aggstate import (
+            read_skipgram_state, stream_skipgram_state,
+        )
+
+        rows = [Row(doc_id=i, text=f"alpha beta tail{i % 5} alpha beta")
+                for i in range(30)] + [Row(doc_id=99, text="omega zeta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        landing = str(tmp_path / "landing")
+        df.repartition(6).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        q = stream_skipgram_state(spark, landing, df.schema, out, ckpt,
+                                  window=2, max_files_per_trigger=2)
+        assert q.awaitTermination(120)
+
+        got = sorted(map(tuple, read_skipgram_state(
+            spark, out, min_count=3).collect()))
+        want = sorted(map(tuple, skipgram_counts(
+            df, window=2, min_count=3).collect()))
+        assert got == want
+        # the floor really filtered something (tail{i} pairs are rare)
+        all_rows = read_skipgram_state(spark, out, min_count=1).count()
+        assert all_rows > len(got)
