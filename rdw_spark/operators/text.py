@@ -880,8 +880,14 @@ def bpe_index(
         return {**out, "loaded": False}
     with open(sidecar) as fh:
         art = json.load(fh)
+    if "min_count" not in art:
+        raise ValueError(
+            f"bpe_index artifact at {sidecar} predates the recorded "
+            "training spec (no min_count) — its parameters cannot be "
+            "validated; retrain at a fresh index_path"
+        )
     stored = (int(art["num_merges"]), art["end_of_word"],
-              int(art.get("min_count", min_count)))
+              int(art["min_count"]))
     if stored != (num_merges, end_of_word, min_count):
         raise ValueError(
             f"bpe_index artifact at {sidecar} was trained with "
@@ -924,8 +930,6 @@ def bpe_encode(
     the join. ``merges`` accepts ``train_bpe``'s
     ``(tok_a, tok_b, merged, n)`` tuples or bare pairs.
     """
-    import pandas as pd
-
     pairs = [(m[0], m[1]) for m in merges]
     toks = F.split(normalize_text(F.col(text_col)), r"\s+")
     words = df.select(

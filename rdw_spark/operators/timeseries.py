@@ -816,8 +816,10 @@ def changepoint_single(
     (a (19,6) square needs precision 39 > 38 and silently loses a digit
     differently per engine — measured 1e-5 drift after the Σx²−(Σx)²/n
     cancellation — while DuckDB runs an (18,6) square in int64 and
-    overflows). |x| must fit ~1e10, the documented envelope. Every
-    division
+    overflows); prefix sums are carried at DECIMAL(37,12), NOT 38, so
+    the total−prefix subtraction lands at (38,12) exactly (Spark's
+    (38,12)−(38,12) rounds to scale 11). |x| must fit ~1e10, Σx² ~1e25
+    — the documented envelope. Every division
     happens in DOUBLE with one pinned expression tree
     ``S2 − (S1·S1)/len`` per segment, so cost/gain are bit-identical
     across engines. NULL values are dropped up front (the
@@ -838,9 +840,10 @@ def changepoint_single(
     w = Window.partitionBy(*k).orderBy("_o")
     pre = (
         d.withColumn("_rn", F.row_number().over(w).cast("long"))
-        .withColumn("_s1", F.sum("_v").over(w).cast("decimal(38,12)"))
+        .withColumn("_s1", F.sum("_v").over(w).cast("decimal(37,12)"))
         .withColumn("_s2", F.sum(
-            (F.col("_v") * F.col("_v")).cast("decimal(38,12)")).over(w))
+            (F.col("_v") * F.col("_v")).cast("decimal(33,12)"))
+            .over(w).cast("decimal(37,12)"))
     )
     totals = pre.groupBy(*k).agg(
         F.max("_rn").alias("_n"),
@@ -898,7 +901,10 @@ def rolling_median(
     Bit-exactness by construction: the lower median PICKS an actual
     value (sorted window, element ``(n+1) DIV 2``) — zero float
     arithmetic, so engines agree for free (the same order-statistic
-    contract as ``mad_outliers``). NULL values are dropped up front.
+    contract as ``mad_outliers``). The window orders by
+    ``(order_col, value_col)`` — a total order, so tied order values
+    can't make frame membership partition-order-dependent. NULL values
+    are dropped up front.
 
     Scale shape: one shuffle to the key grain, one ordered ROWS window
     whose state is O(lookback) per row — collect_list over a bounded
@@ -908,7 +914,7 @@ def rolling_median(
     k = list(key_cols)
     w = (
         Window.partitionBy(*k)
-        .orderBy(order_col)
+        .orderBy(order_col, value_col)
         .rowsBetween(-(lookback - 1), 0)
     )
     arr = F.sort_array(F.collect_list(value_col).over(w))

@@ -3683,8 +3683,10 @@ def zz_benford_screen_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pre AS (
         SELECT u, day,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-               CAST(SUM(dval) OVER w AS DECIMAL(38,12)) AS s1,
-               SUM(CAST(CAST(dval AS DECIMAL(19,6)) * dval AS DECIMAL(38,12))) OVER w AS s2
+               CAST(SUM(dval) OVER w AS DECIMAL(37,12)) AS s1,
+               CAST(SUM(CAST(CAST(dval AS DECIMAL(19,6)) * dval
+                             AS DECIMAL(33,12))) OVER w
+                    AS DECIMAL(37,12)) AS s2
         FROM d WINDOW w AS (PARTITION BY u ORDER BY day)
     ), tot AS (
         SELECT u, MAX(rn) AS n,

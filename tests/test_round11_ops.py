@@ -480,3 +480,41 @@ class TestStreamingSkipgrams:
         # the floor really filtered something (tail{i} pairs are rare)
         all_rows = read_skipgram_state(spark, out, min_count=1).count()
         assert all_rows > len(got)
+
+
+class TestChangepointDecimalExactness:
+    def test_twelfth_decimal_subtraction_stays_exact(self, spark):
+        """Values whose squares carry nonzero 12th-decimal digits: the
+        total−prefix subtraction must stay exact (prefix sums carried at
+        DECIMAL(37,12) — a (38,12)−(38,12) subtraction rounds to scale
+        11 in Spark and diverges from this pure-Python exact model at
+        every split of this fixture)."""
+        from decimal import Decimal
+
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        vals = [Decimal("1.000001"), Decimal("2.000003"),
+                Decimal("1.000007"), Decimal("3.000011"),
+                Decimal("9.000013"), Decimal("9.000017"),
+                Decimal("9.000019"), Decimal("9.000023")]
+        n = len(vals)
+        s1 = [sum(vals[:i + 1]) for i in range(n)]
+        s2 = [sum(v * v for v in vals[:i + 1]) for i in range(n)]
+        t1, t2 = s1[-1], s2[-1]
+
+        def cost(k):
+            a = float(s2[k - 1]) - (float(s1[k - 1]) * float(s1[k - 1])) / float(k)
+            r1, r2 = t1 - s1[k - 1], t2 - s2[k - 1]
+            return a + (float(r2) - (float(r1) * float(r1)) / float(n - k))
+
+        want_cost, want_k = min((cost(k), k) for k in range(2, n - 1))
+        want_gain = (float(t2) - (float(t1) * float(t1)) / float(n)
+                     - want_cost)
+
+        df = spark.createDataFrame(
+            [Row(k="a", t=i, v=float(v)) for i, v in enumerate(vals)],
+            "k string, t int, v double")
+        r = changepoint_single(df, ["k"], "t", "v", min_seg=2).collect()[0]
+        assert r["cp_index"] == want_k
+        assert r["cost"] == want_cost
+        assert r["gain"] == want_gain
