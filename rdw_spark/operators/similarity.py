@@ -1134,14 +1134,18 @@ def retrieval_eval(
 ) -> DataFrame:
     """Per-query IR metrics against a relevance table (TREC qrels
     shape): reciprocal rank of the first relevant hit (0.0 when none
-    retrieved), hits@k, recall@k — the eval tail for the BM25 / ANN /
-    RRF retrieval stack. Every query in ``qrels`` appears in the
-    output, including ones the system returned nothing for (the
-    failure you most need to see).
+    retrieved), hits@k, recall@k, and binary nDCG@k — the eval tail
+    for the BM25 / ANN / RRF retrieval stack. Every query in ``qrels``
+    appears in the output, including ones the system returned nothing
+    for (the failure you most need to see).
 
     Engine parity: ranks and hit counts are exact integers;
     ``rr = 1/first_rel_rank`` and ``recall = hits/n_relevant`` are each
-    one correctly-rounded double division.
+    one correctly-rounded double division. nDCG sums ``1/log2(rank+1)``
+    over the relevant hit ranks in SORTED fold order (partitioning
+    can't reorder the addition) and is rounded to 10 dp — log2 is the
+    one libm boundary, the drift_psi precedent (engines differ in the
+    last ulps; 1e-10 is far above the accumulated difference).
 
     Scale shape: one equi-join of results to the (deduplicated) qrels
     on (query, doc), one partial-agg groupBy per side — the results
@@ -1154,10 +1158,24 @@ def retrieval_eval(
         F.min(F.when(F.col("_rel") == 1, F.col(r))).alias("first_rel_rank"),
         F.sum(F.when((F.col("_rel") == 1) & (F.col(r) <= k), 1)
               .otherwise(0)).cast("long").alias(f"hits_at_{k}"),
+        F.sort_array(F.collect_list(
+            F.when((F.col("_rel") == 1) & (F.col(r) <= k), F.col(r))
+        )).alias("_hit_ranks"),
     )
     n_rel = qrels.groupBy(q).agg(
         F.countDistinct(d).cast("long").alias("n_relevant"))
     out = n_rel.join(per_q, q, "left")
+
+    def _dcg(arr):
+        return F.aggregate(
+            arr, F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0)
+            / F.log2(x.cast("double") + F.lit(1.0)))
+
+    dcg = _dcg(F.coalesce("_hit_ranks", F.array().cast("array<long>")))
+    ideal = F.sequence(F.lit(1).cast("long"),
+                       F.least(F.col("n_relevant"), F.lit(k).cast("long")))
+    idcg = _dcg(ideal)
     return out.select(
         q, "n_relevant",
         F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
@@ -1168,4 +1186,5 @@ def retrieval_eval(
         F.coalesce(f"hits_at_{k}", F.lit(0)).alias(f"hits_at_{k}"),
         (F.coalesce(f"hits_at_{k}", F.lit(0)).cast("double")
          / F.col("n_relevant").cast("double")).alias(f"recall_at_{k}"),
+        F.round(dcg / idcg, 10).alias(f"ndcg_at_{k}"),
     )

@@ -2735,7 +2735,10 @@ def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(CASE WHEN rel.is_rel = 1 THEN r.rank END)
                    AS first_rel_rank,
                CAST(SUM(CASE WHEN rel.is_rel = 1 AND r.rank <= 10
-                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+               list_sort(list(CASE WHEN rel.is_rel = 1 AND r.rank <= 10
+                                   THEN r.rank END) FILTER (
+                   rel.is_rel = 1 AND r.rank <= 10)) AS hit_ranks
         FROM results r LEFT JOIN rel
           ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
         GROUP BY r.query_id
@@ -2752,7 +2755,19 @@ def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS rr,
            COALESCE(p.hits_at_10, 0) AS hits_at_10,
            CAST(COALESCE(p.hits_at_10, 0) AS DOUBLE)
-               / CAST(nr.n_relevant AS DOUBLE) AS recall_at_10
+               / CAST(nr.n_relevant AS DOUBLE) AS recall_at_10,
+           ROUND(
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+                       COALESCE(p.hit_ranks, []),
+                       x -> 1.0 / log2(CAST(x AS DOUBLE) + 1.0))),
+                   (a, b) -> a + b)
+               / list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+                       generate_series(1, LEAST(nr.n_relevant, 10)),
+                       x -> 1.0 / log2(CAST(x AS DOUBLE) + 1.0))),
+                   (a, b) -> a + b),
+               10) AS ndcg_at_10
     FROM nr LEFT JOIN per_q p ON nr.query_id = p.query_id
     """,
     survey="ext: per-query IR eval (MRR / hits@k / recall@k vs a qrels "

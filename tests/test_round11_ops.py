@@ -245,6 +245,13 @@ class TestRetrievalEval:
         assert q1["hits_at_2"] == 1 and q1["recall_at_2"] == 1 / 3
         assert q2["n_returned"] == 0 and q2["rr"] == 0.0
         assert q2["recall_at_2"] == 0.0 and q2["first_rel_rank"] is None
+        # nDCG@2: q1 hit ranks [2] -> dcg = 1/log2(3);
+        # idcg = 1/log2(2) + 1/log2(3); q2 has no hits -> 0.0
+        import math
+        dcg = 1.0 / math.log2(3.0)
+        idcg = 1.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+        assert q1["ndcg_at_2"] == round(dcg / idcg, 10)
+        assert q2["ndcg_at_2"] == 0.0
 
     def test_perfect_ranking(self, spark):
         from rdw_spark.operators.similarity import retrieval_eval
@@ -256,6 +263,7 @@ class TestRetrievalEval:
             [("q", "d1"), ("q", "d2")], "query_id string, doc_id string")
         r = retrieval_eval(results, qrels, k=10).collect()[0]
         assert r["rr"] == 1.0 and r["recall_at_10"] == 1.0
+        assert r["ndcg_at_10"] == 1.0
 
 
 class TestOverlapJoin:
