@@ -880,6 +880,14 @@ def classification_report(
     t, p = F.col(truth_col), F.col(pred_col)
     conf = df.groupBy(t.alias("_t"), p.alias("_p")).agg(
         F.count(F.lit(1)).alias("_n"))
+    return confusion_to_report(conf)
+
+
+def confusion_to_report(conf: DataFrame) -> DataFrame:
+    """Metric tail over a pre-aggregated confusion frame
+    ``(_t, _p, _n)`` — shared by :func:`classification_report` and the
+    streaming twin (``streaming.aggstate.read_confusion_report``), so
+    batch and streaming reports are identical by construction."""
     truth_tot = conf.groupBy(F.col("_t").alias("cls")).agg(
         F.sum("_n").cast("long").alias("n_true"))
     pred_tot = conf.groupBy(F.col("_p").alias("cls")).agg(

@@ -431,6 +431,50 @@ def read_skipgram_state(
     )
 
 
+def stream_confusion_state(
+    spark: SparkSession,
+    landing_dir: str,
+    read_schema,
+    out_root: str,
+    checkpoint: str,
+    truth_col: str,
+    pred_col: str,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Continuously maintain the (truth, pred) confusion counts behind
+    ``operators.profiling.classification_report`` as labeled rows land
+    — the live eval dashboard for a deployed labeler (language-ID,
+    quality tiers): counts are purely additive, so each micro-batch's
+    confusion-grain delta merges by summation. Restart-safe via the
+    mergeable-state contract."""
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint,
+        ["_t", "_p"],
+        lambda b: b.groupBy(
+            F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p"))
+        .agg(F.count(F.lit(1)).alias("_n")),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_confusion_report(
+    spark: SparkSession, out_root: str
+) -> DataFrame:
+    """The live per-class precision/recall/F1: summed confusion deltas
+    run through the SAME metric tail as the batch operator
+    (``classification_report``'s rollup), so streaming and batch
+    reports are identical by construction."""
+    from rdw_spark.operators.profiling import confusion_to_report
+
+    merged = read_mergeable_state(
+        spark, out_root, ["_t", "_p"],
+        lambda rows: rows.groupBy("_t", "_p").agg(
+            F.sum("_n").cast("long").alias("_n")),
+    )
+    return confusion_to_report(merged)
+
+
 def compact_postings_state(
     spark: SparkSession, out_root: str, id_col: str = "doc_id"
 ) -> int:

@@ -526,3 +526,32 @@ class TestChangepointDecimalExactness:
         assert r["cp_index"] == want_k
         assert r["cost"] == want_cost
         assert r["gain"] == want_gain
+
+
+class TestStreamingConfusion:
+    def test_streaming_equals_batch_report(self, spark, tmp_path):
+        """Additive confusion deltas + the shared metric tail: drained
+        micro-batches == one-shot classification_report over the full
+        labeled stream."""
+        from rdw_spark.operators.profiling import classification_report
+        from rdw_spark.streaming.aggstate import (
+            read_confusion_report, stream_confusion_state,
+        )
+
+        langs = ["en", "de", "fr"]
+        rows = [Row(truth=langs[i % 3], pred=langs[(i + (i % 7 == 0)) % 3])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "truth string, pred string")
+        landing = str(tmp_path / "landing")
+        df.repartition(6).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        q = stream_confusion_state(spark, landing, df.schema, out, ckpt,
+                                   "truth", "pred", max_files_per_trigger=2)
+        assert q.awaitTermination(120)
+
+        got = sorted(map(tuple, read_confusion_report(spark, out).collect()))
+        want = sorted(map(tuple, classification_report(
+            df, "truth", "pred").collect()))
+        assert got == want
+        assert len(got) == 3
