@@ -489,3 +489,55 @@ def test_pmi_n_counts_all_pairs_not_just_retained(spark):
     r = out[0]
     assert (r["tok_a"], r["tok_b"]) == ("a", "b")
     assert r["pmi_ratio"] == 5 * 6 / (5 * 5)
+
+
+@given(texts=_docs, window=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_skipgram_counts_match_counter_model(spark, texts, window):
+    """skipgram_counts == the pure-Python forward-pair counter on random
+    fragment corpora, across window sizes (min_count=1 so nothing hides
+    behind the floor)."""
+    from collections import Counter
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"], r["dist"]): r["n_pairs"]
+           for r in X.skipgram_counts(df, window=window,
+                                      min_count=1).collect()}
+    want: Counter = Counter()
+    for t in texts:
+        toks = _norm_tokens(t)
+        for i, a in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    want[(a, toks[i + d], d)] += 1
+    assert got == dict(want)
+
+
+@given(
+    lo_hi=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 60)),
+        min_size=1, max_size=25),
+    rs=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 60)),
+        min_size=1, max_size=25),
+    cell=st.integers(1, 400),
+)
+@settings(**_SETTINGS)
+def test_overlap_join_matches_naive_model(spark, lo_hi, rs, cell):
+    """overlap_join == the naive all-pairs range filter on random
+    interval sets, for any grid cell size."""
+    from rdw_spark.operators.joins import overlap_join
+
+    L = [(s, s + w) for s, w in lo_hi]
+    R = [(s, s + w) for s, w in rs]
+    ldf = spark.createDataFrame(L, "ls long, le long")
+    rdf = spark.createDataFrame(R, "rs long, re long")
+    naive = sorted(
+        (ls, le, r0, r1)
+        for ls, le in L for r0, r1 in R
+        if ls <= r1 and r0 <= le)
+    got = sorted((r["ls"], r["le"], r["rs"], r["re"]) for r in
+                 overlap_join(ldf, rdf, "ls", "le", "rs", "re",
+                              cell=cell).collect())
+    assert got == naive
