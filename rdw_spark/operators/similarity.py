@@ -1152,12 +1152,14 @@ def retrieval_eval(
     frame shuffles once at the query grain; no window, no collect."""
     q, d, r = query_col, doc_col, rank_col
     rel = qrels.select(q, d).distinct().withColumn("_rel", F.lit(1))
-    joined = results.select(q, d, r).join(rel, [q, d], "left")
+    # defensive (query, doc) dedup keeping the best rank: a duplicated
+    # result row must not double-count a hit (it would push nDCG past
+    # 1.0 — each dup adds a DCG term while IDCG stays capped)
+    uniq = results.select(q, d, r).groupBy(q, d).agg(F.min(r).alias(r))
+    joined = uniq.join(rel, [q, d], "left")
     per_q = joined.groupBy(q).agg(
         F.count(F.lit(1)).cast("long").alias("n_returned"),
         F.min(F.when(F.col("_rel") == 1, F.col(r))).alias("first_rel_rank"),
-        F.sum(F.when((F.col("_rel") == 1) & (F.col(r) <= k), 1)
-              .otherwise(0)).cast("long").alias(f"hits_at_{k}"),
         F.sort_array(F.collect_list(
             F.when((F.col("_rel") == 1) & (F.col(r) <= k), F.col(r))
         )).alias("_hit_ranks"),
@@ -1172,7 +1174,8 @@ def retrieval_eval(
             lambda acc, x: acc + F.lit(1.0)
             / F.log2(x.cast("double") + F.lit(1.0)))
 
-    dcg = _dcg(F.coalesce("_hit_ranks", F.array().cast("array<long>")))
+    hit_ranks = F.coalesce("_hit_ranks", F.array().cast("array<long>"))
+    dcg = _dcg(hit_ranks)
     ideal = F.sequence(F.lit(1).cast("long"),
                        F.least(F.col("n_relevant"), F.lit(k).cast("long")))
     idcg = _dcg(ideal)
@@ -1183,8 +1186,8 @@ def retrieval_eval(
         F.when(F.col("first_rel_rank").isNotNull(),
                F.lit(1.0) / F.col("first_rel_rank").cast("double"))
         .otherwise(F.lit(0.0)).alias("rr"),
-        F.coalesce(f"hits_at_{k}", F.lit(0)).alias(f"hits_at_{k}"),
-        (F.coalesce(f"hits_at_{k}", F.lit(0)).cast("double")
+        F.size(hit_ranks).cast("long").alias(f"hits_at_{k}"),
+        (F.size(hit_ranks).cast("double")
          / F.col("n_relevant").cast("double")).alias(f"recall_at_{k}"),
         F.round(dcg / idcg, 10).alias(f"ndcg_at_{k}"),
     )

@@ -2734,10 +2734,7 @@ def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_returned,
                MIN(CASE WHEN rel.is_rel = 1 THEN r.rank END)
                    AS first_rel_rank,
-               CAST(SUM(CASE WHEN rel.is_rel = 1 AND r.rank <= 10
-                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
-               list_sort(list(CASE WHEN rel.is_rel = 1 AND r.rank <= 10
-                                   THEN r.rank END) FILTER (
+               list_sort(list(r.rank) FILTER (
                    rel.is_rel = 1 AND r.rank <= 10)) AS hit_ranks
         FROM results r LEFT JOIN rel
           ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
@@ -2753,8 +2750,8 @@ def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN p.first_rel_rank IS NOT NULL
                 THEN 1.0 / CAST(p.first_rel_rank AS DOUBLE)
                 ELSE 0.0 END AS rr,
-           COALESCE(p.hits_at_10, 0) AS hits_at_10,
-           CAST(COALESCE(p.hits_at_10, 0) AS DOUBLE)
+           CAST(len(COALESCE(p.hit_ranks, [])) AS BIGINT) AS hits_at_10,
+           CAST(len(COALESCE(p.hit_ranks, [])) AS DOUBLE)
                / CAST(nr.n_relevant AS DOUBLE) AS recall_at_10,
            ROUND(
                list_reduce(

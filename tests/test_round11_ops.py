@@ -555,3 +555,22 @@ class TestStreamingConfusion:
             df, "truth", "pred").collect()))
         assert got == want
         assert len(got) == 3
+
+
+class TestRetrievalEvalDupDocs:
+    def test_duplicate_result_rows_cannot_inflate_metrics(self, spark):
+        """A (query, doc) duplicated in results counts ONCE at its best
+        rank: nDCG stays within [0,1], hits/recall don't double-count."""
+        from rdw_spark.operators.similarity import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q", "d1", 1), ("q", "d1", 2), ("q", "d2", 3)],
+            "query_id string, doc_id string, rank long")
+        qrels = spark.createDataFrame(
+            [("q", "d1")], "query_id string, doc_id string")
+        r = retrieval_eval(results, qrels, k=10).collect()[0]
+        assert r["n_returned"] == 2            # d1 deduped
+        assert r["hits_at_10"] == 1
+        assert r["recall_at_10"] == 1.0
+        assert r["ndcg_at_10"] == 1.0          # not 1.63
+        assert r["rr"] == 1.0
