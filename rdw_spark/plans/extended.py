@@ -470,7 +470,7 @@ def t_sequence_match_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j_salted_skew_join",
+    "zz_j_salted_skew_join",
     oracle="""
     SELECT o.o_orderpriority, l.l_linestatus, COUNT(*) AS n_items,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
@@ -3669,7 +3669,7 @@ def zz_benford_screen_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_changepoint",
+    "ts_changepoint",
     # Prefix sums Σx, Σx² accumulate in DECIMAL on both sides (exact,
     # order-invariant); every division runs in DOUBLE through the same
     # pinned tree  S2 − (S1·S1)/len  per segment, so cost and gain are
@@ -3739,7 +3739,7 @@ def zz_ts_changepoint_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_rolling_median",
+    "ts_rolling_median",
     # zero float arithmetic — the lower median PICKS a value, so parity
     # is free: both engines sort the same bounded frame and index
     # (n+1) DIV 2
@@ -3777,7 +3777,7 @@ def zz_ts_rolling_median_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_ts_burstiness",
+    "ts_burstiness",
     # exact integer gap moments; variance through the pinned tree
     # (n·Σg² − Σg·Σg)/(n·n) in DOUBLE, one correctly-rounded sqrt, then
     # the CV and B divisions — the mann_whitney sigma pattern

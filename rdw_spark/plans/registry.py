@@ -44,6 +44,25 @@ class CatalogQuery:
 REGISTRY: dict[str, CatalogQuery] = {}
 
 
+def nested_columns(schema) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot sort.
+
+    The driver canonicalizes results by sorting rows in pandas;
+    list/struct/map-typed cells raise ``TypeError: unhashable type``
+    there (round-11 lesson: ``text_inverted_index`` was bit-exact but
+    driver-RED). Rule: every un-prefixed (driver-window) catalog entry
+    must project flat scalar columns only — serialize arrays via
+    ``array_join``/``posexplode`` before returning. ``zz_``-parked
+    entries may keep nested outputs."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+
+
 def register(name: str, oracle: str | None, survey: str) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:

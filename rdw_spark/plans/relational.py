@@ -90,7 +90,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "p_scoped_filter_agg",
+    "zz_p_scoped_filter_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
@@ -198,7 +198,7 @@ def p8_relative_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "j1_star_revenue",
+    "zz_j1_star_revenue",
     oracle="""
     SELECT r_name, n_name,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
@@ -232,7 +232,7 @@ def j1_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j2_left_join_conditional_counts",
+    "zz_j2_left_join_conditional_counts",
     oracle="""
     SELECT c_custkey,
            COUNT(o_orderkey)                                         AS n_orders,

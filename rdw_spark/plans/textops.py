@@ -35,7 +35,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "dedup_fingerprint_canonical",
+    "zz_dedup_fingerprint_canonical",
     oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
@@ -663,7 +663,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "sim_cosine_topk",
+    "zz_sim_cosine_topk",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
@@ -1558,7 +1558,7 @@ def sample_token_budget_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_spans_exact",
+    "zz_dedup_spans_exact",
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
@@ -2589,21 +2589,32 @@ def zz_sim_hard_negatives_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
         FROM postings GROUP BY token
     )
-    SELECT p.token, p.doc_id, p.tf, p.positions, d.doc_freq
+    SELECT p.token, p.doc_id, p.tf,
+           array_to_string(p.positions, ' ') AS positions,
+           d.doc_freq
     FROM postings p JOIN dfq d ON p.token = d.token
     """,
     survey="ext: positional inverted index (search-index export) — one "
            "posexplode + one partial-agg shuffle per (token, doc) "
            "posting with sorted 0-based positions, vocabulary-sized "
            "doc-frequency rollup joined back; the persisted artifact "
-           "behind the BM25 ranker",
+           "behind the BM25 ranker. Window entries must project flat "
+           "scalars (the driver canonicalizer cannot sort list "
+           "columns), so the positions array is serialized "
+           "space-joined here; the operator keeps the real array.",
 )
-def zz_text_inverted_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.inverted_index(_docs(spark, sf_dir))
+def text_inverted_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = X.inverted_index(_docs(spark, sf_dir))
+    return idx.select(
+        "token", "doc_id", "tf",
+        F.array_join(F.col("positions").cast("array<string>"), " ")
+        .alias("positions"),
+        "doc_freq",
+    )
 
 
 @register(
-    "zz_text_skipgrams",
+    "text_skipgrams",
     oracle="""
     WITH toks AS (
         SELECT string_split_regex(trim(regexp_replace(lower(text),
@@ -2633,7 +2644,7 @@ def zz_text_skipgrams_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_eval_langid",
+    "eval_langid",
     # the language_id confusion SQL extended with the per-class metric
     # rollup; precision/recall/F1 are pinned double trees over exact
     # integer counts (NULL where the denominator is 0)
@@ -2702,7 +2713,7 @@ def zz_eval_langid_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_eval_retrieval",
+    "eval_retrieval",
     # system under eval: the naive "longest doc containing the term"
     # contains-ranker (top 20 per query); qrels: docs where the term
     # occurs >= 2 times. MRR/hits@10/recall@10 are exact ints + one
@@ -2816,7 +2827,7 @@ def zz_text_compress_ratio_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_text_homoglyphs",
+    "text_homoglyphs",
     # translate-delete counting + md5 digests — all JVM/SQL built-ins;
     # the synthetic corpus is pure Latin so every count is exactly 0,
     # which both engines must agree on row-by-row (the REAL behavior is

@@ -62,3 +62,35 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     sset = sorted(tuple(_norm(r[i]) for i in sidx) for r in srows)
     dset = sorted(tuple(_norm(r[i]) for i in didx) for r in drows)
     assert sset == dset, f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in get_catalog() if not n.startswith("zz_"))
+)
+def test_window_entry_projects_flat_scalars(name, spark, sf_dir):
+    """Driver-window pre-flight (round-11 lesson): the driver's pandas
+    canonicalizer cannot sort list/struct/map cells, so every
+    un-prefixed entry must project atomic columns only. Analysis-only —
+    no job runs."""
+    from rdw_spark.plans.registry import nested_columns
+
+    q = get_catalog()[name]
+    bad = nested_columns(q.fn(spark, sf_dir).schema)
+    assert not bad, (
+        f"{name} is in the driver window but projects nested columns "
+        f"{bad}; serialize (array_join/posexplode) or park as zz_"
+    )
+
+
+def test_flat_scalar_gate_rejects_arrays(spark):
+    """The gate itself must fail on a synthetic array-column schema."""
+    from pyspark.sql import functions as F
+
+    from rdw_spark.plans.registry import nested_columns
+
+    df = spark.range(1).select(
+        F.col("id"), F.array(F.lit(1), F.lit(2)).alias("xs"),
+        F.struct(F.lit(1).alias("a")).alias("st"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+    )
+    assert nested_columns(df.schema) == ["xs", "st", "m"]

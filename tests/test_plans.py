@@ -36,7 +36,7 @@ def _plan(spark, catalog, name: str) -> str:
 
 class TestJoinStrategies:
     def test_fact_dim_joins_broadcast(self, spark, catalog):
-        for q in ("j1_star_revenue", "j3_snowflake_hierarchy", "j11_audit_union_dims"):
+        for q in ("zz_j1_star_revenue", "j3_snowflake_hierarchy", "j11_audit_union_dims"):
             plan = _plan(spark, catalog, q)
             assert "BroadcastHashJoin" in plan, f"{q}: dim join must broadcast"
             assert "SortMergeJoin" not in plan, f"{q}: unexpected shuffle join"
@@ -61,7 +61,7 @@ class TestPushdownAndPruning:
         assert "GreaterThan(l_orderkey,1000)" in plan
 
     def test_filter_pushdown_events(self, spark, catalog):
-        plan = _plan(spark, catalog, "p_scoped_filter_agg")
+        plan = _plan(spark, catalog, "zz_p_scoped_filter_agg")
         assert "EqualTo(event_type,purchase)" in plan
 
     def test_column_pruning_pricing_summary(self, spark, catalog):
@@ -182,7 +182,7 @@ class TestSpanDedupAndLmPlans:
         # must come back to the occurrence stream as a broadcast, and the
         # flagged-starts rebuild join against the docs must broadcast too
         # — the full window set is never shuffle-joined
-        plan = _plan(spark, catalog, "dedup_spans_exact")
+        plan = _plan(spark, catalog, "zz_dedup_spans_exact")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
