@@ -397,26 +397,33 @@ def overlap_join(
 
     ``cell`` sets the explode factor: each row lands in
     ``span/cell + 1`` cells, so pick cell ≈ the median interval length
-    (explode ~2×). Coordinates must be NON-NEGATIVE integers (epoch
-    seconds/µs qualify) — ``DIV`` truncates toward zero, which equals
-    floor only there. NULL bounds drop (no overlap semantics)."""
+    (explode ~2×). Cells use exact integer FLOOR division
+    (``(x - pmod(x, c)) DIV c`` — never through double), so negative
+    coordinates are handled correctly. NULL bounds drop (no overlap
+    semantics)."""
     if not cell or cell <= 0:
         raise ValueError(f"cell must be > 0, got {cell}")
     on = on or []
     c = int(cell)
+
+    def fdiv(expr: str) -> str:
+        # exact integer floor division for any sign: subtract the
+        # non-negative pmod so DIV's truncation is exact division
+        return f"(({expr}) - pmod({expr}, {c})) DIV {c}"
+
     lhs = (
         left.filter(F.col(left_start).isNotNull()
                     & F.col(left_end).isNotNull())
         .withColumn("_cell", F.explode(F.sequence(
-            F.expr(f"{left_start} DIV {c}"),
-            F.expr(f"{left_end} DIV {c}"))))
+            F.expr(fdiv(left_start)),
+            F.expr(fdiv(left_end)))))
     )
     rhs = (
         right.filter(F.col(right_start).isNotNull()
                      & F.col(right_end).isNotNull())
         .withColumn("_cell", F.explode(F.sequence(
-            F.expr(f"{right_start} DIV {c}"),
-            F.expr(f"{right_end} DIV {c}"))))
+            F.expr(fdiv(right_start)),
+            F.expr(fdiv(right_end)))))
     )
     overlap = (
         (F.col(left_start) <= F.col(right_end))
@@ -424,7 +431,7 @@ def overlap_join(
     )
     canonical = (
         F.col("_cell")
-        == F.expr(f"greatest({left_start}, {right_start}) DIV {c}")
+        == F.expr(fdiv(f"greatest({left_start}, {right_start})"))
     )
     return (
         lhs.join(rhs, [*on, "_cell"])

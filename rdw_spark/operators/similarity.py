@@ -1147,15 +1147,29 @@ def retrieval_eval(
     one libm boundary, the drift_psi precedent (engines differ in the
     last ulps; 1e-10 is far above the accumulated difference).
 
+    Ranks are STRICTIFIED before scoring: after the (query, doc) dedup
+    the list is re-ranked by ``row_number() over (rank, doc)`` per
+    query, so metrics are positions in the deduplicated,
+    deterministically tie-broken ranking (the trec_eval convention).
+    Without this, tied rank values across distinct relevant docs each
+    contribute a DCG term while IDCG stays capped and nDCG can exceed
+    1.0. Strict gap-free input ranks pass through unchanged.
+
     Scale shape: one equi-join of results to the (deduplicated) qrels
-    on (query, doc), one partial-agg groupBy per side — the results
-    frame shuffles once at the query grain; no window, no collect."""
+    on (query, doc), one window + groupBy at the SAME query grain (the
+    exchange is reused); no collect."""
+    from pyspark.sql import Window
+
     q, d, r = query_col, doc_col, rank_col
     rel = qrels.select(q, d).distinct().withColumn("_rel", F.lit(1))
     # defensive (query, doc) dedup keeping the best rank: a duplicated
     # result row must not double-count a hit (it would push nDCG past
     # 1.0 — each dup adds a DCG term while IDCG stays capped)
-    uniq = results.select(q, d, r).groupBy(q, d).agg(F.min(r).alias(r))
+    strict = Window.partitionBy(q).orderBy(F.col(r), F.col(d))
+    uniq = (
+        results.select(q, d, r).groupBy(q, d).agg(F.min(r).alias(r))
+        .withColumn(r, F.row_number().over(strict).cast("long"))
+    )
     joined = uniq.join(rel, [q, d], "left")
     per_q = joined.groupBy(q).agg(
         F.count(F.lit(1)).cast("long").alias("n_returned"),

@@ -831,6 +831,8 @@ def changepoint_single(
     (min_seg ≤ k ≤ n−min_seg), one argmin partial-agg groupBy, and a
     broadcastable O(keys) totals join. No collect, no cross join —
     candidates live on the same rows as the prefix sums."""
+    if min_seg < 1:
+        raise ValueError(f"min_seg must be >= 1, got {min_seg}")
     k = list(key_cols)
     d = (
         df.filter(F.col(value_col).isNotNull())
@@ -918,7 +920,6 @@ def rolling_median(
         .rowsBetween(-(lookback - 1), 0)
     )
     arr = F.sort_array(F.collect_list(value_col).over(w))
-    n = F.size(arr)
     return (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("_arr", arr)

@@ -351,13 +351,23 @@ def stream_postings_state(
     doc's newest batch, so tokens DROPPED by the new version disappear
     too). ``doc_freq`` is a per-token rollup of the merged state, so it
     is computed on READ (carrying it in the delta would go stale as
-    later batches add documents)."""
+    later batches add documents).
+
+    A doc_id landing TWICE within one micro-batch is collapsed to one
+    version before indexing (both copies would share a batch_id, so the
+    read-side last-writer-wins couldn't separate them and tf/doc_freq
+    would inflate). Within a batch a file source has no row order, so
+    the winner is the lexicographically greatest text — an arbitrary
+    but TOTAL order, deterministic under checkpoint replay."""
     from rdw_spark.operators.text import inverted_index
+
+    def delta(b: DataFrame) -> DataFrame:
+        one = b.groupBy(id_col).agg(F.max(text_col).alias(text_col))
+        return inverted_index(one, text_col, id_col).drop("doc_freq")
 
     return stream_mergeable_state(
         spark, landing_dir, read_schema, out_root, checkpoint,
-        ["token", id_col],
-        lambda b: inverted_index(b, text_col, id_col).drop("doc_freq"),
+        ["token", id_col], delta,
         max_files_per_trigger, available_now,
     )
 

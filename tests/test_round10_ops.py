@@ -280,6 +280,43 @@ class TestStreamingPostings:
         toks = {(t, d) for t, d, *_ in got}
         assert ("gamma", 1) not in toks and ("alpha", 1) not in toks
 
+    def test_within_batch_duplicate_doc_collapses_to_one_version(
+            self, spark, tmp_path):
+        """A doc_id landing TWICE in the SAME micro-batch (one file →
+        one batch) indexes exactly one version — the lexicographically
+        greatest text, the documented total-order winner — instead of
+        inflating tf/doc_freq with two same-batch_id versions."""
+        from rdw_spark.operators.text import inverted_index
+        from rdw_spark.streaming.aggstate import (
+            read_postings_state, stream_postings_state,
+        )
+
+        schema = "doc_id long, text string"
+        dup = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta"),
+             Row(doc_id=1, text="zeta omega"),
+             Row(doc_id=2, text="alpha")], schema)
+        landing = str(tmp_path / "landing")
+        dup.coalesce(1).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+        q = stream_postings_state(spark, landing, dup.schema, out, ckpt)
+        assert q.awaitTermination(120)
+
+        winner = spark.createDataFrame(
+            [Row(doc_id=1, text="zeta omega"),   # "zeta..." > "alpha..."
+             Row(doc_id=2, text="alpha")], schema)
+        got = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in read_postings_state(spark, out).collect())
+        want = sorted(
+            (r["token"], r["doc_id"], r["tf"], tuple(r["positions"]),
+             r["doc_freq"])
+            for r in inverted_index(winner).collect())
+        assert got == want
+        assert ("beta", 1) not in {(t, d) for t, d, *_ in got}
+
     def test_compaction_preserves_last_writer_wins(self, spark, tmp_path):
         """compact_postings_state folds old deltas WITH the per-doc
         max-batch dedupe (the generic identity-merge compactor would

@@ -37,6 +37,18 @@ class TestChangepointSingle:
         assert r["cp_index"] == 2
         assert r["cost"] == 0.0 and r["gain"] == 0.0
 
+    def test_min_seg_validated(self, spark):
+        """min_seg < 1 admits zero-length right segments (divide-by-zero
+        NaN costs in the argmin) — rejected up front."""
+        import pytest
+
+        from rdw_spark.operators.timeseries import changepoint_single
+
+        df = spark.createDataFrame(
+            [Row(k="a", t=0, v=1.0)], "k string, t int, v double")
+        with pytest.raises(ValueError, match="min_seg"):
+            changepoint_single(df, ["k"], "t", "v", min_seg=0)
+
     def test_short_series_and_nulls_dropped(self, spark):
         """Keys with fewer than 2*min_seg non-null points emit no row;
         NULL values are dropped before ranking."""
@@ -265,6 +277,21 @@ class TestRetrievalEval:
         assert r["rr"] == 1.0 and r["recall_at_10"] == 1.0
         assert r["ndcg_at_10"] == 1.0
 
+    def test_tied_ranks_are_strictified(self, spark):
+        """Two distinct relevant docs tied at rank 1 re-rank to
+        positions (1, 2) by (rank, doc) — nDCG stays <= 1.0 instead of
+        double-counting the rank-1 DCG term."""
+        from rdw_spark.operators.similarity import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q", "d1", 1), ("q", "d2", 1)],
+            "query_id string, doc_id string, rank long")
+        qrels = spark.createDataFrame(
+            [("q", "d1"), ("q", "d2")], "query_id string, doc_id string")
+        r = retrieval_eval(results, qrels, k=10).collect()[0]
+        assert r["ndcg_at_10"] == 1.0          # not 2/idcg > 1
+        assert r["first_rel_rank"] == 1 and r["hits_at_10"] == 2
+
 
 class TestOverlapJoin:
     def test_hand_solved_pairs_and_inclusive_ends(self, spark):
@@ -329,6 +356,26 @@ class TestOverlapJoin:
         assert len(out) == 1 and out[0]["k"] == "a"
         with pytest.raises(ValueError, match="cell"):
             overlap_join(L, R, "ls", "le", "rs", "re", cell=0)
+
+    def test_negative_coordinates_hand_solved(self, spark):
+        """Cells use exact floor division, so intervals straddling or
+        below zero pair correctly (truncating DIV would put -1 and +1
+        in the same cell 0 and break canonical-cell exactly-once)."""
+        from rdw_spark.operators.joins import overlap_join
+
+        L = [(-10, -4), (-3, 3), (-100, -50)]
+        R = [(-5, -5), (0, 1), (-60, -55), (10, 20)]
+        ldf = spark.createDataFrame(L, "ls long, le long")
+        rdf = spark.createDataFrame(R, "rs long, re long")
+        naive = sorted(
+            (ls, le, rs, re)
+            for ls, le in L for rs, re in R
+            if ls <= re and rs <= le)
+        for cell in (1, 4, 7, 1000):
+            got = sorted((r["ls"], r["le"], r["rs"], r["re"]) for r in
+                         overlap_join(ldf, rdf, "ls", "le", "rs", "re",
+                                      cell=cell).collect())
+            assert got == naive, f"cell={cell}"
 
 
 class TestCompressionRatio:

@@ -516,17 +516,18 @@ def test_skipgram_counts_match_counter_model(spark, texts, window):
 
 @given(
     lo_hi=st.lists(
-        st.tuples(st.integers(0, 300), st.integers(0, 60)),
+        st.tuples(st.integers(-300, 300), st.integers(0, 60)),
         min_size=1, max_size=25),
     rs=st.lists(
-        st.tuples(st.integers(0, 300), st.integers(0, 60)),
+        st.tuples(st.integers(-300, 300), st.integers(0, 60)),
         min_size=1, max_size=25),
     cell=st.integers(1, 400),
 )
 @settings(**_SETTINGS)
 def test_overlap_join_matches_naive_model(spark, lo_hi, rs, cell):
     """overlap_join == the naive all-pairs range filter on random
-    interval sets, for any grid cell size."""
+    interval sets, for any grid cell size — including NEGATIVE
+    coordinates (cells use exact floor division, not DIV truncation)."""
     from rdw_spark.operators.joins import overlap_join
 
     L = [(s, s + w) for s, w in lo_hi]
