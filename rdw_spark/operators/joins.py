@@ -438,3 +438,54 @@ def overlap_join(
         .filter(overlap & canonical)
         .drop("_cell")
     )
+
+
+def blocking_eval(
+    cand_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    n_left: int,
+    n_right: int,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Blocking-quality report for the record-linkage stack: given the
+    candidate pairs a blocker emitted (the input :func:`match_score`
+    consumes) and the labeled true matches, the two numbers every
+    linkage paper grades blockers on — PAIR COMPLETENESS (recall:
+    what fraction of true matches survived blocking) and REDUCTION
+    RATIO (what fraction of the n_left × n_right cartesian the blocker
+    avoided). A blocker change that boosts RR while PC drops is
+    trading recall for speed; this makes that trade measurable.
+
+    Exactness: all counts are exact integers over DISTINCT pairs (a
+    blocker emitting a pair twice isn't better); PC and RR are one
+    double division each. The cartesian size is computed in Python
+    ints (no 64-bit overflow for realistic corpus sizes is assumed —
+    validated: n_left·n_right must fit a signed long).
+
+    Scale shape: two distinct partial-aggs + one left-semi join at the
+    pair grain; the three 1-row aggregates meet in broadcast
+    crossJoins (the codebase's global-aggregate idiom). No collect."""
+    if n_left <= 0 or n_right <= 0:
+        raise ValueError(f"corpus sizes must be > 0, got {n_left}, {n_right}")
+    total = n_left * n_right
+    if total >= 2**63:
+        raise ValueError("n_left * n_right overflows a signed long")
+    a, b = id_cols
+    c = cand_pairs.select(a, b).distinct()
+    t = truth_pairs.select(a, b).distinct()
+    hits = c.join(t, [a, b], "left_semi")
+    stats = (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(t.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    )
+    return stats.select(
+        "n_candidates", "n_truth", "n_hits",
+        F.lit(total).cast("long").alias("n_possible"),
+        F.when(F.col("n_truth") > 0,
+               F.col("n_hits").cast("double")
+               / F.col("n_truth").cast("double"))
+        .alias("pair_completeness"),
+        (F.lit(1.0) - F.col("n_candidates").cast("double")
+         / F.lit(float(total))).alias("reduction_ratio"),
+    )

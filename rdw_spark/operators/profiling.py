@@ -705,6 +705,70 @@ def mann_whitney_u(
     )
 
 
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups — the
+    distribution-drift companion to :func:`mann_whitney_u` (MW sees
+    location shifts; KS sees ANY ECDF divergence: variance, shape,
+    multimodality — the standard "did this feature drift between
+    snapshots/domains" screen next to migrate's PSI gate, without PSI's
+    binning choice).
+
+    Exactness: at every distinct value the ECDF gap is carried as the
+    exact integer ``|cum_a·n_b − cum_b·n_a|`` (cross-multiplied — no
+    per-step division), the max is an integer max, and
+    ``d = d_num / (n_a·n_b)`` plus the asymptotic
+    ``z = sqrt(n_a·n_b/(n_a+n_b))·d`` are each one fixed-order double
+    expression. Bit-identical across engines and partitionings.
+
+    Scale shape: one partial-agg shuffle onto the DISTINCT value frame
+    (per-value per-group counts), one running-sum window over that
+    bounded support, one global max — the fact never sorts (the
+    mann_whitney_u shape exactly)."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
+    ).filter(F.col("_v").isNotNull())
+    per_val = d.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_ia")).alias("_cb"))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = (Window.orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    pv = per_val.select(
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wtot).alias("_na"),
+        F.sum("_cb").over(wtot).alias("_nb"))
+    agg = pv.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(F.abs(F.col("_cuma") * F.col("_nb")
+                    - F.col("_cumb") * F.col("_na"))).alias("d_num"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d_stat = F.when(ok, F.col("d_num").cast("double") / (na * nb))
+    z = F.when(ok, F.sqrt(na * nb / (na + nb)) * d_stat)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        d_stat.alias("d_stat"),
+        z.alias("z"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
@@ -917,3 +981,51 @@ def confusion_to_report(conf: DataFrame) -> DataFrame:
         / (F.col("precision") + F.col("recall")),
     )
     return out.withColumn("f1", f1)
+
+
+def calibration_report(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a probabilistic classifier: equal-
+    width confidence bins with per-bin support, mean confidence, and
+    accuracy — the inputs to expected calibration error (ECE =
+    Σ (n_b/N)·|acc_b − conf̄_b|, computable from these rows with a
+    pinned fold). An overconfident quality/langid labeler shows up as
+    accuracy tracking below the diagonal.
+
+    Exactness: bin assignment is integer floor(conf·bins) clamped to
+    the top bin (conf = 1.0 lands in bin bins−1); per-bin counts are
+    exact integers; confidence accumulates in DECIMAL(27,15) — exact
+    for inputs representable at 15 decimals, the documented envelope
+    (scores built from integer ratios like k/64 qualify; the decimal
+    sum is order-invariant where a double sum is not) — and mean
+    confidence / accuracy are one double division each.
+
+    Scale shape: map-only bin assignment + ONE partial-agg shuffle at
+    the bin grain (≤ ``bins`` reduce groups); the N total for bin
+    weights comes from re-aggregating the bin frame downstream, never
+    a second scan."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    c = F.col(conf_col).cast("double")
+    d = df.filter(c.isNotNull() & (c >= 0.0) & (c <= 1.0)).select(
+        F.least(F.floor(c * F.lit(bins)).cast("int"), F.lit(bins - 1))
+        .alias("bin"),
+        c.cast("decimal(27,15)").alias("_conf"),
+        F.col(correct_col).cast("long").alias("_ok"),
+    )
+    per = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_ok").cast("long").alias("n_correct"),
+        F.sum("_conf").cast("decimal(37,15)").alias("_sc"),
+    )
+    return per.select(
+        "bin", "n", "n_correct",
+        (F.col("_sc").cast("double") / F.col("n").cast("double"))
+        .alias("mean_conf"),
+        (F.col("n_correct").cast("double") / F.col("n").cast("double"))
+        .alias("accuracy"),
+    )

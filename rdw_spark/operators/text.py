@@ -1666,3 +1666,79 @@ def homoglyph_report(
         diff.cast("long").alias("n_confusable_chars"),
         (diff > 0).alias("is_cloaked"),
     )
+
+
+def rouge_n(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    n: int = 1,
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """ROUGE-N overlap between a candidate and a reference text per
+    pair (Lin 2004) — the summarization/generation eval staple: clipped
+    word-n-gram overlap with precision, recall, and F1. Feed it the
+    (generated, gold) join of an eval run; it's also a sharp
+    paraphrase-vs-copy screen between corpus versions.
+
+    Exactness: the clipped overlap ``Σ_g min(c_cand(g), c_ref(g))`` and
+    both gram totals are exact integers; precision/recall are one
+    double division each, and F1 uses the algebraic identity
+    ``2·overlap/(n_cand + n_ref)`` (equal to 2PR/(P+R) for these
+    definitions) so it is ALSO a single correctly-rounded division —
+    no float composition anywhere, bit-identical across engines.
+    Zero-gram sides report NULL for the affected metric; pairs with no
+    grams on either side (both texts shorter than ``n`` tokens) emit no
+    row.
+
+    Scale shape: gram construction is map-only (transform over token
+    slices); counting shuffles at the (pair, gram) grain — never a
+    per-pair collect — then one partial-agg rollup to the pair grain.
+    A full outer join aligns the two count frames so one-sided grams
+    still reach the totals."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(col: str) -> Column:
+        # normalized tokens (lowercase, punctuation stripped) — the
+        # standard ROUGE preprocessing and the fingerprinting canon
+        t = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
+                     lambda x: x != "")
+        cnt = F.size(t) - n + 1
+        # guard: F.sequence(1, 0) generates DESCENDING [1, 0], so a
+        # too-short text must return an empty gram array explicitly
+        return F.when(
+            cnt >= 1,
+            F.transform(F.sequence(F.lit(1), cnt),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            df.select(id_col, F.explode(grams(col)).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    c = counts(cand_col, "_cc")
+    r = counts(ref_col, "_cr")
+    j = c.join(r, [id_col, "_g"], "full")
+    per = j.groupBy(id_col).agg(
+        F.sum(F.coalesce("_cc", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(F.coalesce("_cr", F.lit(0))).cast("long").alias("n_ref"),
+        F.sum(F.least(F.coalesce("_cc", F.lit(0)),
+                      F.coalesce("_cr", F.lit(0))))
+        .cast("long").alias("overlap"),
+    )
+    o = F.col("overlap").cast("double")
+    return per.select(
+        id_col, "n_cand", "n_ref", "overlap",
+        F.when(F.col("n_cand") > 0,
+               o / F.col("n_cand").cast("double")).alias("precision"),
+        F.when(F.col("n_ref") > 0,
+               o / F.col("n_ref").cast("double")).alias("recall"),
+        F.when(F.col("n_cand") + F.col("n_ref") > 0,
+               F.lit(2.0) * o
+               / (F.col("n_cand") + F.col("n_ref")).cast("double"))
+        .alias("f1"),
+    )

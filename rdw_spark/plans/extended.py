@@ -3890,3 +3890,92 @@ def j_overlap_intervals_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, e, "v_start", "v_end", "e_start", "e_end",
         cell=3_600_000_000, on=["u"],
     ).select("u", "l_day", "v_start", "v_end", "r_day", "e_start", "e_end")
+
+
+@register(
+    "zz_stat_ks_test",
+    # Cross-multiplied integer ECDF gaps (|cum_a*n_b - cum_b*n_a|, max as
+    # an integer) with one double division + one pinned sqrt expression at
+    # the end — bit-identical across engines (the mann_whitney pattern).
+    oracle="""
+    WITH d AS (
+        SELECT n_chars AS v, CAST(lang = 'en' AS BIGINT) AS ia
+        FROM documents WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+    ), per_val AS (
+        SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM d GROUP BY v
+    ), pv AS (
+        SELECT SUM(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM per_val
+    ), agg AS (
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        FROM pv
+    )
+    SELECT n_a, n_b, d_num,
+           CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+           sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+               * (CAST(d_num AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS z
+    FROM agg
+    """,
+    survey="ext: two-sample Kolmogorov–Smirnov drift test — exact "
+           "integer cross-multiplied ECDF gaps over the distinct-value "
+           "support (one partial-agg shuffle + bounded running-sum "
+           "window, the fact never sorts); the any-shape drift "
+           "companion to stat_mann_whitney and migrate's PSI gate. "
+           "operators/profiling.py::ks_test",
+)
+def zz_stat_ks_test_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import ks_test
+
+    return ks_test(
+        _t(spark, sf_dir, "documents"), "n_chars", "lang", "en", "de")
+
+
+@register(
+    "zz_eval_calibration",
+    # conf is an exact multiple of 1/64 (integer ratio), so the
+    # decimal(27,15) accumulation is exact and order-invariant in both
+    # engines; mean_conf/accuracy are one double division each.
+    oracle="""
+    WITH d AS (
+        SELECT CAST(n_chars % 65 AS DOUBLE) / 64.0 AS conf,
+               CAST(lang = 'en' AS BIGINT) AS ok
+        FROM documents WHERE n_chars IS NOT NULL
+    ), binned AS (
+        SELECT CAST(LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS INT) AS bin,
+               CAST(conf AS DECIMAL(27,15)) AS c, ok
+        FROM d WHERE conf >= 0 AND conf <= 1
+    ), per AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ok) AS BIGINT) AS n_correct,
+               CAST(SUM(c) AS DECIMAL(37,15)) AS sc
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_correct,
+           CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_conf,
+           CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+    FROM per
+    """,
+    survey="ext: reliability-diagram calibration table (per-bin support, "
+           "mean confidence, accuracy — the ECE inputs) for probabilistic "
+           "labelers; map-only bin assignment + one partial-agg shuffle "
+           "at the <=bins grain, decimal confidence accumulation. "
+           "operators/profiling.py::calibration_report",
+)
+def zz_eval_calibration_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import calibration_report
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()).select(
+        ((F.col("n_chars") % 65).cast("double") / F.lit(64.0)).alias("conf"),
+        (F.col("lang") == "en").cast("long").alias("ok"),
+    )
+    return calibration_report(d, "conf", "ok", bins=10)

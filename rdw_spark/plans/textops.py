@@ -2854,3 +2854,136 @@ def zz_text_compress_ratio_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zz_text_homoglyphs_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.homoglyph_report(_docs(spark, sf_dir))
+
+
+@register(
+    "zz_eval_rouge",
+    # pairs = consecutive same-lang doc ids (candidate i vs reference
+    # i+1) — ROUGE-2 between near-neighbors in the corpus ordering.
+    # Clipped overlap and gram totals are exact integers; P/R/F1 are one
+    # double division each (F1 via 2*o/(nc+nr) — algebraically 2PR/(P+R)).
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\\s+') AS l
+        FROM documents WHERE trim(text) <> ''
+    ), pairs AS (
+        SELECT a.doc_id AS pair_id, a.l AS cl, b.l AS rl
+        FROM norm a JOIN norm b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ), cg AS (
+        SELECT pair_id, array_to_string(cl[i:i+1], ' ') AS g,
+               CAST(COUNT(*) AS BIGINT) AS cc
+        FROM pairs, unnest(range(1, len(cl))) AS u(i)
+        GROUP BY 1, 2
+    ), rg AS (
+        SELECT pair_id, array_to_string(rl[i:i+1], ' ') AS g,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM pairs, unnest(range(1, len(rl))) AS u(i)
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT COALESCE(cg.pair_id, rg.pair_id) AS pair_id,
+               COALESCE(cc, 0) AS cc, COALESCE(cr, 0) AS cr
+        FROM cg FULL OUTER JOIN rg
+          ON cg.pair_id = rg.pair_id AND cg.g = rg.g
+    ), per AS (
+        SELECT pair_id,
+               CAST(SUM(cc) AS BIGINT) AS n_cand,
+               CAST(SUM(cr) AS BIGINT) AS n_ref,
+               CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS overlap
+        FROM j GROUP BY pair_id
+    )
+    SELECT pair_id, n_cand, n_ref, overlap,
+           CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE)
+                / CAST(n_cand AS DOUBLE) END AS "precision",
+           CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE)
+                / CAST(n_ref AS DOUBLE) END AS recall,
+           CASE WHEN n_cand + n_ref > 0 THEN 2.0 * CAST(overlap AS DOUBLE)
+                / CAST(n_cand + n_ref AS DOUBLE) END AS f1
+    FROM per
+    """,
+    survey="ext: ROUGE-N clipped n-gram overlap (precision/recall/F1) "
+           "per (candidate, reference) pair — the generation/summariz"
+           "ation eval staple and a paraphrase-vs-copy screen; map-only "
+           "gram construction, one (pair, gram) partial-agg shuffle per "
+           "side, full-join alignment, one pair-grain rollup. "
+           "operators/text.py::rouge_n",
+)
+def zz_eval_rouge_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rouge_n
+
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    a = d.select(F.col("doc_id").alias("pair_id"), "lang",
+                 F.col("text").alias("cand"))
+    b = d.select((F.col("doc_id") - 1).alias("pair_id"), "lang",
+                 F.col("text").alias("ref"))
+    pairs = a.join(b, ["pair_id", "lang"])
+    return rouge_n(pairs, "cand", "ref", n=2, id_col="pair_id")
+
+
+@register(
+    "zz_eval_blocking",
+    # blocker = same (lang, n_chars DIV 64) bucket; truth = same
+    # first-3-token prefix (the near-dup family proxy). All counts are
+    # exact integers over DISTINCT ordered pairs; PC and RR are one
+    # double division each.
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang, n_chars,
+               array_to_string((string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\\s+'))[1:3], ' ') AS pfx
+        FROM documents WHERE trim(text) <> ''
+    ), n AS (SELECT COUNT(*) AS nd FROM norm),
+    truth AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM norm a JOIN norm b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM norm a JOIN norm b
+          ON a.lang = b.lang AND a.n_chars // 64 = b.n_chars // 64
+         AND a.doc_id < b.doc_id
+    ), agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+                SEMI JOIN truth USING (ia, ib)) AS n_hits,
+               (SELECT CAST(nd * nd AS BIGINT) FROM n) AS n_possible
+    )
+    SELECT n_candidates, n_truth, n_hits, n_possible,
+           CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE)
+                / CAST(n_truth AS DOUBLE) END AS pair_completeness,
+           1.0 - CAST(n_candidates AS DOUBLE)
+               / CAST(n_possible AS DOUBLE) AS reduction_ratio
+    FROM agg
+    """,
+    survey="ext: blocking-quality eval (pair completeness + reduction "
+           "ratio vs labeled matches) for the record-linkage stack — "
+           "grades the blocker that feeds match_scores; two distinct "
+           "partial-aggs + one left-semi join at the pair grain, 1-row "
+           "broadcast crossJoins. operators/joins.py::blocking_eval",
+)
+def zz_eval_blocking_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import blocking_eval
+    from ..operators.text import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), r"\s+")
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "").select(
+        "doc_id", "lang", "n_chars",
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("pfx"),
+    )
+    nd = d.count()
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"),
+                 F.expr("n_chars DIV 64").alias("ba"),
+                 F.col("pfx").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"),
+                 F.expr("n_chars DIV 64").alias("bb"),
+                 F.col("pfx").alias("pb"))
+    cand = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
+        & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
+    truth = a.join(
+        b, (F.col("pa") == F.col("pb"))
+        & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
+    return blocking_eval(cand, truth, nd, nd)

@@ -61,3 +61,194 @@ class TestStreamingTwinsMatchWindowEntries:
 
         got = sorted(map(tuple, read_confusion_report(spark, out).collect()))
         assert got == want
+
+
+class TestKsTest:
+    def test_hand_solved_two_sample(self, spark):
+        """a = [1,2,3], b = [2,3,4]: ECDF gap peaks at v=1 (1/3 vs 0)
+        and v=3 (1 vs 2/3) -> D = 1/3; d_num = |cum_a*n_b - cum_b*n_a|
+        max = 3; z = sqrt(9/6) * (1/3)."""
+        import math
+
+        from rdw_spark.operators.profiling import ks_test
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 2.0), ("b", 3.0), ("b", 4.0)], "g string, v double")
+        r = ks_test(df, "v", "g", "a", "b").collect()[0]
+        assert r["n_a"] == 3 and r["n_b"] == 3
+        assert r["d_num"] == 3
+        assert r["d_stat"] == 3.0 / 9.0
+        assert r["z"] == math.sqrt(9.0 / 6.0) * (3.0 / 9.0)
+
+    def test_identical_samples_zero(self, spark):
+        from rdw_spark.operators.profiling import ks_test
+
+        rows = [("a", float(v)) for v in range(10)] + [
+            ("b", float(v)) for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ks_test(df, "v", "g", "a", "b").collect()[0]
+        assert r["d_num"] == 0 and r["d_stat"] == 0.0 and r["z"] == 0.0
+
+    def test_disjoint_samples_max(self, spark):
+        """Fully separated distributions -> D = 1."""
+        from rdw_spark.operators.profiling import ks_test
+
+        rows = [("a", float(v)) for v in range(5)] + [
+            ("b", float(v + 100)) for v in range(7)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ks_test(df, "v", "g", "a", "b").collect()[0]
+        assert r["d_stat"] == 1.0
+        assert r["d_num"] == 35  # n_a * n_b
+
+    def test_matches_scipy_model(self, spark):
+        """Pure-Python ECDF model on a pseudorandom mixed sample."""
+        import random
+
+        from rdw_spark.operators.profiling import ks_test
+
+        rnd = random.Random(12)
+        a = [round(rnd.gauss(0, 1), 3) for _ in range(80)]
+        b = [round(rnd.gauss(0.4, 1.3), 3) for _ in range(60)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        support = sorted(set(a) | set(b))
+        want = max(
+            abs(sum(1 for x in a if x <= v) * len(b)
+                - sum(1 for x in b if x <= v) * len(a))
+            for v in support)
+        r = ks_test(df, "v", "g", "a", "b").collect()[0]
+        assert r["d_num"] == want
+        assert r["d_stat"] == want / (80.0 * 60.0)
+
+
+class TestRougeN:
+    def test_hand_solved_unigram(self, spark):
+        """cand 'the cat sat', ref 'the cat ate food': clipped overlap
+        {the:1, cat:1} = 2; P = 2/3, R = 2/4, F1 = 2*2/(3+4)."""
+        from rdw_spark.operators.text import rouge_n
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat", "the cat ate food")],
+            "pair_id long, cand string, ref string")
+        r = rouge_n(df, "cand", "ref", n=1).collect()[0]
+        assert (r["n_cand"], r["n_ref"], r["overlap"]) == (3, 4, 2)
+        assert r["precision"] == 2.0 / 3.0
+        assert r["recall"] == 2.0 / 4.0
+        assert r["f1"] == 4.0 / 7.0
+
+    def test_clipping_repeated_grams(self, spark):
+        """cand 'a a a a' vs ref 'a a': overlap clips to ref's count 2
+        (the anti-gaming core of ROUGE)."""
+        from rdw_spark.operators.text import rouge_n
+
+        df = spark.createDataFrame(
+            [(1, "a a a a", "a a")], "pair_id long, cand string, ref string")
+        r = rouge_n(df, "cand", "ref", n=1).collect()[0]
+        assert (r["n_cand"], r["n_ref"], r["overlap"]) == (4, 2, 2)
+        assert r["precision"] == 0.5 and r["recall"] == 1.0
+
+    def test_bigrams_and_normalization(self, spark):
+        """ROUGE-2 on normalized text: 'The CAT sat!' == 'the cat sat';
+        bigrams {the cat, cat sat} fully overlap."""
+        from rdw_spark.operators.text import rouge_n
+
+        df = spark.createDataFrame(
+            [(1, "The CAT sat!", "the cat sat")],
+            "pair_id long, cand string, ref string")
+        r = rouge_n(df, "cand", "ref", n=2).collect()[0]
+        assert (r["n_cand"], r["n_ref"], r["overlap"]) == (2, 2, 2)
+        assert r["f1"] == 1.0
+
+    def test_short_side_null_metric(self, spark):
+        """Candidate shorter than n -> zero cand grams: precision NULL,
+        recall 0; both sides too short -> no row."""
+        from rdw_spark.operators.text import rouge_n
+
+        df = spark.createDataFrame(
+            [(1, "word", "two words here"), (2, "a", "b")],
+            "pair_id long, cand string, ref string")
+        out = {r["pair_id"]: r for r in
+               rouge_n(df, "cand", "ref", n=2).collect()}
+        assert 2 not in out
+        r = out[1]
+        assert r["n_cand"] == 0 and r["n_ref"] == 2
+        assert r["precision"] is None and r["recall"] == 0.0
+
+    def test_n_validated(self, spark):
+        import pytest
+
+        from rdw_spark.operators.text import rouge_n
+
+        df = spark.createDataFrame([(1, "a", "b")],
+                                   "pair_id long, cand string, ref string")
+        with pytest.raises(ValueError, match="n must be"):
+            rouge_n(df, "cand", "ref", n=0)
+
+
+class TestBlockingEval:
+    def test_hand_solved_metrics(self, spark):
+        """5x4 universe; blocker emits 6 distinct pairs (one duplicated
+        -> counted once); truth has 3 pairs, 2 recovered:
+        PC = 2/3, RR = 1 - 6/20."""
+        from rdw_spark.operators.joins import blocking_eval
+
+        cand = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10), (3, 12), (4, 13), (5, 10), (1, 10)],
+            "id_a long, id_b long")
+        truth = spark.createDataFrame(
+            [(1, 10), (3, 12), (2, 13)], "id_a long, id_b long")
+        r = blocking_eval(cand, truth, 5, 4).collect()[0]
+        assert r["n_candidates"] == 6 and r["n_truth"] == 3
+        assert r["n_hits"] == 2 and r["n_possible"] == 20
+        assert r["pair_completeness"] == 2.0 / 3.0
+        assert r["reduction_ratio"] == 1.0 - 6.0 / 20.0
+
+    def test_validates_sizes(self, spark):
+        import pytest
+
+        from rdw_spark.operators.joins import blocking_eval
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="corpus sizes"):
+            blocking_eval(df, df, 0, 5)
+        with pytest.raises(ValueError, match="overflows"):
+            blocking_eval(df, df, 2**32, 2**32)
+
+
+class TestCalibrationReport:
+    def test_hand_solved_bins(self, spark):
+        """conf {0.05 x2 wrong, 0.95 x4 with 3 right}: bin 0 has n=2
+        acc=0, mean .05; bin 9 has n=4 acc=.75 mean .95; conf=1.0 lands
+        in the TOP bin, not bins."""
+        from rdw_spark.operators.profiling import calibration_report
+
+        rows = [(0.05, 0), (0.05, 0),
+                (0.95, 1), (0.95, 1), (0.95, 1), (0.95, 0), (1.0, 1)]
+        df = spark.createDataFrame(rows, "conf double, ok long")
+        out = {r["bin"]: r for r in
+               calibration_report(df, "conf", "ok", bins=10).collect()}
+        assert set(out) == {0, 9}
+        assert out[0]["n"] == 2 and out[0]["accuracy"] == 0.0
+        assert out[0]["mean_conf"] == 0.05
+        b9 = out[9]
+        assert b9["n"] == 5 and b9["n_correct"] == 4
+        assert b9["accuracy"] == 0.8
+        assert b9["mean_conf"] == (0.95 * 4 + 1.0) / 5.0
+
+    def test_out_of_range_and_null_dropped(self, spark):
+        from rdw_spark.operators.profiling import calibration_report
+
+        rows = [(0.5, 1), (1.5, 1), (-0.1, 0), (None, 1)]
+        df = spark.createDataFrame(rows, "conf double, ok long")
+        out = calibration_report(df, "conf", "ok", bins=4).collect()
+        assert len(out) == 1 and out[0]["bin"] == 2 and out[0]["n"] == 1
+
+    def test_bins_validated(self, spark):
+        import pytest
+
+        from rdw_spark.operators.profiling import calibration_report
+
+        df = spark.createDataFrame([(0.5, 1)], "conf double, ok long")
+        with pytest.raises(ValueError, match="bins"):
+            calibration_report(df, "conf", "ok", bins=0)
