@@ -1742,3 +1742,166 @@ def rouge_n(
                / (F.col("n_cand") + F.col("n_ref")).cast("double"))
         .alias("f1"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    prefix_hex: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every RAW document by the
+    log-likelihood ratio of a hashed-n-gram multinomial fitted on the
+    TARGET corpus vs one fitted on the raw corpus —
+    ``log w(x) = Σ_g c_x(g)·(log p_t(bucket(g)) − log p_r(bucket(g)))``.
+    High-weight docs "look like" the target domain; feed the weights to
+    :mod:`sampling`'s ``weighted_sample_k`` for the resampling step.
+
+    Buckets are the first ``prefix_hex`` hex chars of ``md5(gram)``
+    (16^prefix_hex buckets — md5 is available and bit-identical in
+    every engine, unlike xxhash64); both models are Laplace-smoothed
+    with ``alpha``. Grams are word 1..n-grams over normalized tokens
+    (the paper's unigram+bigram default at n=2).
+
+    Engine parity: all bucket counts are exact integers; each bucket's
+    log-ratio is one pinned double tree; the per-doc sum folds the
+    (bucket, count) pairs in SORTED bucket order (partitioning cannot
+    reorder the addition — the nDCG precedent) and is rounded to 10 dp
+    at the libm log boundary.
+
+    Scale shape: gram construction is map-only; the two model fits are
+    one partial-agg shuffle each onto the BOUNDED bucket space
+    (≤ 16^prefix_hex rows — broadcastable by construction); scoring
+    joins each doc's per-bucket counts (one (doc, bucket) partial agg)
+    to the broadcast model and folds per doc. No collect, no cartesian."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 1 <= prefix_hex <= 8:
+        raise ValueError(f"prefix_hex must be in 1..8, got {prefix_hex}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    n_buckets = 16 ** prefix_hex
+
+    def buckets(col: str) -> Column:
+        t = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
+                     lambda x: x != "")
+
+        def gram_bucket(k: int):
+            # closure factory, NOT a default arg: pyspark counts lambda
+            # params to bind higher-order functions, so `lambda i, k=k`
+            # would bind as the (element, index) two-arg form
+            return lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, prefix_hex)
+
+        out = None
+        for k in range(1, n + 1):
+            cnt = F.size(t) - k + 1
+            g = F.when(
+                cnt >= 1,
+                F.transform(F.sequence(F.lit(1), cnt), gram_bucket(k)),
+            ).otherwise(F.array().cast("array<string>"))
+            out = g if out is None else F.concat(out, g)
+        return out
+
+    def model(df: DataFrame, total_name: str, cnt_name: str) -> DataFrame:
+        per = (
+            df.select(F.explode(buckets(text_col)).alias("_b"))
+            .groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias(cnt_name))
+        )
+        w = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        return per.withColumn(
+            total_name, F.sum(cnt_name).over(w).cast("long"))
+
+    from pyspark.sql import Window
+
+    t_model = model(target, "_nt", "_ct")
+    r_model = model(raw, "_nr", "_cr")
+    # full outer join on the bounded bucket space; absent buckets get
+    # count 0 (the smoothing keeps the log finite). Totals are constant
+    # per side, so re-broadcast via a max window after the join.
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    m = (
+        t_model.join(r_model, "_b", "full")
+        .withColumn("_nt", F.max("_nt").over(wall))
+        .withColumn("_nr", F.max("_nr").over(wall))
+        .select(
+            "_b",
+            (
+                F.log((F.coalesce("_ct", F.lit(0)).cast("double")
+                       + F.lit(float(alpha)))
+                      / (F.col("_nt").cast("double")
+                         + F.lit(float(alpha * n_buckets))))
+                - F.log((F.coalesce("_cr", F.lit(0)).cast("double")
+                         + F.lit(float(alpha)))
+                        / (F.col("_nr").cast("double")
+                           + F.lit(float(alpha * n_buckets))))
+            ).alias("_lr"),
+        )
+    )
+    doc_b = (
+        raw.select(F.col(id_col), F.explode(buckets(text_col)).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    scored = doc_b.join(F.broadcast(m), "_b")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_grams"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_b").alias("b"), F.col("_c").alias("c"),
+            F.col("_lr").alias("lr")))).alias("_terms"),
+    )
+    fold = F.aggregate(
+        "_terms", F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * x["lr"])
+    return per_doc.select(
+        id_col, "n_grams", F.round(fold, 10).alias("log_weight"))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility report — the standard tokenizer-
+    equity diagnostic (how many subword tokens per word, and how many
+    bytes per subword token, each language pays under the tokenizer):
+    high-fertility languages get fewer effective context tokens and
+    higher serving cost, which is why multilingual tokenizer papers
+    table exactly these ratios. Uses the repo's deterministic BPE-ish
+    ``subword_count`` regex as the tokenizer proxy.
+
+    Exactness: word / subword / byte counts are exact integers summed
+    exactly; the two fertility ratios are one double division each.
+
+    Scale shape: map-only counting + ONE partial-agg shuffle at the
+    group grain (O(groups) result)."""
+    words = token_count(F.col(text_col))
+    subs = subword_count(F.col(text_col))
+    octs = F.octet_length(F.col(text_col))
+    agg = (
+        df.filter(F.col(text_col).isNotNull()
+                  & (F.trim(F.col(text_col)) != ""))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(words).cast("long").alias("n_words"),
+            F.sum(subs).cast("long").alias("n_subwords"),
+            F.sum(octs).cast("long").alias("n_bytes"),
+        )
+    )
+    return agg.select(
+        group_col, "n_docs", "n_words", "n_subwords", "n_bytes",
+        F.when(F.col("n_words") > 0,
+               F.col("n_subwords").cast("double")
+               / F.col("n_words").cast("double")).alias("fertility"),
+        F.when(F.col("n_subwords") > 0,
+               F.col("n_bytes").cast("double")
+               / F.col("n_subwords").cast("double"))
+        .alias("bytes_per_subword"),
+    )

@@ -2987,3 +2987,108 @@ def zz_eval_blocking_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("pa") == F.col("pb"))
         & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
     return blocking_eval(cand, truth, nd, nd)
+
+
+@register(
+    "zz_dsir_weights",
+    # target = English docs, raw = whole corpus. Buckets are
+    # substr(md5(gram),1,3) (portable, bit-identical in both engines);
+    # ln is the libm boundary, guarded by the sorted per-doc fold +
+    # round 10dp (the nDCG/drift_psi precedent). DuckDB's log() is
+    # log10 — ln() here.
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'),
+                   x -> x <> '') AS l
+        FROM documents
+    ), db AS (
+        SELECT doc_id, lang, substr(md5(l[i]), 1, 3) AS b
+        FROM norm, unnest(range(1, len(l) + 1)) AS u(i)
+        UNION ALL
+        SELECT doc_id, lang, substr(md5(l[i] || ' ' || l[i + 1]), 1, 3) AS b
+        FROM norm, unnest(range(1, len(l))) AS u(i)
+    ), rm AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM db GROUP BY b
+    ), tm AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM db
+        WHERE lang = 'en' GROUP BY b
+    ), m AS (
+        SELECT COALESCE(rm.b, tm.b) AS b,
+               ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0)
+                  / (CAST((SELECT SUM(ct) FROM tm) AS DOUBLE) + 4096.0))
+               - ln((CAST(COALESCE(cr, 0) AS DOUBLE) + 1.0)
+                    / (CAST((SELECT SUM(cr) FROM rm) AS DOUBLE) + 4096.0))
+                   AS lr
+        FROM rm FULL OUTER JOIN tm ON rm.b = tm.b
+    ), dc AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM db GROUP BY doc_id, b
+    ), per AS (
+        SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               list_sort(list(struct_pack(b := dc.b, c := c, lr := lr)))
+                   AS terms
+        FROM dc JOIN m ON dc.b = m.b
+        GROUP BY dc.doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+                   terms, x -> CAST(x.c AS DOUBLE) * x.lr)),
+               (a, t) -> a + t), 10) AS log_weight
+    FROM per
+    """,
+    survey="ext: DSIR importance weights (Xie et al. 2023 data "
+           "selection) — hashed uni+bigram multinomial log-likelihood "
+           "ratio of a target-domain model vs the raw-corpus model, "
+           "per document; bounded md5-prefix bucket space (16^3) so "
+           "both model fits broadcast, per-doc sorted fold for engine "
+           "parity; feeds sampling.weighted_sample_k for the resample "
+           "step. operators/text.py::dsir_weights",
+)
+def zz_dsir_weights_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(d, d.filter(F.col("lang") == "en"),
+                        n=2, prefix_hex=3, alpha=1.0)
+
+
+@register(
+    "zz_text_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+               AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS n_subwords,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN SUM(len(string_split_regex(trim(text), '\\s+'))) > 0
+                THEN CAST(SUM(len(regexp_extract_all(text,
+                         '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')))
+                         AS DOUBLE)
+                     / CAST(SUM(len(string_split_regex(trim(text),
+                         '\\s+'))) AS DOUBLE) END AS fertility,
+           CASE WHEN SUM(len(regexp_extract_all(text,
+                    '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) > 0
+                THEN CAST(SUM(strlen(text)) AS DOUBLE)
+                     / CAST(SUM(len(regexp_extract_all(text,
+                         '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')))
+                         AS DOUBLE) END AS bytes_per_subword
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    GROUP BY lang
+    """,
+    survey="ext: per-language tokenizer fertility report (subwords/word, "
+           "bytes/subword — the multilingual tokenizer-equity table) "
+           "over the deterministic BPE-ish subword proxy; map-only "
+           "counting + one group-grain partial-agg shuffle. "
+           "operators/text.py::tokenizer_fertility",
+)
+def zz_text_fertility_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir), "lang")

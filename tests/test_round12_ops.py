@@ -252,3 +252,103 @@ class TestCalibrationReport:
         df = spark.createDataFrame([(0.5, 1)], "conf double, ok long")
         with pytest.raises(ValueError, match="bins"):
             calibration_report(df, "conf", "ok", bins=0)
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _model_weight(raw_docs, target_docs, doc, n=2, ph=3, alpha=1.0):
+        """Pure-Python DSIR model: hashed-gram multinomial log-ratio."""
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def grams(text):
+            toks = [t for t in
+                    re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+                    if t]
+            out = []
+            for k in range(1, n + 1):
+                out += [" ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)]
+            return [hashlib.md5(g.encode()).hexdigest()[:ph] for g in out]
+
+        nb = 16 ** ph
+        cr = Counter(b for d in raw_docs for b in grams(d))
+        ct = Counter(b for d in target_docs for b in grams(d))
+        nr, nt = sum(cr.values()), sum(ct.values())
+        dc = Counter(grams(doc))
+        # fold in sorted bucket order, matching the engine contract
+        w = 0.0
+        for b in sorted(dc):
+            lr = (math.log((ct.get(b, 0) + alpha) / (nt + alpha * nb))
+                  - math.log((cr.get(b, 0) + alpha) / (nr + alpha * nb)))
+            w = w + dc[b] * lr
+        return sum(dc.values()), round(w, 10)
+
+    def test_matches_python_model(self, spark):
+        from rdw_spark.operators.text import dsir_weights
+
+        raw = ["the cat sat on the mat", "stocks rallied on earnings",
+               "el gato come pescado", "the dog ran home",
+               "rates fell as markets rallied"]
+        target = ["stocks rallied on earnings",
+                  "rates fell as markets rallied"]
+        rdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+        tdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(target)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_grams"], r["log_weight"])
+               for r in dsir_weights(rdf, tdf).collect()}
+        for i, d in enumerate(raw):
+            assert got[i] == self._model_weight(raw, target, d), f"doc {i}"
+
+    def test_target_like_docs_rank_higher(self, spark):
+        """Finance docs must outscore the off-domain cat doc when the
+        target model is finance text — the selection property DSIR
+        exists for."""
+        from rdw_spark.operators.text import dsir_weights
+
+        raw = ["the cat sat on the mat", "stocks rallied on earnings"]
+        target = ["markets rallied as stocks rose on earnings season"]
+        rdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+        tdf = spark.createDataFrame(
+            [(9, target[0])], "doc_id long, text string")
+        got = {r["doc_id"]: r["log_weight"]
+               for r in dsir_weights(rdf, tdf).collect()}
+        assert got[1] > got[0]
+
+    def test_validates_params(self, spark):
+        import pytest
+
+        from rdw_spark.operators.text import dsir_weights
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n must"):
+            dsir_weights(df, df, n=0)
+        with pytest.raises(ValueError, match="prefix_hex"):
+            dsir_weights(df, df, prefix_hex=0)
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_weights(df, df, alpha=0.0)
+
+
+class TestTokenizerFertility:
+    def test_hand_solved_counts(self, spark):
+        """'hello, world' -> 2 words; subwords: hell+o+','+worl+d = 5;
+        12 bytes. 'hi' -> 1 word, 1 subword, 2 bytes."""
+        from rdw_spark.operators.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [("en", "hello, world"), ("de", "hi"), ("de", None),
+             ("de", "  ")], "lang string, text string")
+        out = {r["lang"]: r for r in
+               tokenizer_fertility(df, "lang").collect()}
+        en = out["en"]
+        assert (en["n_docs"], en["n_words"], en["n_subwords"],
+                en["n_bytes"]) == (1, 2, 5, 12)
+        assert en["fertility"] == 2.5
+        assert en["bytes_per_subword"] == 12.0 / 5.0
+        de = out["de"]   # null/blank docs dropped
+        assert (de["n_docs"], de["n_words"], de["n_subwords"]) == (1, 1, 1)
