@@ -398,3 +398,64 @@ def plan_epochs(index: DataFrame, n_epochs: int, seed: str = "e0") -> DataFrame:
         .withColumn("epoch_pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_ord")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int,
+    key_col: str = "doc_id",
+    seed: str = "cur0",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum training order: split the corpus into ``n_stages``
+    equal-count difficulty stages (NTILE over ``score_col``, easy→hard
+    when ``ascending``) and give every row a global ``position`` that
+    runs stage by stage with a deterministic md5 shuffle INSIDE each
+    stage — the standard curriculum-learning schedule (ordered between
+    stages so training sees easy examples first, shuffled within a
+    stage so batches stay i.i.d. inside the difficulty band).
+
+    Determinism: the stage is NTILE over the total order
+    ``(score, key)`` (ties can't float between stages across runs or
+    partitionings); the within-stage order is :func:`shuffle_order`'s
+    md5(seed || key) rank — same rows, same positions, every run.
+
+    Scale shape: stage assignment needs a global rank, which here is
+    :func:`with_global_offset` with unit weights over the STRUCT order
+    key (score, key) — one range shuffle + per-partition running sums,
+    never a single-task ``ntile() OVER (ORDER BY …)`` window; rank r of
+    N maps to stage ``(r · n_stages) DIV N`` (exact equal-count NTILE
+    arithmetic). N attaches as a broadcast 1-row aggregate. The final
+    position is a second distributed rank over the struct
+    (stage, md5, key). Two range shuffles total, no global sort task.
+    NULL scores drop (no difficulty — no stage); NaN sorts as Spark
+    orders doubles (greater than any number)."""
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    score = F.col(score_col).cast("double")
+    d = (
+        df.filter(score.isNotNull())
+        .withColumn("_one", F.lit(1).cast("long"))
+        # struct ordering is field-wise ascending; negate the score for
+        # hard-first curricula (total order either way via the key)
+        .withColumn("_sord", F.struct(
+            (score if ascending else -score).alias("s"),
+            F.col(key_col).alias("k")))
+    )
+    ranked = with_global_offset(d, "_one", order_col="_sord",
+                                out_col="_rank")
+    n1 = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    staged = ranked.crossJoin(n1).withColumn(
+        "stage", F.expr(f"(_rank * {int(n_stages)}) DIV _n"))
+    h = F.struct(
+        F.col("stage").alias("st"),
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+        .alias("h"),
+        F.col(key_col).alias("k"),
+    )
+    out = with_global_offset(
+        staged.withColumn("_ord", h), "_one",
+        order_col="_ord", out_col="position",
+    )
+    return out.drop("_sord", "_one", "_rank", "_n", "_ord")

@@ -705,40 +705,16 @@ def mann_whitney_u(
     )
 
 
-def ks_test(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    group_a,
-    group_b,
-) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov statistic between two groups — the
-    distribution-drift companion to :func:`mann_whitney_u` (MW sees
-    location shifts; KS sees ANY ECDF divergence: variance, shape,
-    multimodality — the standard "did this feature drift between
-    snapshots/domains" screen next to migrate's PSI gate, without PSI's
-    binning choice).
-
-    Exactness: at every distinct value the ECDF gap is carried as the
-    exact integer ``|cum_a·n_b − cum_b·n_a|`` (cross-multiplied — no
-    per-step division), the max is an integer max, and
-    ``d = d_num / (n_a·n_b)`` plus the asymptotic
-    ``z = sqrt(n_a·n_b/(n_a+n_b))·d`` are each one fixed-order double
-    expression. Bit-identical across engines and partitionings.
-
-    Scale shape: one partial-agg shuffle onto the DISTINCT value frame
-    (per-value per-group counts), one running-sum window over that
-    bounded support, one global max — the fact never sorts (the
-    mann_whitney_u shape exactly)."""
+def ks_from_counts(per_val: DataFrame) -> DataFrame:
+    """KS statistic from a per-distinct-value count frame
+    ``(_v, _ca, _cb)`` — the shared core of :func:`ks_test` (batch, two
+    groups of one frame) and ``streaming.aggstate.read_ks_drift`` (live
+    ingest counts vs a frozen reference). Cumulative counts run over
+    the bounded distinct-value support; the gap is the exact integer
+    ``|cum_a·n_b − cum_b·n_a|``; d/z are one pinned double expression
+    each (see ks_test for the full parity contract)."""
     from pyspark.sql import Window
 
-    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(value_col).alias("_v"),
-        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
-    ).filter(F.col("_v").isNotNull())
-    per_val = d.groupBy("_v").agg(
-        F.sum("_ia").alias("_ca"),
-        F.sum(F.lit(1) - F.col("_ia")).alias("_cb"))
     w = (Window.orderBy("_v")
          .rowsBetween(Window.unboundedPreceding, 0))
     wtot = (Window.orderBy("_v")
@@ -767,6 +743,41 @@ def ks_test(
         d_stat.alias("d_stat"),
         z.alias("z"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups — the
+    distribution-drift companion to :func:`mann_whitney_u` (MW sees
+    location shifts; KS sees ANY ECDF divergence: variance, shape,
+    multimodality — the standard "did this feature drift between
+    snapshots/domains" screen next to migrate's PSI gate, without PSI's
+    binning choice).
+
+    Exactness: at every distinct value the ECDF gap is carried as the
+    exact integer ``|cum_a·n_b − cum_b·n_a|`` (cross-multiplied — no
+    per-step division), the max is an integer max, and
+    ``d = d_num / (n_a·n_b)`` plus the asymptotic
+    ``z = sqrt(n_a·n_b/(n_a+n_b))·d`` are each one fixed-order double
+    expression. Bit-identical across engines and partitionings.
+
+    Scale shape: one partial-agg shuffle onto the DISTINCT value frame
+    (per-value per-group counts), one running-sum window over that
+    bounded support, one global max — the fact never sorts (the
+    mann_whitney_u shape exactly)."""
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
+    ).filter(F.col("_v").isNotNull())
+    per_val = d.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_ia")).alias("_cb"))
+    return ks_from_counts(per_val)
 
 
 def mad_outliers(

@@ -3092,3 +3092,39 @@ def zz_text_fertility_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir), "lang")
+
+
+@register(
+    "zz_curriculum_order",
+    # NTILE arithmetic (rank*k DIV N) + md5 within-stage shuffle — all
+    # exact integers and portable md5, so the full permutation is
+    # bit-identical across engines and partitionings.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ), r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+               COUNT(*) OVER () AS n
+        FROM d
+    ), s AS (
+        SELECT doc_id, n_chars, CAST(rk * 4 // n AS BIGINT) AS stage
+        FROM r
+    )
+    SELECT doc_id, n_chars, stage,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY stage, md5('cur0' || CAST(doc_id AS VARCHAR)),
+                        doc_id) - 1 AS BIGINT) AS position
+    FROM s
+    """,
+    survey="ext: curriculum training order — equal-count difficulty "
+           "stages (exact NTILE arithmetic over a distributed rank, "
+           "never a single-task window) with a deterministic md5 "
+           "shuffle inside each stage; two range shuffles total. "
+           "operators/packing.py::curriculum_order",
+)
+def zz_curriculum_order_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import curriculum_order
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return curriculum_order(d, "n_chars", 4, key_col="doc_id", seed="cur0")

@@ -516,3 +516,61 @@ def compact_postings_state(
     ver = pt.rebase(spark, base, keep_versions={f"a{top}"})
     pt.gc(keep_manifests=1)
     return ver
+
+
+def stream_value_counts_state(
+    spark: SparkSession,
+    landing_dir: str,
+    read_schema,
+    out_root: str,
+    checkpoint: str,
+    value_col: str,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Continuously maintain per-distinct-value counts of a feature as
+    rows land — the live ECDF behind :func:`read_ks_drift`'s drift
+    monitor (is today's ingest distributed like the blessed reference
+    snapshot?). Counts are purely additive, so each micro-batch's
+    value-grain delta merges by summation; state is O(distinct values),
+    not O(rows). Restart-safe via the mergeable-state contract."""
+    return stream_mergeable_state(
+        spark, landing_dir, read_schema, out_root, checkpoint, ["_v"],
+        lambda b: b.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n")),
+        max_files_per_trigger, available_now,
+    )
+
+
+def read_ks_drift(
+    spark: SparkSession,
+    out_root: str,
+    reference: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """The live drift answer: two-sample Kolmogorov–Smirnov statistic
+    between everything the stream has ingested (group a) and a frozen
+    ``reference`` frame (group b) — the SAME exact-integer ECDF core as
+    batch ``profiling.ks_test`` (``ks_from_counts``), so streaming and
+    batch agree bit-for-bit by construction. The reference aggregates
+    once per read; the merged state is the only other input — neither
+    side rescans history."""
+    from rdw_spark.operators.profiling import ks_from_counts
+
+    live = read_mergeable_state(
+        spark, out_root, ["_v"],
+        lambda rows: rows.groupBy("_v").agg(
+            F.sum("_n").cast("long").alias("_ca")),
+    )
+    ref = (
+        reference.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    )
+    per_val = (
+        live.join(ref, "_v", "full")
+        .select("_v", F.coalesce("_ca", F.lit(0)).alias("_ca"),
+                F.coalesce("_cb", F.lit(0)).alias("_cb"))
+    )
+    return ks_from_counts(per_val)

@@ -352,3 +352,94 @@ class TestTokenizerFertility:
         assert en["bytes_per_subword"] == 12.0 / 5.0
         de = out["de"]   # null/blank docs dropped
         assert (de["n_docs"], de["n_words"], de["n_subwords"]) == (1, 1, 1)
+
+
+class TestCurriculumOrder:
+    def test_stages_and_positions_hand_solved(self, spark):
+        """8 docs, scores 0..7, 4 stages -> exactly 2 per stage in score
+        order; positions are a permutation of 0..7 that never crosses a
+        stage boundary."""
+        from rdw_spark.operators.packing import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "doc_id long, score double")
+        rows = curriculum_order(df, "score", 4).collect()
+        by_doc = {r["doc_id"]: r for r in rows}
+        for i in range(8):
+            assert by_doc[i]["stage"] == i // 2
+        assert sorted(r["position"] for r in rows) == list(range(8))
+        # stage blocks are contiguous in position space
+        for r in rows:
+            assert r["stage"] == r["position"] // 2
+
+    def test_descending_and_determinism(self, spark):
+        from rdw_spark.operators.packing import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(20)],
+            "doc_id long, score double")
+        a = {r["doc_id"]: (r["stage"], r["position"])
+             for r in curriculum_order(df, "score", 3,
+                                       ascending=False).collect()}
+        b = {r["doc_id"]: (r["stage"], r["position"])
+             for r in curriculum_order(df.repartition(7), "score", 3,
+                                       ascending=False).collect()}
+        assert a == b   # partitioning-independent
+        # hard-first: the max-score docs sit in stage 0
+        hardest = [d for d, (s, _) in a.items() if d % 5 == 4]
+        assert all(a[d][0] == 0 for d in hardest)
+
+    def test_validates_stages(self, spark):
+        import pytest
+
+        from rdw_spark.operators.packing import curriculum_order
+
+        df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+        with pytest.raises(ValueError, match="n_stages"):
+            curriculum_order(df, "score", 0)
+
+
+class TestStreamingKsDrift:
+    def test_drift_equals_batch_ks(self, spark, tmp_path):
+        """Stream group-a values through the value-counts state; KS vs a
+        frozen reference must equal batch ks_test over the union frame
+        bit-for-bit (shared ks_from_counts core)."""
+        from rdw_spark.operators.profiling import ks_test
+        from rdw_spark.streaming.aggstate import (
+            read_ks_drift, stream_value_counts_state,
+        )
+
+        import random
+        rnd = random.Random(5)
+        a_vals = [round(rnd.gauss(0, 1), 2) for _ in range(200)]
+        b_vals = [round(rnd.gauss(0.5, 1.2), 2) for _ in range(150)]
+        adf = spark.createDataFrame([(v,) for v in a_vals], "v double")
+        landing = str(tmp_path / "landing")
+        adf.repartition(5).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        q = stream_value_counts_state(spark, landing, adf.schema, out, ckpt,
+                                      "v", max_files_per_trigger=2)
+        assert q.awaitTermination(120)
+
+        ref = spark.createDataFrame([(v,) for v in b_vals], "v double")
+        got = read_ks_drift(spark, out, ref, "v").collect()[0]
+        union = spark.createDataFrame(
+            [("a", v) for v in a_vals] + [("b", v) for v in b_vals],
+            "g string, v double")
+        want = ks_test(union, "v", "g", "a", "b").collect()[0]
+        assert got.asDict() == want.asDict()
+
+    def test_no_drift_on_identical_reference(self, spark, tmp_path):
+        from rdw_spark.streaming.aggstate import (
+            read_ks_drift, stream_value_counts_state,
+        )
+
+        vals = [float(v % 13) for v in range(100)]
+        adf = spark.createDataFrame([(v,) for v in vals], "v double")
+        landing = str(tmp_path / "landing")
+        adf.coalesce(1).write.parquet(landing)
+        out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        q = stream_value_counts_state(spark, landing, adf.schema, out, ckpt, "v")
+        assert q.awaitTermination(120)
+        r = read_ks_drift(spark, out, adf, "v").collect()[0]
+        assert r["d_num"] == 0 and r["d_stat"] == 0.0
