@@ -443,33 +443,51 @@ def overlap_join(
 def blocking_eval(
     cand_pairs: DataFrame,
     truth_pairs: DataFrame,
-    n_left: int,
-    n_right: int,
+    n_left: int | None = None,
+    n_right: int | None = None,
     id_cols: tuple[str, str] = ("id_a", "id_b"),
+    n_possible: DataFrame | int | None = None,
 ) -> DataFrame:
     """Blocking-quality report for the record-linkage stack: given the
     candidate pairs a blocker emitted (the input :func:`match_score`
     consumes) and the labeled true matches, the two numbers every
     linkage paper grades blockers on — PAIR COMPLETENESS (recall:
     what fraction of true matches survived blocking) and REDUCTION
-    RATIO (what fraction of the n_left × n_right cartesian the blocker
+    RATIO (what fraction of the possible pair space the blocker
     avoided). A blocker change that boosts RR while PC drops is
     trading recall for speed; this makes that trade measurable.
 
+    The pair-space size: pass ``n_left``/``n_right`` for a two-corpus
+    linkage (space = n_left·n_right), or ``n_possible`` directly — an
+    int, or a 1-row DataFrame with an ``n_possible`` column for a fully
+    LAZY plan (e.g. ``corpus.agg((count*(count-1)/2)...)`` for
+    self-dedup's unordered ``id_a < id_b`` space, where n·n would
+    overstate the denominator more than 2×).
+
     Exactness: all counts are exact integers over DISTINCT pairs (a
     blocker emitting a pair twice isn't better); PC and RR are one
-    double division each. The cartesian size is computed in Python
-    ints (no 64-bit overflow for realistic corpus sizes is assumed —
-    validated: n_left·n_right must fit a signed long).
+    double division each.
 
     Scale shape: two distinct partial-aggs + one left-semi join at the
-    pair grain; the three 1-row aggregates meet in broadcast
-    crossJoins (the codebase's global-aggregate idiom). No collect."""
-    if n_left <= 0 or n_right <= 0:
-        raise ValueError(f"corpus sizes must be > 0, got {n_left}, {n_right}")
-    total = n_left * n_right
-    if total >= 2**63:
-        raise ValueError("n_left * n_right overflows a signed long")
+    pair grain; the 1-row aggregates meet in broadcast crossJoins (the
+    codebase's global-aggregate idiom). No collect."""
+    if n_possible is None:
+        if n_left is None or n_right is None:
+            raise ValueError("pass n_left and n_right, or n_possible")
+        if n_left <= 0 or n_right <= 0:
+            raise ValueError(
+                f"corpus sizes must be > 0, got {n_left}, {n_right}")
+        if n_left * n_right >= 2**63:
+            raise ValueError("n_left * n_right overflows a signed long")
+        n_possible = n_left * n_right
+    if isinstance(n_possible, int):
+        if n_possible <= 0:
+            raise ValueError(f"n_possible must be > 0, got {n_possible}")
+        possible = cand_pairs.sparkSession.range(1).select(
+            F.lit(n_possible).cast("long").alias("n_possible"))
+    else:
+        possible = n_possible.select(
+            F.col("n_possible").cast("long").alias("n_possible"))
     a, b = id_cols
     c = cand_pairs.select(a, b).distinct()
     t = truth_pairs.select(a, b).distinct()
@@ -478,14 +496,14 @@ def blocking_eval(
         c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         .crossJoin(t.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
         .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .crossJoin(F.broadcast(possible))
     )
     return stats.select(
-        "n_candidates", "n_truth", "n_hits",
-        F.lit(total).cast("long").alias("n_possible"),
+        "n_candidates", "n_truth", "n_hits", "n_possible",
         F.when(F.col("n_truth") > 0,
                F.col("n_hits").cast("double")
                / F.col("n_truth").cast("double"))
         .alias("pair_completeness"),
         (F.lit(1.0) - F.col("n_candidates").cast("double")
-         / F.lit(float(total))).alias("reduction_ratio"),
+         / F.col("n_possible").cast("double")).alias("reduction_ratio"),
     )

@@ -418,8 +418,12 @@ def curriculum_order(
 
     Determinism: the stage is NTILE over the total order
     ``(score, key)`` (ties can't float between stages across runs or
-    partitionings); the within-stage order is :func:`shuffle_order`'s
-    md5(seed || key) rank — same rows, same positions, every run.
+    partitionings); the within-stage order ranks by the FULL
+    ``md5(seed || key)`` digest with the typed key as tiebreak (NOT
+    :func:`shuffle_order`'s 8-hex-prefix + lpad-20 encoding — the two
+    permutations differ and are independently pinned by oracles; don't
+    "unify" them without re-pinning both) — same rows, same positions,
+    every run.
 
     Scale shape: stage assignment needs a global rank, which here is
     :func:`with_global_offset` with unit weights over the STRUCT order

@@ -637,6 +637,18 @@ def suppress_small_classes(
     return df.join(F.broadcast(ok), cond, "left_semi")
 
 
+def _two_group_values(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Shared two-sample projection for the drift-test siblings
+    (:func:`mann_whitney_u`, :func:`ks_test`): ``(_v, _ia)`` with NULL
+    values dropped and ``_ia = 1`` marking group-a membership."""
+    return df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
+    ).filter(F.col("_v").isNotNull())
+
+
 def mann_whitney_u(
     df: DataFrame,
     value_col: str,
@@ -662,10 +674,7 @@ def mann_whitney_u(
     fact), one global aggregate. The fact never sorts."""
     from pyspark.sql import Window
 
-    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(value_col).alias("_v"),
-        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
-    ).filter(F.col("_v").isNotNull())
+    d = _two_group_values(df, value_col, group_col, group_a, group_b)
     per_val = d.groupBy("_v").agg(
         F.sum("_ia").alias("_ca"), F.count(F.lit(1)).alias("_ct"))
     w = (Window.orderBy("_v")
@@ -770,10 +779,7 @@ def ks_test(
     (per-value per-group counts), one running-sum window over that
     bounded support, one global max — the fact never sorts (the
     mann_whitney_u shape exactly)."""
-    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(value_col).alias("_v"),
-        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_ia"),
-    ).filter(F.col("_v").isNotNull())
+    d = _two_group_values(df, value_col, group_col, group_a, group_b)
     per_val = d.groupBy("_v").agg(
         F.sum("_ia").alias("_ca"),
         F.sum(F.lit(1) - F.col("_ia")).alias("_cb"))

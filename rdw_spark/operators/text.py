@@ -1820,7 +1820,20 @@ def dsir_weights(
     from pyspark.sql import Window
 
     t_model = model(target, "_nt", "_ct")
-    r_model = model(raw, "_nr", "_cr")
+    # raw corpus is tokenized/hashed ONCE: the per-doc bucket counts are
+    # computed first and the raw model is their bounded-bucket rollup
+    # (re-scanning raw for its own model would double the dominant cost)
+    doc_b = (
+        raw.select(F.col(id_col), F.explode(buckets(text_col)).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    wraw = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    r_model = (
+        doc_b.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cr"))
+        .withColumn("_nr", F.sum("_cr").over(wraw).cast("long"))
+    )
     # full outer join on the bounded bucket space; absent buckets get
     # count 0 (the smoothing keeps the log finite). Totals are constant
     # per side, so re-broadcast via a max window after the join.
@@ -1843,11 +1856,6 @@ def dsir_weights(
                            + F.lit(float(alpha * n_buckets))))
             ).alias("_lr"),
         )
-    )
-    doc_b = (
-        raw.select(F.col(id_col), F.explode(buckets(text_col)).alias("_b"))
-        .groupBy(id_col, "_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
     scored = doc_b.join(F.broadcast(m), "_b")
     per_doc = scored.groupBy(id_col).agg(

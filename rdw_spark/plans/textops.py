@@ -2949,7 +2949,8 @@ def zz_eval_rouge_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
                 SEMI JOIN truth USING (ia, ib)) AS n_hits,
-               (SELECT CAST(nd * nd AS BIGINT) FROM n) AS n_possible
+               (SELECT CAST(nd * (nd - 1) // 2 AS BIGINT) FROM n)
+                   AS n_possible
     )
     SELECT n_candidates, n_truth, n_hits, n_possible,
            CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE)
@@ -2973,7 +2974,11 @@ def zz_eval_blocking_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("pfx"),
     )
-    nd = d.count()
+    # lazy 1-row pair-space frame: unordered id_a < id_b self-dedup
+    # space is n·(n−1)/2 (n·n would overstate the RR denominator >2×)
+    possible = d.agg(
+        F.expr("count(1) * (count(1) - 1) DIV 2").cast("long")
+        .alias("n_possible"))
     a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"),
                  F.expr("n_chars DIV 64").alias("ba"),
                  F.col("pfx").alias("pa"))
@@ -2986,7 +2991,7 @@ def zz_eval_blocking_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = a.join(
         b, (F.col("pa") == F.col("pb"))
         & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
-    return blocking_eval(cand, truth, nd, nd)
+    return blocking_eval(cand, truth, n_possible=possible)
 
 
 @register(

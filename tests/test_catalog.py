@@ -70,8 +70,10 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_window_entry_projects_flat_scalars(name, spark, sf_dir):
     """Driver-window pre-flight (round-11 lesson): the driver's pandas
     canonicalizer cannot sort list/struct/map cells, so every
-    un-prefixed entry must project atomic columns only. Analysis-only —
-    no job runs."""
+    un-prefixed entry must project atomic columns only. Only the schema
+    is read (no collect here), but entries whose BUILDERS run eager
+    jobs (e.g. pack_sequences' localCheckpoint prefix sum) still execute
+    them — this gate is cheap, not free."""
     from rdw_spark.plans.registry import nested_columns
 
     q = get_catalog()[name]

@@ -214,6 +214,25 @@ class TestBlockingEval:
             blocking_eval(df, df, 0, 5)
         with pytest.raises(ValueError, match="overflows"):
             blocking_eval(df, df, 2**32, 2**32)
+        with pytest.raises(ValueError, match="n_possible"):
+            blocking_eval(df, df)
+
+    def test_lazy_n_possible_frame(self, spark):
+        """A 1-row n_possible frame (the self-dedup n·(n−1)/2 space)
+        keeps the plan fully lazy and sets the RR denominator."""
+        from pyspark.sql import functions as F
+
+        from rdw_spark.operators.joins import blocking_eval
+
+        cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        possible = spark.range(5).agg(
+            F.expr("count(1) * (count(1) - 1) DIV 2").cast("long")
+            .alias("n_possible"))
+        r = blocking_eval(cand, truth, n_possible=possible).collect()[0]
+        assert r["n_possible"] == 10
+        assert r["reduction_ratio"] == 1.0 - 2.0 / 10.0
+        assert r["pair_completeness"] == 1.0
 
 
 class TestCalibrationReport:
