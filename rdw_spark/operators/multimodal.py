@@ -2,12 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas UDFs via
 ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image_features`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces deterministic byte-level features.
-Everything around it — the binary schema, the metadata struct, the Arrow
-batch shape, the partition-parallel UDF plumbing — is real and tested,
-so swapping in a real decoder (PIL/ffmpeg) is a one-function change.
+Decode status (round 12): PPM/PGM, uncompressed BMP, and 8-bit
+non-interlaced PNG decode is REAL — :func:`decode_images` and
+:func:`resize_images_real` run the pure numpy/stdlib codec in
+``functions.imagecodec`` (zlib is stdlib; the PNG scanline filters are
+implemented there), emitting exact-integer luma features and a 64-bit
+average-hash for image near-dup dedup. Only codecs that genuinely need
+native libraries stay stubbed: JPEG (libjpeg) in the legacy
+``decode_image_features(fake=True)`` byte-stub, video/audio (ffmpeg/
+soundfile) in ``sample_frames``. The plumbing — binary schema, metadata
+struct, Arrow batch shape — is shared, so a native decoder remains a
+one-function swap.
 
 At 100 TB: binary payloads stay columnar in parquet, the UDF streams
 Arrow batches (never materializes a partition), and feature extraction is
@@ -155,3 +160,123 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4,
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(go, schema=FRAME_SCHEMA)
+
+
+DECODE_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width INT, height INT, channels INT, "
+    "n_pixels BIGINT, luma_sum BIGINT, ahash_hex STRING, error STRING"
+)
+
+
+def decode_images(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    on_error: str = "keep",
+) -> DataFrame:
+    """REAL image decode for the no-native-library formats — PPM/PGM,
+    uncompressed BMP, 8-bit non-interlaced PNG — via the pure
+    numpy/stdlib codec in ``functions.imagecodec`` (zlib inflate + the
+    five PNG scanline filters included). Emits per image: format,
+    dimensions, channels, and two parity-exact features — the integer
+    luma sum (consumers divide by ``n_pixels`` for mean brightness; the
+    integers are engine/partition-invariant where a float mean is not)
+    and the 64-bit average-hash perceptual fingerprint as 16 hex chars
+    (group on it, or hamming-compare, for near-duplicate IMAGE dedup —
+    the visual twin of the text fingerprint path). JPEG/video remain
+    stubbed (libjpeg/ffmpeg genuinely absent).
+
+    ``on_error``: 'keep' emits the row with NULL features and the
+    message in ``error``; 'skip' drops undecodable rows; 'fail' raises.
+
+    Scale shape: map-only Arrow-batched ``mapInPandas`` — binary stays
+    columnar, batches stream, no shuffle."""
+    if on_error not in ("keep", "skip", "fail"):
+        raise ValueError(f"on_error must be keep|skip|fail, got {on_error!r}")
+    from ..functions import imagecodec as IC
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                                   "channels", "n_pixels", "luma_sum",
+                                   "ahash_hex", "error")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    img = IC.decode_image(bytes(blob))
+                    g = IC.to_gray(img)
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(IC.sniff_format(bytes(blob)))
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["channels"].append(img.shape[2])
+                    out["n_pixels"].append(int(g.size))
+                    out["luma_sum"].append(int(g.sum(dtype="uint64")))
+                    out["ahash_hex"].append(f"{IC.ahash64(img):016x}")
+                    out["error"].append(None)
+                except ValueError as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["n_pixels"].append(None)
+                    out["luma_sum"].append(None)
+                    out["ahash_hex"].append(None)
+                    out["error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(go, schema=DECODE_SCHEMA)
+
+
+def resize_images_real(
+    media_df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL nearest-neighbor resize for codec-supported formats: decode
+    (``functions.imagecodec``), index-sample to (height, width) with the
+    exact integer grid ``src_i = (dst_i · src_n) DIV dst_n``, re-encode
+    as PPM (P6; P5 for 1–2 channel inputs) — deterministic bytes out,
+    no float resampling. Undecodable rows are DROPPED (use
+    :func:`decode_images` with on_error='keep' to audit them first);
+    the fake byte-stub path for arbitrary blobs stays in
+    :func:`resize_images`. Map-only, no shuffle."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad target size {width}x{height}")
+    import numpy as np
+
+    from ..functions import imagecodec as IC
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media": [], "media_type": [],
+                   "out_width": [], "out_height": [], "n_bytes": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    img = IC.decode_image(bytes(blob))
+                except ValueError:
+                    continue
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                small = img[np.ix_(ys, xs)]
+                if small.shape[2] >= 3:
+                    enc = IC.encode_ppm(small[:, :, :3])
+                    mt = "image/x-portable-pixmap"
+                else:
+                    enc = IC.encode_ppm(small[:, :, 0])
+                    mt = "image/x-portable-graymap"
+                out["doc_id"].append(doc_id)
+                out["media"].append(enc)
+                out["media_type"].append(mt)
+                out["out_width"].append(width)
+                out["out_height"].append(height)
+                out["n_bytes"].append(len(enc))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(go, schema=RESIZE_SCHEMA)

@@ -3133,3 +3133,48 @@ def zz_curriculum_order_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
     return curriculum_order(d, "n_chars", 4, key_col="doc_id", seed="cur0")
+
+
+@register(
+    "zz_mm_image_decode",
+    # synthetic 32x32 PGM per doc: payload = first 1024 bytes of the
+    # ASCII-sanitized text, space-padded. ASCII-only means char == byte,
+    # so the oracle can fold code points; luma of a 1-channel image is
+    # the raw payload, making luma_sum = Σ ascii(padded[i]) exactly.
+    oracle="""
+    WITH pad AS (
+        SELECT doc_id,
+               substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                           1024, ' '), 1, 1024) AS p
+        FROM documents
+    )
+    SELECT doc_id, 'pnm' AS fmt, 32 AS width, 32 AS height,
+           1 AS channels, CAST(1024 AS BIGINT) AS n_pixels,
+           CAST(list_reduce(
+               list_prepend(0, list_transform(range(1, 1025),
+                   i -> ascii(p[i]))),
+               (a, b) -> a + b) AS BIGINT) AS luma_sum
+    FROM pad
+    """,
+    survey="ext: REAL image decode (pure numpy/stdlib codec: PPM/PGM, "
+           "uncompressed BMP, 8-bit PNG incl. zlib inflate + scanline "
+           "unfiltering) over Arrow-batched mapInPandas — exact-integer "
+           "luma features oracle-checked byte-for-byte; the ahash64 "
+           "perceptual fingerprint (image near-dup key) is pinned by "
+           "pytest goldens. operators/multimodal.py::decode_images; "
+           "functions/imagecodec.py",
+)
+def zz_mm_image_decode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M2
+
+    d = _docs(spark, sf_dir)
+    ascii_only = F.regexp_replace("text", r"[^ -~]", "")
+    payload = F.substring(F.rpad(ascii_only, 1024, " "), 1, 1024)
+    media = d.select(
+        "doc_id",
+        F.concat(F.encode(F.lit("P5 32 32 255\n"), "UTF-8"),
+                 F.encode(payload, "UTF-8")).alias("media"),
+    )
+    return M2.decode_images(media).select(
+        "doc_id", "fmt", "width", "height", "channels",
+        "n_pixels", "luma_sum")

@@ -462,3 +462,156 @@ class TestStreamingKsDrift:
         assert q.awaitTermination(120)
         r = read_ks_drift(spark, out, adf, "v").collect()[0]
         assert r["d_num"] == 0 and r["d_stat"] == 0.0
+
+
+class TestImageCodec:
+    def _bmp24(self, img):
+        import struct
+
+        import numpy as np
+        h, w = img.shape[:2]
+        bgr = img[:, :, ::-1]
+        stride = (w * 3 + 3) & ~3
+        rows = b"".join(bgr[y].tobytes() + b"\x00" * (stride - w * 3)
+                        for y in range(h - 1, -1, -1))
+        return (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(rows), 0, 0, 0, 0) + rows)
+
+    def test_roundtrips_all_formats(self):
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import (
+            decode_image, encode_png_gray, encode_ppm,
+        )
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+        assert np.array_equal(decode_image(encode_ppm(gray))[:, :, 0], gray)
+        assert np.array_equal(
+            decode_image(encode_png_gray(gray))[:, :, 0], gray)
+        assert np.array_equal(decode_image(self._bmp24(rgb)), rgb)
+
+    def test_png_filters_sub_up_avg_paeth(self):
+        """Hand-encode each PNG filter type and check the decoder
+        inverts it (the spec's mod-256 recurrences)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import PNG_SIG, decode_image
+
+        a = (np.arange(40, dtype=np.uint8).reshape(5, 8) * 7 + 3).astype(
+            np.uint8)
+        h, w = a.shape
+
+        def chunk(ct, body):
+            return (struct.pack(">I", len(body)) + ct + body
+                    + struct.pack(">I", zlib.crc32(ct + body)))
+
+        def paeth(al, b, c):
+            p = int(al) + int(b) - int(c)
+            pa, pb, pc = abs(p - al), abs(p - b), abs(p - c)
+            return al if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        raw = bytearray()
+        prev = np.zeros(w, np.uint8)
+        for y in range(h):
+            f = y % 5
+            line = a[y]
+            enc = np.zeros(w, np.uint8)
+            for x in range(w):
+                left = int(line[x - 1]) if x else 0
+                up = int(prev[x])
+                ul = int(prev[x - 1]) if x else 0
+                cur = int(line[x])
+                if f == 0:
+                    enc[x] = cur
+                elif f == 1:
+                    enc[x] = (cur - left) % 256
+                elif f == 2:
+                    enc[x] = (cur - up) % 256
+                elif f == 3:
+                    enc[x] = (cur - (left + up) // 2) % 256
+                else:
+                    enc[x] = (cur - paeth(left, up, ul)) % 256
+            raw += bytes([f]) + enc.tobytes()
+            prev = line
+        png = (PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert np.array_equal(decode_image(png)[:, :, 0], a)
+
+    def test_unsupported_rejected(self):
+        import pytest
+
+        from rdw_spark.functions.imagecodec import decode_image
+
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+    def test_ahash_near_dup_property(self):
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import ahash64
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        noisy = np.clip(img.astype(int)
+                        + rng.integers(-2, 3, img.shape), 0, 255
+                        ).astype(np.uint8)
+        d_noise = bin(ahash64(img) ^ ahash64(noisy)).count("1")
+        d_inv = bin(ahash64(img) ^ ahash64(255 - img)).count("1")
+        assert d_noise <= 8 < 40 <= d_inv
+
+
+class TestDecodeImagesOperator:
+    def test_mixed_formats_and_error_policy(self, spark):
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import (
+            ahash64, encode_png_gray, encode_ppm, to_gray,
+        )
+        from rdw_spark.operators.multimodal import decode_images
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+        rows = [(1, bytearray(encode_ppm(rgb))),
+                (2, bytearray(encode_png_gray(gray))),
+                (3, bytearray(b"not an image"))]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = {r["doc_id"]: r for r in decode_images(df).collect()}
+        r1 = out[1]
+        assert (r1["fmt"], r1["width"], r1["height"], r1["channels"]) == (
+            "pnm", 6, 8, 3)
+        assert r1["luma_sum"] == int(to_gray(rgb).sum(dtype="uint64"))
+        assert r1["ahash_hex"] == f"{ahash64(rgb):016x}"
+        r2 = out[2]
+        assert (r2["fmt"], r2["channels"]) == ("png", 1)
+        assert r2["luma_sum"] == int(gray.sum(dtype="uint64"))
+        assert out[3]["error"] is not None and out[3]["width"] is None
+        skipped = decode_images(df, on_error="skip").collect()
+        assert sorted(r["doc_id"] for r in skipped) == [1, 2]
+
+    def test_resize_real_nearest_model(self, spark):
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import decode_image, encode_ppm
+        from rdw_spark.operators.multimodal import resize_images_real
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_ppm(img))), (2, bytearray(b"junk"))],
+            "doc_id long, media binary")
+        out = resize_images_real(df, width=7, height=5).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 1   # junk dropped
+        got = decode_image(bytes(out[0]["media"]))
+        ys = (np.arange(5) * 10) // 5
+        xs = (np.arange(7) * 14) // 7
+        assert np.array_equal(got, img[np.ix_(ys, xs)])
