@@ -7,12 +7,14 @@ non-interlaced PNG decode is REAL — :func:`decode_images` and
 :func:`resize_images_real` run the pure numpy/stdlib codec in
 ``functions.imagecodec`` (zlib is stdlib; the PNG scanline filters are
 implemented there), emitting exact-integer luma features and a 64-bit
-average-hash for image near-dup dedup. Only codecs that genuinely need
-native libraries stay stubbed: JPEG (libjpeg) in the legacy
-``decode_image_features(fake=True)`` byte-stub, video/audio (ffmpeg/
-soundfile) in ``sample_frames``. The plumbing — binary schema, metadata
-struct, Arrow batch shape — is shared, so a native decoder remains a
-one-function swap.
+average-hash for image near-dup dedup. RIFF/WAVE PCM audio decode is
+REAL too — :func:`decode_audio` runs ``functions.wavcodec`` (8/16-bit
+PCM, exact-integer energy/peak/zero-crossing features). Only codecs
+that genuinely need native libraries stay stubbed: JPEG (libjpeg) in
+the legacy ``decode_image_features(fake=True)`` byte-stub, compressed
+audio (mp3/ogg/flac) and video (ffmpeg) in ``sample_frames``. The
+plumbing — binary schema, metadata struct, Arrow batch shape — is
+shared, so a native decoder remains a one-function swap.
 
 At 100 TB: binary payloads stay columnar in parquet, the UDF streams
 Arrow batches (never materializes a partition), and feature extraction is
@@ -60,8 +62,9 @@ def decode_image_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
     """
     if not fake:
         raise NotImplementedError(
-            "image decode needs PIL/libvips — not present in this container; "
-            "use fake=True for the deterministic byte-feature stub"
+            "this legacy stub has no real path — use decode_images() for "
+            "REAL PPM/PGM/BMP/PNG decode (pure numpy/stdlib codec); only "
+            "JPEG still needs libjpeg, absent in this container"
         )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,8 +108,8 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
     what a real decoder drops into."""
     if not fake:
         raise NotImplementedError(
-            "image resize needs PIL/libvips — not present in this container; "
-            "use fake=True for the deterministic stub"
+            "this legacy stub has no real path — use resize_images_real() "
+            "for REAL nearest-neighbor resize of codec-supported formats"
         )
     target = width * height
 
@@ -280,3 +283,65 @@ def resize_images_real(
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(go, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, sample_rate INT, n_channels INT, n_frames BIGINT, "
+    "energy BIGINT, peak INT, zero_crossings BIGINT, error STRING"
+)
+
+
+def decode_audio(
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    on_error: str = "keep",
+) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM (8-bit unsigned / 16-bit
+    signed, any channel count) via the pure numpy/stdlib codec in
+    ``functions.wavcodec`` — the audio twin of :func:`decode_images`.
+    Emits exact-integer features over the channel-mixed signal: frame
+    count, energy ``Σx²`` (int64-safe to ~2e9 frames), peak ``max|x|``,
+    and the zero-crossing count (sign flips with zeros carrying the
+    previous sign — the silence/speech activity proxy). Compressed
+    audio (mp3/ogg/flac) genuinely needs native codecs and is not
+    handled here.
+
+    ``on_error``: 'keep' emits the row with NULL features and the
+    message in ``error``; 'skip' drops; 'fail' raises.
+
+    Scale shape: map-only Arrow-batched ``mapInPandas``; no shuffle."""
+    if on_error not in ("keep", "skip", "fail"):
+        raise ValueError(f"on_error must be keep|skip|fail, got {on_error!r}")
+    from ..functions import wavcodec as WC
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                   "n_frames", "energy", "peak",
+                                   "zero_crossings", "error")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    samples, rate = WC.decode_wav(bytes(blob))
+                    f = WC.wav_features(samples)
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(samples.shape[1])
+                    out["n_frames"].append(f["n_frames"])
+                    out["energy"].append(f["energy"])
+                    out["peak"].append(f["peak"])
+                    out["zero_crossings"].append(f["zero_crossings"])
+                    out["error"].append(None)
+                except ValueError as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    out["doc_id"].append(doc_id)
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "energy", "peak", "zero_crossings"):
+                        out[k].append(None)
+                    out["error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(go, schema=AUDIO_SCHEMA)

@@ -3178,3 +3178,74 @@ def zz_mm_image_decode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M2.decode_images(media).select(
         "doc_id", "fmt", "width", "height", "channels",
         "n_pixels", "luma_sum")
+
+
+@register(
+    "zz_mm_audio_decode",
+    # synthetic 8-bit PCM WAV per doc: payload = first 512 bytes of the
+    # ASCII-sanitized text, space-padded; decode re-centers to
+    # v = ascii(c) − 128. energy/peak are integer folds; zero-crossings
+    # fold a (sign, flips) struct accumulator with zeros carrying the
+    # previous sign — exactly the codec's convention.
+    oracle="""
+    WITH pad AS (
+        SELECT doc_id,
+               substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                           512, ' '), 1, 512) AS p
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               list_transform(range(1, 513),
+                   i -> ascii(p[i]) - 128) AS xs
+        FROM pad
+    )
+    SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(512 AS BIGINT) AS n_frames,
+           CAST(list_reduce(list_prepend(0, list_transform(
+               xs, x -> x * x)), (a, b) -> a + b) AS BIGINT) AS energy,
+           CAST(list_reduce(list_prepend(0, list_transform(
+               xs, x -> abs(x))), (a, b) -> greatest(a, b)) AS INT)
+               AS peak,
+           CAST((list_reduce(
+               list_prepend(struct_pack(s := 0, fl := 0),
+                   list_transform(xs, x -> struct_pack(
+                       s := CASE WHEN x > 0 THEN 1
+                                 WHEN x < 0 THEN -1 ELSE 0 END,
+                       fl := 0))),
+               (a, x) -> struct_pack(
+                   s := CASE WHEN x.s = 0 THEN a.s ELSE x.s END,
+                   fl := a.fl + CASE WHEN a.s * x.s < 0
+                                     THEN 1 ELSE 0 END))).fl
+               AS BIGINT) AS zero_crossings
+    FROM v
+    """,
+    survey="ext: REAL audio decode (pure numpy/stdlib RIFF/WAVE PCM "
+           "codec, 8/16-bit) over Arrow-batched mapInPandas — exact-"
+           "integer energy/peak/zero-crossing features oracle-checked "
+           "sample-for-sample incl. the zero-carry sign convention. "
+           "operators/multimodal.py::decode_audio; "
+           "functions/wavcodec.py",
+)
+def zz_mm_audio_decode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M2
+
+    d = _docs(spark, sf_dir)
+    ascii_only = F.regexp_replace("text", r"[^ -~]", "")
+    payload = F.substring(F.rpad(ascii_only, 512, " "), 1, 512)
+    # RIFF/WAVE header for 8-bit mono PCM @8000 Hz, 512-byte data chunk,
+    # assembled JVM-side: fmt chunk fields are little-endian constants
+    header = bytes(
+        b"RIFF" + (4 + 8 + 16 + 8 + 512).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + (512).to_bytes(4, "little")
+    )
+    media = d.select(
+        "doc_id",
+        F.concat(F.lit(header), F.encode(payload, "UTF-8")).alias("media"),
+    )
+    return M2.decode_audio(media).select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "energy", "peak", "zero_crossings")

@@ -615,3 +615,69 @@ class TestDecodeImagesOperator:
         ys = (np.arange(5) * 10) // 5
         xs = (np.arange(7) * 14) // 7
         assert np.array_equal(got, img[np.ix_(ys, xs)])
+
+
+class TestWavCodec:
+    def test_roundtrip_mono_stereo_8_16(self):
+        import numpy as np
+
+        from rdw_spark.functions.wavcodec import decode_wav, encode_wav
+
+        rng = np.random.default_rng(4)
+        mono16 = rng.integers(-30000, 30000, (50, 1)).astype(np.int32)
+        s, r = decode_wav(encode_wav(mono16, 16000, 16))
+        assert r == 16000 and np.array_equal(s, mono16)
+        st = rng.integers(-100, 100, (33, 2)).astype(np.int32)
+        s2, _ = decode_wav(encode_wav(st, 8000, 16))
+        assert np.array_equal(s2, st)
+        e8 = rng.integers(-128, 128, (20, 1)).astype(np.int32)
+        s3, _ = decode_wav(encode_wav(e8, 8000, 8))
+        assert np.array_equal(s3, e8)
+
+    def test_features_hand_solved(self):
+        import numpy as np
+
+        from rdw_spark.functions.wavcodec import wav_features
+
+        f = wav_features(np.array([[1], [2], [0], [-3], [-1], [4]],
+                                  np.int32))
+        assert f["n_frames"] == 6
+        assert f["energy"] == 1 + 4 + 0 + 9 + 1 + 16
+        assert f["peak"] == 4
+        assert f["zero_crossings"] == 2   # +..(0 carries +)..- then -..+
+        assert wav_features(np.array([[0], [0], [5], [-5]],
+                                      np.int32))["zero_crossings"] == 1
+
+    def test_rejects_non_pcm(self):
+        import pytest
+
+        from rdw_spark.functions.wavcodec import decode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+        with pytest.raises(ValueError):
+            decode_wav(b"not audio at all")
+
+
+class TestDecodeAudioOperator:
+    def test_mixed_blobs_and_features(self, spark):
+        import numpy as np
+
+        from rdw_spark.functions.wavcodec import encode_wav, wav_features
+        from rdw_spark.operators.multimodal import decode_audio
+
+        rng = np.random.default_rng(6)
+        sig = rng.integers(-2000, 2000, (64, 2)).astype(np.int32)
+        rows = [(1, bytearray(encode_wav(sig, 22050, 16))),
+                (2, bytearray(b"definitely not a wav"))]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = {r["doc_id"]: r for r in decode_audio(df).collect()}
+        want = wav_features(sig)
+        r1 = out[1]
+        assert (r1["sample_rate"], r1["n_channels"]) == (22050, 2)
+        assert r1["n_frames"] == want["n_frames"]
+        assert r1["energy"] == want["energy"]
+        assert r1["peak"] == want["peak"]
+        assert r1["zero_crossings"] == want["zero_crossings"]
+        assert out[2]["error"] is not None
+        assert len(decode_audio(df, on_error="skip").collect()) == 1
