@@ -3249,3 +3249,91 @@ def zz_mm_audio_decode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M2.decode_audio(media).select(
         "doc_id", "sample_rate", "n_channels", "n_frames",
         "energy", "peak", "zero_crossings")
+
+
+@register(
+    "zz_dedup_minhash_portable",
+    # The SAME MinHash+LSH algorithm as operators/dedup.py (K min-hash
+    # values per doc over distinct 3-word shingles, banded equality
+    # buckets, candidate pairs a<b) run with a PORTABLE hash family —
+    # string-min over substr(md5(seed:shingle),1,16) and md5 band
+    # signatures — so the full pipeline is oracle-checkable bit-for-bit
+    # (the production path keeps xxhash64 for JVM speed; its banding
+    # layout is pinned by pytest instead).
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'),
+                   x -> x <> '') AS l
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        FROM norm, unnest(range(1, len(l) - 1)) AS u(i)
+        WHERE len(l) >= 3
+    ), mh AS (
+        SELECT doc_id, k,
+               MIN(substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 16))
+                   AS m
+        FROM sh, unnest(range(0, 16)) AS ks(k)
+        GROUP BY doc_id, k
+    ), band AS (
+        SELECT doc_id, CAST(k // 4 AS INT) AS band,
+               md5(string_agg(m, '|' ORDER BY k)) AS sig
+        FROM mh GROUP BY doc_id, k // 4
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    survey="ext: MinHash+LSH near-dup candidate generation with a "
+           "portable hash family (md5-prefix string-min signatures, "
+           "md5 band buckets) — the dedup.py algorithm made oracle-"
+           "checkable end-to-end: shingle -> 16-hash signature -> 4 "
+           "equality-bucket bands -> a<b distinct pairs, never an "
+           "all-pairs compare. Production minhash keeps xxhash64; "
+           "this entry proves the ALGORITHM against an independent "
+           "engine. operators/dedup.py:238",
+)
+def zz_dedup_minhash_portable_entry(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text
+
+    toks = F.filter(F.split(normalize_text(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("_l"))
+    d = d.filter(F.size("_l") >= 3)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size("_l") - 2),
+                lambda i: F.concat_ws(" ", F.slice("_l", i, 3))))).alias("s"))
+        .distinct()
+    )
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.substring(
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))), 1, 16))
+        .alias(f"mh_{k}")
+        for k in range(16)
+    ])
+    band_exprs = [
+        F.struct(
+            F.lit(bi).cast("int").alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"mh_{bi * 4 + r}") for r in range(4)]))
+            .alias("sig"),
+        )
+        for bi in range(4)
+    ]
+    banded = mins.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.sig").alias("sig"))
+    a = banded.select(F.col("doc_id").alias("a"), "band", "sig")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
