@@ -3337,3 +3337,73 @@ def zz_dedup_minhash_portable_entry(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
+
+
+@register(
+    "zz_dedup_simhash_portable",
+    # The SimHash construction (tf-weighted ±1 bit votes over token
+    # hashes, sign-packed) with a portable 16-bit hash: the first 4 hex
+    # chars of md5(token), nibbles decoded via strpos on the hex
+    # alphabet — every step exact integer arithmetic in both engines.
+    # Production simhash (dedup.py) keeps xxhash64/64-bit.
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'),
+                   x -> x <> '') AS l
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM norm, unnest(l) AS u(t)
+        GROUP BY doc_id, t
+    ), bits AS (
+        SELECT doc_id, j,
+               SUM(c * (2 * ((strpos('0123456789abcdef',
+                       substr(md5(t), (j // 4) + 1, 1)) - 1)
+                   // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2) - 1))
+                   AS vote
+        FROM tf, unnest(range(0, 16)) AS js(j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                THEN CAST(pow(2, 15 - j) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+    survey="ext: SimHash fingerprint with a portable 16-bit hash family "
+           "(md5 nibbles, tf-weighted ±1 votes, sign-packed) — the "
+           "dedup.py construction proven exact against an independent "
+           "engine; one token-grain partial agg + one (doc, bit) "
+           "partial agg, all integer arithmetic. operators/dedup.py",
+)
+def zz_dedup_simhash_portable_entry(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text
+
+    toks = F.filter(F.split(normalize_text(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    tf = (
+        _docs(spark, sf_dir).select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    j = F.col("j")
+    nibble = (F.instr(F.lit("0123456789abcdef"),
+                      F.substring(F.md5("t"),
+                                  (j / 4).cast("int") + 1, 1))
+              - 1).cast("long")
+    bit = F.expr(
+        "(instr('0123456789abcdef', substr(md5(t), CAST(j DIV 4 AS INT)"
+        " + 1, 1)) - 1) DIV CAST(pow(2, 3 - j % 4) AS BIGINT) % 2")
+    votes = (
+        tf.select("doc_id", "t", "c",
+                  F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("c") * (F.lit(2) * bit - 1)).alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0,
+                     F.expr("CAST(pow(2, 15 - j) AS BIGINT)"))
+              .otherwise(F.lit(0))).cast("long").alias("simhash16"))
