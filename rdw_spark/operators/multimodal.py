@@ -9,12 +9,15 @@ non-interlaced PNG decode is REAL — :func:`decode_images` and
 implemented there), emitting exact-integer luma features and a 64-bit
 average-hash for image near-dup dedup. RIFF/WAVE PCM audio decode is
 REAL too — :func:`decode_audio` runs ``functions.wavcodec`` (8/16-bit
-PCM, exact-integer energy/peak/zero-crossing features). Only codecs
-that genuinely need native libraries stay stubbed: JPEG (libjpeg) in
-the legacy ``decode_image_features(fake=True)`` byte-stub, compressed
-audio (mp3/ogg/flac) and video (ffmpeg) in ``sample_frames``. The
-plumbing — binary schema, metadata struct, Arrow batch shape — is
-shared, so a native decoder remains a one-function swap.
+PCM, exact-integer energy/peak/zero-crossing features). Multi-frame
+GIF decode (LZW implemented in ``functions.gifcodec``) is REAL —
+:func:`sample_frames_real` fans media rows out to per-frame luma/ahash
+rows. Only codecs that genuinely need native libraries stay stubbed:
+JPEG (libjpeg) in the legacy ``decode_image_features(fake=True)``
+byte-stub, compressed audio (mp3/ogg/flac) and true video containers
+(mp4/webm, ffmpeg) in ``sample_frames``. The plumbing — binary schema,
+metadata struct, Arrow batch shape — is shared, so a native decoder
+remains a one-function swap.
 
 At 100 TB: binary payloads stay columnar in parquet, the UDF streams
 Arrow batches (never materializes a partition), and feature extraction is
@@ -345,3 +348,78 @@ def decode_audio(
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(go, schema=AUDIO_SCHEMA)
+
+
+FRAME_REAL_SCHEMA = (
+    "doc_id BIGINT, frame_index INT, n_frames_total INT, width INT, "
+    "height INT, luma_sum BIGINT, ahash_hex STRING, error STRING"
+)
+
+
+def sample_frames_real(
+    media_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    on_error: str = "keep",
+) -> DataFrame:
+    """REAL frame sampling over multi-frame GIF (LZW decode in
+    ``functions.gifcodec``): pick ``n_frames`` evenly by the exact
+    integer grid ``src = (i · total) DIV n`` and emit per sampled frame
+    the dimensions, exact-integer luma sum, and ahash64 perceptual
+    fingerprint (near-dup keys across frames catch static/looping
+    videos — a standard training-data screen). One media row fans out
+    to ≤ n_frames rows, map-only, no shuffle — the row-explosion shape
+    video decode has at scale. Animations with fewer frames than
+    ``n_frames`` emit each frame once (no repeats). True video codecs
+    (mp4/webm) still need ffmpeg and stay stubbed in
+    :func:`sample_frames`.
+
+    ``on_error``: 'keep' emits one row with NULL features and the
+    message; 'skip' drops; 'fail' raises."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+    if on_error not in ("keep", "skip", "fail"):
+        raise ValueError(f"on_error must be keep|skip|fail, got {on_error!r}")
+    from ..functions import gifcodec as GC
+    from ..functions import imagecodec as IC
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_index",
+                                   "n_frames_total", "width", "height",
+                                   "luma_sum", "ahash_hex", "error")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    frames = GC.decode_gif(bytes(blob))
+                except ValueError as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(None)
+                    out["n_frames_total"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["luma_sum"].append(None)
+                    out["ahash_hex"].append(None)
+                    out["error"].append(str(e))
+                    continue
+                total = len(frames)
+                picks = sorted({(i * total) // n_frames
+                                for i in range(n_frames)})
+                for fi in picks:
+                    img = frames[fi]
+                    g = IC.to_gray(img)
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(fi)
+                    out["n_frames_total"].append(total)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["luma_sum"].append(int(g.sum(dtype="uint64")))
+                    out["ahash_hex"].append(f"{IC.ahash64(img):016x}")
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(go, schema=FRAME_REAL_SCHEMA)

@@ -3407,3 +3407,66 @@ def zz_dedup_simhash_portable_entry(
         F.sum(F.when(F.col("vote") > 0,
                      F.expr("CAST(pow(2, 15 - j) AS BIGINT)"))
               .otherwise(F.lit(0))).cast("long").alias("simhash16"))
+
+
+@register(
+    "zz_mm_gif_frames",
+    # synthetic 4-frame 16x16 GIF per doc: indices = ascii(padded text
+    # byte) % 128 over a grayscale palette v -> (v,v,v), whose integer
+    # BT.601 luma is exactly v ((77+150+29)*v >> 8 = v). The GIF bytes
+    # are LZW-encoded in an Arrow UDF (not SQL-expressible), but the
+    # DECODED per-frame luma sums are pure functions of the text —
+    # the oracle folds them straight from code points.
+    oracle="""
+    WITH pad AS (
+        SELECT doc_id,
+               substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                           1024, ' '), 1, 1024) AS p
+        FROM documents
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_index,
+           4 AS n_frames_total, 16 AS width, 16 AS height,
+           CAST(list_reduce(
+               list_prepend(0, list_transform(range(1, 257),
+                   i -> ascii(p[CAST(f * 256 + i AS INT)]) % 128)),
+               (a, b) -> a + b) AS BIGINT) AS luma_sum
+    FROM pad, unnest(range(0, 4)) AS fs(f)
+    """,
+    survey="ext: REAL multi-frame GIF decode (pure-Python LZW in "
+           "functions/gifcodec.py, validated against a real compressor's "
+           "streams) behind the video-shaped frame-sampling fan-out — "
+           "per-frame exact-integer luma oracle-checked code-point-for-"
+           "code-point; per-frame ahash64 (static/looping-video screen) "
+           "pinned by pytest. operators/multimodal.py::sample_frames_real",
+)
+def zz_mm_gif_frames_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import multimodal as M2
+
+    d = _docs(spark, sf_dir)
+    ascii_only = F.regexp_replace("text", r"[^ -~]", "")
+    payload = F.substring(F.rpad(ascii_only, 1024, " "), 1, 1024)
+    src = d.select("doc_id", F.encode(payload, "UTF-8").alias("p"))
+
+    def to_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.gifcodec import encode_gif
+
+        pal = np.stack([np.arange(128)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            media = []
+            for blob in pdf["p"]:
+                idx = (np.frombuffer(bytes(blob), np.uint8) % 128)
+                frames = [idx[f * 256:(f + 1) * 256].reshape(16, 16)
+                          for f in range(4)]
+                media.append(encode_gif(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    gifs = src.mapInPandas(to_gif, schema="doc_id BIGINT, media BINARY")
+    return M2.sample_frames_real(gifs, n_frames=4).select(
+        "doc_id", "frame_index", "n_frames_total", "width", "height",
+        "luma_sum")

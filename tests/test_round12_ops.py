@@ -681,3 +681,130 @@ class TestDecodeAudioOperator:
         assert r1["zero_crossings"] == want["zero_crossings"]
         assert out[2]["error"] is not None
         assert len(decode_audio(df, on_error="skip").collect()) == 1
+
+
+class TestGifCodec:
+    def test_roundtrip_multiframe(self):
+        import numpy as np
+
+        from rdw_spark.functions.gifcodec import decode_gif, encode_gif
+
+        rng = np.random.default_rng(2)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        frames = [rng.integers(0, 8, (6, 9), dtype=np.uint8)
+                  for _ in range(3)]
+        out = decode_gif(encode_gif(frames, pal))
+        assert len(out) == 3
+        for fi, fr in zip(frames, out):
+            assert np.array_equal(fr, pal[fi])
+
+    def test_lzw_decodes_real_compressor_stream(self):
+        """The decoder must handle dictionary growth and 4096-resets —
+        verified against a classic compressing GIF-LZW encoder written
+        inline (the fixture encoder never grows the table)."""
+        import numpy as np
+
+        from rdw_spark.functions.gifcodec import _lzw_decode
+
+        def lzw_compress(min_code, data):
+            clear = 1 << min_code
+            end = clear + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+            acc = nbits = 0
+            out = bytearray()
+
+            def emit(code, w):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += w
+                while nbits >= 8:
+                    out.append(acc & 255)
+                    acc >>= 8
+                    nbits -= 8
+
+            emit(clear, width)
+            s = b""
+            for ch in data:
+                t = s + bytes([ch])
+                if t in table:
+                    s = t
+                    continue
+                emit(table[s], width)
+                table[t] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+                if next_code >= 4096:
+                    emit(clear, width)
+                    table = {bytes([i]): i for i in range(clear)}
+                    next_code = end + 1
+                    width = min_code + 1
+                s = bytes([ch])
+            if s:
+                emit(table[s], width)
+            emit(end, width)
+            if nbits:
+                out.append(acc & 255)
+            return bytes(out)
+
+        rng = np.random.default_rng(8)
+        data = bytes(rng.integers(0, 8, 5000, dtype=np.uint8)) * 3
+        assert _lzw_decode(3, lzw_compress(3, data), len(data)) == data
+
+    def test_rejects_non_gif(self):
+        import pytest
+
+        from rdw_spark.functions.gifcodec import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"RIFF....WAVE")
+
+
+class TestSampleFramesReal:
+    def test_even_sampling_and_features(self, spark):
+        import numpy as np
+
+        from rdw_spark.functions.gifcodec import encode_gif
+        from rdw_spark.functions.imagecodec import ahash64
+        from rdw_spark.operators.multimodal import sample_frames_real
+
+        rng = np.random.default_rng(13)
+        pal = np.stack([np.arange(16)] * 3, axis=1).astype(np.uint8) * 17
+        frames = [rng.integers(0, 16, (8, 8), dtype=np.uint8)
+                  for _ in range(10)]
+        rows = [(1, bytearray(encode_gif(frames, pal))),
+                (2, bytearray(b"nope"))]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = [r for r in sample_frames_real(df, n_frames=4).collect()
+               if r["doc_id"] == 1]
+        # evenly: (i*10) DIV 4 for i in 0..3 -> frames 0, 2, 5, 7
+        assert sorted(r["frame_index"] for r in out) == [0, 2, 5, 7]
+        for r in out:
+            rgb = pal[frames[r["frame_index"]]]
+            assert r["width"] == 8 and r["n_frames_total"] == 10
+            # cast every channel up front: under NumPy 2 scalar
+            # promotion, 150 * uint8 wraps mod 256
+            g = ((77 * rgb[:, :, 0].astype(np.uint32)
+                  + 150 * rgb[:, :, 1].astype(np.uint32)
+                  + 29 * rgb[:, :, 2].astype(np.uint32)) >> 8)
+            assert r["luma_sum"] == int(g.sum())
+            assert r["ahash_hex"] == f"{ahash64(rgb):016x}"
+        err = [r for r in sample_frames_real(df, n_frames=4).collect()
+               if r["doc_id"] == 2]
+        assert len(err) == 1 and err[0]["error"] is not None
+
+    def test_short_animation_no_repeats(self, spark):
+        import numpy as np
+
+        from rdw_spark.functions.gifcodec import encode_gif
+        from rdw_spark.operators.multimodal import sample_frames_real
+
+        pal = np.zeros((4, 3), np.uint8)
+        frames = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif(frames, pal)))],
+            "doc_id long, media binary")
+        out = sample_frames_real(df, n_frames=8).collect()
+        assert sorted(r["frame_index"] for r in out) == [0, 1]
