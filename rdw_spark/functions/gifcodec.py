@@ -30,13 +30,15 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
-    table: list[bytes] = []
+    # base table built once; reset truncates back to it — O(entries
+    # added since the last clear), not O(alphabet) (streams that clear
+    # often, like this module's fixture encoder, would otherwise spend
+    # the whole decode rebuilding root tables)
+    base_len = clear + 2
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
 
     def reset() -> int:
-        table.clear()
-        table.extend(bytes([i]) for i in range(clear))
-        table.append(b"")  # clear
-        table.append(b"")  # end
+        del table[base_len:]
         return min_code_size + 1
 
     width = reset()

@@ -273,21 +273,18 @@ def ahash64(img: np.ndarray, grid: int = 8) -> int:
         h, w = g.shape
     ys = (np.arange(grid + 1) * h) // grid
     xs = (np.arange(grid + 1) * w) // grid
-    sums = np.zeros((grid, grid), np.uint64)
-    counts = np.zeros((grid, grid), np.uint64)
-    for by in range(grid):
-        for bx in range(grid):
-            block = g[ys[by]:ys[by + 1], xs[bx]:xs[bx + 1]]
-            sums[by, bx] = block.sum(dtype=np.uint64)
-            counts[by, bx] = block.size
+    # block sums via two reduceat passes (vectorized — a per-block
+    # Python loop dominates batch decoding otherwise)
+    rowsum = np.add.reduceat(g.astype(np.int64), ys[:-1], axis=0)
+    sums = np.add.reduceat(rowsum, xs[:-1], axis=1)
+    counts = (np.diff(ys)[:, None] * np.diff(xs)[None, :]).astype(np.int64)
     # compare block_sum * total_count vs total_sum * block_count — exact
-    # integer cross-multiplication, no float means
+    # integer cross-multiplication, no float means (int64-safe: sums ≤
+    # 255·h·w and counts ≤ h·w, so the products stay < 2^63 for any
+    # image under ~3.8e8 total pixels per axis product)
     total_sum = int(sums.sum())
     total_cnt = int(counts.sum())
-    bits = (sums.astype(object) * total_cnt) > (counts.astype(object)
-                                                * total_sum)
-    out = 0
-    for by in range(grid):
-        for bx in range(grid):
-            out = (out << 1) | int(bits[by, bx])
-    return out
+    bits = (sums * total_cnt) > (counts * total_sum)
+    return int(np.packbits(bits.ravel()).view(">u8")[0]) if grid == 8 \
+        else int("".join("1" if b else "0"
+                         for b in bits.ravel()), 2)

@@ -1752,6 +1752,7 @@ def dsir_weights(
     n: int = 2,
     prefix_hex: int = 3,
     alpha: float = 1.0,
+    hash: str = "md5",
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023): score every RAW document by the
@@ -1763,9 +1764,12 @@ def dsir_weights(
 
     Buckets are the first ``prefix_hex`` hex chars of ``md5(gram)``
     (16^prefix_hex buckets — md5 is available and bit-identical in
-    every engine, unlike xxhash64); both models are Laplace-smoothed
-    with ``alpha``. Grams are word 1..n-grams over normalized tokens
-    (the paper's unigram+bigram default at n=2).
+    every engine, so results are SQL-oracle-checkable); pass
+    ``hash='xxhash64'`` for the production fast path (same bucket
+    count via pmod, ~2-3x cheaper per gram, no cross-engine twin).
+    Both models are Laplace-smoothed with ``alpha``. Grams are word
+    1..n-grams over normalized tokens (the paper's unigram+bigram
+    default at n=2).
 
     Engine parity: all bucket counts are exact integers; each bucket's
     log-ratio is one pinned double tree; the per-doc sum folds the
@@ -1784,6 +1788,8 @@ def dsir_weights(
         raise ValueError(f"prefix_hex must be in 1..8, got {prefix_hex}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"hash must be md5|xxhash64, got {hash!r}")
     n_buckets = 16 ** prefix_hex
 
     def buckets(col: str) -> Column:
@@ -1794,6 +1800,10 @@ def dsir_weights(
             # closure factory, NOT a default arg: pyspark counts lambda
             # params to bind higher-order functions, so `lambda i, k=k`
             # would bind as the (element, index) two-arg form
+            if hash == "xxhash64":
+                return lambda i: F.pmod(
+                    F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
+                    F.lit(n_buckets)).cast("string")
             return lambda i: F.substring(
                 F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, prefix_hex)
 
@@ -1827,6 +1837,10 @@ def dsir_weights(
         raw.select(F.col(id_col), F.explode(buckets(text_col)).alias("_b"))
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        # doc_b feeds BOTH the raw model and the scoring join; the lazy
+        # localCheckpoint pins one materialization (the hot_keys
+        # precedent) instead of trusting exchange reuse under AQE
+        .localCheckpoint(eager=False)
     )
     wraw = Window.rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing)
