@@ -777,8 +777,11 @@ def ks_test(
 
     Scale shape: one partial-agg shuffle onto the DISTINCT value frame
     (per-value per-group counts), one running-sum window over that
-    bounded support, one global max — the fact never sorts (the
-    mann_whitney_u shape exactly)."""
+    support, one global max — the fact never sorts (the mann_whitney_u
+    shape exactly). The window is single-task over the SUPPORT, so for
+    continuous measures (distinct ≈ rows) pre-quantize — e.g.
+    ``F.round(v, 3)`` — to bound it; KS on quantized values is the KS
+    of the binned ECDFs, the standard practice at scale."""
     d = _two_group_values(df, value_col, group_col, group_a, group_b)
     per_val = d.groupBy("_v").agg(
         F.sum("_ia").alias("_ca"),
