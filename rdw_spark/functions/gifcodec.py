@@ -79,9 +79,36 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(blob: bytes) -> list[np.ndarray]:
-    """Decode every image block to an (H, W, 3) uint8 frame on the
-    logical screen (background-filled, no disposal compositing)."""
+def gif_frame_count(blob: bytes) -> int:
+    """Number of image blocks, by walking block structure only — no LZW
+    work (what a sampler needs to pick frame indices before decoding)."""
+    return _walk_gif(blob, only=frozenset())[1]
+
+
+def decode_gif(blob: bytes,
+               only: "set[int] | frozenset[int] | None" = None
+               ) -> list[np.ndarray]:
+    """Decode image blocks to (H, W, 3) uint8 frames on the logical
+    screen (background-filled, no disposal compositing). ``only``
+    restricts LZW decode + rendering to those frame indices (ascending
+    order in the result) — other frames are block-walked and skipped,
+    so sampling 4 of 200 frames pays 4 decodes, not 200. Every
+    corruption mode (struct.error/IndexError/...) surfaces as
+    ValueError so the operators' error policy holds."""
+    frames, _n = _walk_gif(blob, only)
+    if only is None and not frames:
+        raise ValueError("GIF contains no image blocks")
+    return frames
+
+
+def _walk_gif(blob, only):
+    try:
+        return _walk_gif_inner(blob, only)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt GIF blob: {e}") from e
+
+
+def _walk_gif_inner(blob: bytes, only) -> tuple[list[np.ndarray], int]:
     if not sniff_gif(blob):
         raise ValueError("not a GIF")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
@@ -94,6 +121,7 @@ def decode_gif(blob: bytes) -> list[np.ndarray]:
             raise ValueError("truncated global color table")
         i += 3 * n
     frames: list[np.ndarray] = []
+    n_images = 0
     while i < len(blob):
         b0 = blob[i]
         if b0 == 0x3B:  # trailer
@@ -117,29 +145,33 @@ def decode_gif(blob: bytes) -> list[np.ndarray]:
                 raise ValueError("GIF image with no color table")
             min_code = blob[i]
             i += 1
+            wanted = only is None or n_images in only
             data = bytearray()
             while i < len(blob) and blob[i] != 0:
                 sz = blob[i]
-                data += blob[i + 1:i + 1 + sz]
+                if wanted:
+                    data += blob[i + 1:i + 1 + sz]
                 i += 1 + sz
             i += 1
-            idx = np.frombuffer(
-                _lzw_decode(min_code, bytes(data), iw * ih), np.uint8)
-            if idx.size < iw * ih:
-                raise ValueError("truncated GIF frame")
-            if int(idx.max(initial=0)) >= pal.shape[0]:
-                raise ValueError("GIF index out of palette range")
-            rect = pal[idx.reshape(ih, iw)]
-            canvas = np.empty((h, w, 3), np.uint8)
-            canvas[:] = (gct[bg] if gct is not None
-                         and bg < gct.shape[0] else 0)
-            canvas[iy:iy + ih, ix:ix + iw] = rect[: h - iy, : w - ix]
-            frames.append(canvas)
+            if wanted:  # unwanted frames are block-walked, never LZW'd
+                idx = np.frombuffer(
+                    _lzw_decode(min_code, bytes(data), iw * ih), np.uint8)
+                if idx.size < iw * ih:
+                    raise ValueError("truncated GIF frame")
+                if int(idx.max(initial=0)) >= pal.shape[0]:
+                    raise ValueError("GIF index out of palette range")
+                rect = pal[idx.reshape(ih, iw)]
+                canvas = np.empty((h, w, 3), np.uint8)
+                canvas[:] = (gct[bg] if gct is not None
+                             and bg < gct.shape[0] else 0)
+                canvas[iy:iy + ih, ix:ix + iw] = rect[: h - iy, : w - ix]
+                frames.append(canvas)
+            n_images += 1
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
-    if not frames:
+    if n_images == 0:
         raise ValueError("GIF contains no image blocks")
-    return frames
+    return frames, n_images
 
 
 def encode_gif(frames_idx: list[np.ndarray], palette: np.ndarray) -> bytes:

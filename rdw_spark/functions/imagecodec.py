@@ -37,16 +37,28 @@ def sniff_format(blob: bytes) -> str | None:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode a supported blob to an (H, W, C) uint8 array (C in
-    {1, 2, 3, 4}). Raises ValueError on unsupported or corrupt input —
-    callers choose skip-vs-fail policy."""
+    {1, 2, 3, 4}, W and H >= 1). Raises ValueError on unsupported or
+    corrupt input — EVERY corruption mode, including truncated headers
+    (struct.error), broken deflate streams (zlib.error), and short
+    buffers (IndexError), is normalized to ValueError here so the
+    operators' ``except ValueError`` keep/skip/fail policy actually
+    holds on dirty data."""
     fmt = sniff_format(blob)
-    if fmt == "png":
-        return _decode_png(blob)
-    if fmt == "bmp":
-        return _decode_bmp(blob)
-    if fmt == "pnm":
-        return _decode_pnm(blob)
-    raise ValueError("unsupported image format (need PNG/BMP/PPM/PGM)")
+    try:
+        if fmt == "png":
+            img = _decode_png(blob)
+        elif fmt == "bmp":
+            img = _decode_bmp(blob)
+        elif fmt == "pnm":
+            img = _decode_pnm(blob)
+        else:
+            raise ValueError(
+                "unsupported image format (need PNG/BMP/PPM/PGM)")
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt {fmt or 'image'} blob: {e}") from e
+    if img.shape[0] < 1 or img.shape[1] < 1:
+        raise ValueError(f"degenerate image dims {img.shape[:2]}")
+    return img
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +94,11 @@ def _pnm_tokens(blob: bytes, n: int, start: int) -> tuple[list[int], int]:
 def _decode_pnm(blob: bytes) -> np.ndarray:
     channels = 3 if blob[:2] == b"P6" else 1
     (w, h, maxval), i = _pnm_tokens(blob, 3, 2)
-    if maxval <= 0 or maxval > 255:
-        raise ValueError(f"unsupported PNM maxval {maxval} (need 1..255)")
+    if maxval != 255:
+        # a maxval < 255 PNM is legal but its values would need 255/maxval
+        # rescaling to be intensities — rejected rather than silently
+        # producing wrong luma/ahash (the interlaced-PNG treatment)
+        raise ValueError(f"unsupported PNM maxval {maxval} (need 255)")
     i += 1  # exactly one whitespace byte after maxval per spec
     need = w * h * channels
     data = blob[i:i + need]
@@ -148,17 +163,6 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
 # PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced)
 # ---------------------------------------------------------------------------
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """PNG Paeth predictor, vectorized over a scanline."""
-    ai = a.astype(np.int16)
-    bi = b.astype(np.int16)
-    ci = c.astype(np.int16)
-    p = ai + bi - ci
-    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def _decode_png(blob: bytes) -> np.ndarray:
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -203,21 +207,32 @@ def _decode_png(blob: bytes) -> np.ndarray:
             out[y] = line
         elif f == 2:  # Up
             out[y] = line + up
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left state
+        elif f == 1:  # Sub — a per-channel running sum, vectorized
+            cols = line.reshape(-1, bpp)
+            out[y] = (np.cumsum(cols.astype(np.int64), axis=0) % 256
+                      ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth need (left, up) — plain-int
+            # scalar loop (np scalar wrapping per pixel dominated batch
+            # decode before; ints are ~20x cheaper)
             row = out[y]
-            row[:] = 0
+            lv = line.tolist()
+            uv = up.tolist()
+            rv = [0] * stride
             for x in range(stride):
-                left = row[x - bpp] if x >= bpp else np.uint8(0)
-                ul = up[x - bpp] if x >= bpp else np.uint8(0)
-                if f == 1:
-                    row[x] = line[x] + left
-                elif f == 3:
-                    row[x] = line[x] + np.uint8(
-                        (int(left) + int(up[x])) // 2)
+                left = rv[x - bpp] if x >= bpp else 0
+                u = uv[x]
+                if f == 3:
+                    rv[x] = (lv[x] + (left + u) // 2) & 0xFF
                 else:
-                    row[x] = line[x] + _paeth(
-                        np.asarray(left), np.asarray(up[x]),
-                        np.asarray(ul))
+                    ul = uv[x - bpp] if x >= bpp else 0
+                    p = left + u - ul
+                    pa = abs(p - left)
+                    pb = abs(p - u)
+                    pc = abs(p - ul)
+                    pred = (left if pa <= pb and pa <= pc
+                            else (u if pb <= pc else ul))
+                    rv[x] = (lv[x] + pred) & 0xFF
+            row[:] = rv
         else:
             raise ValueError(f"bad PNG filter {f}")
     return out.reshape(h, w, channels)

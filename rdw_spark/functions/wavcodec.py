@@ -23,7 +23,16 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV blob to ``(samples, sample_rate)`` where samples
     is (n_frames, n_channels) int32 — 8-bit unsigned is re-centered to
     signed (v − 128), 16-bit little-endian passes through. Raises
-    ValueError on non-PCM or truncated input."""
+    ValueError on non-PCM or truncated input — every corruption mode
+    (incl. struct.error on short chunks) is normalized to ValueError so
+    the operators' keep/skip/fail policy holds on dirty data."""
+    try:
+        return _decode_wav_inner(blob)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt WAV blob: {e}") from e
+
+
+def _decode_wav_inner(blob: bytes) -> tuple[np.ndarray, int]:
     if not sniff_wav(blob):
         raise ValueError("not a RIFF/WAVE blob")
     i = 12

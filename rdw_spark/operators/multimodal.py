@@ -391,7 +391,15 @@ def sample_frames_real(
                                    "luma_sum", "ahash_hex", "error")}
             for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
                 try:
-                    frames = GC.decode_gif(bytes(blob))
+                    raw = bytes(blob)
+                    # two-phase: block-walk for the frame count, then
+                    # LZW-decode ONLY the sampled indices — 4 of 200
+                    # frames costs 4 decodes, not 200
+                    total = GC.gif_frame_count(raw)
+                    picks = sorted({(i * total) // n_frames
+                                    for i in range(n_frames)})
+                    frames = dict(zip(picks, GC.decode_gif(
+                        raw, only=set(picks))))
                 except ValueError as e:
                     if on_error == "fail":
                         raise
@@ -406,9 +414,6 @@ def sample_frames_real(
                     out["ahash_hex"].append(None)
                     out["error"].append(str(e))
                     continue
-                total = len(frames)
-                picks = sorted({(i * total) // n_frames
-                                for i in range(n_frames)})
                 for fi in picks:
                     img = frames[fi]
                     g = IC.to_gray(img)

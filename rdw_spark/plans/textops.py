@@ -3307,14 +3307,13 @@ def zz_dedup_minhash_portable_entry(
                     lambda x: x != "")
     d = _docs(spark, sf_dir).select("doc_id", toks.alias("_l"))
     d = d.filter(F.size("_l") >= 3)
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size("_l") - 2),
-                lambda i: F.concat_ws(" ", F.slice("_l", i, 3))))).alias("s"))
-        .distinct()
-    )
+    # array_distinct dedups shingles within each doc, so (doc_id, s)
+    # rows are already unique — no distinct shuffle needed
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("_l") - 2),
+            lambda i: F.concat_ws(" ", F.slice("_l", i, 3))))).alias("s"))
     mins = sh.groupBy("doc_id").agg(*[
         F.min(F.substring(
             F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))), 1, 16))
@@ -3393,11 +3392,6 @@ def zz_dedup_simhash_portable_entry(
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    j = F.col("j")
-    nibble = (F.instr(F.lit("0123456789abcdef"),
-                      F.substring(F.md5("t"),
-                                  (j / 4).cast("int") + 1, 1))
-              - 1).cast("long")
     bit = F.expr(
         "(instr('0123456789abcdef', substr(md5(t), CAST(j DIV 4 AS INT)"
         " + 1, 1)) - 1) DIV CAST(pow(2, 3 - j % 4) AS BIGINT) % 2")

@@ -808,3 +808,100 @@ class TestSampleFramesReal:
             "doc_id long, media binary")
         out = sample_frames_real(df, n_frames=8).collect()
         assert sorted(r["frame_index"] for r in out) == [0, 1]
+
+
+class TestDirtyMediaPolicy:
+    def test_every_corruption_mode_respects_on_error(self, spark):
+        """Truncated headers (struct.error), broken deflate (zlib.error),
+        short buffers (IndexError), and zero-dim images must all surface
+        as error ROWS under on_error='keep' — never task crashes."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from rdw_spark.functions.imagecodec import PNG_SIG
+        from rdw_spark.operators.multimodal import (
+            decode_audio, decode_images, sample_frames_real,
+        )
+
+        def chunk(ct, body):
+            return (struct.pack(">I", len(body)) + ct + body
+                    + struct.pack(">I", zlib.crc32(ct + body)))
+
+        bad_png_hdr = PNG_SIG + struct.pack(">I", 3) + b"IHDR" + b"\x01\x02\x03"
+        bad_deflate = (PNG_SIG
+                       + chunk(b"IHDR",
+                               struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                       + chunk(b"IDAT", b"\xff\xff notdeflate")
+                       + chunk(b"IEND", b""))
+        zero_dim = b"P5 0 0 255\n"
+        low_maxval = b"P6 2 2 15\n" + bytes(12)
+        rows = [(1, bytearray(bad_png_hdr)), (2, bytearray(bad_deflate)),
+                (3, bytearray(zero_dim)), (4, bytearray(low_maxval))]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = decode_images(df, on_error="keep").collect()
+        assert len(out) == 4 and all(r["error"] is not None for r in out)
+        assert decode_images(df, on_error="skip").count() == 0
+
+        wav_rows = [(1, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00ab"))]
+        wdf = spark.createDataFrame(wav_rows, "doc_id long, media binary")
+        w = decode_audio(wdf, on_error="keep").collect()
+        assert len(w) == 1 and w[0]["error"] is not None
+
+        gif_rows = [(1, bytearray(b"GIF89a\x01\x00"))]
+        gdf = spark.createDataFrame(gif_rows, "doc_id long, media binary")
+        g = sample_frames_real(gdf, n_frames=2).collect()
+        assert len(g) == 1 and g[0]["error"] is not None
+
+
+class TestGifSelectiveDecode:
+    def test_only_decodes_picked_frames(self):
+        import numpy as np
+
+        from rdw_spark.functions.gifcodec import (
+            decode_gif, encode_gif, gif_frame_count,
+        )
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        frames = [rng.integers(0, 4, (5, 5), dtype=np.uint8)
+                  for _ in range(9)]
+        blob = encode_gif(frames, pal)
+        assert gif_frame_count(blob) == 9
+        sel = decode_gif(blob, only={1, 7})
+        assert len(sel) == 2
+        assert np.array_equal(sel[0], pal[frames[1]])
+        assert np.array_equal(sel[1], pal[frames[7]])
+        assert len(decode_gif(blob)) == 9  # only=None decodes all
+
+
+class TestDsirXxhashPath:
+    def test_fast_path_sane_and_deterministic(self, spark):
+        from rdw_spark.operators.text import dsir_weights
+
+        raw = ["alpha beta gamma", "alpha beta", "delta epsilon zeta"]
+        rdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+        tdf = rdf.filter("doc_id < 2")
+        a = {r["doc_id"]: r for r in
+             dsir_weights(rdf, tdf, hash="xxhash64").collect()}
+        b = {r["doc_id"]: r for r in
+             dsir_weights(rdf.repartition(4), tdf,
+                          hash="xxhash64").collect()}
+        assert set(a) == {0, 1, 2}
+        for k in a:
+            assert a[k]["log_weight"] == b[k]["log_weight"]   # deterministic
+            assert a[k]["n_grams"] == {0: 5, 1: 3, 2: 5}[k]
+        # target-like docs outscore the off-domain one
+        assert min(a[0]["log_weight"], a[1]["log_weight"]) \
+            > a[2]["log_weight"]
+
+    def test_bogus_hash_rejected(self, spark):
+        import pytest
+
+        from rdw_spark.operators.text import dsir_weights
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="hash"):
+            dsir_weights(df, df, hash="sha1")
