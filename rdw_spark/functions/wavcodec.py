@@ -116,3 +116,35 @@ def wav_features(samples: np.ndarray) -> dict:
         "peak": int(np.max(np.abs(mix))),
         "zero_crossings": flips,
     }
+
+
+def wav_fingerprint(samples: np.ndarray, bits: int = 64) -> int:
+    """Energy-delta audio fingerprint — the audio twin of
+    ``imagecodec.ahash64``: split the channel-mixed signal into
+    ``bits + 1`` windows on the exact integer grid
+    ``w_i = (i · n) DIV (bits + 1)``, take each window's integer energy
+    ``Σx²``, and emit one bit per adjacent pair (1 when energy rose) —
+    the sign-of-delta shape classic audio fingerprints (Haitsma–Kalker
+    family) reduce to without a spectral transform. Bit-stable across
+    engines/partitions (pure integer comparisons); near-identical
+    recordings (small noise, level shifts that preserve dynamics) hash
+    close in Hamming distance, so group or band on it for audio
+    near-dup dedup. Signals shorter than ``bits + 1`` frames tile
+    cyclically (the small-image ahash convention)."""
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    mix = samples.sum(axis=1, dtype=np.int64)
+    n = int(mix.size)
+    if n == 0:
+        return 0
+    if n < bits + 1:
+        mix = np.tile(mix, (bits + 1 + n - 1) // n)
+        n = int(mix.size)
+    bounds = (np.arange(bits + 2, dtype=np.int64) * n) // (bits + 1)
+    sq = mix * mix
+    cum = np.concatenate([[0], np.cumsum(sq, dtype=np.int64)])
+    energies = cum[bounds[1:]] - cum[bounds[:-1]]
+    out = 0
+    for i in range(bits):
+        out = (out << 1) | int(energies[i + 1] > energies[i])
+    return out

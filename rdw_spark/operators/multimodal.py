@@ -290,7 +290,8 @@ def resize_images_real(
 
 AUDIO_SCHEMA = (
     "doc_id BIGINT, sample_rate INT, n_channels INT, n_frames BIGINT, "
-    "energy BIGINT, peak INT, zero_crossings BIGINT, error STRING"
+    "energy BIGINT, peak INT, zero_crossings BIGINT, "
+    "fingerprint_hex STRING, error STRING"
 )
 
 
@@ -305,8 +306,11 @@ def decode_audio(
     ``functions.wavcodec`` — the audio twin of :func:`decode_images`.
     Emits exact-integer features over the channel-mixed signal: frame
     count, energy ``Σx²`` (int64-safe to ~2e9 frames), peak ``max|x|``,
-    and the zero-crossing count (sign flips with zeros carrying the
-    previous sign — the silence/speech activity proxy). Compressed
+    the zero-crossing count (sign flips with zeros carrying the
+    previous sign — the silence/speech activity proxy), and the 64-bit
+    energy-delta fingerprint as 16 hex chars (``wav_fingerprint`` —
+    group/band on it for audio near-dup dedup, the ahash64 of the
+    audio path). Compressed
     audio (mp3/ogg/flac) genuinely needs native codecs and is not
     handled here.
 
@@ -322,7 +326,8 @@ def decode_audio(
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "sample_rate", "n_channels",
                                    "n_frames", "energy", "peak",
-                                   "zero_crossings", "error")}
+                                   "zero_crossings", "fingerprint_hex",
+                                   "error")}
             for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
                 try:
                     samples, rate = WC.decode_wav(bytes(blob))
@@ -334,6 +339,8 @@ def decode_audio(
                     out["energy"].append(f["energy"])
                     out["peak"].append(f["peak"])
                     out["zero_crossings"].append(f["zero_crossings"])
+                    out["fingerprint_hex"].append(
+                        f"{WC.wav_fingerprint(samples):016x}")
                     out["error"].append(None)
                 except ValueError as e:
                     if on_error == "fail":
@@ -342,7 +349,8 @@ def decode_audio(
                         continue
                     out["doc_id"].append(doc_id)
                     for k in ("sample_rate", "n_channels", "n_frames",
-                              "energy", "peak", "zero_crossings"):
+                              "energy", "peak", "zero_crossings",
+                              "fingerprint_hex"):
                         out[k].append(None)
                     out["error"].append(str(e))
             yield pd.DataFrame(out)

@@ -905,3 +905,43 @@ class TestDsirXxhashPath:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="hash"):
             dsir_weights(df, df, hash="sha1")
+
+
+class TestWavFingerprint:
+    def test_properties(self, spark):
+        """Deterministic; robust to small noise and exact level scaling
+        (delta SIGNS are scale-invariant); far from unrelated audio;
+        surfaced as hex by decode_audio."""
+        import numpy as np
+
+        from rdw_spark.functions.wavcodec import encode_wav, wav_fingerprint
+        from rdw_spark.operators.multimodal import decode_audio
+
+        rng = np.random.default_rng(1)
+        sig = rng.integers(-5000, 5000, (8000, 1)).astype(np.int32)
+        fp = wav_fingerprint(sig)
+        assert fp == wav_fingerprint(sig)
+        assert wav_fingerprint(sig * 3) == fp          # scale-invariant
+        noisy = sig + rng.integers(-50, 51, sig.shape)
+        other = rng.integers(-5000, 5000, (8000, 1)).astype(np.int32)
+        assert bin(fp ^ wav_fingerprint(noisy)).count("1") <= 8
+        assert bin(fp ^ wav_fingerprint(other)).count("1") >= 16
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(sig, 16000, 16)))],
+            "doc_id long, media binary")
+        r = decode_audio(df).collect()[0]
+        assert r["fingerprint_hex"] == f"{fp:016x}"
+
+    def test_short_signal_tiles(self):
+        import numpy as np
+
+        import pytest
+
+        from rdw_spark.functions.wavcodec import wav_fingerprint
+
+        short = np.arange(10, dtype=np.int32)[:, None]
+        assert 0 <= wav_fingerprint(short) < 2**64
+        assert wav_fingerprint(np.zeros((0, 1), np.int32)) == 0
+        with pytest.raises(ValueError, match="bits"):
+            wav_fingerprint(short, bits=0)
