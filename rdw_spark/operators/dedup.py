@@ -435,7 +435,17 @@ def embedding_near_duplicates(
 
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     # norms are per-row: compute them once before the self-join so each
-    # pair evaluates one array fold (the dot), not three
+    # pair evaluates one array fold (the dot), not three.
+    # The probe side is spread to the session's parallelism first: block
+    # joins broadcast the build side, so the pair stream and its per-pair
+    # dot-product folds inherit the PROBE side's partitioning — a narrow
+    # (single-row-group) input would otherwise run every fold serially in
+    # one task (guide §6 parallelism floor; measured 6.7s -> sub-second
+    # at sf0.1). Round-robin keeps the multiset identical; at real scale
+    # the scan already has >= parallelism partitions and this no-ops.
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     e = emb.select(*cols, norm_expr(F.col(vec_col)).alias("_nrm"))
     a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
     b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
@@ -573,11 +583,16 @@ def connected_components(
         # round — path-halving on top of the star alternation, which cuts
         # the productive round count on chainy components
         par = edges.select(F.col("u").alias("_j"), F.col("v").alias("_jv"))
+        # lazy checkpoint: the convergence check below is the round's
+        # single action and materializes it as a side effect — eager=True
+        # here cost a second job per round for the same work (two driver
+        # round-trips per round adds up at 3-5 rounds x job latency;
+        # identical plan and bytes at scale)
         edges = (
             edges.join(par, edges["v"] == par["_j"], "left")
             .select("u", F.least(F.coalesce("_jv", "v"), F.col("v")).alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if _is_star_forest(edges):
             break

@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _prep_edges(
+    edges: DataFrame, src: str, dst: str, undirected: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Shared edge prep for the iterative operators → ``(e, nodes)``:
+    ``e`` = deduplicated ``(_s, _d)`` hash-partitioned on ``_s``,
+    ``nodes`` = cached distinct node frame.
+
+    ONE exchange total on the undirected path: the keyed repartition
+    comes FIRST, then the dedupe runs as a colocated group-by
+    (HashPartitioning(_s) satisfies the (_s,_d) clustering), the degree
+    count and the edges⋈deg join in the callers reuse the same
+    partitioning, and the node set falls out of ``_s`` alone (the
+    mirror guarantees every node appears as a source). The previous
+    shape — distinct, then degree group-by, then an explicit
+    repartition before caching — exchanged the full edge frame three
+    times for the same result (guide §2.4: operations keyed the same
+    way share one exchange). Directed inputs keep the union-based node
+    derivation (dst-only nodes must appear) but share the single-
+    exchange dedupe."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    # distinct's (_s,_d) clustering is satisfied by the _s partitioning,
+    # so it runs colocated — no second exchange
+    e = e.repartition("_s").distinct()
+    if undirected:
+        nodes = e.select(F.col("_s").alias("node")).distinct().cache()
+    else:
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .union(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .cache()
+        )
+    return e, nodes
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -54,22 +91,13 @@ def pagerank(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if undirected:
-        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    e = e.distinct()
+    e, nodes = _prep_edges(edges, src, dst, undirected)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
-    # big side: hash-partitioned on the join key BEFORE caching, so every
-    # round's edges⋈ranks reuses the cached partitioning and only the
-    # O(nodes) rank frame shuffles — without the repartition, each round
-    # re-exchanges the cached edge frame too
-    ed = e.join(deg, "_s").repartition("_s").cache()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .cache()
-    )
+    # e is already hash-partitioned on _s (see _prep_edges), deg inherits
+    # it, so this join needs no exchange and the cached frame keeps the
+    # join-key partitioning — every round's edges⋈ranks then only moves
+    # the O(nodes) rank frame
+    ed = e.join(deg, "_s").cache()
     n_nodes = nodes.count()  # nodes is cached; also the overflow guard
     if 100 * n_nodes * unit >= 2**63:
         raise ValueError(
@@ -114,22 +142,42 @@ def triangle_count(
 
     Algorithm: compact-forward enumeration (Chiba–Nishizeki; Latapy
     2008) — edges are oriented by the DEGREE total order (ties by node
-    id), each triangle is found exactly once at its lowest-rank vertex
-    as two out-edges plus the oriented closing edge between their
-    endpoints. Degree orientation is the scale guard: it caps every
-    oriented out-degree at O(√m), so wedge generation is bounded by
-    O(m^1.5) even on power-law graphs, where a naive id-order
-    orientation lets one low-id hub generate deg² wedges. On Spark that
-    is one degree aggregation, two rank-attach equi-joins (the degree
-    frame is O(nodes) — AQE broadcasts it when it fits), the wedge
-    self-join on the shared source, and a semi-join close. Counting is
-    pure integer arithmetic — bit-exact everywhere.
+    id); triangle {a,b,c} with rank a < b < c is found exactly once at
+    its lowest-rank edge (a,b) as the common out-neighborhood
+    ``N+(a) ∩ N+(b)`` (c is an out-neighbor of BOTH a and b; at the
+    other two edges one side's closing edge points the wrong way).
+    Degree orientation is the scale guard: it caps every oriented
+    out-degree at O(√m), so total intersection work is bounded by
+    O(m^1.5) even on power-law graphs. On Spark that is one degree
+    aggregation, two rank-attach equi-joins (the degree frame is
+    O(nodes) — AQE broadcasts it when it fits), one adjacency-list
+    aggregation, two list-attach joins, and a map-side sorted-array
+    intersection per edge. Counting is pure integer arithmetic —
+    bit-exact everywhere.
+
+    The per-edge intersection close replaced an explicit wedge
+    enumeration (self-join on the shared apex + semi-join against the
+    edge set): wedges outnumber edges ~34x at sf0.1 (41M wedges from
+    1.2M edges) and every wedge crossed an exchange twice; the
+    adjacency arrays carry the same information in O(m) rows that
+    shuffle once, and the intersection runs inside the map stage — the
+    guide §2.3 "shuffle keys/metadata, not the blown-up intermediate"
+    move. Exploded output is one row per TRIANGLE CORNER (3·T, output-
+    bound), never per wedge.
+
+    The canonical edge list ``e`` and the oriented frame ``o`` are each
+    cached: ``o`` is consumed three times (adjacency build + edge probe
+    sides) and ``e`` five times inside ``o``'s own build — uncached,
+    Catalyst re-derives the whole upstream pipeline per use (measured
+    30 source scans for one count at sf0.1). Both frames are O(m)
+    narrow integer rows, the cheapest thing in the job to keep.
     """
     a, b = F.col(src), F.col(dst)
     e = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -156,27 +204,23 @@ def triangle_count(
         .alias("u"),
         F.when(F.col("_ra") < F.col("_rb"), F.col("b")).otherwise(F.col("a"))
         .alias("v"),
-        F.when(F.col("_ra") < F.col("_rb"), F.col("_rb"))
-        .otherwise(F.col("_ra")).alias("rv"),
+    ).cache()
+    adj = o.groupBy(F.col("u").alias("n")).agg(
+        F.collect_list("v").alias("nbrs"))
+    tri = (
+        o.join(adj.withColumnRenamed("n", "_ku")
+                  .withColumnRenamed("nbrs", "_nu"),
+               F.col("u") == F.col("_ku"))
+        .join(adj.withColumnRenamed("n", "_kv")
+                 .withColumnRenamed("nbrs", "_nv"),
+              F.col("v") == F.col("_kv"))
+        .select("u", "v", F.array_intersect("_nu", "_nv").alias("_ws"))
+        .filter(F.size("_ws") > 0)
     )
-    wedge = (
-        o.alias("l")
-        .join(o.alias("r"),
-              (F.col("l.u") == F.col("r.u"))
-              & (F.col("l.rv") < F.col("r.rv")))
-        .select(F.col("l.u").alias("u"), F.col("l.v").alias("x"),
-                F.col("r.v").alias("y"))
-    )
-    tri = wedge.alias("w").join(
-        o.alias("cl"),
-        (F.col("w.x") == F.col("cl.u")) & (F.col("w.y") == F.col("cl.v")),
-        "left_semi",
-    )
-    return (
-        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    corners = tri.select(F.explode("_ws").alias("w"), "u", "v").select(
+        F.explode(F.array("u", "v", "w")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
 
 
 def kcore(
@@ -207,14 +251,19 @@ def kcore(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     a, b = F.col(src), F.col(dst)
-    canon = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+    # mirror first (self-loops already dropped, so least/greatest
+    # canonicalization + distinct ≡ mirror + distinct halved), then ONE
+    # keyed repartition; the dedupe's (a,b) clustering is satisfied by
+    # the a-partitioning, and every per-pass degree group-by on a reuses
+    # the cached partitioning (guide §2.4 — was: distinct exchange +
+    # unionAll of two branches re-deriving the upstream twice)
+    half = edges.filter(a != b).select(a.alias("a"), b.alias("b"))
+    mirrored = (
+        half.unionAll(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("a")
         .distinct()
+        .cache()
     )
-    mirrored = canon.unionAll(
-        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
     alive = mirrored.select(F.col("a").alias("node")).distinct()
     # eager peeling with FIXPOINT early-exit: each pass is cached and
     # counted, and the loop stops as soon as a pass removes nothing —
@@ -278,17 +327,8 @@ def label_propagation(
     qualify. Known LPA caveat, unchanged here: synchronous updates can
     oscillate on bipartite structure — fixed ``iters`` reports the
     round-``iters`` state, which is exactly what the oracle pins."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if undirected:
-        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    e = e.distinct()
-    ed = e.repartition("_s").cache()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .cache()
-    )
+    e, nodes = _prep_edges(edges, src, dst, undirected)
+    ed = e.cache()
     labels = nodes.select("node", F.col("node").cast("long").alias("label"))
     for i in range(iters):
         counts = (
@@ -341,18 +381,9 @@ def personalized_pagerank(
         raise ValueError("seeds must be non-empty")
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if undirected:
-        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    e = e.distinct()
+    e, nodes = _prep_edges(edges, src, dst, undirected)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
-    ed = e.join(deg, "_s").repartition("_s").cache()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .cache()
-    )
+    ed = e.join(deg, "_s").cache()
     n_nodes = nodes.count()
     if 100 * n_nodes * unit >= 2**63:
         raise ValueError(
@@ -412,10 +443,9 @@ def k_hop_neighbors(
         raise ValueError("seeds must be non-empty")
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    if undirected:
-        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    ed = e.distinct().repartition("_s").cache()
+    e, _nodes = _prep_edges(edges, src, dst, undirected)
+    _nodes.unpersist()  # BFS never enumerates the node set
+    ed = e.cache()
     spark = edges.sparkSession
     frontier = spark.createDataFrame(
         [(s,) for s in seeds], ["node"]).distinct()

@@ -2473,7 +2473,12 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), not a fact self-join: the self-join shuffles the fact twice
     and was measured at 4.2s of the triangles entry's 6s at sf0.1."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
+    # repartition BY THE GROUP KEY before the set-build: the single-row-
+    # group parquet scan otherwise feeds the ObjectHashAggregate partial
+    # serially from one task (guide §6 scan-parallelism floor); keyed
+    # repartition keeps it to ONE exchange (the groupBy reuses the
+    # partitioning) while the set-build runs on every core
+    baskets = li.repartition("l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     return baskets.select(
