@@ -63,6 +63,28 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW (scan-level) frame up to the
+    session's default parallelism before CPU-heavy per-row work —
+    hashing every n-gram, decoding media blobs, per-vector folds.
+
+    A single-row-group parquet file scans as ONE task, so everything up
+    to the first exchange runs serially no matter how many cores the
+    session has (guide §6: scan-parallelism floor). This is a no-op
+    whenever the plan already yields >= the target partition count —
+    any real-scale input — so the added exchange only ever moves small
+    inputs, and the multiset of rows is unchanged either way.
+
+    Only call this on frames without upstream exchanges (scans +
+    narrow projections): ``.rdd`` on a multi-stage plan would execute
+    its query stages under AQE just to read the partition count."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -82,6 +82,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def let_bind(value: Column, body) -> Column:
+    """Let-binding via single-element-array + transform: evaluate
+    ``value`` ONCE per row and pass it to ``body`` as a lambda variable.
+
+    Higher-order functions are interpreted (CodegenFallback), so a
+    nested expression like ``transform(sequence(1, n), i -> f(slice(t,
+    i, k)))`` re-evaluates the whole ``t`` subtree for EVERY element —
+    O(grams) tokenizations per document (measured ~5x on the dsir/rouge
+    gram stages at sf0.1). Separate projections don't help because
+    CollapseProject inlines them right back; routing the value through
+    a lambda variable is the one structure the optimizer keeps."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse every
     non-alphanumeric run to a single space, trim."""
@@ -1692,43 +1706,58 @@ def rouge_n(
     row.
 
     Scale shape: gram construction is map-only (transform over token
-    slices); counting shuffles at the (pair, gram) grain — never a
-    per-pair collect — then one partial-agg rollup to the pair grain.
-    A full outer join aligns the two count frames so one-sided grams
-    still reach the totals."""
+    slices); BOTH sides' grams leave one fused explode as tagged
+    (gram, cand_hit, ref_hit) rows, so the input is read once and the
+    counting shuffles once at the (pair, gram) grain — never a per-pair
+    collect — then one partial-agg rollup to the pair grain. (The
+    previous shape ran the upstream frame twice — once per side — and
+    re-aligned the two count frames with a full outer join: one extra
+    pass over the input and one extra shuffle for the same integers.)"""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
     def grams(col: str) -> Column:
         # normalized tokens (lowercase, punctuation stripped) — the
-        # standard ROUGE preprocessing and the fingerprinting canon
-        t = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
-                     lambda x: x != "")
-        cnt = F.size(t) - n + 1
-        # guard: F.sequence(1, 0) generates DESCENDING [1, 0], so a
-        # too-short text must return an empty gram array explicitly
-        return F.when(
-            cnt >= 1,
-            F.transform(F.sequence(F.lit(1), cnt),
-                        lambda i: F.concat_ws(" ", F.slice(t, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
+        # standard ROUGE preprocessing and the fingerprinting canon.
+        # let-bound so the tokenization runs once per row, not once per
+        # gram (the nested-HOF re-evaluation trap — see let_bind)
+        toks = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
+                        lambda x: x != "")
 
-    def counts(col: str, out: str) -> DataFrame:
-        return (
-            df.select(id_col, F.explode(grams(col)).alias("_g"))
-            .groupBy(id_col, "_g")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
-        )
+        def build(t: Column) -> Column:
+            cnt = F.size(t) - n + 1
+            # guard: F.sequence(1, 0) generates DESCENDING [1, 0], so a
+            # too-short text must return an empty gram array explicitly
+            return F.when(
+                cnt >= 1,
+                F.transform(F.sequence(F.lit(1), cnt),
+                            lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+            ).otherwise(F.array().cast("array<string>"))
 
-    c = counts(cand_col, "_cc")
-    r = counts(ref_col, "_cr")
-    j = c.join(r, [id_col, "_g"], "full")
-    per = j.groupBy(id_col).agg(
-        F.sum(F.coalesce("_cc", F.lit(0))).cast("long").alias("n_cand"),
-        F.sum(F.coalesce("_cr", F.lit(0))).cast("long").alias("n_ref"),
-        F.sum(F.least(F.coalesce("_cc", F.lit(0)),
-                      F.coalesce("_cr", F.lit(0))))
-        .cast("long").alias("overlap"),
+        return let_bind(toks, build)
+
+    tagged = df.select(
+        id_col,
+        F.explode(F.concat(
+            F.transform(grams(cand_col),
+                        lambda g: F.struct(g.alias("g"),
+                                           F.lit(1).alias("c"),
+                                           F.lit(0).alias("r"))),
+            F.transform(grams(ref_col),
+                        lambda g: F.struct(g.alias("g"),
+                                           F.lit(0).alias("c"),
+                                           F.lit(1).alias("r"))),
+        )).alias("_t"),
+    )
+    per_gram = (
+        tagged.groupBy(id_col, F.col("_t.g").alias("_g"))
+        .agg(F.sum("_t.c").cast("long").alias("_cc"),
+             F.sum("_t.r").cast("long").alias("_cr"))
+    )
+    per = per_gram.groupBy(id_col).agg(
+        F.sum("_cc").cast("long").alias("n_cand"),
+        F.sum("_cr").cast("long").alias("n_ref"),
+        F.sum(F.least("_cc", "_cr")).cast("long").alias("overlap"),
     )
     o = F.col("overlap").cast("double")
     return per.select(
@@ -1793,29 +1822,35 @@ def dsir_weights(
     n_buckets = 16 ** prefix_hex
 
     def buckets(col: str) -> Column:
-        t = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
-                     lambda x: x != "")
+        # let-bound so the tokenization runs once per row, not once per
+        # gram (the nested-HOF re-evaluation trap — see let_bind)
+        toks = F.filter(F.split(normalize_text(F.col(col)), r"\s+"),
+                        lambda x: x != "")
 
-        def gram_bucket(k: int):
-            # closure factory, NOT a default arg: pyspark counts lambda
-            # params to bind higher-order functions, so `lambda i, k=k`
-            # would bind as the (element, index) two-arg form
-            if hash == "xxhash64":
-                return lambda i: F.pmod(
-                    F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
-                    F.lit(n_buckets)).cast("string")
-            return lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, prefix_hex)
+        def build(t: Column) -> Column:
+            def gram_bucket(k: int):
+                # closure factory, NOT a default arg: pyspark counts
+                # lambda params to bind higher-order functions, so
+                # `lambda i, k=k` would bind as the (element, index)
+                # two-arg form
+                if hash == "xxhash64":
+                    return lambda i: F.pmod(
+                        F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
+                        F.lit(n_buckets)).cast("string")
+                return lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, prefix_hex)
 
-        out = None
-        for k in range(1, n + 1):
-            cnt = F.size(t) - k + 1
-            g = F.when(
-                cnt >= 1,
-                F.transform(F.sequence(F.lit(1), cnt), gram_bucket(k)),
-            ).otherwise(F.array().cast("array<string>"))
-            out = g if out is None else F.concat(out, g)
-        return out
+            out = None
+            for k in range(1, n + 1):
+                cnt = F.size(t) - k + 1
+                g = F.when(
+                    cnt >= 1,
+                    F.transform(F.sequence(F.lit(1), cnt), gram_bucket(k)),
+                ).otherwise(F.array().cast("array<string>"))
+                out = g if out is None else F.concat(out, g)
+            return out
+
+        return let_bind(toks, build)
 
     def model(df: DataFrame, total_name: str, cnt_name: str) -> DataFrame:
         per = (

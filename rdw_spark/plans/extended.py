@@ -858,7 +858,12 @@ def zz_skew_hotkeys_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
            "cross join; oracle is the DuckDB brute-force cross join",
 )
 def zz_fuzzy_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from ..io import spread_scan
+
+    # deletion-key explosion is CPU-dense and pre-exchange: spread the
+    # single-row-group scan so it isn't generated by one task
+    cust = spread_scan(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
     return fuzzy_join(cust, None, "c_name", left_id_col="c_custkey",
                       max_dist=1)
 

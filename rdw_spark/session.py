@@ -31,6 +31,16 @@ def get_spark(app_name: str = "rdw_spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTES-based (parallelismFirst target, floored
+        # at minPartitionSize=1m) — a CPU-dense stage over few megabytes
+        # (n-gram explosion, per-vector folds, interpreted higher-order
+        # exprs) gets coalesced onto 1-2 cores. A lower floor keeps such
+        # stages parallel; stages whose bytes/parallelism exceed the floor
+        # (any production-scale shuffle) are untouched because the
+        # parallelism-first target dominates. Env-tunable; raise toward
+        # the 1m default if task-launch overhead ever dominates profile.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
