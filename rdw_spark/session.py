@@ -31,16 +31,17 @@ def get_spark(app_name: str = "rdw_spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is BYTES-based (parallelismFirst target, floored
-        # at minPartitionSize=1m) — a CPU-dense stage over few megabytes
-        # (n-gram explosion, per-vector folds, interpreted higher-order
-        # exprs) gets coalesced onto 1-2 cores. A lower floor keeps such
-        # stages parallel; stages whose bytes/parallelism exceed the floor
-        # (any production-scale shuffle) are untouched because the
-        # parallelism-first target dominates. Env-tunable; raise toward
-        # the 1m default if task-launch overhead ever dominates profile.
+        # AQE coalescing is BYTES-based; its minPartitionSize floor stays
+        # at the Spark default (1m). A lower floor (16k) was A/B-tested:
+        # it keeps CPU-dense few-MB stages parallel (rouge/dsir ~0.6 s
+        # each) but multiplies task-launch overhead across EVERY round of
+        # the iterative graph/CC tier (kcore 3.2->15.0 s, k-hop 6.8->14.5,
+        # ppr 6.7->10.3, wcc 5.7->9.2 solo at sf0.1) — a net loss. Stages
+        # that need parallelism despite tiny bytes get it explicitly
+        # (io.spread_scan / keyed repartition at the operator), not via a
+        # session-wide floor. Env-tunable for cluster ops.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"))
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
