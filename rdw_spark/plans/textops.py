@@ -3466,7 +3466,13 @@ def zz_mm_gif_frames_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(encode_gif(frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    gifs = src.mapInPandas(to_gif, schema="doc_id BIGINT, media BINARY")
+    # the pure-Python LZW encode+decode chain is the entry's entire cost
+    # and sits before any exchange — a single-row-group scan would run
+    # it all in ONE task (guide §6 parallelism floor); no-op at real scale
+    from ..io import spread_scan
+
+    gifs = spread_scan(src).mapInPandas(
+        to_gif, schema="doc_id BIGINT, media BINARY")
     return M2.sample_frames_real(gifs, n_frames=4).select(
         "doc_id", "frame_index", "n_frames_total", "width", "height",
         "luma_sum")
