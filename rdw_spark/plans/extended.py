@@ -3675,6 +3675,12 @@ def zz_ts_decompose_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zz_benford_screen_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import benford_report
 
+    # examined for the scan-parallelism floor (r12): a spread_scan before
+    # the digit projection measured a WASH — the round-robin exchange's
+    # map side still runs in the single scan task, so serializing 600k
+    # rows costs what the parallel regex saves. spread_scan only pays
+    # when per-row work is heavy relative to row shipping (Python
+    # codecs, key explosion); a cast+regex is not.
     return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
