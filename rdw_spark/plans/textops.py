@@ -158,7 +158,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext: SimHash near-dup (64-bit signature, pigeonhole banding, Hamming<=3)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    from ..io import spread_scan
+
+    # the interpreted 64-bit majority-vote fold (O(64·tokens) HOF ops per
+    # doc) is heavy enough per row to clear the spread_scan boundary —
+    # A/B 2.3 -> 0.9 s solo at sf0.1; no-op at real scale
+    d = spread_scan(_docs(spark, sf_dir))
     sigs = D.simhash64(d)
     return D.simhash_near_pairs(sigs, max_hamming=3)
 
