@@ -524,6 +524,7 @@ def connected_components(
     b_col: str = "b",
     max_iterations: int = 25,
     skew_safe: bool = False,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Resolve similarity PAIRS into clusters: (node, cluster_id) for every
     node that appears in ``pairs``, where cluster_id is the minimum node id
@@ -544,6 +545,20 @@ def connected_components(
     forest), not by re-deriving and comparing. ``skew_safe`` swaps the
     per-node window-min for a map-combined groupBy+join (see ``_ann_min``)
     when a super-node would straggle a window task.
+
+    ``pointer_jump`` trades per-round cost against round count, with an
+    IDENTICAL result either way (md5-verified over the sorted output on
+    every measured input). The jump's self-join re-executes the round's
+    un-materialized star output once per join side (the round checkpoint
+    is lazy), so each jump round costs ~2x the star work plus a join —
+    but it merges chains twice as fast. Measured at sf0.1 (r12):
+    chain-shaped and near-dup inputs converge in half the rounds and run
+    ~1.9x faster WITH the jump (the streaming per-micro-batch resolver
+    regressed 205 -> 57 docs/s without it); the star-friendly bipartite
+    wcc input converges in 2-3 rounds either way and runs up to 1.7x
+    faster WITHOUT it (the doubled star recompute dominates at 587k
+    edges). Default True — right for the chainy cluster graphs dedup
+    actually produces; pass False for wide low-diameter graphs.
     """
     edges = (
         pairs.select(F.col(a_col).cast("long").alias("u"),
@@ -576,19 +591,21 @@ def connected_components(
         return viol.limit(1).count() == 0
 
     for _ in range(max_iterations):
-        # round = large-star then small-star, closed by one distinct —
-        # the plain Kiveris alternation. A pointer-jump (path-halving)
-        # step used to follow the stars here; it was removed after
-        # measurement: its self-join consumes the round's UN-materialized
-        # star output twice (the checkpoint below is lazy, so both join
-        # sides recompute the stars) and adds a join+shuffle per round,
-        # all to save at most one star round — 18.4 s -> 5.5 s solo at
-        # sf0.1 with an identical result (round count 2 -> 3). The star
-        # alternation alone is the published O(log^2 n)-round bound, so
-        # the scale story is unchanged and each round is strictly
-        # cheaper.
+        # round = large-star then small-star (the Kiveris alternation),
+        # optionally followed by the pointer jump (see docstring for the
+        # measured trade), closed by one distinct
         edges = _small_star(_large_star(edges, skew_safe), dedup=False,
                             skew_safe=skew_safe)
+        if pointer_jump:
+            # remap each parent to ITS parent before the next round —
+            # path-halving on top of the star alternation
+            par = edges.select(F.col("u").alias("_j"), F.col("v").alias("_jv"))
+            edges = (
+                edges.join(par, edges["v"] == par["_j"], "left")
+                .select("u",
+                        F.least(F.coalesce("_jv", "v"),
+                                F.col("v")).alias("v"))
+            )
         # lazy checkpoint: the convergence check below is the round's
         # single action and materializes it as a side effect — eager=True
         # here cost a second job per round for the same work (two driver

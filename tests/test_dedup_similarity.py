@@ -440,6 +440,24 @@ def test_connected_components_skew_safe_equivalent(spark):
     assert (50, 0) in a  # chained through the hot node's member
 
 
+def test_connected_components_pointer_jump_equivalent(spark):
+    """pointer_jump=False (plain star alternation) produces identical
+    clusters on a mixed graph — chains, a star, an isolated pair — even
+    though it may take more rounds; the flag is a performance trade
+    only (see the r12 measurement in the docstring)."""
+    edges = ([(i, i + 1) for i in range(100, 115)]        # 16-node chain
+             + [(0, i) for i in range(1, 10)]             # star
+             + [(200, 201)]                               # pair
+             + [(108, 0)])                                # chain joins star
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    a = {(r["node"], r["cluster_id"])
+         for r in D.connected_components(pairs).collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in D.connected_components(pairs, pointer_jump=False).collect()}
+    assert a == b
+    assert (114, 0) in a  # the far chain end resolves through the bridge
+
+
 def test_incremental_exact_dedup_equals_batch(spark):
     """Index-maintained dedup applied batch-by-batch keeps exactly the
     canonicals a one-shot dedup of the whole corpus would keep, and the
