@@ -162,6 +162,7 @@ def ivf_build(
     seed: int = 42,
     max_iter: int = 10,
     sample_rows: int | None = 8192,
+    n_rows: int | None = None,
 ):
     """Train the coarse quantizer and assign every vector to its cell.
 
@@ -184,8 +185,11 @@ def ivf_build(
     fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_rows is not None:
         # the quantizer only needs a representative sample — fitting on
-        # the full table is O(N·k·iters) for no recall benefit
-        n = emb.count()
+        # the full table is O(N·k·iters) for no recall benefit. Callers
+        # that already know the row count pass n_rows to skip the count
+        # job; the fraction (and therefore the seeded Bernoulli sample)
+        # is identical either way.
+        n = emb.count() if n_rows is None else n_rows
         if n > sample_rows:
             fit_on = fit_on.sample(False, sample_rows / n, seed)
     # bounded driver collect: the training SAMPLE, never the table
@@ -677,6 +681,7 @@ def pq_train(
     seed: int = 42,
     max_iter: int = 10,
     sample_rows: int | None = 8192,
+    n_rows: int | None = None,
 ) -> list:
     """Train per-subspace codebooks: split each vector into ``m``
     contiguous subvectors and k-means each subspace to ``k`` centroids
@@ -691,28 +696,35 @@ def pq_train(
     like the IVF quantizer it is NOT engine-portable — parity for the
     PQ tier is pytest recall/distortion contracts, not oracle hashes.
 
-    ``dim`` must divide evenly by ``m`` (validated on the first row —
-    ragged subspaces silently skew the code budget toward the tail
-    otherwise)."""
+    ``dim`` must divide evenly by ``m`` (validated on the collected
+    sample — ragged subspaces silently skew the code budget toward the
+    tail otherwise). Validating there instead of via a separate
+    ``first()`` probe saves one driver action per train (the probe used
+    to re-execute the whole upstream chain when the input was an
+    un-materialized residual frame)."""
     import numpy as np
 
     if m < 1 or k < 2:
         raise ValueError(f"need m >= 1 and k >= 2, got m={m}, k={k}")
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("pq_train: empty input")
-    dim = first["d"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_rows is not None:
-        n = emb.count()
+        # callers that already know the row count pass n_rows to skip
+        # the count job; the fraction (and therefore the seeded
+        # Bernoulli sample) is identical either way
+        n = emb.count() if n_rows is None else n_rows
         if n > sample_rows:
             fit_on = fit_on.sample(False, sample_rows / n, seed)
     # bounded driver collect: the training SAMPLE (≤ sample_rows rows),
     # never the table — the documented quantizer-fit contract
     x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("pq_train: empty input")
+    if x.ndim != 2:
+        raise ValueError("pq_train: ragged vector lengths in input")
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     books = []
     for j in range(m):
         cents = _lloyd(x[:, j * sub:(j + 1) * sub], k, seed + j, max_iter)
@@ -849,6 +861,13 @@ def ivfpq_build(
     rung alone — the coarse centroid absorbs the vector's location so the
     m-byte code only has to describe the (much lower-variance) offset.
 
+    Orchestration: the row count is taken ONCE on the input table (a
+    column-pruned metadata-cheap count) and threaded into both trainers
+    — the broadcast-join residual frame has exactly one row per input
+    row, so its sample fraction (and the seeded Bernoulli sample, and
+    therefore the trained codebooks) is bit-identical to counting the
+    residual chain itself, without re-executing it for a count.
+
     Returns ``(encoded, centroids, codebooks)`` where ``encoded`` is
     ``(id_col, cell, pq_code)`` — the search table carries NO
     full-precision vectors (m bytes + a cell id per vector; at scale,
@@ -856,8 +875,10 @@ def ivfpq_build(
     so probes prune partitions). Scale shape: the residual subtraction
     is a broadcast join on ``cell`` + one JVM ``zip_with`` (map-only);
     training touches only a bounded sample."""
+    n = emb.count() if sample_rows is not None else None
     assigned, centroids = ivf_build(
-        emb, n_centroids, id_col, vec_col, seed, max_iter, sample_rows)
+        emb, n_centroids, id_col, vec_col, seed, max_iter, sample_rows,
+        n_rows=n)
     spark = emb.sparkSession
     cent = spark.createDataFrame(
         [(c, v) for c, v in centroids], "cell int, _centroid array<double>")
@@ -873,8 +894,11 @@ def ivfpq_build(
         # the cache it re-evaluates per consumer
         .cache()
     )
+    # n_rows=n: the inner broadcast join on `cell` preserves row count
+    # (assign() always lands in [0, n_centroids), and cent holds every
+    # cell id), so the residual frame needs no count job of its own
     books = pq_train(resid, m=m, k=k, vec_col="_resid", seed=seed,
-                     max_iter=max_iter, sample_rows=sample_rows)
+                     max_iter=max_iter, sample_rows=sample_rows, n_rows=n)
     encoded = pq_encode(resid, books, vec_col="_resid").select(
         id_col, "cell", "pq_code")
     return encoded, centroids, books

@@ -1536,3 +1536,31 @@ def test_ivfpq_index_build_once_probe_many(spark, sf_dir, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1) and " IN " in pf.group(1), plan
+
+
+def test_quantizer_n_rows_fast_path_is_bit_identical(spark, sf_dir):
+    """r12 orchestration trim: passing a pre-computed row count to
+    ivf_build/pq_train (n_rows) skips the count job but must leave the
+    seeded Bernoulli sample — and therefore the trained quantizers —
+    byte-identical. Forces the sampled branch with a small sample_rows so
+    the fraction actually depends on n."""
+    from rdw_spark.operators.similarity import ivf_build, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    sample_rows = max(2, n // 4)  # n > sample_rows: sampling engaged
+
+    _, cents_counted = ivf_build(emb, n_centroids=4, sample_rows=sample_rows)
+    _, cents_passed = ivf_build(
+        emb, n_centroids=4, sample_rows=sample_rows, n_rows=n)
+    assert cents_passed == cents_counted
+
+    books_counted = pq_train(emb, m=4, k=4, sample_rows=sample_rows)
+    books_passed = pq_train(emb, m=4, k=4, sample_rows=sample_rows, n_rows=n)
+    assert books_passed == books_counted
+
+    # dim validation survives the first()-probe removal (post-collect)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, k=4, sample_rows=sample_rows, n_rows=n)
