@@ -242,8 +242,16 @@ def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", qcos.alias("q_cosine"),
-                F.abs(qcos - cos).alias("q_err"), cos.alias("_c"))
+        # stage the two dot folds into their OWN projection: inlining
+        # them into q_err as well evaluates each interpreted
+        # (CodegenFallback) O(dim) fold twice per pair — 4 folds instead
+        # of 2 over ~200k pairs. CollapseProject keeps the stage (it
+        # never duplicates non-cheap expressions referenced twice), so
+        # each fold runs once; q_err is plain column arithmetic on the
+        # staged results — bit-identical output.
+        .select("a", "b", qcos.alias("q_cosine"), cos.alias("_c"))
+        .select("a", "b", "q_cosine",
+                F.abs(F.col("q_cosine") - F.col("_c")).alias("q_err"), "_c")
         .filter(F.col("_c") >= 0.3)
         .drop("_c")
     )
