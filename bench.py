@@ -364,11 +364,19 @@ def main() -> None:
             json.dump(result, fh, indent=1, sort_keys=True)
     except OSError as e:
         print(f"benchdetail write failed: {e}", file=sys.stderr)
-    # compact second summary line: the driver tail-captures output, and the
-    # full per-query line can exceed its window (BENCH_r05 recorded
-    # parsed:null because the line's head was cut). A short self-contained
-    # line LAST always fits, so the driver-visible artifact stays parseable;
-    # per-query detail remains on the previous line.
+    # compact second summary line: the driver tail-captures the last ~2000
+    # characters of output and parses the final JSON line; the full per-query
+    # line (202 entries + pipeline, ~12 KB) can never fit that window
+    # (BENCH_r05 parsed:null — head cut; BENCH_r10..r12 parsed the compact
+    # line but it lacked "queries", so PERF per_query stayed empty for two
+    # rounds). Fix per VERDICT r12 item 1b: the FINAL line is minimal — no
+    # pipeline dict — but carries the 50 driver-window query timings (the
+    # non-zz_ names the driver verifies), which measure ~1.3 KB and fit the
+    # window. Nothing is removed from the bench output: the full line above
+    # and the committed BENCHDETAIL file keep all entries + pipeline detail.
+    window_queries = {
+        name: t for name, t in timings.items() if not name.startswith("zz_")
+    }
     print(
         json.dumps(
             {
@@ -378,10 +386,11 @@ def main() -> None:
                 "iterations": iters,
                 "n_queries": len(catalog),
                 "query_errors": errors,
-                "pipeline": pipeline,
+                "queries": window_queries,
                 "sf": sf,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -178,9 +178,6 @@ def ivf_build(
     broadcasts into the search.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T2
-    from pyspark.sql.functions import pandas_udf
 
     fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_rows is not None:
@@ -190,12 +187,34 @@ def ivf_build(
         # job; the fraction (and therefore the seeded Bernoulli sample)
         # is identical either way.
         n = emb.count() if n_rows is None else n_rows
+        if n < 1:
+            # a stale/undersized n_rows silently disables sampling and
+            # collects the FULL table to the driver — fail loudly instead
+            raise ValueError(f"n_rows must be the exact current count, got {n}")
         if n > sample_rows:
             fit_on = fit_on.sample(False, sample_rows / n, seed)
     # bounded driver collect: the training SAMPLE, never the table
     x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
     cents = _lloyd(x, n_centroids, seed, max_iter)
     cb = np.asarray(cents, dtype=np.float64)
+
+    assigned = emb.withColumn(
+        "cell", _assign_cells_udf(cb)(F.col(vec_col).cast("array<double>")))
+    centroids = [(i, [float(v) for v in c]) for i, c in enumerate(cb)]
+    return assigned, centroids
+
+
+def _assign_cells_udf(cb):
+    """Arrow-batched nearest-centroid assignment for a driver-side
+    codebook array: argmin over ``-2x·c + ||c||^2`` (the ||x||^2 term is
+    constant per row). Shared by :func:`ivf_build` and
+    :func:`ivfpq_build` so both run the SAME float64 expression the
+    driver-side sample assignment uses (bit-identical argmin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+    from pyspark.sql.functions import pandas_udf
+
     cb_sq = (cb * cb).sum(axis=1)
 
     # no type hints: PEP-563 stringified annotations (future-imported in
@@ -206,10 +225,7 @@ def ivf_build(
         d = -2.0 * (xs @ cb.T) + cb_sq[None, :]
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
-    assigned = emb.withColumn(
-        "cell", assign(F.col(vec_col).cast("array<double>")))
-    centroids = [(i, [float(v) for v in c]) for i, c in enumerate(cb)]
-    return assigned, centroids
+    return assign
 
 
 def ivf_index(
@@ -712,11 +728,20 @@ def pq_train(
         # the count job; the fraction (and therefore the seeded
         # Bernoulli sample) is identical either way
         n = emb.count() if n_rows is None else n_rows
+        if n < 1:
+            # a stale/undersized n_rows silently disables sampling and
+            # collects the FULL table to the driver — fail loudly instead
+            raise ValueError(f"n_rows must be the exact current count, got {n}")
         if n > sample_rows:
             fit_on = fit_on.sample(False, sample_rows / n, seed)
     # bounded driver collect: the training SAMPLE (≤ sample_rows rows),
     # never the table — the documented quantizer-fit contract
-    x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
+    try:
+        x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
+    except ValueError as e:
+        # NumPy >= 1.24 raises its own 'inhomogeneous shape' error inside
+        # asarray for ragged lists, before the ndim check below can run
+        raise ValueError("pq_train: ragged vector lengths in input") from e
     if x.size == 0:
         raise ValueError("pq_train: empty input")
     if x.ndim != 2:
@@ -861,12 +886,17 @@ def ivfpq_build(
     rung alone — the coarse centroid absorbs the vector's location so the
     m-byte code only has to describe the (much lower-variance) offset.
 
-    Orchestration: the row count is taken ONCE on the input table (a
-    column-pruned metadata-cheap count) and threaded into both trainers
-    — the broadcast-join residual frame has exactly one row per input
-    row, so its sample fraction (and the seeded Bernoulli sample, and
-    therefore the trained codebooks) is bit-identical to counting the
-    residual chain itself, without re-executing it for a count.
+    Orchestration: BOTH quantizers fit from ONE collected sample. The
+    coarse codebook trains on the sampled vectors; their cells and
+    residuals are then computed driver-side with the exact float64
+    expressions the distributed path uses (``_assign_cells_udf``'s
+    argmin formula; IEEE subtraction), so the per-subspace codebooks are
+    bit-identical to sampling the residual frame itself — without
+    executing the assignment UDF + broadcast join a second time just to
+    re-collect the same rows (the old shape's ``pq_train`` pass), and
+    without caching the full residual frame as a side effect. Build cost
+    drops to two jobs: one count, one sample collect
+    (``tests/test_dedup_similarity.py`` pins the bit-identity).
 
     Returns ``(encoded, centroids, codebooks)`` where ``encoded`` is
     ``(id_col, cell, pq_code)`` — the search table carries NO
@@ -875,30 +905,56 @@ def ivfpq_build(
     so probes prune partitions). Scale shape: the residual subtraction
     is a broadcast join on ``cell`` + one JVM ``zip_with`` (map-only);
     training touches only a bounded sample."""
-    n = emb.count() if sample_rows is not None else None
-    assigned, centroids = ivf_build(
-        emb, n_centroids, id_col, vec_col, seed, max_iter, sample_rows,
-        n_rows=n)
+    import numpy as np
+
+    if m < 1 or k < 2:
+        raise ValueError(f"need m >= 1 and k >= 2, got m={m}, k={k}")
+    fit_on = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_rows is not None:
+        n = emb.count()
+        if n > sample_rows:
+            fit_on = fit_on.sample(False, sample_rows / n, seed)
+    # bounded driver collect: the training SAMPLE, never the table
+    try:
+        x = np.asarray([r["_v"] for r in fit_on.collect()], dtype=np.float64)
+    except ValueError as e:
+        raise ValueError("ivfpq_build: ragged vector lengths in input") from e
+    if x.size == 0:
+        raise ValueError("ivfpq_build: empty input")
+    if x.ndim != 2:
+        raise ValueError("ivfpq_build: ragged vector lengths in input")
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    cb = np.asarray(_lloyd(x, n_centroids, seed, max_iter), dtype=np.float64)
+    # residuals of the SAME sample, driver-side: identical argmin
+    # expression to the assignment UDF, IEEE float64 subtraction
+    d = -2.0 * (x @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+    rx = x - cb[np.argmin(d, axis=1)]
+    sub = dim // m
+    books = [
+        (j, [[float(v) for v in c]
+             for c in _lloyd(rx[:, j * sub:(j + 1) * sub], k, seed + j,
+                             max_iter)])
+        for j in range(m)
+    ]
+    centroids = [(i, [float(v) for v in c]) for i, c in enumerate(cb)]
+
+    # full-table pass: assignment UDF + broadcast residual + PQ encode,
+    # one map-only chain evaluated once by the single consumer
     spark = emb.sparkSession
     cent = spark.createDataFrame(
         [(c, v) for c, v in centroids], "cell int, _centroid array<double>")
     resid = (
-        assigned.join(F.broadcast(cent), "cell")
+        emb.withColumn(
+            "cell", _assign_cells_udf(cb)(F.col(vec_col).cast("array<double>")))
+        .join(F.broadcast(cent), "cell")
         .withColumn(
             "_resid",
             F.zip_with(F.col(vec_col).cast("array<double>"),
                        F.col("_centroid"), lambda x, y: x - y),
         )
-        # cached: the residual chain (assignment UDF + join + zip_with)
-        # feeds the trainer's sample pass AND the encode pass — without
-        # the cache it re-evaluates per consumer
-        .cache()
     )
-    # n_rows=n: the inner broadcast join on `cell` preserves row count
-    # (assign() always lands in [0, n_centroids), and cent holds every
-    # cell id), so the residual frame needs no count job of its own
-    books = pq_train(resid, m=m, k=k, vec_col="_resid", seed=seed,
-                     max_iter=max_iter, sample_rows=sample_rows, n_rows=n)
     encoded = pq_encode(resid, books, vec_col="_resid").select(
         id_col, "cell", "pq_code")
     return encoded, centroids, books

@@ -3346,6 +3346,11 @@ def zz_dedup_minhash_portable_entry(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.sig").alias("sig"))
+    # in-query cache: without it the self-join below re-executes the
+    # whole shingle -> 16x md5-min -> band pipeline once PER JOIN SIDE
+    # (r13 plan diff: two identical 11-operator subtrees -> one
+    # InMemoryRelation; the bench clears the cache between runs)
+    banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("b"), "band", "sig")
     return (

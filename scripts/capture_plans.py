@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 from rdw_spark.plans.catalog import get_catalog  # noqa: E402
 from rdw_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = "/root/repo/plans/r12"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r13")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -62,6 +62,11 @@ def main() -> int:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "8")
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # n concurrent JVMs
+    # the round gate runs EVERYTHING: re-include the `exhaustive`-marked
+    # tests that pytest.ini's addopts excludes from the default (driver)
+    # selection (a later -m on the command line overrides addopts)
+    if not any(a == "-m" for a in args):
+        args = ["-m", "exhaustive or not exhaustive", *args]
     procs = []
     t0 = time.time()
     for i, shard in enumerate(shards):

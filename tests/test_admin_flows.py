@@ -97,6 +97,7 @@ def test_resubmit_unbounded_backlog_payloads_stay_distributed(
     assert wh.read(spark, "exam").filter("NOT deleted").count() == 110
 
 
+@pytest.mark.exhaustive
 def test_resubmit_unlimited_pages_backlog_by_id(spark, env, monkeypatch):
     """Mass replay pages the backlog in import-id order: with
     page_size=10 a 23-import backlog collects at most 10 metadata rows
@@ -134,6 +135,7 @@ def test_resubmit_unlimited_pages_backlog_by_id(spark, env, monkeypatch):
     assert wh.read(spark, "exam").filter("NOT deleted").count() == 23
 
 
+@pytest.mark.exhaustive
 def test_resubmit_corrupt_archive_payload_surfaces(spark, env):
     """Mass replay: an archived file whose bytes no longer re-digest to
     the logged value must SURFACE (counted in payload_mismatches, import
@@ -250,6 +252,7 @@ def test_groups_ingest_lifecycle(spark, env):
     assert res2["errors"] == 0
 
 
+@pytest.mark.exhaustive
 def test_purge_deleted_exams_hard_removes_rows(spark, env):
     from rdw_spark.sources.admin_flows import purge_deleted_exams
 
@@ -305,6 +308,7 @@ def test_user_report_save_and_json_query(spark, tmp_path):
     assert find_user_reports(ur, schoolId=647).count() == 0  # no substring match
 
 
+@pytest.mark.exhaustive
 def test_purge_school_year_sweeps_reference_data(spark, env):
     from pyspark.sql import Row
 
@@ -360,6 +364,7 @@ def test_reset_only_batch_refreshes_inferred_school(spark, env):
     assert stu["inferred_school_id"] == schools["55500010001001"]
 
 
+@pytest.mark.exhaustive
 def test_snapshot_and_restore_warehouse(spark, env, tmp_path):
     """docs/Runbook.Archive.md analog: the archive is layout-independent
     parquet; restoring into a fresh store preserves every table's resolved
@@ -389,6 +394,7 @@ def test_snapshot_and_restore_warehouse(spark, env, tmp_path):
         assert got == want, name
 
 
+@pytest.mark.exhaustive
 def test_upload_student_group_staging_retention(spark, env):
     """docs/Troubleshooting.md:459-468 — a failed import RETAINS its
     intermediate upload_student_group rows; a clean one removes its own;

@@ -1564,3 +1564,52 @@ def test_quantizer_n_rows_fast_path_is_bit_identical(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7, k=4, sample_rows=sample_rows, n_rows=n)
+
+
+def test_ivfpq_single_sample_fit_matches_residual_train(spark, sf_dir):
+    """r13 orchestration trim: ivfpq_build fits BOTH quantizers from one
+    collected sample, computing the sample's cells and residuals
+    driver-side. The codebooks must be bit-identical to the old shape —
+    pq_train over the explicitly-built residual frame with the same
+    sample params — on both the sampled (n > sample_rows) and unsampled
+    branches."""
+    from pyspark.sql import functions as F
+
+    from rdw_spark.operators.similarity import (
+        _assign_cells_udf, ivf_build, ivfpq_build, pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    for sample_rows in (max(2, n // 4), None):  # sampled + full-fit branches
+        enc, cents, books = ivfpq_build(
+            emb, n_centroids=4, m=4, k=4, sample_rows=sample_rows)
+
+        # the old shape, reconstructed: ivf assign -> broadcast residual
+        # frame -> pq_train over it with the same fraction inputs
+        assigned, cents_old = ivf_build(
+            emb, n_centroids=4, sample_rows=sample_rows,
+            n_rows=n if sample_rows is not None else None)
+        assert cents == cents_old
+        cent_df = spark.createDataFrame(
+            [(c, v) for c, v in cents_old],
+            "cell int, _centroid array<double>")
+        resid = (
+            assigned.join(F.broadcast(cent_df), "cell")
+            .withColumn(
+                "_resid",
+                F.zip_with(F.col("embedding").cast("array<double>"),
+                           F.col("_centroid"), lambda x, y: x - y),
+            )
+        )
+        books_old = pq_train(
+            resid, m=4, k=4, vec_col="_resid", seed=42,
+            sample_rows=sample_rows,
+            n_rows=n if sample_rows is not None else None)
+        assert books == books_old, f"sample_rows={sample_rows}"
+
+        # encoded table: same rows as the input, codes in [0, k)
+        rows = enc.collect()
+        assert len(rows) == n
+        assert all(0 <= c < 4 for r in rows for c in r["pq_code"])

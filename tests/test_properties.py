@@ -22,6 +22,15 @@ _SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+# several spark actions (append/compact/read) PER example — the MOR model
+# tests were the suite's slowest property tests (58s + 29s) at 8 examples;
+# 4 examples of up to 5 batches still exercise every interleaving class
+_SETTINGS_MULTI_ACTION = dict(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
 
 # (id, year, payload) batches: ids collide across batches, years from a
 # tiny pool so partitions both repeat and appear fresh
@@ -137,7 +146,7 @@ _mor_batches = st.lists(
 
 
 @given(batches=_mor_batches)
-@settings(**_SETTINGS)
+@settings(**_SETTINGS_MULTI_ACTION)
 def test_mor_key_mode_matches_dict_model(spark, tmp_path_factory, batches):
     from rdw_spark.warehouse.morstore import MergeOnReadTable
 
@@ -164,7 +173,7 @@ _grp_batches = st.lists(st.tuples(_grp_batch, st.booleans()), min_size=1, max_si
 
 
 @given(batches=_grp_batches)
-@settings(**_SETTINGS)
+@settings(**_SETTINGS_MULTI_ACTION)
 def test_mor_group_mode_matches_dict_model(spark, tmp_path_factory, batches):
     from rdw_spark.warehouse.morstore import MergeOnReadTable
 

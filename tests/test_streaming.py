@@ -128,7 +128,9 @@ class TestSessionize:
         # processing-time timeouts make termination timing variable, and
         # the containment assertion below is valid on a PARTIAL read —
         # every emitted closed session must exist in the batch result.
-        q.awaitTermination(120)
+        # (45s measured ample for the first closed-session emissions; the
+        # r12 suite spent the full 120s here on every run.)
+        q.awaitTermination(45)
         got = spark.sql(
             "SELECT user_id, session_start, n_events FROM sessions"
         ).collect()
@@ -508,6 +510,7 @@ def test_stream_corpus_bridge_doc_merges_canonicals(spark, tmp_path):
     assert drops == {20: "merged", 30: "near_dup"}
 
 
+@pytest.mark.exhaustive
 def test_stream_corpus_probe_reads_only_touched_buckets(spark, tmp_path, monkeypatch):
     """The O(batch) probe gate: with a populated corpus, a small batch's
     index probes must pass explicit partition lists (manifest pruning) —
@@ -616,6 +619,7 @@ def test_stream_corpus_csv_input_with_reject_quarantine(spark, tmp_path):
     assert drops[0]["doc_id"] < 0
 
 
+@pytest.mark.exhaustive
 def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     """with_stats=True: each micro-batch records input/written/wall_ms plus
     one row per drop stage, and a later batch's exact-dups show up in its
@@ -667,6 +671,7 @@ def test_stream_corpus_with_stats_records_batch_metrics(spark, tmp_path):
     assert b1["written"] == 1
 
 
+@pytest.mark.exhaustive
 def test_stream_corpus_normalize_unicode_cross_batch_dedup(spark, tmp_path):
     """normalize_unicode='NFC': a decomposed rendering arriving in a later
     micro-batch exact-dedups against its precomposed twin from an earlier
@@ -701,6 +706,7 @@ def test_stream_corpus_normalize_unicode_cross_batch_dedup(spark, tmp_path):
     assert d[9] == ("exact_dup", "1")
 
 
+@pytest.mark.exhaustive
 def test_corpus_drift_between_store_versions(spark, tmp_path):
     """Composition: time-travel the streaming corpus table and feed two
     versions to the batch corpus_drift report — 'what did the last N
@@ -741,6 +747,7 @@ def test_corpus_drift_between_store_versions(spark, tmp_path):
     assert abs(drift["en"]["share_delta"] - (0.4 - 1.0)) < 1e-9
 
 
+@pytest.mark.exhaustive
 def test_validate_corpus_store_clean_and_corrupted(spark, tmp_path):
     """A store built by the stream validates clean; an injected
     inconsistency (a cluster loser still present in the corpus) flips the
@@ -784,6 +791,7 @@ def test_validate_corpus_store_clean_and_corrupted(spark, tmp_path):
     assert all(v["count"] == 0 for v in others.values())
 
 
+@pytest.mark.exhaustive
 def test_stream_corpus_semantic_near_dup_across_batches(spark, tmp_path):
     """semantic=True: paraphrase pairs — lexically DISSIMILAR texts with
     near-identical embeddings — collapse in-batch and across micro-batches
@@ -892,6 +900,7 @@ def test_stream_corpus_semantic_matches_batch_build(spark, tmp_path):
     assert stream_kept == batch_kept == [1, 3]
 
 
+@pytest.mark.exhaustive
 def test_stream_corpus_jsonl_input_with_reject_quarantine(spark, tmp_path):
     """JSONL landing shards: good rows flow through the full dedup path,
     malformed / empty-text / id-less lines land in the drops table with
@@ -1091,6 +1100,7 @@ def test_layout_manifest_pins_bucket_counts(spark, tmp_path):
         "kv_buckets"] == 256
 
 
+@pytest.mark.exhaustive
 def test_validate_flags_duplicate_doc_ids(spark, tmp_path):
     """A producer re-sending an existing doc_id with different text
     violates the id-immutability contract; validation surfaces it."""
@@ -1195,6 +1205,7 @@ class TestSessionizeWindowed:
         assert got == want
 
 
+@pytest.mark.exhaustive
 def test_maintain_corpus_crash_then_maintain_then_replay(spark, tmp_path):
     """The aggstate crash contract, for the corpus store: if the stream
     died after its state appends but BEFORE the checkpoint commit, and

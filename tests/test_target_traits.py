@@ -27,9 +27,14 @@ from rdw_spark.warehouse import ImportLog, MigrateEngine, TableStore
 from tests.test_sources import ORG_JSON, PACKAGE_CSV, SUBJECT_XML, make_trt
 
 
-@pytest.fixture()
-def env(spark, tmp_path):
-    wh = TableStore(str(tmp_path / "warehouse"), audit_enabled=False)
+@pytest.fixture(scope="module")
+def _env_template(spark, tmp_path_factory):
+    """Build the warehouse ONCE per module; tests get an isolated COPY.
+    TableStore/ImportLog are purely path-based (versioned parquet dirs),
+    so a directory copy reconstructs identical state — this fixture was
+    ~24s of Spark ingest per test (14 tests) when function-scoped."""
+    root = tmp_path_factory.mktemp("tt_template") / "warehouse"
+    wh = TableStore(str(root), audit_enabled=False)
     log = ImportLog(wh, archive_root=None)
     assert ingest_organizations(spark, wh, log, ORG_JSON.encode())["status"] == "PROCESSED"
     assert ingest_package(spark, wh, log, PACKAGE_CSV.encode())["status"] == "PROCESSED"
@@ -40,6 +45,17 @@ def env(spark, tmp_path):
     ]
     res = ingest_exams(spark, wh, log, payloads, batch="tt")
     assert res["processed"] == 3
+    return root
+
+
+@pytest.fixture()
+def env(spark, tmp_path, _env_template):
+    import shutil
+
+    dst = tmp_path / "warehouse"
+    shutil.copytree(_env_template, dst)
+    wh = TableStore(str(dst), audit_enabled=False)
+    log = ImportLog(wh, archive_root=None)
     return wh, log
 
 

@@ -191,6 +191,7 @@ class TestSchoolYearRegistration:
         assert {r["school_year"] for r in kept.collect()} == {2018, 2019}
 
 
+@pytest.mark.exhaustive
 def test_sandbox_dataset_publish_and_create(spark, tmp_path):
     """Runbook.MultiTenancy.md sandbox flow: prepare a warehouse, publish
     it as a named dataset (manifest + label), create a sandbox tenant from

@@ -10,6 +10,8 @@ import hashlib
 import re
 from collections import Counter
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -365,6 +367,7 @@ def test_train_bpe_batched_known_corpus(spark):
 
 @given(texts=_docs)
 @settings(**_SETTINGS)
+@pytest.mark.exhaustive
 def test_train_bpe_batched_matches_sequential(spark, texts):
     """Property: for any corpus, batch_merges=4 yields exactly the
     sequential trainer's merge sequence (pairs, products, counts) and
