@@ -361,7 +361,17 @@ def dedup_corpus_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
            "window+n-1 tokens from a ~1/window sparse sample",
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.winnowing_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+    from ..io import spread_scan
+
+    # spread_scan (guide §6): the entry is MAP-ONLY — md5 per 3-gram plus
+    # the rolling window-min fold all run in the single scan task of the
+    # one-row-group parquet without it. Interleaved same-JVM A/B at
+    # sf0.1: 1.21 -> 0.60 s median, md5-identical fingerprints. (Same
+    # A/B on lm_score / hash_embed / simhash_portable read washes — their
+    # per-row exprs are too cheap to buy back the spread exchange.)
+    return X.winnowing_fingerprints(
+        spread_scan(_docs(spark, sf_dir).select("doc_id", "text")),
+        n=3, window=4)
 
 
 @register(
@@ -3316,9 +3326,20 @@ def zz_dedup_minhash_portable_entry(
         spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import normalize_text
 
+    from ..io import spread_scan
+
     toks = F.filter(F.split(normalize_text(F.col("text")), r"\s+"),
                     lambda x: x != "")
-    d = _docs(spark, sf_dir).select("doc_id", toks.alias("_l"))
+    # spread_scan (guide §6 scan-parallelism floor): the single-row-group
+    # parquet scans as ONE task, and the heavy stage here — shingle
+    # explode + the 16x md5-min partial SortAggregate — runs map-side
+    # BEFORE the doc_id exchange, i.e. serially without the spread.
+    # Interleaved same-JVM A/B at sf0.1: 3.34 -> 1.27 s median,
+    # md5-identical pairs. (The self-join's duplicated subtree is NOT a
+    # cost: ReuseExchange already dedups the identical shuffle — an
+    # explicit banded.cache() A/B'd a wash and was dropped.)
+    d = spread_scan(_docs(spark, sf_dir).select("doc_id", "text"))
+    d = d.select("doc_id", toks.alias("_l"))
     d = d.filter(F.size("_l") >= 3)
     # array_distinct dedups shingles within each doc, so (doc_id, s)
     # rows are already unique — no distinct shuffle needed
@@ -3346,11 +3367,6 @@ def zz_dedup_minhash_portable_entry(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.sig").alias("sig"))
-    # in-query cache: without it the self-join below re-executes the
-    # whole shingle -> 16x md5-min -> band pipeline once PER JOIN SIDE
-    # (r13 plan diff: two identical 11-operator subtrees -> one
-    # InMemoryRelation; the bench clears the cache between runs)
-    banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("b"), "band", "sig")
     return (
